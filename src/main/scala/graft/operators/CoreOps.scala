@@ -1,0 +1,356 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core operator parity with the reference (SURVEY.md §2), re-expressed
+  * Spark-first over the driver testdata tables.
+  *
+  * Mapping of reference entities onto testdata (FIXTURES.md §B):
+  * events → start/event log stream, orders → order_info,
+  * lineitem → order_detail, customer/nation/region → user/province dims,
+  * part/supplier → SKU snowflake dims.
+  *
+  * Every query is a declarative DataFrame program (no RDDs, no driver-side
+  * loops): Catalyst handles pushdown/pruning, small dims are explicitly
+  * `broadcast()`, and big-table joins shuffle only on their join key.
+  */
+object CoreOps {
+
+  /** dt ("yyyy-MM-dd") / hr ("HH") derivation — reference P3
+    * (gmallrealtime/.../app/DauApp.scala:47-55). */
+  private def withDtHr(df: DataFrame): DataFrame = df
+    .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    .withColumn("hr", date_format(col("ts"), "HH"))
+
+  // ---------------------------------------------------------------- A1
+  /** Daily active users — reference A1: count of per-day deduped mids
+    * (gmall-publisher/.../DauServicelmpl.java:26-42, dedup F3 at
+    * DauApp.scala:59-75). F3's whole Redis-SADD pipeline + ES doc count
+    * collapses to one distinct aggregate. */
+  def dauTotal(spark: SparkSession, dir: String): DataFrame =
+    withDtHr(Tables.events(spark, dir))
+      .groupBy("dt")
+      .agg(count_distinct(col("user_id")).as("dau"))
+      .orderBy("dt")
+
+  // ---------------------------------------------------------------- A2
+  /** Hourly DAU — reference A2 (DauServicelmpl.java:45-71, terms agg on hr). */
+  def dauHourly(spark: SparkSession, dir: String): DataFrame =
+    withDtHr(Tables.events(spark, dir))
+      .groupBy("dt", "hr")
+      .agg(count_distinct(col("user_id")).as("dau"))
+      .orderBy("dt", "hr")
+
+  // ---------------------------------------------------------------- A3
+  /** Day-over-day hourly DAU — reference A3 (ChartController.java:48-57 +
+    * GetDate.java:12-24): today's hourly curve joined with yesterday's.
+    * Self left-join on (d-1, hr); the hourly agg is computed once and
+    * reused on both sides. */
+  def dauDayOverDay(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), date_format(col("ts"), "HH").as("hr"),
+        col("user_id"))
+      .groupBy("d", "hr")
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val today = hourly
+    val yd = hourly.select(col("d").as("yd_d"), col("hr").as("yd_hr"),
+      col("dau").as("dau_yd"))
+    today
+      .join(yd, today("d") === date_add(yd("yd_d"), 1) && today("hr") === yd("yd_hr"), "left")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("dt"), col("hr"),
+        col("dau"), col("dau_yd"))
+      .orderBy("dt", "hr")
+  }
+
+  // ---------------------------------------------------------------- F3
+  /** Deterministic first-seen-per-day dedup — reference F3 (DauApp.scala:59-75):
+    * Redis SADD first-writer-wins per (dt, mid). Batch semantics: the row
+    * with the lowest event_id (arrival order) per (dt, user_id) survives.
+    * row_number over a hash-partitioned window — one shuffle on (dt, user_id). */
+  def firstSeen(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("dt"), col("user_id")).orderBy(col("event_id"))
+    withDtHr(Tables.events(spark, dir))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dt"), col("user_id"), col("event_id").as("first_event_id"),
+        col("event_type").as("first_event_type"), col("hr").as("first_hr"))
+      .orderBy("dt", "user_id")
+  }
+
+  // ---------------------------------------------------------------- F1
+  /** CDC routing predicate — reference F1 (ods/OdsGmallCanalMax.scala:47-52),
+    * replicated with its exact (buggy) parenthesization: the
+    * `bootstrap-insert` alternatives sit OUTSIDE the per-table parens, so a
+    * bootstrap-insert on ANY table passes the filter. Preserved for parity.
+    *
+    * Testdata mapping: event_type plays `table`
+    * (purchase→order_info, view→order_detail, click→base_province,
+    * signup→user_info, error→other_table); props.k mod 4 plays `type`. */
+  def cdcRoute(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val tbl = when(col("event_type") === "purchase", "order_info")
+      .when(col("event_type") === "view", "order_detail")
+      .when(col("event_type") === "click", "base_province")
+      .when(col("event_type") === "signup", "user_info")
+      .otherwise("other_table")
+    val op = when(k % 4 === 0, "insert")
+      .when(k % 4 === 1, "update")
+      .when(k % 4 === 2, "delete")
+      .otherwise("bootstrap-insert")
+    val df = ev.withColumn("table_name", tbl).withColumn("op", op)
+    val t = col("table_name"); val o = col("op")
+    // exact reference boolean, parens and all:
+    val keep = o.isNotNull && (
+      (t === "order_info" && o === "insert") ||
+      (t === "order_detail" && o === "insert") ||
+      (t === "base_province" && (o === "insert" || o === "update") || o === "bootstrap-insert") ||
+      (t === "user_info" && (o === "insert" || o === "update") || o === "bootstrap-insert"))
+    df.filter(keep)
+      .select(col("event_id"), col("table_name"), col("op"),
+        concat(lit("ODS_MM_"), upper(col("table_name"))).as("topic"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- J2/J3
+  /** Fact-to-dim enrichment — reference J2 (province broadcast join,
+    * DwdOrderInfoApp.scala:87-109) + J3 (per-record user lookup, :65-73).
+    * Both become broadcast hash left-joins; J3's per-record Phoenix RPC
+    * physical choice is obsolete on Spark. Dims are explicitly broadcast —
+    * at 100 TB the fact side streams through map-side joins, zero shuffle. */
+  def orderEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(o("o_orderkey"), o("o_orderstatus"), o("o_totalprice"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("dt"),
+        c("c_name"), c("c_mktsegment"), n("n_name"), r("r_name"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- J4
+  /** 4-way snowflake broadcast join — reference J4
+    * (DwdOrderDetailApp.scala:65-133): detail → sku → {spu, trademark,
+    * category3}, left-outer at every hop. Testdata: lineitem → part and
+    * lineitem → supplier → nation → region (two-hop chain). All dims
+    * broadcast; the only large input streams through. */
+  def snowflake(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"), "left")
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(l("l_orderkey"), l("l_linenumber"), l("l_partkey"),
+        l("l_quantity"), l("l_extendedprice"),
+        p("p_name"), p("p_brand"), p("p_type"),
+        s("s_name"), n("n_name"), r("r_name"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---------------------------------------------------------------- J1+P7+F4
+  /** Order-wide merge — reference J1 stream-stream equi-join
+    * (DwsOrderWideApp.scala:88-97) + P7 bean merge (bean/OrderWide.scala:38-88)
+    * + F4 zset dedup (:101-122). Batch surface: inner equi-join on the order
+    * key with the wide projection. F4 exists only to kill window-overlap
+    * duplicates, which a single-emission join never produces; its
+    * first-writer-wins semantics are covered by `firstSeen` (F3) and by the
+    * streaming layer. Shuffle on orderkey both sides (or AQE broadcast when
+    * one side is small). */
+  def orderWide(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"), "inner")
+      .select(o("o_orderkey").as("order_id"), l("l_linenumber").as("detail_id"),
+        o("o_custkey").as("user_id"), o("o_orderstatus").as("order_status"),
+        o("o_totalprice").as("final_total_amount"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("create_date"),
+        l("l_partkey").as("sku_id"), l("l_quantity").as("sku_num"),
+        l("l_extendedprice").as("order_price"), l("l_discount").as("discount"))
+      .orderBy("order_id", "detail_id")
+  }
+
+  // ---------------------------------------------------------------- P5/P6
+  /** Age-group bucketing + gender decode — reference P5/P6
+    * (dim/DimUserInfoApp.scala:55-82). Semantics preserved exactly,
+    * including the F-branch OVERRIDING the age bucket with "永远18岁".
+    * Testdata mapping: c_acctbal plays age, c_mktsegment=='AUTOMOBILE'
+    * plays gender=='F'. Pure codegen'd when/otherwise — no UDF. */
+  def ageBucket(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val bucket = when(col("c_acctbal") <= 1800, "少年")
+      .when(col("c_acctbal") <= 4000, "青年")
+      .otherwise("老年")
+    val isF = col("c_mktsegment") === "AUTOMOBILE"
+    c.withColumn("gender", when(isF, "女").otherwise("男"))
+      .withColumn("age_group", when(isF, "永远18岁").otherwise(bucket))
+      .select(col("c_custkey"), col("c_name"), col("gender"), col("age_group"))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- A4/L2/L3
+  /** Group-avg-sort-limit — reference A4 (MyEsUtil.scala:25 terms agg with
+    * avg sub-agg, ordered, size-capped). The average is computed as an
+    * EXACT decimal sum divided by count so the result is bit-identical
+    * across engines (double summation order would not be). */
+  def brandAvgTopN(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(
+        (sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_price"),
+        count(lit(1)).as("n_parts"))
+      .orderBy(col("avg_price").asc, col("p_brand").asc)
+      .limit(10)
+
+  // ---------------------------------------------------------------- L4
+  /** Pagination — reference L4 (dw-chart/.../IndexController.java:79-107):
+    * startpage/size over a sorted detail listing. Total-ordered sort with a
+    * unique tiebreak, then offset+limit. */
+  def pagination(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(20)
+      .limit(10)
+
+  // ---------------------------------------------------------------- P10
+  /** Generator / 1→N flatten — reference P10 Canal array unwrap
+    * (ods/OdsGmallCanal.scala:44-50): one CDC envelope holds an array of
+    * rows, flattened with explode (Spark's Generator — no custom UDTF
+    * needed). Modeled as sequence+explode so DuckDB can oracle it. */
+  def explodeArray(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_linenumber") <= 7)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        explode(sequence(lit(1L), col("l_linenumber").cast("long"))).as("n"))
+      .orderBy("l_orderkey", "l_linenumber", "n")
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_total" -> (dauTotal _),
+    "q_dau_hourly" -> (dauHourly _),
+    "q_dau_dod" -> (dauDayOverDay _),
+    "q_first_seen" -> (firstSeen _),
+    "q_cdc_route" -> (cdcRoute _),
+    "q_order_enrich" -> (orderEnrich _),
+    "q_snowflake" -> (snowflake _),
+    "q_order_wide" -> (orderWide _),
+    "q_age_bucket" -> (ageBucket _),
+    "q_brand_avg_topn" -> (brandAvgTopN _),
+    "q_pagination" -> (pagination _),
+    "q_explode" -> (explodeArray _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dau_total" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
+         FROM events GROUP BY dt ORDER BY dt""",
+    "q_dau_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hr,
+                count(DISTINCT user_id) AS dau
+         FROM events GROUP BY dt, hr ORDER BY dt, hr""",
+    "q_dau_dod" ->
+      """WITH h AS (
+           SELECT CAST(ts AS DATE) AS d, strftime(ts, '%H') AS hr,
+                  count(DISTINCT user_id) AS dau
+           FROM events GROUP BY d, hr)
+         SELECT strftime(t.d, '%Y-%m-%d') AS dt, t.hr AS hr, t.dau AS dau,
+                y.dau AS dau_yd
+         FROM h t LEFT JOIN h y ON y.d = t.d - 1 AND y.hr = t.hr
+         ORDER BY 1, 2""",
+    "q_first_seen" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id,
+                event_id AS first_event_id, event_type AS first_event_type,
+                strftime(ts, '%H') AS first_hr
+         FROM events
+         QUALIFY row_number() OVER (
+           PARTITION BY strftime(ts, '%Y-%m-%d'), user_id
+           ORDER BY event_id) = 1
+         ORDER BY dt, user_id""",
+    "q_cdc_route" ->
+      """WITH m AS (
+           SELECT event_id,
+                  CASE event_type WHEN 'purchase' THEN 'order_info'
+                                  WHEN 'view' THEN 'order_detail'
+                                  WHEN 'click' THEN 'base_province'
+                                  WHEN 'signup' THEN 'user_info'
+                                  ELSE 'other_table' END AS table_name,
+                  CASE CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
+                       WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+                       WHEN 2 THEN 'delete' ELSE 'bootstrap-insert' END AS op
+           FROM events)
+         SELECT event_id, table_name, op,
+                'ODS_MM_' || upper(table_name) AS topic
+         FROM m
+         WHERE op IS NOT NULL AND (
+               (table_name = 'order_info' AND op = 'insert')
+            OR (table_name = 'order_detail' AND op = 'insert')
+            OR (table_name = 'base_province' AND (op = 'insert' OR op = 'update') OR op = 'bootstrap-insert')
+            OR (table_name = 'user_info' AND (op = 'insert' OR op = 'update') OR op = 'bootstrap-insert'))
+         ORDER BY event_id""",
+    "q_order_enrich" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS dt,
+                c.c_name, c.c_mktsegment, n.n_name, r.r_name
+         FROM orders o
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+         ORDER BY o.o_orderkey""",
+    "q_snowflake" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity,
+                l.l_extendedprice, p.p_name, p.p_brand, p.p_type,
+                s.s_name, n.n_name, r.r_name
+         FROM lineitem l
+         LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+         LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "q_order_wide" ->
+      """SELECT o.o_orderkey AS order_id, l.l_linenumber AS detail_id,
+                o.o_custkey AS user_id, o.o_orderstatus AS order_status,
+                o.o_totalprice AS final_total_amount,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
+                l.l_partkey AS sku_id, l.l_quantity AS sku_num,
+                l.l_extendedprice AS order_price, l.l_discount AS discount
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         ORDER BY order_id, detail_id""",
+    "q_age_bucket" ->
+      """SELECT c_custkey, c_name,
+                CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '女' ELSE '男' END AS gender,
+                CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '永远18岁'
+                     WHEN c_acctbal <= 1800 THEN '少年'
+                     WHEN c_acctbal <= 4000 THEN '青年'
+                     ELSE '老年' END AS age_group
+         FROM customer ORDER BY c_custkey""",
+    "q_brand_avg_topn" ->
+      """SELECT p_brand,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) AS avg_price,
+                count(*) AS n_parts
+         FROM part GROUP BY p_brand
+         ORDER BY avg_price ASC, p_brand ASC LIMIT 10""",
+    "q_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 10 OFFSET 20""",
+    "q_explode" ->
+      """SELECT l_orderkey, l_linenumber, unnest(generate_series(1, l_linenumber)) AS n
+         FROM lineitem WHERE l_linenumber <= 7
+         ORDER BY l_orderkey, l_linenumber, n""",
+  )
+}
