@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.CoreOps
+import graft.operators.{CoreOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +22,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreOps.queries
+    CoreOps.queries ++ TextOps.queries ++ DedupOps.queries ++
+      SimilarityOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreOps.oracleSql
+    CoreOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
+      SimilarityOps.oracleSql ++ MultimodalOps.oracleSql
 }

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * Scale design notes (100 TB / 1000 executors):
+  *  - Exact dedup is a hash-groupBy on the content hash — one shuffle,
+  *    map-side partial aggregation, no skew (hashes are uniform).
+  *  - All near-dup candidate generation is BLOCKED (by `source` here,
+  *    by LSH band-buckets for MinHash): the quadratic pair space is never
+  *    materialized globally, only within buckets. This is the difference
+  *    between O(n²) and O(n·bucket) at scale.
+  *  - Shingle/feature explosion happens map-side off the document scan;
+  *    the only shuffles are the bucket-key groupBys and the candidate
+  *    verification join.
+  */
+object DedupOps {
+
+  /** Tokenize and build word 3-gram shingles (distinct per doc).
+    * Docs shorter than 3 tokens have no shingle and drop out — replicated
+    * in the oracle SQL (`len(t) >= 3`) because Spark's `sequence(1, n)`
+    * generates a DESCENDING sequence when n < 1 while DuckDB's
+    * generate_series returns empty. */
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("shingle"))
+      .distinct()
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup: group documents by content hash, keep the lowest doc_id.
+    * One shuffle on md5(text); at 100 TB this is the canonical
+    * hash-partitioned dedup with partial aggregation map-side. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  // ---------------------------------------------------------------- n-gram Jaccard
+  /** Near-dup detection by word-3-gram Jaccard similarity, blocked by
+    * `source` (pairs are only considered within a block — the standard
+    * blocking strategy that keeps the candidate join linear at scale).
+    * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from integer set cardinalities,
+    * so the double division is bit-identical across engines. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+      col("shingle").as("shingle_b"))
+    val inter = a.join(b,
+        a("shingle") === b("shingle_b") && a("source") === b("source_b") &&
+          a("doc_a") < b("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    val ca = card.select(col("doc_id").as("ka"), col("c").as("c_a"))
+    val cb = card.select(col("doc_id").as("kb"), col("c").as("c_b"))
+    val jac = col("n_common").cast("double") /
+      (col("c_a") + col("c_b") - col("n_common"))
+    inter
+      .join(ca, col("doc_a") === col("ka"))
+      .join(cb, col("doc_b") === col("kb"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- MinHash + LSH
+  /** Number of minhash permutations / LSH bands (4 rows per band). */
+  private val NumPerm = 32
+  private val NumBands = 8
+  private val RowsPerBand = NumPerm / NumBands
+  /** 2^31−1: keeps a·h+b under 2^62 so ANSI-mode long arithmetic never
+    * overflows (a,h < 2^31). */
+  private val MersennePrime31 = (1L << 31) - 1
+
+  /** Deterministic permutation parameters from a fixed LCG (no RNG at plan
+    * time — plans must be reproducible across rounds/resume). */
+  private[operators] val permParams: Seq[(Long, Long)] = {
+    var s = 42L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s & Long.MaxValue }
+    Seq.fill(NumPerm)((next() % (MersennePrime31 - 1) + 1, next() % MersennePrime31))
+  }
+
+  /** MinHash signatures per doc: shingle → 64-bit hash → per-permutation
+    * (a·h+b) mod p, min-aggregated. One shuffle on doc_id with 32 codegen'd
+    * min() partial aggregates — no per-row state, no UDAF. */
+  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+      .select(col("doc_id"), col("source"),
+        pmod(xxhash64(col("shingle")), lit(MersennePrime31)).as("h"))
+    val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$i")
+    }
+    sh.groupBy("doc_id", "source").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: signatures → band buckets → candidate
+    * pairs within identical (band, bucket-hash) → exact Jaccard verify.
+    * The band-bucket groupBy is the LSH trick: at 100 TB the candidate
+    * join touches only hash-colliding docs, never the full pair space.
+    * Spark-only (murmur/xxhash have no DuckDB twin) — verified by
+    * ScalaTest against the exact-Jaccard oracle path. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = minhashSignatures(docs).cache()
+    val bandCols = (0 until NumBands).map { bnd =>
+      val rows = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
+      struct(lit(bnd).as("band"), hash(rows: _*).as("sig"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("bsig"))
+    val l = buckets.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+    val r = buckets.select(col("band").as("band_r"), col("bsig").as("bsig_r"),
+      col("doc_id").as("doc_b"))
+    val candidates = l.join(r,
+        l("band") === r("band_r") && l("bsig") === r("bsig_r") &&
+          l("doc_a") < r("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact-Jaccard verification of candidates only
+    val sh = shingles(docs)
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val shA = sh.select(col("doc_id").as("ja"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("jb"), col("shingle").as("shingle_b"))
+    val inter = candidates
+      .join(shA, col("doc_a") === col("ja"))
+      .join(shB, col("doc_b") === col("jb") && col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("c_a") + col("c_b") - col("n_common"))
+    inter
+      .join(card.select(col("doc_id").as("ka"), col("c").as("c_a")), col("doc_a") === col("ka"))
+      .join(card.select(col("doc_id").as("kb"), col("c").as("c_b")), col("doc_b") === col("kb"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+  /** 64-bit SimHash per doc: token hashes vote per bit position; the sign
+    * of each bit-sum forms the signature. Expressed as 64 codegen'd
+    * conditional sums — one shuffle, no UDAF, no driver loops. */
+  private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _) // disjoint bit positions: sum == bitwise OR
+    toks.groupBy("doc_id", "source").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("source"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ 3, blocked by the
+    * 4-chunk pigeonhole: any pair within distance 3 agrees on at least one
+    * of the four 16-bit chunks, so candidates come from chunk-equality
+    * buckets — never an all-pairs join. Spark-only; spec-tested. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(Tables.documents(spark, dir)).cache()
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))
+    }
+    val blocked = sig.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"),
+        col("ck.v").as("v"))
+    val l = blocked.select(col("chunk"), col("v"), col("doc_id").as("doc_a"),
+      col("simhash").as("sig_a"))
+    val r = blocked.select(col("chunk").as("chunk_r"), col("v").as("v_r"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(r, l("chunk") === r("chunk_r") && l("v") === r("v_r") &&
+        l("doc_a") < r("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-duplicates: pairs with cosine > 0.4, blocked by
+    * `label` (the cluster id plays the ANN-bucket role at scale). Dot and
+    * norms computed in double precision in array order — bit-identical to
+    * DuckDB's list_cosine_similarity on the same floats. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("emb_b"))
+    val cos = VectorOps.cosine(col("emb_a"), col("emb_b"))
+    a.join(b, a("label") === b("label_b") && a("vec_a") < b("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
+      .where(col("cos_sim") > 0.4)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_minhash_lsh" -> (minhashLsh _),
+    "q_simhash" -> (simhashPairs _),
+    "q_embed_neardup" -> (embedNearDup _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tok3)),
+         card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_common,
+                CAST(n_common AS DOUBLE) / (ca.c + cb.c - n_common) AS jaccard
+         FROM inter
+         JOIN card ca ON doc_a = ca.doc_id
+         JOIN card cb ON doc_b = cb.doc_id
+         WHERE CAST(n_common AS DOUBLE) / (ca.c + cb.c - n_common) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) > 0.4
+         ORDER BY vec_a, vec_b""",
+    // q_minhash_lsh / q_simhash intentionally omitted: xxhash64/murmur have
+    // no DuckDB twin; they are verified in ScalaTest against the exact
+    // Jaccard path (rows-only check here).
+  )
+}

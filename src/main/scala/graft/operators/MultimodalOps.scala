@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column handling for a training-data pipeline: image/audio/
+  * video payloads as opaque `binary` columns with typed metadata, plus a
+  * batch feature-extraction stage.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB — but all the Spark-side plumbing is
+  * real and tested: the asset schema, the binary payloads, the typed meta
+  * struct, and the partition-batched extraction (mapPartitions over a typed
+  * Dataset — the Scala analogue of mapInPandas: one iterator per partition,
+  * amortizing model/codec init once per partition, which is exactly the
+  * shape a real decoder needs at 100 TB).
+  */
+object MultimodalOps {
+
+  case class Asset(asset_id: Long, modality: String, payload: Array[Byte],
+      width: Int, height: Int, duration_ms: Long)
+  case class AssetFeatures(asset_id: Long, modality: String, byte_len: Int,
+      features: Array[Double])
+
+  /** Asset table synthesized from `documents`: payload = utf-8 bytes of the
+    * text (an opaque blob as far as the pipeline is concerned), modality
+    * round-robined, metadata derived deterministically from n_chars. */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 640 + 1).cast("int").as("width"),
+      (col("n_chars") % 480 + 1).cast("int").as("height"),
+      (col("n_chars") * 40L).as("duration_ms"))
+
+  /** Feature dimension produced by the (stub) decoder. */
+  val FeatureDim = 8
+
+  /** STUB decode/feature-extract: stands in for an image/audio decoder that
+    * is not installed in this container. Deterministic per payload —
+    * an 8-bin byte histogram normalized by length. The REAL part is the
+    * batch shape around it: mapPartitions gives one iterator per partition,
+    * so a real codec/model would be initialized once per partition, not per
+    * row (same contract as mapInPandas batches).
+    */
+  // STUB: replace the body with a real decoder (e.g. JNI codec / DL model)
+  // when the runtime has one; keep the per-partition init pattern.
+  private def stubDecodeBatch(batch: Iterator[Asset]): Iterator[AssetFeatures] = {
+    // (real code would init the codec/model HERE, once per partition)
+    batch.map { a =>
+      val hist = new Array[Double](FeatureDim)
+      var i = 0
+      while (i < a.payload.length) {
+        hist((a.payload(i) & 0xFF) % FeatureDim) += 1.0
+        i += 1
+      }
+      val n = math.max(a.payload.length, 1).toDouble
+      AssetFeatures(a.asset_id, a.modality, a.payload.length,
+        hist.map(_ / n))
+    }
+  }
+
+  /** Partition-batched feature extraction over the asset table. */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[AssetFeatures] = {
+    import spark.implicits._
+    assets(spark, dir).as[Asset].mapPartitions(stubDecodeBatch)
+  }
+
+  /** Metadata/byte-length projection — the oracle-checkable part of the
+    * multimodal plumbing (byte lengths of the binary payloads + meta). */
+  def assetMeta(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir)
+      .select(col("asset_id"), col("modality"),
+        length(col("payload")).as("byte_len"),
+        col("width"), col("height"), col("duration_ms"))
+      .orderBy("asset_id")
+
+  /** Feature stats through the stub decoder — deterministic, so the driver's
+    * rows-only check is stable; exactness is asserted in ScalaTest. */
+  def featureStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(spark, dir).toDF()
+      .select(col("asset_id"), col("modality"), col("byte_len"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 2), 6).as("f1"))
+      .orderBy("asset_id")
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_meta" -> (assetMeta _),
+    "q_mm_features" -> (featureStats _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_mm_meta" ->
+      """SELECT doc_id AS asset_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                ELSE 'video' END AS modality,
+                octet_length(encode(text)) AS byte_len,
+                CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+                CAST(n_chars % 480 + 1 AS INTEGER) AS height,
+                n_chars * 40 AS duration_ms
+         FROM documents ORDER BY asset_id""",
+    // q_mm_features omitted: the decode stub is Spark-side only
+    // (rows-only check; exact values asserted in ScalaTest).
+  )
+}

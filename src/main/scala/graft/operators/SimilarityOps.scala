@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding: array<float>[64], label).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: the correctness baseline. The (small) query
+  *    set is broadcast; the corpus streams through map-side — at 100 TB
+  *    this is one scan, no corpus shuffle, and the per-query top-k is a
+  *    window over query_id (k·|queries| rows post-filter).
+  *  - random-hyperplane LSH: the scale path. Signatures bucket the corpus;
+  *    candidates come only from matching buckets across L tables, so the
+  *    per-query work is O(bucket) not O(corpus).
+  */
+object SimilarityOps {
+
+  private val TopK = 5
+  /** Queries = vec_id < 10 (deterministic, sf-independent). */
+  private val NumQueries = 10
+
+  // ---------------------------------------------------------------- brute force
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cos = VectorOps.cosine(col("qe"), col("embedding"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- LSH
+  /** L tables × B bits of random-hyperplane signatures. Plane components
+    * are deterministic (fixed LCG → ~N(0,1) via sum of uniforms), embedded
+    * as a literal — reproducible across sessions, no RNG at plan time. */
+  private val NumTables = 4
+  private val BitsPerTable = 8
+  private val Dim = 64
+
+  private[operators] val planes: Seq[Seq[Seq[Double]]] = {
+    var s = 2025L
+    def u(): Double = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) }
+    def gauss(): Double = (1 to 12).map(_ => u()).sum - 6.0
+    Seq.fill(NumTables)(Seq.fill(BitsPerTable)(Seq.fill(Dim)(gauss())))
+  }
+
+  /** signature for one table: pack sign(dot(emb, plane_b)) bits into an int. */
+  private def tableSig(emb: org.apache.spark.sql.Column, t: Int) = {
+    import org.apache.spark.sql.Column
+    val bits: Seq[Column] = (0 until BitsPerTable).map { bI =>
+      val plane = typedlit(planes(t)(bI))
+      when(VectorOps.dot(emb, plane) > 0.0, lit(1 << bI)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: same output shape as annBruteForce but neighbors are
+    * drawn only from LSH-bucket collisions (any of the L tables). Spark-only
+    * (planes aren't expressible in the oracle); ScalaTest measures recall
+    * against annBruteForce. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val sigCols = (0 until NumTables).map(t =>
+      struct(lit(t).as("tbl"), tableSig(col("embedding"), t).as("sig")))
+    val bucketed = e
+      .select(col("vec_id"), col("embedding"), explode(array(sigCols: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    val qb = bucketed.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("tbl").as("q_tbl"), col("sig").as("q_sig"))
+    val candidates = bucketed
+      .join(broadcast(qb),
+        col("tbl") === col("q_tbl") && col("sig") === col("q_sig") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("vec_id").as("neighbor_id"),
+        col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("embedding")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_bruteforce" -> (annBruteForce _),
+    "q_ann_lsh" -> (annLsh _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ann_bruteforce" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+         s AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])) AS cos_sim
+           FROM q, embeddings e WHERE e.vec_id != q.query_id)
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM s)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q_ann_lsh omitted: hyperplanes live in the Spark plan only;
+    // recall vs brute force is asserted in ScalaTest.
+  )
+}

