@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming layer — the streaming semantics of the reference
+  * (SURVEY.md §2.8) rebuilt on event-time + watermarks + the state store.
+  *
+  * What replaces what (reference site → here):
+  *  - Redis SADD first-seen dedup (DauApp.scala:59-75)
+  *      → watermarked dropDuplicates on (dt, user_id). State is bounded by
+  *        the watermark instead of an external Redis set; checkpointing
+  *        replaces the manual offset protocol (OffsetManager.scala).
+  *  - DStream window(10s,5s) + keyBy + join + zset dedup
+  *    (DwsOrderWideApp.scala:88-122)
+  *      → watermarked stream-stream inner join with a ±10s event-time range.
+  *        Structured Streaming emits each matched pair exactly once, so the
+  *        zset dedup (F4) disappears; watermarks make the orphan/late rule
+  *        DETERMINISTIC where the reference depended on arrival timing
+  *        (documented delta, SURVEY §7.5c).
+  *  - per-record Kafka fan-out by table (OdsGmallCanalMax.scala:40-57)
+  *      → a single partitionBy("table_name") sink: one job, N output
+  *        directories, no per-record producer.
+  *
+  * All functions are DataFrame→DataFrame so they run identically on a
+  * `readStream` source (production) and a batch DataFrame or MemoryStream
+  * (tests) — the Spark way to keep streaming logic unit-testable.
+  */
+object StreamingOps {
+
+  /** Event-time watermark matching the reference's 10s join window. */
+  val WatermarkDelay = "10 seconds"
+
+  /** F3: first-seen-per-day dedup. On a stream: state-store-backed
+    * dropDuplicates keyed (dt, user_id); the watermark bounds state to the
+    * delay window + open days. Late events beyond the watermark are dropped
+    * deterministically (the reference's Redis set would have accepted them —
+    * delta documented in SURVEY §7.5c). */
+  def firstSeenStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col("ts"), "HH"))
+      .withWatermark("ts", WatermarkDelay)
+      .dropDuplicates("dt", "user_id")
+
+  /** A2 streaming: hourly DAU as a windowed count over the deduped stream.
+    * Append-mode compatible: emits each (dt, hr) bucket once its watermark
+    * passes. */
+  def hourlyDauStream(events: DataFrame): DataFrame =
+    firstSeenStream(events)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("dt"),
+        date_format(col("w.start"), "HH").as("hr"), col("dau"))
+
+  /** J1: stream-stream inner equi-join, order_info ⋈ order_detail.
+    * Both sides watermarked; the ±10s event-time range bounds join state
+    * exactly like the reference's 10s sliding window bounded which pairs
+    * could meet. Input schemas follow the testdata mapping:
+    * orders(o_orderkey, ..., o_ts) and lineitem(l_orderkey, ..., l_ts). */
+  def orderWideStream(orderInfo: DataFrame, orderDetail: DataFrame): DataFrame = {
+    val oi = orderInfo.withWatermark("o_ts", WatermarkDelay)
+    val od = orderDetail.withWatermark("l_ts", WatermarkDelay)
+    od.join(oi,
+      od("l_orderkey") === oi("o_orderkey") &&
+        od("l_ts") >= oi("o_ts") - expr("INTERVAL 10 SECONDS") &&
+        od("l_ts") <= oi("o_ts") + expr("INTERVAL 10 SECONDS"),
+      "inner")
+  }
+
+  /** F1+T6: CDC routing predicate (exact reference boolean, incl. the
+    * bootstrap-insert leak) applied to a stream; the result carries
+    * `table_name` so a single partitionBy("table_name") sink fans out to
+    * per-table directories/topics. */
+  def cdcRouteStream(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val tbl = when(col("event_type") === "purchase", "order_info")
+      .when(col("event_type") === "view", "order_detail")
+      .when(col("event_type") === "click", "base_province")
+      .when(col("event_type") === "signup", "user_info")
+      .otherwise("other_table")
+    val op = when(k % 4 === 0, "insert").when(k % 4 === 1, "update")
+      .when(k % 4 === 2, "delete").otherwise("bootstrap-insert")
+    val df = events.withColumn("table_name", tbl).withColumn("op", op)
+    val t = col("table_name"); val o = col("op")
+    val keep = o.isNotNull && (
+      (t === "order_info" && o === "insert") ||
+      (t === "order_detail" && o === "insert") ||
+      (t === "base_province" && (o === "insert" || o === "update") || o === "bootstrap-insert") ||
+      (t === "user_info" && (o === "insert" || o === "update") || o === "bootstrap-insert"))
+    df.filter(keep)
+  }
+
+  /** J2 streaming form: stream-static broadcast enrichment. The static dim
+    * is re-read per batch when wrapped in foreachBatch (per-batch dim
+    * refresh parity, SURVEY §7.5); as a plain stream-static join Spark
+    * re-plans the static side per micro-batch anyway. */
+  def enrichStream(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String): DataFrame =
+    fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left")
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+case class OInfo(o_orderkey: Long, o_ts: Timestamp, o_totalprice: Double)
+case class ODet(l_orderkey: Long, l_ts: Timestamp, l_extendedprice: Double)
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  test("streaming first-seen dedup: duplicate mids across batches collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // batch 1: user 1 twice; batch 2: user 1 again (cross-batch dup) + user 2
+    in.addData(
+      Ev(0, ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(1, ts("2024-01-01 10:00:01"), 1, "view", 1.0, "{}"))
+    val q = StreamingOps.firstSeenStream(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("fs").start()
+    q.processAllAvailable()
+    in.addData(
+      Ev(2, ts("2024-01-01 10:00:02"), 1, "view", 1.0, "{}"),
+      Ev(3, ts("2024-01-01 10:00:03"), 2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fs").select("user_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L), "one row per user per day across batches")
+  }
+
+  test("stream-stream join emits each matched pair once; orphans beyond window never join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val oi = MemoryStream[OInfo]
+    val od = MemoryStream[ODet]
+    val joined = StreamingOps.orderWideStream(oi.toDF(), od.toDF())
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("wide").start()
+    // pair within 10s → joins; detail 99 is 60s away from its order → orphan
+    oi.addData(OInfo(1, ts("2024-01-01 10:00:00"), 100.0),
+               OInfo(99, ts("2024-01-01 10:00:00"), 50.0))
+    od.addData(ODet(1, ts("2024-01-01 10:00:05"), 10.0),
+               ODet(99, ts("2024-01-01 10:01:00"), 20.0))
+    q.processAllAvailable()
+    // advance both watermarks far past everything so state finalizes
+    oi.addData(OInfo(1000, ts("2024-01-01 11:00:00"), 0.0))
+    od.addData(ODet(1001, ts("2024-01-01 11:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wide").select("l_orderkey").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L), s"only the in-window pair joins, got ${got.toSeq}")
+  }
+
+  test("windowed hourly DAU emits closed buckets in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(0, ts("2024-01-01 10:05:00"), 1, "view", 1.0, "{}"),
+      Ev(1, ts("2024-01-01 10:10:00"), 1, "view", 1.0, "{}"), // dup user
+      Ev(2, ts("2024-01-01 10:20:00"), 2, "view", 1.0, "{}"),
+      // watermark pusher: closes the 10:00 bucket
+      Ev(3, ts("2024-01-01 12:00:00"), 3, "view", 1.0, "{}"))
+    val q = StreamingOps.hourlyDauStream(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("hdau").start()
+    q.processAllAvailable()
+    in.addData(Ev(4, ts("2024-01-01 14:00:00"), 4, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hdau").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("2024-01-01", "10")) == 2L, s"dedup inside window: $got")
+  }
+
+  test("cdc routing stream + partitioned fan-out sink (T6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(0, ts("2024-01-01 10:00:00"), 1, "purchase", 1.0, """{"k": 0}"""),  // insert → keep
+      Ev(1, ts("2024-01-01 10:00:01"), 1, "purchase", 1.0, """{"k": 2}"""),  // delete → drop
+      Ev(2, ts("2024-01-01 10:00:02"), 1, "error", 1.0, """{"k": 3}"""),     // bootstrap leak → keep
+      Ev(3, ts("2024-01-01 10:00:03"), 1, "signup", 1.0, """{"k": 1}"""))    // update user_info → keep
+    val outDir = java.nio.file.Files.createTempDirectory("graft_route_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val q = StreamingOps.cdcRouteStream(in.toDF()).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .partitionBy("table_name")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+    assert(dirs == Set("table_name=order_info", "table_name=other_table",
+      "table_name=user_info"), s"got $dirs")
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 3)
+    assert(back.where(col("op") === "delete").count() == 0)
+  }
+}
