@@ -1,0 +1,12 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftext.VectorColumns
+
+/** Public entry points for the native vector expressions (implementation in
+  * org.apache.spark.sql.graftext — see that file for why it lives in the
+  * spark namespace). */
+object VectorFunctions {
+  def vec_dot(a: Column, b: Column): Column = VectorColumns.vec_dot(a, b)
+  def vec_norm(a: Column): Column = VectorColumns.vec_norm(a)
+}

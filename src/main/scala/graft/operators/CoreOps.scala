@@ -103,17 +103,27 @@ object CoreOps {
       .when(k % 4 === 1, "update")
       .when(k % 4 === 2, "delete")
       .otherwise("bootstrap-insert")
-    val df = ev.withColumn("table_name", tbl).withColumn("op", op)
-    val t = col("table_name"); val o = col("op")
-    // exact reference boolean, parens and all:
-    val keep = o.isNotNull && (
-      (t === "order_info" && o === "insert") ||
-      (t === "order_detail" && o === "insert") ||
-      (t === "base_province" && (o === "insert" || o === "update") || o === "bootstrap-insert") ||
-      (t === "user_info" && (o === "insert" || o === "update") || o === "bootstrap-insert"))
-    df.filter(keep)
-      .select(col("event_id"), col("table_name"), col("op"),
-        concat(lit("ODS_MM_"), upper(col("table_name"))).as("topic"))
+    // The reference boolean, written literally over (table, op), inlines the
+    // op CASE (and with it the JSON parse) ~14× per row in the Filter.
+    // Restructured into the equivalent table as a function of (k mod 4,
+    // event_type) so the JSON is parsed ONCE per row:
+    //   op=insert (k%4=0): all four routed tables pass
+    //   op=update (k%4=1): only the two (... || op='update') tables pass
+    //   op=delete (k%4=2): nothing passes
+    //   op=bootstrap-insert (else): EVERYTHING passes — the reference's
+    //     parenthesization leak, preserved (SURVEY §2.3 F1).
+    // The oracle SQL keeps the reference-shaped boolean verbatim; the
+    // sf0.01 hash match is the empirical equivalence proof.
+    val keep = element_at(
+      array(
+        col("event_type").isin("purchase", "view", "click", "signup"),
+        col("event_type").isin("click", "signup"),
+        lit(false),
+        lit(true)),
+      coalesce(k % 4, lit(3)) + 1)
+    ev.filter(keep)
+      .select(col("event_id"), tbl.as("table_name"), op.as("op"),
+        concat(lit("ODS_MM_"), upper(tbl)).as("topic"))
       .orderBy("event_id")
   }
 

@@ -93,14 +93,13 @@ object DedupOps {
   /** MinHash signatures per doc: shingle → 64-bit hash → per-permutation
     * (a·h+b) mod p, min-aggregated. One shuffle on doc_id with 32 codegen'd
     * min() partial aggregates — no per-row state, no UDAF. */
-  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-      .select(col("doc_id"), col("source"),
-        pmod(xxhash64(col("shingle")), lit(MersennePrime31)).as("h"))
+  private[operators] def minhashSignatures(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("doc_id"), col("source"),
+      pmod(xxhash64(col("shingle")), lit(MersennePrime31)).as("h"))
     val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$i")
     }
-    sh.groupBy("doc_id", "source").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("doc_id", "source").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash+LSH near-dup pairs: signatures → band buckets → candidate
@@ -111,7 +110,10 @@ object DedupOps {
     * ScalaTest against the exact-Jaccard oracle path. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sig = minhashSignatures(docs).cache()
+    // shingles feed BOTH the signature pass and the verification join —
+    // cache once instead of re-exploding the corpus
+    val sh = shingles(docs).cache()
+    val sig = minhashSignatures(sh)
     val bandCols = (0 until NumBands).map { bnd =>
       val rows = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
       struct(lit(bnd).as("band"), hash(rows: _*).as("sig"))
@@ -126,8 +128,8 @@ object DedupOps {
         l("band") === r("band_r") && l("bsig") === r("bsig_r") &&
           l("doc_a") < r("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // exact-Jaccard verification of candidates only
-    val sh = shingles(docs)
+    // exact-Jaccard verification of candidates only (reuses the cached
+    // shingles from the signature pass)
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val shA = sh.select(col("doc_id").as("ja"), col("shingle"))
     val shB = sh.select(col("doc_id").as("jb"), col("shingle").as("shingle_b"))
@@ -198,11 +200,13 @@ object DedupOps {
     * DuckDB's list_cosine_similarity on the same floats. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // norms computed ONCE per vector before the join: each pair then costs
+    // a single native dot instead of three array traversals
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("emb_a"))
+      col("embedding").as("emb_a"), VectorOps.norm(col("embedding")).as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("embedding").as("emb_b"))
-    val cos = VectorOps.cosine(col("emb_a"), col("emb_b"))
+      col("embedding").as("emb_b"), VectorOps.norm(col("embedding")).as("nb"))
+    val cos = VectorOps.cosinePrenorm(col("emb_a"), col("emb_b"), col("na"), col("nb"))
     a.join(b, a("label") === b("label_b") && a("vec_a") < b("vec_b"))
       .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
       .where(col("cos_sim") > 0.4)

@@ -28,9 +28,12 @@ object SimilarityOps {
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val cos = VectorOps.cosine(col("qe"), col("embedding"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.norm(col("embedding")).as("nq"))
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("ne"))
+    val cos = VectorOps.cosinePrenorm(col("qe"), col("embedding"), col("nq"), col("ne"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -49,11 +52,11 @@ object SimilarityOps {
   private val BitsPerTable = 8
   private val Dim = 64
 
-  private[operators] val planes: Seq[Seq[Seq[Double]]] = {
+  private[operators] val planes: Seq[Seq[Seq[Float]]] = {
     var s = 2025L
     def u(): Double = { s = s * 6364136223846793005L + 1442695040888963407L
       ((s >>> 11).toDouble / (1L << 53).toDouble) }
-    def gauss(): Double = (1 to 12).map(_ => u()).sum - 6.0
+    def gauss(): Float = ((1 to 12).map(_ => u()).sum - 6.0).toFloat
     Seq.fill(NumTables)(Seq.fill(BitsPerTable)(Seq.fill(Dim)(gauss())))
   }
 
@@ -76,24 +79,27 @@ object SimilarityOps {
     val sigCols = (0 until NumTables).map(t =>
       struct(lit(t).as("tbl"), tableSig(col("embedding"), t).as("sig")))
     val bucketed = e
-      .select(col("vec_id"), col("embedding"), explode(array(sigCols: _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"),
+        explode(array(sigCols: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
     val qb = bucketed.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("tbl").as("q_tbl"), col("sig").as("q_sig"))
+        col("nrm").as("nq"), col("tbl").as("q_tbl"), col("sig").as("q_sig"))
     val candidates = bucketed
       .join(broadcast(qb),
         col("tbl") === col("q_tbl") && col("sig") === col("q_sig") &&
           col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("vec_id").as("neighbor_id"),
-        col("embedding"))
+      .select(col("query_id"), col("qe"), col("nq"),
+        col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     candidates
       .select(col("query_id"), col("neighbor_id"),
-        VectorOps.cosine(col("qe"), col("embedding")).as("cos_sim"))
+        VectorOps.cosinePrenorm(col("qe"), col("embedding"),
+          col("nq"), col("nrm")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
       .select("query_id", "rank", "neighbor_id", "cos_sim")

@@ -3,25 +3,37 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from Spark's
-  * higher-order array functions (zip_with / aggregate) so everything stays
-  * inside Catalyst — no UDF serialization, no Python.
+import graft.functions.VectorFunctions
+
+/** Vector math over `array<float>` embedding columns.
   *
-  * Accumulation is double-precision in array order, which matches DuckDB's
-  * list_cosine_similarity on the same floats (verified bit-identical by the
-  * oracle gate). A codegen'd native Expression is the planned upgrade for
-  * the hot path (see functions/ package).
+  * `dot`/`norm` delegate to the native codegen'd FloatVectorDot expression
+  * (graft.functions) — a tight primitive loop inside whole-stage codegen.
+  * The higher-order-function formulation is kept as `dotHof` for
+  * equivalence testing: both accumulate in double precision in array
+  * order, so they are bit-identical to each other and to DuckDB's
+  * list_cosine_similarity on the same floats.
   */
 object VectorOps {
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = VectorFunctions.vec_dot(a, b)
+
+  def norm(a: Column): Column = VectorFunctions.vec_norm(a)
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from precomputed per-side norms — use in joins so each pair
+    * costs one dot instead of three. */
+  def cosinePrenorm(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Reference higher-order-function implementation (interpreted lambdas;
+    * ~6× slower in pair joins). Kept for cross-checking the native expr. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm2(a: Column): Column =
+  private[graft] def norm2Hof(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 }

@@ -1,0 +1,78 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd vector expressions.
+  *
+  * Lives under `org.apache.spark.sql.*` because the Column↔Expression
+  * bridge (`classic.ExpressionUtils`) and `AbstractDataType` are
+  * `private[sql]` in Spark 4 — the standard packaging for third-party
+  * Catalyst extensions. Public entry points are re-exported via
+  * `graft.functions.VectorFunctions`.
+  */
+
+/** Dot product over two `array<float>` columns as a tight primitive loop
+  * inside whole-stage codegen.
+  *
+  * Replaces the `zip_with + aggregate` higher-order composition in the
+  * vector hot paths (which allocates an intermediate array and runs
+  * interpreted lambdas per element). Accumulation is double-precision in
+  * array order — bit-identical to the higher-order version and to DuckDB's
+  * list_cosine_similarity numerator on the same floats, so oracle parity
+  * is preserved.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorColumns {
+  /** Column API for the native dot product. */
+  def vec_dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVectorDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** L2 norm via the same native loop (dot(a,a) in array order). */
+  def vec_norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+}
