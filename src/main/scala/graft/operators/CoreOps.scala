@@ -72,14 +72,19 @@ object CoreOps {
     * Redis SADD first-writer-wins per (dt, mid). Batch semantics: the row
     * with the lowest event_id (arrival order) per (dt, user_id) survives.
     * row_number over a hash-partitioned window — one shuffle on (dt, user_id). */
-  def firstSeen(spark: SparkSession, dir: String): DataFrame = {
+  def firstSeen(spark: SparkSession, dir: String): DataFrame =
+    firstSeenDf(withDtHr(Tables.events(spark, dir)))
+      .orderBy("dt", "user_id")
+
+  /** Core of F3 on any (dt, user_id, event_id, event_type, hr)-shaped input
+    * — exposed for property tests (idempotence etc.). */
+  private[graft] def firstSeenDf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("dt"), col("user_id")).orderBy(col("event_id"))
-    withDtHr(Tables.events(spark, dir))
+    events
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("dt"), col("user_id"), col("event_id").as("first_event_id"),
         col("event_type").as("first_event_type"), col("hr").as("first_hr"))
-      .orderBy("dt", "user_id")
   }
 
   // ---------------------------------------------------------------- F1

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Serving-layer queries — the publisher REST API surface
+  * (gmall-publisher, SURVEY §2.6/§3.1) as `(date) => DataFrame` functions.
+  * Each replaces an Elasticsearch query over pre-deduped per-day indexes
+  * with a direct aggregate over the event stream's batch table; the dedup
+  * that ES doc-ids provided implicitly is the count_distinct.
+  *
+  * At scale these are served from the dt-partitioned output of the
+  * streaming layer (partition pruning makes them single-day scans); here
+  * they run over the raw events table to stay oracle-checkable.
+  */
+object ServingOps {
+
+  /** GET /realtime-total?date= — total DAU for one day
+    * (P/service/impl/DauServicelmpl.java:26-42). */
+  def realtimeTotal(spark: SparkSession, dir: String, date: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(date_format(col("ts"), "yyyy-MM-dd") === date)
+      .agg(count_distinct(col("user_id")).as("dau"))
+
+  /** GET /realtime-hour — hourly DAU curve for one day
+    * (DauServicelmpl.java:45-71, terms agg size 24). */
+  def realtimeHourly(spark: SparkSession, dir: String, date: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(date_format(col("ts"), "yyyy-MM-dd") === date)
+      .groupBy(date_format(col("ts"), "HH").as("hr"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+      .orderBy("hr")
+      .limit(24)
+
+  /** The dashboard's today+yesterday comparison
+    * (P/controller/ChartController.java:48-57): both curves side by side. */
+  def hourlyWithYesterday(spark: SparkSession, dir: String, date: String): DataFrame = {
+    val today = realtimeHourly(spark, dir, date)
+    val yd = realtimeHourly(spark, dir, prevDay(date))
+      .select(col("hr").as("yd_hr"), col("dau").as("dau_yd"))
+    today.join(yd, col("hr") === col("yd_hr"), "left")
+      .select(col("hr"), col("dau"), col("dau_yd"))
+      .orderBy("hr")
+  }
+
+  /** GetDate.java:12-24 — date minus one day. */
+  private[graft] def prevDay(date: String): String =
+    java.time.LocalDate.parse(date).minusDays(1).toString
+
+  /** A fixed mid-corpus date so the serving queries are registrable as
+    * driver-contract entries (events span 2024-01; day 15 has a full
+    * yesterday). */
+  private val FixedDate = "2024-01-15"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_serve_total" -> ((s, d) => realtimeTotal(s, d, FixedDate)),
+    "q_serve_hourly" -> ((s, d) => realtimeHourly(s, d, FixedDate)),
+    "q_serve_hourly_yd" -> ((s, d) => hourlyWithYesterday(s, d, FixedDate)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_serve_total" ->
+      """SELECT count(DISTINCT user_id) AS dau FROM events
+         WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'""",
+    "q_serve_hourly" ->
+      """SELECT strftime(ts, '%H') AS hr, count(DISTINCT user_id) AS dau
+         FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+         GROUP BY hr ORDER BY hr LIMIT 24""",
+    "q_serve_hourly_yd" ->
+      """WITH h AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS d, strftime(ts, '%H') AS hr,
+                  count(DISTINCT user_id) AS dau
+           FROM events
+           WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-15', '2024-01-14')
+           GROUP BY d, hr)
+         SELECT t.hr AS hr, t.dau AS dau, y.dau AS dau_yd
+         FROM h t LEFT JOIN h y ON y.d = '2024-01-14' AND y.hr = t.hr
+         WHERE t.d = '2024-01-15' ORDER BY 1""",
+  )
+}

@@ -1,7 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed row for the exact-state dedup path. */
+case class KeyedEvent(dt: String, user_id: Long, event_id: Long,
+    event_type: String)
 
 /** Structured Streaming layer — the streaming semantics of the reference
   * (SURVEY.md §2.8) rebuilt on event-time + watermarks + the state store.
@@ -42,6 +47,35 @@ object StreamingOps {
       .withColumn("hr", date_format(col("ts"), "HH"))
       .withWatermark("ts", WatermarkDelay)
       .dropDuplicates("dt", "user_id")
+
+  /** F3 with EXACT reference semantics: the Redis-SADD dedup accepted a
+    * mid's first occurrence no matter how late it arrived (state unbounded
+    * within a day, T4). Watermarked dropDuplicates trades that for bounded
+    * state; this variant keeps the exact first-seen-ever-per-(dt,mid) rule
+    * via flatMapGroupsWithState — per-key boolean state in the state store.
+    * State expiry: NoTimeout here (matching the reference, whose Redis
+    * `dau:{dt}` sets also lived until externally expired); production at
+    * scale would set GroupStateTimeout.ProcessingTimeTimeout +
+    * state.setTimeoutDuration("48 hours") to reclaim closed days — note
+    * that processing-time timeouts make the query fire perpetual
+    * empty batches, so tests would need trigger-based draining. */
+  def firstSeenExactStream(events: DataFrame): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    val keyed = events
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("dt"), col("user_id"), col("event_id"), col("event_type"))
+      .as[KeyedEvent]
+    keyed
+      .groupByKey(e => (e.dt, e.user_id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (String, Long), batch: Iterator[KeyedEvent], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            batch.take(1)
+          }
+        })
+  }
 
   /** A2 streaming: hourly DAU as a windowed count over the deduped stream.
     * Append-mode compatible: emits each (dt, hr) bucket once its watermark

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.CoreOps
+
+/** ScalaCheck-generator-driven properties over micro-datasets (SURVEY §5.3).
+  * Deterministic seeds (no scalatestplus bridge in the offline cache), 20
+  * samples per property. */
+class PropertiesSpec extends SparkTestBase {
+
+  private def samples[A](gen: Gen[A], n: Int = 20): Seq[A] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def eventsDf(rows: Seq[(String, Long, Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("dt", "user_id", "event_id", "event_type", "hr")
+  }
+
+  private val genEvents: Gen[Seq[(String, Long, Long, String, String)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      d <- Gen.oneOf("2024-01-01", "2024-01-02")
+      u <- Gen.choose(0L, 9L)
+      t <- Gen.oneOf("view", "click")
+      h <- Gen.oneOf("00", "01")
+    } yield (d, u, t, h))
+  } yield rows.zipWithIndex.map { case ((d, u, t, h), i) => (d, u, i.toLong, t, h) }
+
+  test("property: first-seen dedup is idempotent and keeps one row per key") {
+    samples(genEvents).foreach { rows =>
+      val df = eventsDf(rows)
+      val once = CoreOps.firstSeenDf(df)
+      assert(once.count() == df.select("dt", "user_id").distinct().count())
+      val again = CoreOps.firstSeenDf(once.select(
+        col("dt"), col("user_id"), col("first_event_id").as("event_id"),
+        col("first_event_type").as("event_type"), col("first_hr").as("hr")))
+      assert(again.count() == once.count())
+      assert(once.select("dt", "user_id", "first_event_id")
+        .except(again.select("dt", "user_id", "first_event_id")).count() == 0)
+    }
+  }
+
+  test("property: inner join row count = sum over keys of |L_k|*|R_k|") {
+    import spark.implicits._
+    val gen = for {
+      ls <- Gen.listOf(Gen.choose(0, 5))
+      rs <- Gen.listOf(Gen.choose(0, 5))
+    } yield (ls, rs)
+    samples(gen).foreach { case (ls, rs) =>
+      if (ls.nonEmpty && rs.nonEmpty) {
+        val l = ls.zipWithIndex.toDF("k", "lv")
+        val r = rs.zipWithIndex.toDF("k", "rv")
+        val joined = l.join(r, "k").count()
+        val expected = ls.groupBy(identity).map { case (k, g) =>
+          g.size.toLong * rs.count(_ == k)
+        }.sum
+        assert(joined == expected)
+      }
+    }
+  }
+
+  test("property: aggregation results are invariant under repartitioning") {
+    import spark.implicits._
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.choose(-1000, 1000))
+      p <- Gen.choose(1, 7)
+    } yield (xs, p)
+    samples(gen, 10).foreach { case (xs, parts) =>
+      val df = xs.toDF("x")
+      val a = df.agg(sum("x"), count(lit(1)), min("x"), max("x")).head()
+      val b = df.repartition(parts).agg(sum("x"), count(lit(1)),
+        min("x"), max("x")).head()
+      assert(a == b)
+    }
+  }
+
+  test("property: exact dedup group sizes sum to input size") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.oneOf("aaa bbb ccc", "ddd eee fff", "ggg hhh iii"))
+    samples(gen, 5).foreach { texts =>
+      val dir = documentsFixture(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+      val groups = graft.operators.DedupOps.dedupExact(spark, dir)
+      val total = groups.agg(sum("n_copies")).head().getLong(0)
+      assert(total == texts.size)
+      assert(groups.count() == texts.distinct.size)
+    }
+  }
+}

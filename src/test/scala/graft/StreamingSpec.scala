@@ -88,6 +88,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got(("2024-01-01", "10")) == 2L, s"dedup inside window: $got")
   }
 
+  test("exact-state dedup (flatMapGroupsWithState): late arrivals still dedup, unlike watermarked path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(0, ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(1, ts("2024-01-01 23:00:00"), 9, "view", 1.0, "{}")) // pushes any notion of time far ahead
+    val q = StreamingOps.firstSeenExactStream(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("fse").start()
+    q.processAllAvailable()
+    // user 1 appears again much "later" (arrival), same day: must NOT re-emit
+    in.addData(Ev(2, ts("2024-01-01 10:00:05"), 1, "view", 1.0, "{}"))
+    // new user arrives way out of order (event-time long before state max): still emits
+    in.addData(Ev(3, ts("2024-01-01 00:00:01"), 2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fse").select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (9L, 1L), (2L, 3L)),
+      s"exact first-seen regardless of lateness, got $got")
+  }
+
   test("cdc routing stream + partitioned fan-out sink (T6)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
