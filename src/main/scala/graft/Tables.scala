@@ -25,10 +25,14 @@ object Tables {
     * Read it as epoch-nanos long (legacy conf, runtime-settable, idempotent)
     * and convert to a microsecond TimestampType column. Sub-microsecond
     * precision is dropped — all derived dt/hr/second-level values are
-    * unaffected. */
+    * unaffected. The raw nanos survive as `ts_ns`: it is a passthrough of
+    * the physical column, so range predicates on it (e.g. one-day serving
+    * windows) push down into the parquet scan for row-group skipping —
+    * a filter on the derived `ts` could not. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")

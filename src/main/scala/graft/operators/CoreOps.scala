@@ -253,8 +253,30 @@ object CoreOps {
         explode(sequence(lit(1L), col("l_linenumber").cast("long"))).as("n"))
       .orderBy("l_orderkey", "l_linenumber", "n")
 
+  // ---------------------------------------------------------------- P8
+  /** Record → JSON string — reference P8 (fastjson toJSONString at
+    * DwdOrderInfoApp.scala:125): `to_json(struct(...))`. Long/string
+    * fields only so the compact JSON text is byte-identical to DuckDB's
+    * to_json(struct_pack(...)). */
+  def beanToJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))).as("json"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- SQL surface
+  /** The engine's ANSI SQL endpoint: same query text runs verbatim on
+    * Spark (here) and DuckDB (oracle). */
+  def sqlPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    graft.Catalog.registerAll(spark, dir)
+    spark.sql(graft.SqlQueries.PricingSummary)
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bean_to_json" -> (beanToJson _),
+    "q_sql_pricing" -> (sqlPricingSummary _),
     "q_dau_total" -> (dauTotal _),
     "q_dau_hourly" -> (dauHourly _),
     "q_dau_dod" -> (dauDayOverDay _),
@@ -270,6 +292,13 @@ object CoreOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bean_to_json" ->
+      """SELECT o_orderkey,
+                to_json(struct_pack(o_orderkey := o_orderkey,
+                                    o_orderstatus := o_orderstatus,
+                                    o_orderpriority := o_orderpriority)) AS json
+         FROM orders ORDER BY o_orderkey""",
+    "q_sql_pricing" -> graft.SqlQueries.PricingSummary,
     "q_dau_total" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
          FROM events GROUP BY dt ORDER BY dt""",

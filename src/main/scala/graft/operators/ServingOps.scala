@@ -17,18 +17,28 @@ import graft.Tables
   */
 object ServingOps {
 
+  /** One-day window as raw epoch-nanos bounds (UTC). Filtering on the
+    * passthrough `ts_ns` column — not the derived timestamp — lets the
+    * predicate push into the parquet scan (row-group min/max skipping);
+    * `date_format(ts) === d` would force a full scan at 100 TB. */
+  private def dayFilter(date: String): org.apache.spark.sql.Column = {
+    val start = java.time.LocalDate.parse(date)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
+    col("ts_ns") >= start && col("ts_ns") < start + 86400L * 1000000000L
+  }
+
   /** GET /realtime-total?date= — total DAU for one day
     * (P/service/impl/DauServicelmpl.java:26-42). */
   def realtimeTotal(spark: SparkSession, dir: String, date: String): DataFrame =
     Tables.events(spark, dir)
-      .where(date_format(col("ts"), "yyyy-MM-dd") === date)
+      .where(dayFilter(date))
       .agg(count_distinct(col("user_id")).as("dau"))
 
   /** GET /realtime-hour — hourly DAU curve for one day
     * (DauServicelmpl.java:45-71, terms agg size 24). */
   def realtimeHourly(spark: SparkSession, dir: String, date: String): DataFrame =
     Tables.events(spark, dir)
-      .where(date_format(col("ts"), "yyyy-MM-dd") === date)
+      .where(dayFilter(date))
       .groupBy(date_format(col("ts"), "HH").as("hr"))
       .agg(count_distinct(col("user_id")).as("dau"))
       .orderBy("hr")

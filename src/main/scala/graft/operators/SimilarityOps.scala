@@ -106,10 +106,85 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- IVF
+  /** Cluster count / probed clusters for the IVF index. */
+  private val IvfK = 16
+  private val IvfProbes = 2
+
+  /** IVF coarse quantizer, trained fully in DataFrames: deterministic init
+    * (cluster = vec_id mod K) refined by one Lloyd iteration (assign to
+    * nearest centroid, recompute elementwise means via posexplode +
+    * groupBy(cluster, dim)). No driver-side math, no RNG — the "training"
+    * is two aggregations that scale linearly with the corpus. */
+  private[operators] def ivfCentroids(e: DataFrame): DataFrame = {
+    def meansOf(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cl", "pos").agg(avg("v").as("m"))
+        .groupBy("cl")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cl"), expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
+    val init = meansOf(e.select((col("vec_id") % IvfK).cast("int").as("cl"),
+      col("embedding")))
+    // one Lloyd refinement: reassign by max cosine, recompute means
+    val reassigned = assign(e, init)
+      .select(col("cl"), col("embedding"))
+    meansOf(reassigned)
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine; ties to the
+    * lowest cluster id). Centroids are broadcast; the corpus streams. */
+  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val cos = VectorOps.cosine(col("embedding"), col("centroid"))
+    e.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"),
+        col("cl"), (-cos).as("negsim"))
+      .groupBy("vec_id", "embedding")
+      .agg(min(struct(col("negsim"), col("cl"))).as("best"))
+      .select(col("vec_id"), col("embedding"), col("best.cl").as("cl"))
+  }
+
+  /** IVF ANN: coarse-quantize the corpus into K inverted lists, probe the
+    * `IvfProbes` nearest lists per query, exact-rank only the candidates.
+    * At 100 TB the inverted lists are the partitioning: a query touches
+    * nprobe/K of the corpus instead of all of it. Spark-only (centroids
+    * are corpus-derived); ScalaTest checks planted-dup retrieval + recall
+    * vs brute force. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e).cache()
+    val lists = assign(e, centroids)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.norm(col("embedding")).as("nq"))
+    // probe the nprobe nearest centroids per query
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cl").asc)
+    val probes = q.join(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("nq"), col("cl"),
+        VectorOps.cosine(col("qe"), col("centroid")).as("csim"))
+      .withColumn("prank", row_number().over(wq))
+      .where(col("prank") <= IvfProbes)
+      .select(col("query_id"), col("qe"), col("nq"), col("cl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probes.join(lists, Seq("cl"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.cosinePrenorm(col("qe"), col("embedding"),
+          col("nq"), col("nrm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_lsh" -> (annLsh _),
+    "q_ann_ivf" -> (annIvf _),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -35,6 +35,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(top1.get(1L).contains(0L))
   }
 
+  test("IVF ANN: planted duplicate lands in the same list and is retrieved top-1") {
+    val v = (0 until 64).map(i => math.sin(i * 0.37).toFloat)
+    val v2 = v.updated(2, v(2) + 1e-4f)
+    val others = (2L until 50L).map { j =>
+      (j, (0 until 64).map(i => math.sin(i * 0.11 + j * 2.7).toFloat), 0)
+    }
+    val dir = embeddingsFixture(Seq((0L, v, 0), (1L, v2, 0)) ++ others)
+    val top1 = SimilarityOps.annIvf(spark, dir)
+      .where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1.get(0L).contains(1L), s"query 0 top-1 should be 1, got $top1")
+    assert(top1.get(1L).contains(0L))
+  }
+
+  test("IVF ANN recall vs brute force on real data") {
+    val bf = SimilarityOps.annBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.annIvf(spark, sf0001)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    // nprobe/K = 2/16 of the corpus is scanned; on near-random embeddings
+    // expected recall is modest — require clearly-better-than-floor
+    assert(recall >= 0.1, s"recall was $recall")
+    assert(ivf.map(_._1).size == 10, "every query must return results")
+  }
+
   test("LSH ANN recall vs brute force is meaningful on real data") {
     val bf = SimilarityOps.annBruteForce(spark, sf0001)
       .select("query_id", "neighbor_id")
