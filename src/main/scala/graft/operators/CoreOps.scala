@@ -253,6 +253,18 @@ object CoreOps {
         explode(sequence(lit(1L), col("l_linenumber").cast("long"))).as("n"))
       .orderBy("l_orderkey", "l_linenumber", "n")
 
+  // ---------------------------------------------------------------- A1 at scale
+  /** DAU with approx_count_distinct — the 100 TB form of A1: HyperLogLog++
+    * sketches merge associatively across partitions, so the daily distinct
+    * count needs no exact dedup shuffle of the full key space. Spark-only
+    * (DuckDB's approx sketch differs); relative error vs the exact count
+    * is bounded in ScalaTest. */
+  def dauApprox(spark: SparkSession, dir: String): DataFrame =
+    withDtHr(Tables.events(spark, dir))
+      .groupBy("dt")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("dau_approx"))
+      .orderBy("dt")
+
   // ---------------------------------------------------------------- P8
   /** Record → JSON string — reference P8 (fastjson toJSONString at
     * DwdOrderInfoApp.scala:125): `to_json(struct(...))`. Long/string
@@ -277,6 +289,7 @@ object CoreOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bean_to_json" -> (beanToJson _),
     "q_sql_pricing" -> (sqlPricingSummary _),
+    "q_dau_approx" -> (dauApprox _),
     "q_dau_total" -> (dauTotal _),
     "q_dau_hourly" -> (dauHourly _),
     "q_dau_dod" -> (dauDayOverDay _),

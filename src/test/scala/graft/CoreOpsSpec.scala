@@ -69,6 +69,18 @@ class CoreOpsSpec extends SparkTestBase {
       Tables.orders(spark, sf0001).count())
   }
 
+  test("approx DAU within the configured HLL error of exact DAU") {
+    val exact = CoreOps.dauTotal(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = CoreOps.dauApprox(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (dt, a) =>
+      val e = exact(dt).toDouble
+      assert(math.abs(a - e) / e <= 0.1, s"dt=$dt approx=$a exact=$e")
+    }
+  }
+
   test("pagination window matches offset+limit of the total order") {
     val all = Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_totalprice")
