@@ -265,6 +265,51 @@ object CoreOps {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("dau_approx"))
       .orderBy("dt")
 
+  // ---------------------------------------------------------------- W1
+  /** Ranked top-N per group — the analytic-window extension SURVEY §2.6
+    * flags (the reference's serving layer fakes top-N with agg size caps):
+    * top-3 parts by price within each brand via row_number. */
+  def topPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"))
+      .orderBy("p_brand", "rk")
+  }
+
+  // ---------------------------------------------------------------- W2
+  /** A3 rewritten with lag(): the hourly curve with yesterday's value as
+    * an analytic window over (hr PARTITION, day ORDER) — same result as
+    * the self-join form, one shuffle fewer. */
+  def dauDayOverDayWindow(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), date_format(col("ts"), "HH").as("hr"),
+        col("user_id"))
+      .groupBy("d", "hr")
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val w = Window.partitionBy(col("hr")).orderBy(col("d"))
+    hourly
+      .withColumn("prev_d", lag(col("d"), 1).over(w))
+      .withColumn("prev_dau", lag(col("dau"), 1).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("dt"), col("hr"), col("dau"),
+        // only count yesterday if it is literally d-1 (gaps break the lag)
+        when(col("prev_d") === date_sub(col("d"), 1), col("prev_dau")).as("dau_yd"))
+      .orderBy("dt", "hr")
+  }
+
+  // ---------------------------------------------------------------- A6
+  /** Hierarchical totals via ROLLUP — beyond-reference agg coverage with
+    * exact decimal sums (grouping-set parity with DuckDB). */
+  def salesRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // ---------------------------------------------------------------- P8
   /** Record → JSON string — reference P8 (fastjson toJSONString at
     * DwdOrderInfoApp.scala:125): `to_json(struct(...))`. Long/string
@@ -290,6 +335,9 @@ object CoreOps {
     "q_bean_to_json" -> (beanToJson _),
     "q_sql_pricing" -> (sqlPricingSummary _),
     "q_dau_approx" -> (dauApprox _),
+    "q_top_per_brand" -> (topPerBrand _),
+    "q_dau_dod_window" -> (dauDayOverDayWindow _),
+    "q_sales_rollup" -> (salesRollup _),
     "q_dau_total" -> (dauTotal _),
     "q_dau_hourly" -> (dauHourly _),
     "q_dau_dod" -> (dauDayOverDay _),
@@ -312,6 +360,32 @@ object CoreOps {
                                     o_orderpriority := o_orderpriority)) AS json
          FROM orders ORDER BY o_orderkey""",
     "q_sql_pricing" -> graft.SqlQueries.PricingSummary,
+    "q_top_per_brand" ->
+      """SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+           SELECT p_brand, p_partkey, p_name, p_retailprice,
+                  row_number() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+           FROM part)
+         WHERE rk <= 3 ORDER BY p_brand, rk""",
+    "q_dau_dod_window" ->
+      """WITH h AS (
+           SELECT CAST(ts AS DATE) AS d, strftime(ts, '%H') AS hr,
+                  count(DISTINCT user_id) AS dau
+           FROM events GROUP BY d, hr),
+         lagged AS (
+           SELECT d, hr, dau,
+                  lag(d) OVER (PARTITION BY hr ORDER BY d) AS prev_d,
+                  lag(dau) OVER (PARTITION BY hr ORDER BY d) AS prev_dau
+           FROM h)
+         SELECT strftime(d, '%Y-%m-%d') AS dt, hr, dau,
+                CASE WHEN prev_d = d - 1 THEN prev_dau END AS dau_yd
+         FROM lagged ORDER BY 1, 2""",
+    "q_sales_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q_dau_total" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
          FROM events GROUP BY dt ORDER BY dt""",

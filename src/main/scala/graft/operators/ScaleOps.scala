@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns as reusable operators.
+  *
+  * AQE handles moderate skew automatically (split oversized partitions of
+  * a shuffle join); `saltedJoin` is the explicit form for pathological
+  * keys — the classic hot-key fix at 1000-executor scale, here as a
+  * semantics-preserving rewrite.
+  *
+  * `overwriteByPartition` is the idempotent sink the reference got from
+  * ES doc-id upserts (K1) and Phoenix keyed upserts (K4): replaying a
+  * batch replaces exactly the partitions it touches, so at-least-once
+  * delivery upstream still yields exactly-once table state.
+  */
+object ScaleOps {
+
+  /** Inner equi-join with the left side's hot keys salted across
+    * `saltFactor` sub-keys and the right side replicated per salt.
+    * Produces exactly the rows of `left.join(right, leftKey === rightKey)`
+    * — the salt only changes the partitioning of the shuffle. The salt is
+    * derived deterministically from the whole left row so plans stay
+    * reproducible. */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, saltFactor: Int): DataFrame = {
+    val salted = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)))
+    val replicated = right
+      .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    salted
+      .join(replicated,
+        salted(leftKey) === replicated(rightKey) &&
+          salted("_salt") === replicated("_salt"),
+        "inner")
+      .drop("_salt")
+  }
+
+  /** Idempotent dt-partitioned parquet sink: dynamic partition overwrite
+    * replaces only the partitions present in `df`. Replaying the same
+    * batch is a no-op state-wise; other partitions are untouched. */
+  def overwriteByPartition(df: DataFrame, partitionCol: String,
+      path: String): Unit = {
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+  }
+}
