@@ -275,7 +275,7 @@ object CoreOps {
     Tables.part(spark, dir)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
-      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"),
+      .select(col("p_brand"), col("rk").cast("long").as("rk"), col("p_partkey"), col("p_name"),
         col("p_retailprice"))
       .orderBy("p_brand", "rk")
   }

@@ -20,7 +20,7 @@ import graft.Tables
 object MultimodalOps {
 
   case class Asset(asset_id: Long, modality: String, payload: Array[Byte],
-      width: Int, height: Int, duration_ms: Long)
+      width: Long, height: Long, duration_ms: Long)
   case class AssetFeatures(asset_id: Long, modality: String, byte_len: Int,
       features: Array[Double])
 
@@ -33,8 +33,8 @@ object MultimodalOps {
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       col("text").cast("binary").as("payload"),
-      (col("n_chars") % 640 + 1).cast("int").as("width"),
-      (col("n_chars") % 480 + 1).cast("int").as("height"),
+      (col("n_chars") % 640 + 1).as("width"),
+      (col("n_chars") % 480 + 1).as("height"),
       (col("n_chars") * 40L).as("duration_ms"))
 
   /** Feature dimension produced by the (stub) decoder. */
@@ -75,7 +75,7 @@ object MultimodalOps {
   def assetMeta(spark: SparkSession, dir: String): DataFrame =
     assets(spark, dir)
       .select(col("asset_id"), col("modality"),
-        length(col("payload")).as("byte_len"),
+        length(col("payload")).cast("long").as("byte_len"),
         col("width"), col("height"), col("duration_ms"))
       .orderBy("asset_id")
 
@@ -102,8 +102,8 @@ object MultimodalOps {
                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                                 ELSE 'video' END AS modality,
                 octet_length(encode(text)) AS byte_len,
-                CAST(n_chars % 640 + 1 AS INTEGER) AS width,
-                CAST(n_chars % 480 + 1 AS INTEGER) AS height,
+                n_chars % 640 + 1 AS width,
+                n_chars % 480 + 1 AS height,
                 n_chars * 40 AS duration_ms
          FROM documents ORDER BY asset_id""",
     // q_mm_features omitted: the decode stub is Spark-side only

@@ -40,7 +40,8 @@ object SimilarityOps {
     scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -102,7 +103,8 @@ object SimilarityOps {
           col("nq"), col("nrm")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -176,7 +178,8 @@ object SimilarityOps {
           col("nq"), col("nrm")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
       .orderBy("query_id", "rank")
   }
 

@@ -39,8 +39,8 @@ object TextOps {
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(tokens(col("text"))).as("n_ws_tokens"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"))
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- language ID
@@ -50,7 +50,7 @@ object TextOps {
     val df = Tables.documents(spark, dir)
       .withColumn("t", tokens(col("text")))
     val scored = Markers.foldLeft(df) { case (d, (name, words)) =>
-      d.withColumn(s"s_$name", markerCount(col("t"), words))
+      d.withColumn(s"s_$name", markerCount(col("t"), words).cast("long"))
     }
     val Seq(a, b, c) = Markers.map { case (n, _) => col(s"s_$n") }
     val predicted = when(a >= b && a >= c, Markers(0)._1)
@@ -70,10 +70,10 @@ object TextOps {
     val t = tokens(col("text"))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        length(col("text")).as("len_chars"),
-        size(t).as("n_tokens"),
-        size(array_distinct(t)).as("n_distinct"),
-        markerCount(t, Stopwords).as("n_stopwords"))
+        length(col("text")).cast("long").as("len_chars"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        markerCount(t, Stopwords).cast("long").as("n_stopwords"))
       .withColumn("type_token_ratio",
         col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("stopword_ratio",

@@ -13,7 +13,7 @@ class SimilaritySpec extends SparkTestBase {
     // ranks are 1..5 and cos_sim is non-increasing within a query
     val rows = df.orderBy("query_id", "rank").collect()
     rows.grouped(5).foreach { g =>
-      assert(g.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4, 5))
+      assert(g.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
       val sims = g.map(_.getDouble(3))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }

@@ -23,8 +23,8 @@ class TextMultimodalSpec extends SparkTestBase {
       (1L, "single", "en", "s"),
       (2L, "a b c d e", "en", "s")))
     val got = TextOps.tokenCount(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got == Map(0L -> 3, 1L -> 1, 2L -> 5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 5L))
   }
 
   test("lang id: argmax with deterministic tiebreak") {
@@ -45,8 +45,8 @@ class TextMultimodalSpec extends SparkTestBase {
     val dir = documentsFixture(Seq(
       (0L, "the a the a unique tokens here now ok fine", "en", "s")))
     val r = TextOps.qualityScore(spark, dir).collect()(0)
-    assert(r.getAs[Int]("n_tokens") == 10)
-    assert(r.getAs[Int]("n_stopwords") == 4)
+    assert(r.getAs[Long]("n_tokens") == 10L)
+    assert(r.getAs[Long]("n_stopwords") == 4L)
     assert(r.getAs[Double]("stopword_ratio") == 0.4)
   }
 
