@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreOps, DedupOps, MultimodalOps, ServingOps, SimilarityOps, TextOps}
+import graft.operators.{CoreOps, DedupOps, MultimodalOps, PipelineOps, ServingOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries ++ ServingOps.queries
+      SimilarityOps.queries ++ MultimodalOps.queries ++ ServingOps.queries ++
+      PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
-      SimilarityOps.oracleSql ++ MultimodalOps.oracleSql ++ ServingOps.oracleSql
+      SimilarityOps.oracleSql ++ MultimodalOps.oracleSql ++ ServingOps.oracleSql ++
+      PipelineOps.oracleSql
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline operators beyond dedup/similarity: event
+  * sessionization, text scrubbing, corpus statistics, and deterministic
+  * dataset splitting. All single-shuffle, oracle-checkable designs.
+  */
+object PipelineOps {
+
+  /** Session gap threshold (seconds). */
+  private val SessionGap = 1800L
+
+  /** Sessionization: split each user's event stream into sessions at
+    * >30-minute gaps — lag + running sum of boundary flags, the canonical
+    * two-window formulation (one shuffle on user_id; both windows share
+    * the same partitioning so Catalyst plans a single sort+exchange).
+    * Timestamps are truncated to whole epoch seconds so nanosecond (DuckDB)
+    * vs microsecond (Spark) precision cannot flip a boundary. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val flagged = ev
+      .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > SessionGap, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Scrubbing: mask digit runs (the PII-redaction shape — phone numbers,
+    * ids) in the raw event payload. Pure regexp_replace, fully map-side. */
+  def scrubPayload(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_scrubbed"))
+      .orderBy("event_id")
+
+  /** Corpus length statistics per language: exact interpolated quantiles
+    * (Spark `percentile` and DuckDB `quantile_cont` share the (n−1)p
+    * linear-interpolation definition). */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** Deterministic train/val/test split: content-hash bucket (md5 first 8
+    * hex chars mod 100) → 80/10/10. Content-keyed so replicated documents
+    * always land in the same split — the leakage-safe way to split a
+    * training corpus, and fully reproducible across engines and runs. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (sessionize _),
+    "q_scrub" -> (scrubPayload _),
+    "q_len_quantiles" -> (lengthQuantiles _),
+    "q_split_assign" -> (splitAssign _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, sec,
+                  lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec
+           FROM ev),
+         marked AS (
+           SELECT user_id, event_id, sec,
+                  CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM flagged),
+         numbered AS (
+           SELECT user_id, sec,
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY sec, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM marked)
+         SELECT user_id, session_idx, min(sec) AS start_sec,
+                max(sec) AS end_sec, count(*) AS n_events
+         FROM numbered GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+    "q_scrub" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS props_scrubbed
+         FROM events ORDER BY event_id""",
+    "q_len_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+                quantile_cont(n_chars, 0.9) AS p90, count(*) AS n_docs
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_split_assign" ->
+      """SELECT doc_id,
+                ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+                CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PipelineOps
+
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("sessionize: 30-minute gaps split sessions, counts add up") {
+    val sess = PipelineOps.sessionize(spark, sf0001).cache()
+    // every event lands in exactly one session
+    val total = sess.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf0001).count())
+    // session invariants: start <= end, contiguous per-user indexes from 1
+    assert(sess.where(col("start_sec") > col("end_sec")).count() == 0)
+    val idx = sess.groupBy("user_id")
+      .agg(min("session_idx").as("mn"), max("session_idx").as("mx"),
+        count(lit(1)).as("n"))
+    assert(idx.where(col("mn") =!= 1L || col("mx") =!= col("n")).count() == 0)
+  }
+
+  test("split_assign: deterministic 80/10/10-ish content-keyed split") {
+    val s1 = PipelineOps.splitAssign(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = PipelineOps.splitAssign(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2, "split must be deterministic")
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac $frac")
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
+  }
+
+  test("scrub masks every digit run") {
+    val bad = PipelineOps.scrubPayload(spark, sf0001)
+      .where(col("props_scrubbed").rlike("[0-9]"))
+    assert(bad.count() == 0)
+  }
+}
