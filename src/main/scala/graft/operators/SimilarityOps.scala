@@ -141,8 +141,12 @@ object SimilarityOps {
     e.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"),
         col("cl"), (-cos).as("negsim"))
-      .groupBy("vec_id", "embedding")
-      .agg(min(struct(col("negsim"), col("cl"))).as("best"))
+      // group on the scalar key only — hashing/shuffling the float array as
+      // a grouping key costs ~2× here; every row of a vec_id group carries
+      // the identical embedding, so first() is deterministic
+      .groupBy("vec_id")
+      .agg(min(struct(col("negsim"), col("cl"))).as("best"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("best.cl").as("cl"))
   }
 
