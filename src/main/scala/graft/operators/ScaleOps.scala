@@ -37,6 +37,18 @@ object ScaleOps {
       .drop("_salt")
   }
 
+  /** Write `df` as a bucketed+sorted managed table: rows are hash-bucketed
+    * by the join key at WRITE time, so every later equi-join or aggregation
+    * on that key runs with zero shuffle (Catalyst sees the bucketing as a
+    * satisfied distribution requirement). The 100 TB pattern for fact
+    * tables that are joined on the same key every day. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Idempotent dt-partitioned parquet sink: dynamic partition overwrite
     * replaces only the partitions present in `df`. Replaying the same
     * batch is a no-op state-wise; other partitions are untouched. */

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, PipelineOps, TextOps}
+
+class EdgeCasesSpec extends SparkTestBase {
+
+  test("document ops survive empty / whitespace / single-token / unicode texts") {
+    val dir = documentsFixture(Seq(
+      (0L, "", "en", "s0"),
+      (1L, " ", "en", "s0"),
+      (2L, "solo", "en", "s0"),
+      (3L, "двух слов 语言", "zh", "s1"),
+      (4L, "a b", "en", "s1"), // 2 tokens: below shingle threshold
+    ))
+    // none of these should throw; counts must cover all docs
+    assert(TextOps.tokenCount(spark, dir).count() == 5)
+    assert(TextOps.langId(spark, dir).count() == 5)
+    assert(TextOps.qualityScore(spark, dir).count() == 5)
+    assert(TextOps.fingerprint(spark, dir).count() == 5)
+    assert(PipelineOps.splitAssign(spark, dir).count() == 5)
+    // dedup paths: docs under 3 tokens have no shingles and simply drop out
+    assert(DedupOps.ngramJaccard(spark, dir).count() == 0)
+    assert(DedupOps.minhashLsh(spark, dir).count() == 0)
+    // exact dedup still sees everything
+    assert(DedupOps.dedupExact(spark, dir).count() == 5)
+  }
+
+  test("empty corpus: dedup and similarity return empty, not errors") {
+    val dir = documentsFixture(Seq.empty)
+    assert(DedupOps.dedupExact(spark, dir).count() == 0)
+    assert(DedupOps.ngramJaccard(spark, dir).count() == 0)
+    assert(DedupOps.simhashPairs(spark, dir).count() == 0)
+    assert(TextOps.tokenCount(spark, dir).count() == 0)
+  }
+
+  test("fingerprint of empty text is the hash seed (0), matching the oracle") {
+    val dir = documentsFixture(Seq((0L, "", "en", "s")))
+    val fp = TextOps.fingerprint(spark, dir).head().getLong(1)
+    assert(fp == 0L, "empty fold must produce the initial accumulator")
+  }
+}

@@ -20,6 +20,30 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plain.except(salted).count() == 0)
   }
 
+  test("bucketed tables join with ZERO shuffle (co-located join)") {
+    ScaleOps.writeBucketed(Tables.orders(spark, sf0001), "b_orders",
+      "o_orderkey", 8)
+    ScaleOps.writeBucketed(
+      Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+      "b_lineitem", "l_orderkey", 8)
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    // force a shuffle-join shape: disable broadcast for this check
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it still computes the right thing
+      val expected = Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("overwriteByPartition: replay is idempotent and untouched partitions survive") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_sink_").toString
