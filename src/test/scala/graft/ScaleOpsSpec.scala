@@ -21,6 +21,21 @@ class ScaleOpsSpec extends SparkTestBase {
   }
 
   test("bucketed tables join with ZERO shuffle (co-located join)") {
+    // drop stale tables AND their warehouse locations (a previous JVM's
+    // managed-table dirs survive on disk while the in-memory catalog is
+    // fresh — saveAsTable would refuse the location otherwise)
+    def scrub(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) rm(loc)
+    }
+    scrub("b_orders"); scrub("b_lineitem")
     ScaleOps.writeBucketed(Tables.orders(spark, sf0001), "b_orders",
       "o_orderkey", 8)
     ScaleOps.writeBucketed(
