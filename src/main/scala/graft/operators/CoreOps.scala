@@ -253,6 +253,24 @@ object CoreOps {
         explode(sequence(lit(1L), col("l_linenumber").cast("long"))).as("n"))
       .orderBy("l_orderkey", "l_linenumber", "n")
 
+  // ---------------------------------------------------------------- DauInfo
+  /** The DauInfo serving document — reference bean (bean/DauInfo.scala:4-13)
+    * built at app/DauApp.scala:115-125. Field quirks preserved exactly:
+    * `ar` is populated with the MID, not the area (reference bug at
+    * DauApp.scala:117), and `mi` is hardcoded "00" (:118). One doc per
+    * (dt, mid) — the first-seen row (F3). */
+  def dauInfo(spark: SparkSession, dir: String): DataFrame =
+    firstSeenDf(withDtHr(Tables.events(spark, dir)))
+      .select(
+        col("user_id").cast("string").as("mid"),
+        col("user_id").cast("string").as("uid"),
+        col("user_id").cast("string").as("ar"), // reference bug: ar := mid
+        col("first_event_type").as("ch"),
+        lit("v1.0").as("vc"),
+        col("dt"), col("first_hr").as("hr"),
+        lit("00").as("mi"))
+      .orderBy("dt", "mid")
+
   // ---------------------------------------------------------------- A1 at scale
   /** DAU with approx_count_distinct — the 100 TB form of A1: HyperLogLog++
     * sketches merge associatively across partitions, so the daily distinct
@@ -335,6 +353,7 @@ object CoreOps {
     "q_bean_to_json" -> (beanToJson _),
     "q_sql_pricing" -> (sqlPricingSummary _),
     "q_dau_approx" -> (dauApprox _),
+    "q_dau_info" -> (dauInfo _),
     "q_top_per_brand" -> (topPerBrand _),
     "q_dau_dod_window" -> (dauDayOverDayWindow _),
     "q_sales_rollup" -> (salesRollup _),
@@ -360,6 +379,19 @@ object CoreOps {
                                     o_orderpriority := o_orderpriority)) AS json
          FROM orders ORDER BY o_orderkey""",
     "q_sql_pricing" -> graft.SqlQueries.PricingSummary,
+    "q_dau_info" ->
+      """WITH fs AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id,
+                  event_type, strftime(ts, '%H') AS hr
+           FROM events
+           QUALIFY row_number() OVER (
+             PARTITION BY strftime(ts, '%Y-%m-%d'), user_id
+             ORDER BY event_id) = 1)
+         SELECT CAST(user_id AS VARCHAR) AS mid,
+                CAST(user_id AS VARCHAR) AS uid,
+                CAST(user_id AS VARCHAR) AS ar,
+                event_type AS ch, 'v1.0' AS vc, dt, hr, '00' AS mi
+         FROM fs ORDER BY dt, mid""",
     "q_top_per_brand" ->
       """SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
            SELECT p_brand, p_partkey, p_name, p_retailprice,
