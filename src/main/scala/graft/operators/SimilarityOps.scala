@@ -45,6 +45,30 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- topk aggregate
+  /** Brute-force ANN through the single-pass TopKByScore aggregate instead
+    * of a window: same rows as annBruteForce (same oracle), but the
+    * shuffle carries one k-element buffer per (partition, query) instead
+    * of every scored row — the 100 TB formulation of top-k. */
+  def annTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftext.TopKColumns.topk_by
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.norm(col("embedding")).as("nq"))
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("ne"))
+    val cos = VectorOps.cosinePrenorm(col("qe"), col("embedding"), col("nq"), col("ne"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos_sim"))
+      .groupBy("query_id")
+      .agg(topk_by(col("cos_sim"), col("neighbor_id"), TopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- LSH
   /** L tables × B bits of random-hyperplane signatures. Plane components
     * are deterministic (fixed LCG → ~N(0,1) via sum of uniforms), embedded
@@ -192,10 +216,27 @@ object SimilarityOps {
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_topk_agg" -> (annTopKAgg _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_bruteforce" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+         s AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])) AS cos_sim
+           FROM q, embeddings e WHERE e.vec_id != q.query_id)
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM s)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the aggregate formulation must produce exactly the window
+    // formulation's rows — same oracle text
+    "q_ann_topk_agg" ->
       """WITH q AS (
            SELECT vec_id AS query_id, embedding AS qe
            FROM embeddings WHERE vec_id < 10),

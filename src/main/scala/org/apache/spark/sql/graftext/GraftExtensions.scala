@@ -1,0 +1,47 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for the engine's native functions, both as a
+  * `SparkSessionExtensions` (for `.withExtensions` / the
+  * spark.sql.extensions conf on a cluster) and as a runtime helper for an
+  * existing session. Makes `vec_dot(a, b)` and `topk_by(score, id, k)`
+  * first-class in spark.sql text.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.vecDot)
+    e.injectFunction(GraftExtensions.topkBy)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private[graftext] val vecDot = (
+    FunctionIdentifier("vec_dot"),
+    info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
+    (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1)))
+
+  private[graftext] val topkBy = (
+    FunctionIdentifier("topk_by"),
+    info("topk_by", "topk_by(score, id, k) - top-k (score,id) pairs, best first"),
+    (exprs: Seq[Expression]) => {
+      val k = exprs(2) match {
+        case Literal(v: Int, _) => v
+        case other => other.eval().toString.toInt
+      }
+      TopKByScore(exprs(0), exprs(1), k)
+    })
+
+  /** Register on an already-running session (tests, notebooks). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("vec_dot", vecDot._3, "scala_udf")
+    registry.createOrReplaceTempFunction("topk_by", topkBy._3, "scala_udf")
+  }
+}

@@ -35,6 +35,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(top1.get(1L).contains(0L))
   }
 
+  test("TopKByScore aggregate: identical rows to the window formulation, with map-side partial agg") {
+    val win = SimilarityOps.annBruteForce(spark, sf0001)
+    val agg = SimilarityOps.annTopKAgg(spark, sf0001)
+    assert(agg.count() == win.count())
+    assert(agg.except(win).count() == 0)
+    assert(win.except(agg).count() == 0)
+    // the whole point: partial aggregation before the shuffle
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkbyscore"),
+      s"expected partial TopKByScore agg in plan:\n${plan.take(2000)}")
+  }
+
   test("IVF ANN: planted duplicate lands in the same list and is retrieved top-1") {
     val v = (0 until 64).map(i => math.sin(i * 0.37).toFloat)
     val v2 = v.updated(2, v(2) + 1e-4f)

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.graftext.GraftExtensions
+
+class SqlFunctionsSpec extends SparkTestBase {
+
+  test("vec_dot and topk_by are callable from SQL text") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT vec_dot(array(cast(1.0 AS FLOAT), cast(2.0 AS FLOAT)), " +
+        "array(cast(3.0 AS FLOAT), cast(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+
+    import spark.implicits._
+    Seq((1L, 0.9, 10L), (1L, 0.5, 11L), (1L, 0.95, 12L), (2L, 0.1, 13L))
+      .toDF("g", "score", "id").createOrReplaceTempView("scores")
+    val top = spark.sql(
+      "SELECT g, topk_by(score, id, 2) AS top FROM scores GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1)))).toMap
+    assert(top(1L) == Seq((0.95, 12L), (0.9, 10L)))
+    assert(top(2L) == Seq((0.1, 13L)))
+  }
+
+  test("session built via GraftSession + withExtensions resolves the functions") {
+    // the extensions path is what a cluster's spark.sql.extensions conf uses
+    val reg = spark.sessionState.functionRegistry
+    GraftExtensions.register(spark)
+    assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+    assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by")))
+  }
+}
