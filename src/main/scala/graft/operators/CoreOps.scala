@@ -197,6 +197,46 @@ object CoreOps {
       .orderBy("order_id", "detail_id")
   }
 
+  // ---------------------------------------------------------------- J1+J2+J4 full
+  /** The COMPLETE OrderWide row — reference bean OrderWide.scala:3-37 (27
+    * fields merged from enriched order_info + enriched order_detail):
+    * fact-fact join plus every dimension hop, with the P4 date/hour
+    * derivations. This is the reference's whole DWS layer as one plan:
+    * one fact-fact shuffle, all dims broadcast. */
+  def orderWideFull(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"), "inner")
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+      .select(
+        o("o_orderkey").as("order_id"), l("l_linenumber").as("detail_id"),
+        o("o_custkey").as("user_id"), o("o_orderstatus").as("order_status"),
+        o("o_totalprice").as("final_total_amount"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("create_time"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("create_date"),
+        date_format(o("o_orderdate"), "HH").as("create_hour"),
+        o("o_orderpriority").as("order_priority"),
+        l("l_partkey").as("sku_id"), l("l_quantity").as("sku_num"),
+        l("l_extendedprice").as("order_price"),
+        l("l_discount").as("discount"), l("l_tax").as("tax"),
+        l("l_returnflag").as("return_flag"), l("l_linestatus").as("line_status"),
+        date_format(l("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        c("c_name").as("user_name"), c("c_mktsegment").as("user_segment"),
+        c("c_acctbal").as("user_acctbal"),
+        n("n_name").as("province_name"), r("r_name").as("region_name"),
+        p("p_name").as("sku_name"), p("p_brand").as("tm_name"),
+        p("p_type").as("category3_name"), p("p_size").as("sku_size"),
+        p("p_retailprice").as("sku_price"))
+      .orderBy("order_id", "detail_id", "sku_id")
+  }
+
   // ---------------------------------------------------------------- P5/P6
   /** Age-group bucketing + gender decode — reference P5/P6
     * (dim/DimUserInfoApp.scala:55-82). Semantics preserved exactly,
@@ -354,6 +394,7 @@ object CoreOps {
     "q_sql_pricing" -> (sqlPricingSummary _),
     "q_dau_approx" -> (dauApprox _),
     "q_dau_info" -> (dauInfo _),
+    "q_order_wide_full" -> (orderWideFull _),
     "q_top_per_brand" -> (topPerBrand _),
     "q_dau_dod_window" -> (dauDayOverDayWindow _),
     "q_sales_rollup" -> (salesRollup _),
@@ -492,6 +533,32 @@ object CoreOps {
                 l.l_extendedprice AS order_price, l.l_discount AS discount
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          ORDER BY order_id, detail_id""",
+    "q_order_wide_full" ->
+      """SELECT o.o_orderkey AS order_id, l.l_linenumber AS detail_id,
+                o.o_custkey AS user_id, o.o_orderstatus AS order_status,
+                o.o_totalprice AS final_total_amount,
+                strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
+                strftime(o.o_orderdate, '%H') AS create_hour,
+                o.o_orderpriority AS order_priority,
+                l.l_partkey AS sku_id, l.l_quantity AS sku_num,
+                l.l_extendedprice AS order_price,
+                l.l_discount AS discount, l.l_tax AS tax,
+                l.l_returnflag AS return_flag, l.l_linestatus AS line_status,
+                strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date,
+                c.c_name AS user_name, c.c_mktsegment AS user_segment,
+                c.c_acctbal AS user_acctbal,
+                n.n_name AS province_name, r.r_name AS region_name,
+                p.p_name AS sku_name, p.p_brand AS tm_name,
+                p.p_type AS category3_name, p.p_size AS sku_size,
+                p.p_retailprice AS sku_price
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+         LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         ORDER BY order_id, detail_id, sku_id""",
     "q_age_bucket" ->
       """SELECT c_custkey, c_name,
                 CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '女' ELSE '男' END AS gender,

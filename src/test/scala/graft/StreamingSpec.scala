@@ -88,6 +88,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got(("2024-01-01", "10")) == 2L, s"dedup inside window: $got")
   }
 
+  test("stream-static broadcast enrichment (J2): left-outer nulls on dim misses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("d_user", "tier")
+    in.addData(
+      Ev(0, ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(1, ts("2024-01-01 10:00:01"), 99, "view", 1.0, "{}")) // dim miss
+    val q = StreamingOps.enrichStream(in.toDF(), dim, "user_id", "d_user")
+      .select("event_id", "tier")
+      .writeStream.outputMode("append").format("memory").queryName("enr").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enr").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(0L -> Some("gold"), 1L -> None),
+      s"dim miss must yield null, got $got")
+  }
+
   test("checkpoint recovery: dedup state survives a query restart (T4/T5 — replaces Redis offset+state protocol)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

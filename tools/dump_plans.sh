@@ -1,0 +1,26 @@
+#!/bin/bash
+# Regenerate PLANS.md: formatted physical plans for the headline queries.
+set -e
+cd "$(dirname "$0")/.."
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+ADD_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do echo -n "--add-opens=java.base/$p=ALL-UNNAMED "; done)
+{
+  echo "# Physical plans (sf0.1, local[32], AQE on)"
+  echo
+  echo "Regenerate with \`tools/dump_plans.sh\`. What to look for:"
+  echo "- \`PushedFilters\` / pruned \`ReadSchema\` on every parquet scan"
+  echo "- \`BroadcastHashJoin\` on every dim hop (fact side never shuffles)"
+  echo "- \`partial_topkbyscore\` before the exchange in the top-k aggregate"
+  echo "- single \`Exchange hashpartitioning\` per logical shuffle step"
+  echo
+  for q in q_serve_total q_snowflake q_order_wide_full q_ann_topk_agg q_minhash_lsh; do
+    echo "## $q"
+    echo '```'
+    SPARK_GRAFT_CPUS=8 java $ADD_OPENS -Xmx8g -Dspark.sql.session.timeZone=UTC \
+      -cp "$CP" graft.Explain "$q" /root/testdata/sf0.1 1 2>/dev/null \
+      | sed -n '/^== Physical Plan ==/,/^rep 1/p' | grep -v "^rep 1"
+    echo '```'
+    echo
+  done
+} > PLANS.md
+echo "wrote PLANS.md"
