@@ -293,6 +293,20 @@ object CoreOps {
         explode(sequence(lit(1L), col("l_linenumber").cast("long"))).as("n"))
       .orderBy("l_orderkey", "l_linenumber", "n")
 
+  // ---------------------------------------------------------------- T2 batch
+  /** Tumbling event-time windows in batch — the batch analog of the
+    * reference's stream time windows (T2): 6-hour buckets of event volume
+    * and distinct users via Spark's `window()` (epoch-aligned, same
+    * arithmetic as the oracle's floor(epoch/21600)). */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start_sec"),
+        col("n_events"), col("n_users"))
+      .orderBy("bucket_start_sec")
+
   // ---------------------------------------------------------------- DauInfo
   /** The DauInfo serving document — reference bean (bean/DauInfo.scala:4-13)
     * built at app/DauApp.scala:115-125. Field quirks preserved exactly:
@@ -395,6 +409,7 @@ object CoreOps {
     "q_dau_approx" -> (dauApprox _),
     "q_dau_info" -> (dauInfo _),
     "q_order_wide_full" -> (orderWideFull _),
+    "q_tumbling_window" -> (tumblingWindow _),
     "q_top_per_brand" -> (topPerBrand _),
     "q_dau_dod_window" -> (dauDayOverDayWindow _),
     "q_sales_rollup" -> (salesRollup _),
@@ -533,6 +548,10 @@ object CoreOps {
                 l.l_extendedprice AS order_price, l.l_discount AS discount
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          ORDER BY order_id, detail_id""",
+    "q_tumbling_window" ->
+      """SELECT CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT) AS bucket_start_sec,
+                count(*) AS n_events, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_order_wide_full" ->
       """SELECT o.o_orderkey AS order_id, l.l_linenumber AS detail_id,
                 o.o_custkey AS user_id, o.o_orderstatus AS order_status,
