@@ -293,6 +293,57 @@ object CoreOps {
         explode(sequence(lit(1L), col("l_linenumber").cast("long"))).as("n"))
       .orderBy("l_orderkey", "l_linenumber", "n")
 
+  // ---------------------------------------------------------------- J semi/anti
+  /** Left-semi join (EXISTS): orders that have at least one returned line
+    * item. SURVEY §2.4 notes the reference never needed semi/anti —
+    * Catalyst supplies them free; exposed here as engine surface. */
+  def ordersWithReturns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val returned = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers who never placed an URGENT
+    * order. */
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- argmax agg
+  /** Latest event per user via max_by (argmax) — the point-lookup shape
+    * serving layers need ("what did this user do last"). event_id is the
+    * unique arrival order, so the argmax is deterministic. */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max_by(col("event_type"), col("event_id")).as("last_event_type"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------- pivot
+  private val Hours: Seq[String] = (0 until 24).map(h => f"$h%02d")
+
+  /** Hourly DAU as a pivoted matrix (dt × 24 hour columns) — the
+    * dashboard-facing shape of A2/A3 (one row per day, one column per
+    * hour). */
+  def dauPivot(spark: SparkSession, dir: String): DataFrame =
+    withDtHr(Tables.events(spark, dir))
+      .groupBy("dt")
+      .pivot("hr", Hours)
+      .agg(count_distinct(col("user_id")))
+      .orderBy("dt")
+
   // ---------------------------------------------------------------- T2 batch
   /** Tumbling event-time windows in batch — the batch analog of the
     * reference's stream time windows (T2): 6-hour buckets of event volume
@@ -410,6 +461,10 @@ object CoreOps {
     "q_dau_info" -> (dauInfo _),
     "q_order_wide_full" -> (orderWideFull _),
     "q_tumbling_window" -> (tumblingWindow _),
+    "q_semi_join" -> (ordersWithReturns _),
+    "q_anti_join" -> (customersNoOrders _),
+    "q_latest_event" -> (latestEventPerUser _),
+    "q_dau_pivot" -> (dauPivot _),
     "q_top_per_brand" -> (topPerBrand _),
     "q_dau_dod_window" -> (dauDayOverDayWindow _),
     "q_sales_rollup" -> (salesRollup _),
@@ -548,6 +603,29 @@ object CoreOps {
                 l.l_extendedprice AS order_price, l.l_discount AS discount
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          ORDER BY order_id, detail_id""",
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+         ORDER BY o_orderkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_latest_event" ->
+      """SELECT user_id, arg_max(event_type, event_id) AS last_event_type,
+                max(event_id) AS last_event_id, count(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_dau_pivot" -> (
+      "SELECT strftime(ts, '%Y-%m-%d') AS dt, " +
+        (0 until 24).map(h =>
+          f"count(DISTINCT user_id) FILTER (WHERE strftime(ts, '%%H') = '$h%02d') AS " + "\"" + f"$h%02d" + "\"")
+          .mkString(", ") +
+        " FROM events GROUP BY dt ORDER BY dt"),
     "q_tumbling_window" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT) AS bucket_start_sec,
                 count(*) AS n_events, count(DISTINCT user_id) AS n_users
