@@ -23,27 +23,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT + parquet-footer warm-up so per-query numbers measure the query,
-    // not first-touch JVM costs (excluded from reported timings)
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    // min of N reps per query: the environment shows multi-second CPU
-    // burst noise between runs; the minimum is the run least perturbed by
-    // it and reflects the actual plan cost
+    // JIT + parquet-footer warm-up AGAINST THE BENCHED DATASET so per-query
+    // numbers measure the query, not first-touch JVM/IO costs
+    try SparkEntry.queries.get("q_dau_total")
+      .orElse(SparkEntry.queries.headOption.map(_._2))
+      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
+    // min of N SUCCESSFUL reps per query: the environment shows
+    // multi-second CPU burst noise between runs; the minimum is the run
+    // least perturbed by it. A failed rep must NOT enter the min (it
+    // finishes suspiciously fast) — a query with no successful rep reports
+    // -1 so the failure is visible in the JSON, not hidden.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // intra-query caches (shingle sets etc.) must not leak memory/GC
         // pressure into the next query's measurement
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

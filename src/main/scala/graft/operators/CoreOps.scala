@@ -27,6 +27,31 @@ object CoreOps {
     .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
     .withColumn("hr", date_format(col("ts"), "HH"))
 
+  /** Shared F1 routing column builders — ONE definition for the batch
+    * (cdcRoute) and streaming (StreamingOps.cdcRouteStream) paths so the
+    * table/op mapping can never desynchronize between them. */
+  object Routing {
+    def k: Column = get_json_object(col("props"), "$.k").cast("int")
+    def table: Column = when(col("event_type") === "purchase", "order_info")
+      .when(col("event_type") === "view", "order_detail")
+      .when(col("event_type") === "click", "base_province")
+      .when(col("event_type") === "signup", "user_info")
+      .otherwise("other_table")
+    def op: Column = when(k % 4 === 0, "insert")
+      .when(k % 4 === 1, "update")
+      .when(k % 4 === 2, "delete")
+      .otherwise("bootstrap-insert")
+    /** The reference's exact keep-boolean over (table, op) — used verbatim
+      * by the streaming path; the batch path uses the single-parse
+      * rewrite (empirically proven equivalent by the oracle). */
+    def referenceKeep(t: Column, o: Column): Column =
+      o.isNotNull && (
+        (t === "order_info" && o === "insert") ||
+        (t === "order_detail" && o === "insert") ||
+        (t === "base_province" && (o === "insert" || o === "update") || o === "bootstrap-insert") ||
+        (t === "user_info" && (o === "insert" || o === "update") || o === "bootstrap-insert"))
+  }
+
   // ---------------------------------------------------------------- A1
   /** Daily active users — reference A1: count of per-day deduped mids
     * (gmall-publisher/.../DauServicelmpl.java:26-42, dedup F3 at
@@ -98,16 +123,9 @@ object CoreOps {
     * signup→user_info, error→other_table); props.k mod 4 plays `type`. */
   def cdcRoute(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val k = get_json_object(col("props"), "$.k").cast("int")
-    val tbl = when(col("event_type") === "purchase", "order_info")
-      .when(col("event_type") === "view", "order_detail")
-      .when(col("event_type") === "click", "base_province")
-      .when(col("event_type") === "signup", "user_info")
-      .otherwise("other_table")
-    val op = when(k % 4 === 0, "insert")
-      .when(k % 4 === 1, "update")
-      .when(k % 4 === 2, "delete")
-      .otherwise("bootstrap-insert")
+    val k = Routing.k
+    val tbl = Routing.table
+    val op = Routing.op
     // The reference boolean, written literally over (table, op), inlines the
     // op CASE (and with it the JSON parse) ~14× per row in the Filter.
     // Restructured into the equivalent table as a function of (k mod 4,
@@ -119,13 +137,19 @@ object CoreOps {
     //     parenthesization leak, preserved (SURVEY §2.3 F1).
     // The oracle SQL keeps the reference-shaped boolean verbatim; the
     // sf0.01 hash match is the empirical equivalence proof.
+    // Index selection must mirror the op CASE's sign-preserving `%`
+    // exactly: negative k (k%4 ∈ {-1,-2,-3}) falls to the op CASE's ELSE
+    // (bootstrap-insert ⇒ keep), so it must select index 4 here — a bare
+    // `k % 4` would index 0/-1 (error / wrong element) and pmod would
+    // misclassify k%4==-2 as 'delete'. Current testdata has k ≥ 0; this
+    // keeps the branch consistent for any input.
     val keep = element_at(
       array(
         col("event_type").isin("purchase", "view", "click", "signup"),
         col("event_type").isin("click", "signup"),
         lit(false),
         lit(true)),
-      coalesce(k % 4, lit(3)) + 1)
+      coalesce(when(k >= 0, k % 4).otherwise(lit(3)), lit(3)) + 1)
     ev.filter(keep)
       .select(col("event_id"), tbl.as("table_name"), op.as("op"),
         concat(lit("ODS_MM_"), upper(tbl)).as("topic"))
@@ -342,6 +366,9 @@ object CoreOps {
       .groupBy("dt")
       .pivot("hr", Hours)
       .agg(count_distinct(col("user_id")))
+      // pivot yields NULL for absent (dt, hr) cells; the oracle's
+      // count FILTER yields 0 — align (bites on sparse days, e.g. sf0.001)
+      .na.fill(0L, Hours)
       .orderBy("dt")
 
   // ---------------------------------------------------------------- T2 batch

@@ -37,10 +37,17 @@ object StreamingOps {
   val WatermarkDelay = "10 seconds"
 
   /** F3: first-seen-per-day dedup. On a stream: state-store-backed
-    * dropDuplicates keyed (dt, user_id); the watermark bounds state to the
-    * delay window + open days. Late events beyond the watermark are dropped
-    * deterministically (the reference's Redis set would have accepted them —
-    * delta documented in SURVEY §7.5c). */
+    * dropDuplicates keyed (dt, user_id).
+    *
+    * STATE NOTE: because the watermarked event-time column is NOT part of
+    * the key subset, Spark does not evict this state on watermark advance —
+    * one state entry per (dt, user_id) is retained for the life of the
+    * query, which is exactly the reference's Redis-set behavior (its
+    * `dau:{dt}` sets also lived until external expiry). For bounded state
+    * choose per requirements: `dropDuplicatesWithinWatermark` (dedups only
+    * duplicates arriving within the delay of each other) or
+    * `firstSeenExactStream` + a state timeout (exact first-seen with
+    * reclamation). */
   def firstSeenStream(events: DataFrame): DataFrame =
     events
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
@@ -107,22 +114,11 @@ object StreamingOps {
     * `table_name` so a single partitionBy("table_name") sink fans out to
     * per-table directories/topics. */
   def cdcRouteStream(events: DataFrame): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("int")
-    val tbl = when(col("event_type") === "purchase", "order_info")
-      .when(col("event_type") === "view", "order_detail")
-      .when(col("event_type") === "click", "base_province")
-      .when(col("event_type") === "signup", "user_info")
-      .otherwise("other_table")
-    val op = when(k % 4 === 0, "insert").when(k % 4 === 1, "update")
-      .when(k % 4 === 2, "delete").otherwise("bootstrap-insert")
-    val df = events.withColumn("table_name", tbl).withColumn("op", op)
-    val t = col("table_name"); val o = col("op")
-    val keep = o.isNotNull && (
-      (t === "order_info" && o === "insert") ||
-      (t === "order_detail" && o === "insert") ||
-      (t === "base_province" && (o === "insert" || o === "update") || o === "bootstrap-insert") ||
-      (t === "user_info" && (o === "insert" || o === "update") || o === "bootstrap-insert"))
-    df.filter(keep)
+    import graft.operators.CoreOps.Routing
+    val df = events
+      .withColumn("table_name", Routing.table)
+      .withColumn("op", Routing.op)
+    df.filter(Routing.referenceKeep(col("table_name"), col("op")))
   }
 
   /** J2 streaming form: stream-static broadcast enrichment. The static dim

@@ -36,9 +36,14 @@ case class TopKByScore(
     StructField("score", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))))
 
-  /** total order: earlier = better. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** total order: earlier = better. Double.compare (not >) so NaN orders
+    * LARGEST — exactly how Spark's `ORDER BY score DESC` window ranks NaN
+    * rows first; keeps the aggregate row-identical to the window form even
+    * for NaN scores (e.g. zero-norm cosines). */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty

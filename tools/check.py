@@ -67,9 +67,6 @@ for name in names:
                 elif not exact:
                     print(f"  [warn] {name}.{c}: doubles close but not bit-identical")
             else:
-                same = pd.Series(gv).astype(object).where(pd.notna(gv), None) \
-                    .eq(pd.Series(ev).astype(object).where(pd.notna(ev), None))
-                # eq treats None==None as False; handle via fillna sentinel
                 gs = pd.Series(gv, dtype=object).where(pd.notna(pd.Series(gv)), "\x00NULL")
                 es = pd.Series(ev, dtype=object).where(pd.notna(pd.Series(ev)), "\x00NULL")
                 if not (gs.astype(str) == es.astype(str)).all():
