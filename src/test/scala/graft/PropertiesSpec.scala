@@ -77,6 +77,31 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: TopKByScore equals the window top-k on tie-heavy random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftext.TopKColumns.topk_by
+    val gen = for {
+      n <- Gen.choose(5, 80)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 3L)
+        s <- Gen.oneOf(0.1, 0.5, 0.5, 0.9, 0.9, 0.9) // heavy ties
+      } yield (g, s))
+    } yield rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+    samples(gen, 8).foreach { rows =>
+      val df = rows.toDF("g", "score", "id")
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+      val win = df.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3).select("g", "rk", "id", "score")
+      val agg = df.groupBy("g").agg(topk_by(col("score"), col("id"), 3).as("t"))
+        .select(col("g"), posexplode(col("t")))
+        .select(col("g"), (col("pos") + 1).as("rk"), col("col.id").as("id"),
+          col("col.score").as("score"))
+      assert(agg.except(win).count() == 0 && win.except(agg).count() == 0,
+        s"agg/window mismatch on ${rows.take(10)}...")
+    }
+  }
+
   test("property: exact dedup group sizes sum to input size") {
     val gen = Gen.nonEmptyListOf(
       Gen.oneOf("aaa bbb ccc", "ddd eee fff", "ggg hhh iii"))
