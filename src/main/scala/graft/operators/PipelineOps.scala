@@ -76,12 +76,53 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Tokens per pack for sequence packing. */
+  private val PackBudget = 512L
+  private val NumShards = 16
+
+  private def contentShard: org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+      lit(NumShards))
+
+  /** Training-output sharding: content-hash shard assignment + per-shard
+    * doc/token totals — the stats a data-loader needs to validate balanced
+    * shards. Stable across runs and engines (content-keyed). */
+  def shardStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(contentShard.as("shard"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
+      .orderBy("shard")
+
+  /** Greedy sequence packing: within each shard, documents (in doc_id
+    * order) are packed into bins of ~PackBudget tokens — pack_id is the
+    * running token count before the doc, integer-divided by the budget.
+    * The window is PARTITIONED BY SHARD, so packing parallelizes across
+    * shards at 100 TB (a global packing order would serialize). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), contentShard.as("shard"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("pack_id", expr(s"(cum - toks) div $PackBudget"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "pack_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_scrub" -> (scrubPayload _),
     "q_len_quantiles" -> (lengthQuantiles _),
     "q_split_assign" -> (splitAssign _),
+    "q_shard_stats" -> (shardStats _),
+    "q_pack_sequences" -> (packSequences _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -115,6 +156,28 @@ object PipelineOps {
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
                 quantile_cont(n_chars, 0.9) AS p90, count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_shard_stats" ->
+      """WITH d AS (
+           SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS shard,
+                  len(string_split(text, ' ')) AS toks
+           FROM documents)
+         SELECT shard, count(*) AS n_docs, sum(toks) AS total_tokens
+         FROM d GROUP BY shard ORDER BY shard""",
+    "q_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS shard,
+                  len(string_split(text, ' ')) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, toks,
+                  sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM d)
+         SELECT shard, (cum - toks) // 512 AS pack_id, count(*) AS n_docs,
+                sum(toks) AS pack_tokens, min(doc_id) AS first_doc,
+                max(doc_id) AS last_doc
+         FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""",
     "q_split_assign" ->
       """SELECT doc_id,
                 ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
