@@ -23,8 +23,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT + parquet-footer warm-up AGAINST THE BENCHED DATASET so per-query
-    // numbers measure the query, not first-touch JVM/IO costs
+    // Warm-up against the benched dataset: touch every table's footers
+    // (metadata count) so no query pays first-touch IO for a table the
+    // others didn't, plus one real query for JIT/codegen warm-up
+    Catalog.TableNames.foreach { n =>
+      try spark.read.parquet(s"$sfDir/$n.parquet").count()
+      catch { case _: Throwable => () }
+    }
     try SparkEntry.queries.get("q_dau_total")
       .orElse(SparkEntry.queries.headOption.map(_._2))
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
@@ -56,7 +61,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // -1.0 marks a query with no successful rep; keep it visible per-query
+    // but never let it subtract from the headline total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -60,13 +60,18 @@ object PipelineOps {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
-  /** Deterministic train/val/test split: content-hash bucket (md5 first 8
-    * hex chars mod 100) → 80/10/10. Content-keyed so replicated documents
-    * always land in the same split — the leakage-safe way to split a
-    * training corpus, and fully reproducible across engines and runs. */
+  /** 64-bit content hash (md5 first 8 hex chars): the ONE hash all
+    * content-keyed assignments (split buckets, shards) derive from, so
+    * they can never disagree on what "same content" means. */
+  private def contentHash64: org.apache.spark.sql.Column =
+    conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic train/val/test split: content-hash bucket (mod 100) →
+    * 80/10/10. Content-keyed so replicated documents always land in the
+    * same split — the leakage-safe way to split a training corpus, and
+    * fully reproducible across engines and runs. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (conv(substring(md5(col("text")), 1, 8), 16, 10)
-      .cast("long") % 100).as("bucket")
+    val bucket = (contentHash64 % 100).as("bucket")
     Tables.documents(spark, dir)
       .select(col("doc_id"), bucket)
       .withColumn("split",
@@ -81,8 +86,7 @@ object PipelineOps {
   private val NumShards = 16
 
   private def contentShard: org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
-      lit(NumShards))
+    pmod(contentHash64, lit(NumShards))
 
   /** Training-output sharding: content-hash shard assignment + per-shard
     * doc/token totals — the stats a data-loader needs to validate balanced
@@ -95,11 +99,15 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
       .orderBy("shard")
 
-  /** Greedy sequence packing: within each shard, documents (in doc_id
-    * order) are packed into bins of ~PackBudget tokens — pack_id is the
-    * running token count before the doc, integer-divided by the budget.
-    * The window is PARTITIONED BY SHARD, so packing parallelizes across
-    * shards at 100 TB (a global packing order would serialize). */
+  /** Offset-bucketed sequence packing: within each shard, documents (in
+    * doc_id order) are assigned pack_id = floor(tokens-before / budget).
+    * This is the windowed APPROXIMATION of greedy bin packing: a pack may
+    * overflow the budget by up to one document (a doc spanning a boundary
+    * stays in the earlier pack) — the standard one-pass formulation;
+    * exact greedy packing is inherently sequential per shard and would
+    * need mapGroups. The window is PARTITIONED BY SHARD, so packing
+    * parallelizes across shards at 100 TB (a global packing order would
+    * serialize). */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), contentShard.as("shard"),
@@ -157,26 +165,27 @@ object PipelineOps {
                 quantile_cont(n_chars, 0.9) AS p90, count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
     "q_shard_stats" ->
-      """WITH d AS (
-           SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS shard,
+      s"""WITH d AS (
+           SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT % $NumShards AS shard,
                   len(string_split(text, ' ')) AS toks
            FROM documents)
-         SELECT shard, count(*) AS n_docs, sum(toks) AS total_tokens
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS total_tokens
          FROM d GROUP BY shard ORDER BY shard""",
     "q_pack_sequences" ->
-      """WITH d AS (
+      s"""WITH d AS (
            SELECT doc_id,
-                  ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS shard,
+                  ('0x' || substr(md5(text), 1, 8))::BIGINT % $NumShards AS shard,
                   len(string_split(text, ' ')) AS toks
            FROM documents),
          c AS (
            SELECT doc_id, shard, toks,
-                  sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) AS cum
+                  CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
            FROM d)
-         SELECT shard, (cum - toks) // 512 AS pack_id, count(*) AS n_docs,
-                sum(toks) AS pack_tokens, min(doc_id) AS first_doc,
-                max(doc_id) AS last_doc
+         SELECT shard, (cum - toks) // $PackBudget AS pack_id, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS pack_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""",
     "q_split_assign" ->
       """SELECT doc_id,

@@ -39,15 +39,18 @@ object StreamingOps {
   /** F3: first-seen-per-day dedup. On a stream: state-store-backed
     * dropDuplicates keyed (dt, user_id).
     *
-    * STATE NOTE: because the watermarked event-time column is NOT part of
-    * the key subset, Spark does not evict this state on watermark advance —
-    * one state entry per (dt, user_id) is retained for the life of the
-    * query, which is exactly the reference's Redis-set behavior (its
-    * `dau:{dt}` sets also lived until external expiry). For bounded state
-    * choose per requirements: `dropDuplicatesWithinWatermark` (dedups only
-    * duplicates arriving within the delay of each other) or
-    * `firstSeenExactStream` + a state timeout (exact first-seen with
-    * reclamation). */
+    * Semantics vs the reference (SURVEY §7.5c): INPUT rows later than the
+    * 10s watermark are dropped before the dedup operator — the reference's
+    * Redis SADD would have accepted them; that is the documented
+    * deterministic-late-data delta of choosing a watermark. STATE, on the
+    * other hand, is NOT evicted on watermark advance (the event-time
+    * column is not in the key subset): one entry per (dt, user_id) is
+    * retained for the life of the query, like the reference's `dau:{dt}`
+    * sets until external expiry. For late-data acceptance AND state
+    * reclamation use `firstSeenExactStream` (exact first-seen, no
+    * watermark drop) with a state timeout; `dropDuplicatesWithinWatermark`
+    * is the bounded-state variant when only near-in-time duplicates
+    * matter. */
   def firstSeenStream(events: DataFrame): DataFrame =
     events
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))

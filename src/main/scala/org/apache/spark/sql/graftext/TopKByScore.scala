@@ -36,12 +36,14 @@ case class TopKByScore(
     StructField("score", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))))
 
-  /** total order: earlier = better. Double.compare (not >) so NaN orders
-    * LARGEST — exactly how Spark's `ORDER BY score DESC` window ranks NaN
-    * rows first; keeps the aggregate row-identical to the window form even
-    * for NaN scores (e.g. zero-norm cosines). */
+  /** total order: earlier = better. Mirrors Spark's SQL double ordering
+    * (SQLOrderingUtil.compareDoubles) exactly: primitive == first so
+    * -0.0 ties 0.0 (id breaks the tie), then Double.compare so NaN orders
+    * LARGEST — how `ORDER BY score DESC` ranks NaN rows first. Keeps the
+    * aggregate row-identical to the window form for NaN and signed-zero
+    * scores alike. */
   private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
-    val c = java.lang.Double.compare(a._1, b._1)
+    val c = if (a._1 == b._1) 0 else java.lang.Double.compare(a._1, b._1)
     c > 0 || (c == 0 && a._2 < b._2)
   }
 
