@@ -90,10 +90,40 @@ object MultimodalOps {
       .orderBy("asset_id")
   }
 
+  /** End-to-end multimodal retrieval: stub-decoded features → cosine
+    * top-3 within each modality block (the decode → embed → ANN pipeline
+    * a multimodal training set needs, with the modality playing the
+    * ANN-block role). Feature vectors come from the typed Dataset path
+    * and are cast to float[] for the native dot expression. Spark-only
+    * (stub features); determinism spec'd. */
+  def featureAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = extractFeatures(spark, dir).toDF()
+      .select(col("asset_id"), col("modality"),
+        expr("transform(features, x -> cast(x as float))").as("fv"))
+      .withColumn("nrm", VectorOps.norm(col("fv")))
+    val q = feats.where(col("asset_id") < 10)
+      .select(col("asset_id").as("query_id"), col("modality").as("q_mod"),
+        col("fv").as("qv"), col("nrm").as("nq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    feats.join(broadcast(q),
+        col("modality") === col("q_mod") && col("asset_id") =!= col("query_id"))
+      .select(col("query_id"), col("asset_id").as("neighbor_id"),
+        VectorOps.cosinePrenorm(col("qv"), col("fv"), col("nq"), col("nrm"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> (assetMeta _),
     "q_mm_features" -> (featureStats _),
+    "q_mm_feature_ann" -> (featureAnn _),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -50,6 +50,18 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(r.getAs[Double]("stopword_ratio") == 0.4)
   }
 
+  test("multimodal feature ANN: top-3 per query within modality, deterministic") {
+    val a = MultimodalOps.featureAnn(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = MultimodalOps.featureAnn(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b, "must be deterministic")
+    assert(a.nonEmpty)
+    val perQuery = a.groupBy(_.head)
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.map(_(1)).toSeq == (1L to rows.length).toSeq, s"ranks for $q")
+      assert(rows.length <= 3)
+    }
+  }
+
   test("multimodal: features deterministic across runs, histogram sums to 1") {
     val f1 = MultimodalOps.featureStats(spark, sf0001).collect()
     val f2 = MultimodalOps.featureStats(spark, sf0001).collect()
