@@ -343,6 +343,20 @@ object CoreOps {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- set ops
+  /** Set operations: users who both purchased and clicked (INTERSECT) and
+    * users who viewed but never purchased (EXCEPT). */
+  def userSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def usersOf(t: String) =
+      ev.where(col("event_type") === t).select(col("user_id"))
+    val both = usersOf("purchase").intersect(usersOf("click"))
+      .withColumn("cohort", lit("purchase_and_click"))
+    val viewedOnly = usersOf("view").except(usersOf("purchase"))
+      .withColumn("cohort", lit("view_never_purchase"))
+    both.unionAll(viewedOnly).orderBy("cohort", "user_id")
+  }
+
   // ---------------------------------------------------------------- argmax agg
   /** Latest event per user via max_by (argmax) — the point-lookup shape
     * serving layers need ("what did this user do last"). event_id is the
@@ -491,6 +505,7 @@ object CoreOps {
     "q_semi_join" -> (ordersWithReturns _),
     "q_anti_join" -> (customersNoOrders _),
     "q_latest_event" -> (latestEventPerUser _),
+    "q_set_ops" -> (userSetOps _),
     "q_dau_pivot" -> (dauPivot _),
     "q_top_per_brand" -> (topPerBrand _),
     "q_dau_dod_window" -> (dauDayOverDayWindow _),
@@ -643,6 +658,17 @@ object CoreOps {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    "q_set_ops" ->
+      """SELECT user_id, 'purchase_and_click' AS cohort FROM (
+           SELECT user_id FROM events WHERE event_type = 'purchase'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type = 'click')
+         UNION ALL
+         SELECT user_id, 'view_never_purchase' AS cohort FROM (
+           SELECT user_id FROM events WHERE event_type = 'view'
+           EXCEPT
+           SELECT user_id FROM events WHERE event_type = 'purchase')
+         ORDER BY cohort, user_id""",
     "q_latest_event" ->
       """SELECT user_id, arg_max(event_type, event_id) AS last_event_type,
                 max(event_id) AS last_event_id, count(*) AS n_events

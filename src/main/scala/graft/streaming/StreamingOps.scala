@@ -124,6 +124,19 @@ object StreamingOps {
     df.filter(Routing.referenceKeep(col("table_name"), col("op")))
   }
 
+  /** DWS → ADS chain: the stream-stream order-wide join feeding a windowed
+    * revenue aggregation IN THE SAME STREAMING QUERY — two chained
+    * stateful operators (join state + agg state), which Structured
+    * Streaming supports with both operators watermark-bounded. The
+    * reference needed a separate app + Kafka hop for each layer; here the
+    * whole ODS→DWS→ADS path is one checkpointed query. */
+  def orderRevenueStream(orderInfo: DataFrame, orderDetail: DataFrame): DataFrame =
+    orderWideStream(orderInfo, orderDetail)
+      .groupBy(window(col("o_ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice")).as("revenue"))
+      .select(col("w.start").as("window_start"), col("n_items"), col("revenue"))
+
   /** J2 streaming form: stream-static broadcast enrichment. The static dim
     * is re-read per batch when wrapped in foreachBatch (per-batch dim
     * refresh parity, SURVEY §7.5); as a plain stream-static join Spark

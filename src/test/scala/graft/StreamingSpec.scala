@@ -67,6 +67,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == Seq(1L), s"only the in-window pair joins, got ${got.toSeq}")
   }
 
+  test("chained stateful operators: stream-stream join feeding windowed revenue agg in ONE query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val oi = MemoryStream[OInfo]
+    val od = MemoryStream[ODet]
+    val q = StreamingOps.orderRevenueStream(oi.toDF(), od.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("rev").start()
+    oi.addData(OInfo(1, ts("2024-01-01 10:00:00"), 100.0),
+               OInfo(2, ts("2024-01-01 10:00:30"), 50.0))
+    od.addData(ODet(1, ts("2024-01-01 10:00:05"), 10.0),
+               ODet(1, ts("2024-01-01 10:00:06"), 15.0),
+               ODet(2, ts("2024-01-01 10:00:31"), 20.0))
+    q.processAllAvailable()
+    // push both watermarks far ahead to close the join state AND the window
+    oi.addData(OInfo(1000, ts("2024-01-01 12:00:00"), 0.0))
+    od.addData(ODet(1001, ts("2024-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()
+    oi.addData(OInfo(1002, ts("2024-01-01 14:00:00"), 0.0))
+    od.addData(ODet(1003, ts("2024-01-01 14:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rev").collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.get("2024-01-01 10:00:00.0").contains((3L, 45.0)),
+      s"one closed window with 3 joined items totaling 45.0, got $got")
+  }
+
   test("windowed hourly DAU emits closed buckets in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
