@@ -343,6 +343,28 @@ object CoreOps {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- funnel
+  /** Conversion funnel: of the users who signed up on day D, how many
+    * purchased within 7 days of THAT signup — an equi join on user plus an
+    * event-time range condition (the funnel/range-join shape the serving
+    * layer's product questions need). Whole-second timestamps so ns-vs-µs
+    * precision can't flip the boundary. */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s_sec"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_timestamp(col("ts")).as("p_sec"))
+    s.join(p,
+        s("user_id") === p("p_user") && p("p_sec") >= s("s_sec") &&
+          p("p_sec") < s("s_sec") + 604800L, "left")
+      .groupBy("dt")
+      .agg(count_distinct(col("user_id")).as("n_signup_users"),
+        count_distinct(when(col("p_user").isNotNull, col("user_id"))).as("n_converted"))
+      .orderBy("dt")
+  }
+
   // ---------------------------------------------------------------- set ops
   /** Set operations: users who both purchased and clicked (INTERSECT) and
     * users who viewed but never purchased (EXCEPT). */
@@ -506,6 +528,7 @@ object CoreOps {
     "q_anti_join" -> (customersNoOrders _),
     "q_latest_event" -> (latestEventPerUser _),
     "q_set_ops" -> (userSetOps _),
+    "q_funnel" -> (conversionFunnel _),
     "q_dau_pivot" -> (dauPivot _),
     "q_top_per_brand" -> (topPerBrand _),
     "q_dau_dod_window" -> (dauDayOverDayWindow _),
@@ -658,6 +681,20 @@ object CoreOps {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    "q_funnel" ->
+      """WITH s AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s_sec,
+                  strftime(ts, '%Y-%m-%d') AS dt
+           FROM events WHERE event_type = 'signup'),
+         p AS (
+           SELECT user_id AS p_user, CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+           FROM events WHERE event_type = 'purchase')
+         SELECT dt, count(DISTINCT user_id) AS n_signup_users,
+                count(DISTINCT CASE WHEN p_user IS NOT NULL THEN user_id END) AS n_converted
+         FROM s LEFT JOIN p
+           ON s.user_id = p.p_user AND p.p_sec >= s.s_sec
+          AND p.p_sec < s.s_sec + 604800
+         GROUP BY dt ORDER BY dt""",
     "q_set_ops" ->
       """SELECT user_id, 'purchase_and_click' AS cohort FROM (
            SELECT user_id FROM events WHERE event_type = 'purchase'

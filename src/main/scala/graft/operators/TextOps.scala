@@ -99,12 +99,51 @@ object TextOps {
           (h, c) => (h * 31 + c) % 1000000007L).as("fp_rolling"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- boilerplate
+  /** Boilerplate/repetition detection: ratio of the most-repeated word
+    * 3-gram to all 3-gram occurrences per doc — the classic "spammy
+    * template" signal for corpus filtering. Docs under 3 tokens have no
+    * shingle and drop out (mirrored in the oracle). */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("shingle"))
+    sh.groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_shingles"))
+      .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_shingles"))
+      .withColumn("is_boilerplate", col("rep_ratio") > 0.2 && col("max_rep") >= 3)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- source quality
+  /** Source-level quality dashboard: per source, doc counts, token and
+    * distinct-token totals, mean type-token ratio — the aggregation a
+    * curator reads before keeping/dropping a source. Exact int-derived
+    * doubles only. */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("source"), size(t).cast("long").as("toks"),
+        size(array_distinct(t)).cast("long").as("dtoks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        (sum(col("dtoks")).cast("double") / sum(col("toks"))).as("mean_ttr"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> (tokenCount _),
     "q_lang_id" -> (langId _),
     "q_text_quality" -> (qualityScore _),
     "q_fingerprint" -> (fingerprint _),
+    "q_boilerplate" -> (boilerplate _),
+    "q_source_quality" -> (sourceQuality _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,6 +179,33 @@ object TextOps {
                 (n_tokens >= 10 AND CAST(n_stopwords AS DOUBLE)/n_tokens < 0.3
                  AND CAST(n_distinct AS DOUBLE)/n_tokens > 0.2) AS quality_ok
          FROM m ORDER BY doc_id""",
+    "q_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> array_to_string(t[i:i+2], ' '))) AS shingle
+           FROM tok3),
+         cnt AS (
+           SELECT doc_id, shingle, count(*) AS c
+           FROM sh GROUP BY doc_id, shingle)
+         SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep,
+                CAST(sum(c) AS BIGINT) AS n_shingles,
+                CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS rep_ratio,
+                (CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) > 0.2
+                 AND max(c) >= 3) AS is_boilerplate
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+    "q_source_quality" ->
+      """WITH d AS (
+           SELECT source, len(string_split(text, ' ')) AS toks,
+                  len(list_distinct(string_split(text, ' '))) AS dtoks
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS total_tokens,
+                CAST(sum(dtoks) AS DOUBLE) / CAST(sum(toks) AS BIGINT) AS mean_ttr
+         FROM d GROUP BY source ORDER BY source""",
     "q_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(
