@@ -25,10 +25,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up against the benched dataset: touch every table's footers
     // (metadata count) so no query pays first-touch IO for a table the
-    // others didn't, plus one real query for JIT/codegen warm-up
+    // others didn't, plus one real query for JIT/codegen warm-up.
+    // nanosAsLong first — the events footer is unreadable without it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Catalog.TableNames.foreach { n =>
       try spark.read.parquet(s"$sfDir/$n.parquet").count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up read of $n failed: ${e.getMessage}")
+      }
     }
     try SparkEntry.queries.get("q_dau_total")
       .orElse(SparkEntry.queries.headOption.map(_._2))

@@ -138,18 +138,20 @@ object CoreOps {
     // The oracle SQL keeps the reference-shaped boolean verbatim; the
     // sf0.01 hash match is the empirical equivalence proof.
     // Index selection must mirror the op CASE's sign-preserving `%`
-    // exactly: negative k (k%4 ∈ {-1,-2,-3}) falls to the op CASE's ELSE
-    // (bootstrap-insert ⇒ keep), so it must select index 4 here — a bare
-    // `k % 4` would index 0/-1 (error / wrong element) and pmod would
-    // misclassify k%4==-2 as 'delete'. Current testdata has k ≥ 0; this
-    // keeps the branch consistent for any input.
+    // EXACTLY for every k — including negatives: k%4==0 holds for k=-4
+    // too (⇒ 'insert'), while k%4 ∈ {-1,-2,-3} falls to the op CASE's
+    // ELSE ('bootstrap-insert' ⇒ keep-all, index 4). So classify on the
+    // same k%4 equality tests the op CASE uses (k parsed ≤3× per row vs
+    // ~14× in the literal reference boolean). Null k ⇒ ELSE, like the op.
+    val kmod = k % 4
     val keep = element_at(
       array(
         col("event_type").isin("purchase", "view", "click", "signup"),
         col("event_type").isin("click", "signup"),
         lit(false),
         lit(true)),
-      coalesce(when(k >= 0, k % 4).otherwise(lit(3)), lit(3)) + 1)
+      when(kmod === 0, 1).when(kmod === 1, 2).when(kmod === 2, 3)
+        .otherwise(4))
     ev.filter(keep)
       .select(col("event_id"), tbl.as("table_name"), op.as("op"),
         concat(lit("ODS_MM_"), upper(tbl)).as("topic"))

@@ -17,22 +17,33 @@ import graft.Tables
   *  - Shingle/feature explosion happens map-side off the document scan;
   *    the only shuffles are the bucket-key groupBys and the candidate
   *    verification join.
+  *
+  * CACHING CONTRACT: ngramJaccard/minhashLsh/simhashPairs `.cache()` the
+  * shingle/signature intermediates they reuse within one query. The cache
+  * handles are internal, so a LONG-LIVED session running these repeatedly
+  * should call `spark.catalog.clearCache()` between queries (Verify and
+  * Bench both do) — otherwise cached exploded-shingle blocks accumulate.
   */
 object DedupOps {
 
-  /** Tokenize and build word 3-gram shingles (distinct per doc).
+  /** Word 3-gram shingle explosion WITH multiplicity — the one shared
+    * tokenize+shingle definition (dedup ops and TextOps.boilerplate both
+    * build on it, so "same shingle" always means the same thing).
     * Docs shorter than 3 tokens have no shingle and drop out — replicated
     * in the oracle SQL (`len(t) >= 3`) because Spark's `sequence(1, n)`
     * generates a DESCENDING sequence when n < 1 while DuckDB's
     * generate_series returns empty. */
-  private[operators] def shingles(docs: DataFrame): DataFrame =
+  private[operators] def shingleExplode(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 3)
       .select(col("doc_id"), col("source"),
         explode(transform(sequence(lit(1), size(col("t")) - 2),
           i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("shingle"))
-      .distinct()
+
+  /** Distinct shingle SET per doc (the Jaccard/MinHash input). */
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    shingleExplode(docs).distinct()
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup: group documents by content hash, keep the lowest doc_id.

@@ -102,6 +102,10 @@ object MultimodalOps {
       .select(col("asset_id"), col("modality"),
         expr("transform(features, x -> cast(x as float))").as("fv"))
       .withColumn("nrm", VectorOps.norm(col("fv")))
+      // zero-norm vectors (empty payloads) produce NaN cosines, which
+      // ORDER BY DESC would rank FIRST — a junk asset would beat every
+      // real neighbor. Exclude them from both sides of the retrieval.
+      .where(col("nrm") > 0.0)
     val q = feats.where(col("asset_id") < 10)
       .select(col("asset_id").as("query_id"), col("modality").as("q_mod"),
         col("fv").as("qv"), col("nrm").as("nq"))

@@ -25,6 +25,8 @@ object ScaleOps {
     * reproducible. */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, saltFactor: Int): DataFrame = {
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoin reserves the column name '_salt'; rename it on the inputs")
     val salted = left.withColumn("_salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)))
     val replicated = right
@@ -53,9 +55,10 @@ object ScaleOps {
     * replaces only the partitions present in `df`. Replaying the same
     * batch is a no-op state-wise; other partitions are untouched. */
   def overwriteByPartition(df: DataFrame, partitionCol: String,
-      path: String): Unit = {
-    df.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-  }
+      path: String): Unit =
+    // per-WRITE option, not the session conf: setting the conf would
+    // silently turn every later overwrite in the session dynamic
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
 }

@@ -105,12 +105,9 @@ object TextOps {
     * template" signal for corpus filtering. Docs under 3 tokens have no
     * shingle and drop out (mirrored in the oracle). */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("shingle"))
+    // shares DedupOps' shingle definition (with multiplicity) so
+    // "same shingle" is one concept across dedup and boilerplate scoring
+    val sh = DedupOps.shingleExplode(Tables.documents(spark, dir))
     sh.groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_shingles"))

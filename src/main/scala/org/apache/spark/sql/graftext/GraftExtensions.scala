@@ -33,7 +33,11 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       val k = exprs(2) match {
         case Literal(v: Int, _) => v
-        case other => other.eval().toString.toInt
+        case other => other.eval() match {
+          case n: java.lang.Number => n.intValue()
+          case v => throw new IllegalArgumentException(
+            s"topk_by: k must be a numeric literal, got $v")
+        }
       }
       TopKByScore(exprs(0), exprs(1), k)
     })

@@ -30,7 +30,20 @@ case class TopKByScore(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
 
+  require(k >= 1, s"topk_by requires k >= 1, got $k")
+
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by expects (DOUBLE score, BIGINT id, INT k); got " +
+          s"(${scoreExpr.dataType.simpleString}, ${idExpr.dataType.simpleString}) " +
+          "— cast the inputs explicitly")
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),

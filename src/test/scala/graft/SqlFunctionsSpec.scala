@@ -23,6 +23,20 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(top(2L) == Seq((0.1, 13L)))
   }
 
+  test("topk_by rejects wrong input types with a clear analysis error") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1, 2L)).toDF("int_score", "id").createOrReplaceTempView("bad_scores")
+    val e = intercept[Exception] {
+      spark.sql("SELECT topk_by(int_score, id, 2) FROM bad_scores").collect()
+    }
+    assert(e.getMessage.contains("topk_by expects"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT topk_by(CAST(1.0 AS DOUBLE), id, 0) FROM bad_scores").collect()
+    }
+    assert(e2.getMessage.contains("k >= 1"), e2.getMessage)
+  }
+
   test("session built via GraftSession + withExtensions resolves the functions") {
     // the extensions path is what a cluster's spark.sql.extensions conf uses
     val reg = spark.sessionState.functionRegistry
