@@ -137,6 +137,18 @@ object StreamingOps {
         sum(col("l_extendedprice")).as("revenue"))
       .select(col("w.start").as("window_start"), col("n_items"), col("revenue"))
 
+  /** K3/P8: shape a DataFrame into Kafka producer records — key (the
+    * business key, for log-compaction/partitioning), value (the full row
+    * as compact JSON, the reference's fastjson toJSONString), topic. This
+    * is exactly the schema `.writeStream.format("kafka")` consumes; kept
+    * sink-agnostic so it is testable without a broker (this environment
+    * has none) and reusable for any keyed-JSON sink. */
+  def toKafkaRecords(df: DataFrame, keyCol: String, topic: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"),
+      lit(topic).as("topic"))
+
   /** J2 streaming form: stream-static broadcast enrichment. The static dim
     * is re-read per batch when wrapped in foreachBatch (per-batch dim
     * refresh parity, SURVEY §7.5); as a plain stream-static join Spark

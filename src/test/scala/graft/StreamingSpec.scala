@@ -186,6 +186,35 @@ class StreamingSpec extends SparkTestBase {
       s"exact first-seen regardless of lateness, got $got")
   }
 
+  test("kafka record shaping (K3/P8): key/value/topic schema with compact JSON values") {
+    import spark.implicits._
+    val df = Seq((7L, "F", 42.5)).toDF("order_id", "status", "amount")
+    val rec = StreamingOps.toKafkaRecords(df, "order_id", "DWD_ORDER_INFO")
+    assert(rec.columns.toSeq == Seq("key", "value", "topic"))
+    val r = rec.head()
+    assert(r.getString(0) == "7")
+    assert(r.getString(1) == """{"order_id":7,"status":"F","amount":42.5}""")
+    assert(r.getString(2) == "DWD_ORDER_INFO")
+  }
+
+  test("update-mode hourly DAU: buckets re-emit as counts grow (live dashboard semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.hourlyDauStream(in.toDF())
+      .writeStream.outputMode("update").format("memory").queryName("udau").start()
+    in.addData(Ev(0, ts("2024-01-01 10:05:00"), 1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts("2024-01-01 10:10:00"), 2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits the 10:00 bucket with the growing count;
+    // the LAST emission for the bucket must be 2
+    val emissions = spark.table("udau").collect()
+      .filter(r => r.getString(1) == "10").map(_.getLong(2)).toSeq
+    assert(emissions.nonEmpty && emissions.max == 2L, s"got $emissions")
+  }
+
   test("cdc routing stream + partitioned fan-out sink (T6)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
