@@ -123,8 +123,38 @@ object PipelineOps {
       .orderBy("shard", "pack_id")
   }
 
+  /** Data-quality gate: one row per invariant with its violation count —
+    * referential integrity, key uniqueness, null rates, derived-column
+    * consistency, embedding dimensionality. The validation step that runs
+    * before any training-data export; each check is a single aggregate,
+    * all unioned into one small report. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    val orphanLines = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+    val dupOrders = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+    val nullUsers = ev.where(col("user_id").isNull)
+    val badNChars = docs.where(col("n_chars") =!= length(col("text")))
+    val badDims = emb.where(size(col("embedding")) =!= 64)
+    check("lineitem_orderkey_fk", orphanLines)
+      .unionAll(check("orders_pk_unique", dupOrders))
+      .unionAll(check("events_user_not_null", nullUsers))
+      .unionAll(check("documents_nchars_consistent", badNChars))
+      .unionAll(check("embeddings_dim_64", badDims))
+      .orderBy("check_name")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> (dqChecks _),
     "q_sessionize" -> (sessionize _),
     "q_scrub" -> (scrubPayload _),
     "q_len_quantiles" -> (lengthQuantiles _),
@@ -164,6 +194,25 @@ object PipelineOps {
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
                 quantile_cont(n_chars, 0.9) AS p90, count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_dq_checks" ->
+      """SELECT * FROM (
+           SELECT 'lineitem_orderkey_fk' AS check_name, count(*) AS n_violations,
+                  count(*) = 0 AS pass
+           FROM lineitem l WHERE NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+           UNION ALL
+           SELECT 'orders_pk_unique', count(*), count(*) = 0 FROM (
+             SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+           UNION ALL
+           SELECT 'events_user_not_null', count(*), count(*) = 0
+           FROM events WHERE user_id IS NULL
+           UNION ALL
+           SELECT 'documents_nchars_consistent', count(*), count(*) = 0
+           FROM documents WHERE n_chars != length(text)
+           UNION ALL
+           SELECT 'embeddings_dim_64', count(*), count(*) = 0
+           FROM embeddings WHERE len(embedding) != 64)
+         ORDER BY check_name""",
     "q_shard_stats" ->
       s"""WITH d AS (
            SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT % $NumShards AS shard,
