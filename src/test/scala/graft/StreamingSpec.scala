@@ -186,6 +186,28 @@ class StreamingSpec extends SparkTestBase {
       s"exact first-seen regardless of lateness, got $got")
   }
 
+  test("batch/streaming consistency: file-stream dedup finds exactly the batch first-seen set") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sf0001).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0001)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingOps.firstSeenStream(raw)
+      .select("dt", "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("fsfile").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("fsfile").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.operators.CoreOps.firstSeen(spark, sf0001)
+      .select("dt", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streaming and batch dedup must agree; diff=${(streamed diff batch) ++ (batch diff streamed)}")
+  }
+
   test("kafka record shaping (K3/P8): key/value/topic schema with compact JSON values") {
     import spark.implicits._
     val df = Seq((7L, "F", 42.5)).toDF("order_id", "status", "amount")
