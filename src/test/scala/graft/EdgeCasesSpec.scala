@@ -34,6 +34,31 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(TextOps.tokenCount(spark, dir).count() == 0)
   }
 
+  test("event ops survive empty and single-row event tables") {
+    import spark.implicits._
+    import graft.operators.{CoreOps, PipelineOps, ServingOps}
+    def eventsDir(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ev_").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val empty = eventsDir(Seq.empty)
+    assert(CoreOps.dauTotal(spark, empty).count() == 0)
+    assert(CoreOps.cdcRoute(spark, empty).count() == 0)
+    assert(CoreOps.firstSeen(spark, empty).count() == 0)
+    assert(PipelineOps.sessionize(spark, empty).count() == 0)
+    assert(ServingOps.realtimeTotal(spark, empty, "2024-01-15").head().getLong(0) == 0)
+
+    val one = eventsDir(Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 7L, "purchase", 1.0, """{"k": 0}""")))
+    assert(CoreOps.dauTotal(spark, one).count() == 1)
+    assert(CoreOps.cdcRoute(spark, one).count() == 1, "purchase+insert must route")
+    val sess = PipelineOps.sessionize(spark, one).head()
+    assert(sess.getAs[Long]("n_events") == 1L)
+    assert(ServingOps.realtimeTotal(spark, one, "2024-01-15").head().getLong(0) == 1)
+  }
+
   test("fingerprint of empty text is the hash seed (0), matching the oracle") {
     val dir = documentsFixture(Seq((0L, "", "en", "s")))
     val fp = TextOps.fingerprint(spark, dir).head().getLong(1)
