@@ -28,7 +28,7 @@ object ScaleOps {
     require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
       "saltedJoin reserves the column name '_salt'; rename it on the inputs")
     val salted = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)))
     val replicated = right
       .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted

@@ -13,9 +13,10 @@ case class KeyedEvent(dt: String, user_id: Long, event_id: Long,
   *
   * What replaces what (reference site → here):
   *  - Redis SADD first-seen dedup (DauApp.scala:59-75)
-  *      → watermarked dropDuplicates on (dt, user_id). State is bounded by
-  *        the watermark instead of an external Redis set; checkpointing
-  *        replaces the manual offset protocol (OffsetManager.scala).
+  *      → watermarked dropDuplicates on (dt, user_id) (see firstSeenStream
+  *        for the exact state/late-data semantics vs the Redis set);
+  *        checkpointing replaces the manual offset protocol
+  *        (OffsetManager.scala).
   *  - DStream window(10s,5s) + keyBy + join + zset dedup
   *    (DwsOrderWideApp.scala:88-122)
   *      → watermarked stream-stream inner join with a ±10s event-time range.
@@ -146,7 +147,7 @@ object StreamingOps {
   def toKafkaRecords(df: DataFrame, keyCol: String, topic: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"),
       lit(topic).as("topic"))
 
   /** J2 streaming form: stream-static broadcast enrichment. The static dim
