@@ -20,14 +20,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is TIMESTAMP(NANOS); set at build time, readers don't
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up against the benched dataset: touch every table's footers
     // (metadata count) so no query pays first-touch IO for a table the
     // others didn't, plus one real query for JIT/codegen warm-up.
-    // nanosAsLong first — the events footer is unreadable without it.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Catalog.TableNames.foreach { n =>
       try spark.read.parquet(s"$sfDir/$n.parquet").count()
       catch { case e: Throwable =>
@@ -61,14 +61,27 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def p50(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val mins = results.map { case (k, ts) => k -> (if (ts.nonEmpty) ts.min else -1.0) }
+    // "queries" stays {name: min-sec} (the driver's contract shape); the
+    // p50s ride alongside so round-over-round comparisons can see variance,
+    // not just the luckiest rep
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs50 = results.collect { case (k, ts) if ts.nonEmpty => "\"" + k + "\":" + p50(ts) }
       .mkString("{", ",", "}")
     // -1.0 marks a query with no successful rep; keep it visible per-query
-    // but never let it subtract from the headline total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // but never let it subtract from the headline total — and surface the
+    // breakage count at top level so a failing query can't masquerade as a
+    // speedup of the total
+    val failed = results.collect { case (k, ts) if ts.isEmpty => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = mins.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_p50":$qs50,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,18 +21,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read it as epoch-nanos long (legacy conf, runtime-settable, idempotent)
-    * and convert to a microsecond TimestampType column. Sub-microsecond
-    * precision is dropped — all derived dt/hr/second-level values are
-    * unaffected. The raw nanos survive as `ts_ns`: it is a passthrough of
-    * the physical column, so range predicates on it (e.g. one-day serving
-    * windows) push down into the parquet scan for row-group skipping —
-    * a filter on the derived `ts` could not. */
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true` is set — at SESSION
+    * BUILD time (GraftSession.build, Verify, Bench and the test base all
+    * set it; a reader must not mutate session state as a side effect).
+    * Under that conf ts arrives as epoch-nanos long and is converted to a
+    * microsecond TimestampType column. Sub-microsecond precision is
+    * dropped — all derived dt/hr/second-level values are unaffected. The
+    * raw nanos survive as `ts_ns`: it is a passthrough of the physical
+    * column, so range predicates on it (e.g. one-day serving windows) push
+    * down into the parquet scan for row-group skipping — a filter on the
+    * derived `ts` could not. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(spark, dir, "events")
+    val raw =
+      try t(spark, dir, "events")
+      catch {
+        case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalStateException(
+            "events.parquet uses TIMESTAMP(NANOS): set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true when BUILDING the " +
+              "session (GraftSession.build does) — Tables.events no longer " +
+              "sets it for you", e)
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long testdata
         raw.withColumn("ts_ns", col("ts"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -45,6 +46,28 @@ object DedupOps {
   private[operators] def shingles(docs: DataFrame): DataFrame =
     shingleExplode(docs).distinct()
 
+  /** Max document frequency a shingle may have (within its join block,
+    * i.e. per source) and still participate in exact-Jaccard candidate
+    * generation. Real text is Zipfian: ONE boilerplate shingle shared by
+    * 10⁶ docs in a source would put 10¹² candidate pairs on a single
+    * reducer key in the self-join. Shingles that common carry no near-dup
+    * signal, so they are dropped from the shingle SETS — both candidate
+    * generation and the Jaccard cardinalities, keeping Jaccard a true set
+    * similarity over the kept-shingle universe. */
+  private[operators] val MaxShingleDf = 100
+
+  /** `shingles` minus hot shingles: per-(source, shingle) document
+    * frequency computed with one windowed count over the exploded sets,
+    * rows with df > MaxShingleDf removed. This is the frame the exact
+    * Jaccard path joins on — its per-key pair fan-out is bounded by
+    * MaxShingleDf² regardless of corpus skew. */
+  private[graft] def keptShingles(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("source", "shingle")))
+      .where(col("df") <= MaxShingleDf)
+      .drop("df")
+
   // ---------------------------------------------------------------- exact
   /** Exact dedup: group documents by content hash, keep the lowest doc_id.
     * One shuffle on md5(text); at 100 TB this is the canonical
@@ -58,11 +81,14 @@ object DedupOps {
   // ---------------------------------------------------------------- n-gram Jaccard
   /** Near-dup detection by word-3-gram Jaccard similarity, blocked by
     * `source` (pairs are only considered within a block — the standard
-    * blocking strategy that keeps the candidate join linear at scale).
+    * blocking strategy that keeps the candidate join linear at scale) AND
+    * df-capped (shingles appearing in > MaxShingleDf docs of a source are
+    * dropped before the self-join — see keptShingles — so no single hot
+    * boilerplate shingle can detonate a reducer at 100 TB).
     * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from integer set cardinalities,
     * so the double division is bit-identical across engines. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val sh = keptShingles(Tables.documents(spark, dir)).cache()
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
@@ -242,12 +268,17 @@ object DedupOps {
       """WITH toks AS (
            SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
          tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
-         sh AS (
+         sh0 AS (
            SELECT DISTINCT doc_id, source, shingle FROM (
              SELECT doc_id, source,
                     unnest(list_transform(generate_series(1, len(t) - 2),
                       i -> array_to_string(t[i:i+2], ' '))) AS shingle
              FROM tok3)),
+         sh AS (
+           SELECT doc_id, source, shingle FROM (
+             SELECT *, count(*) OVER (PARTITION BY source, shingle) AS df
+             FROM sh0)
+           WHERE df <= 100),
          card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

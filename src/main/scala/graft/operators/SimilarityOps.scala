@@ -159,19 +159,25 @@ object SimilarityOps {
   }
 
   /** Assign each vector to its nearest centroid (max cosine; ties to the
-    * lowest cluster id). Centroids are broadcast; the corpus streams. */
+    * lowest cluster id) — SHUFFLE-FREE. The K centroids are collapsed into
+    * ONE array-of-structs row and broadcast; the argmax over the K cosines
+    * is then an `array_min(transform(...))` computed map-side while the
+    * corpus streams through. (The round-1 form joined each corpus row
+    * against all K centroids and re-grouped by vec_id — a ×K row blow-up
+    * plus a full-corpus Exchange, taken three times per annIvf call; at
+    * 100 TB those were the dominant avoidable shuffles.)
+    * `array_min` over struct(negsim, cl) is the same lexicographic rule the
+    * old min(struct) aggregation used — NaN cosines order last, ties break
+    * to the lowest cluster id, independent of centroid array order. */
   private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val cos = VectorOps.cosine(col("embedding"), col("centroid"))
-    e.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"),
-        col("cl"), (-cos).as("negsim"))
-      // group on the scalar key only — hashing/shuffling the float array as
-      // a grouping key costs ~2× here; every row of a vec_id group carries
-      // the identical embedding, so first() is deterministic
-      .groupBy("vec_id")
-      .agg(min(struct(col("negsim"), col("cl"))).as("best"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("best.cl").as("cl"))
+    val packed = centroids
+      .agg(collect_list(struct(col("cl"), col("centroid"))).as("cents"))
+    val best = array_min(transform(col("cents"), c =>
+      struct(
+        (-VectorOps.cosine(col("embedding"), c.getField("centroid"))).as("negsim"),
+        c.getField("cl").as("cl"))))
+    e.join(broadcast(packed))
+      .select(col("vec_id"), col("embedding"), best.getField("cl").as("cl"))
   }
 
   /** IVF ANN: coarse-quantize the corpus into K inverted lists, probe the

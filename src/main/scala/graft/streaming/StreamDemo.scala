@@ -26,13 +26,19 @@ object StreamDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // file-stream source: schema from the batch footer (ts arrives as
-    // epoch-nanos long under nanosAsLong), events.parquet only
+    // file-stream source: schema from the batch footer; events.parquet only.
+    // ts arrives as epoch-nanos LONG on the driver-generated testdata
+    // (TIMESTAMP(NANOS) under nanosAsLong) but as a real TimestampType on
+    // Spark-written micro-precision fixtures — branch like Tables.events.
     val schema = spark.read
       .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
-    val raw = spark.readStream.schema(schema)
+    val raw0 = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw0
+    }
 
     val deduped = StreamingOps.firstSeenStream(raw)
       .select("dt", "hr", "user_id", "event_id", "event_type")

@@ -41,6 +41,31 @@ class DedupSpec extends SparkTestBase {
       s"jaccard pairs $jac must be a subset of lsh pairs $pairs")
   }
 
+  test("hot boilerplate shingle is df-capped out of the jaccard candidate join") {
+    // 300 otherwise-unrelated docs all share ONE boilerplate shingle
+    // ("click here now"): uncapped, the self-join would put 300²/2 ≈ 45k
+    // candidate pairs on that single shingle key — the Zipfian detonation
+    // at 100 TB. The df cap must drop it BEFORE the join.
+    val hot = " click here now"
+    val docs = (0L until 300L).map { i =>
+      (i, s"unique$i alpha$i beta$i gamma$i delta$i" + hot, "en", "srcA")
+    } ++ Seq(
+      // a genuine near-dup pair whose shared shingles are all rare
+      (1000L, "the quick brown fox jumps over dogs", "en", "srcA"),
+      (1001L, "the quick brown fox jumps over cats", "en", "srcA"))
+    val dir = documentsFixture(docs)
+    val kept = DedupOps.keptShingles(Tables.documents(spark, dir))
+    assert(kept.where(col("shingle") === "click here now").count() == 0,
+      "df=300 shingle must be dropped (cap is 100)")
+    assert(kept.where(col("shingle") === "the quick brown").count() == 2,
+      "rare shingles must survive the cap")
+    val pairs = DedupOps.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000L, 1001L)), "true near-dup must still be found")
+    assert(!pairs.exists(p => p._1 < 300L),
+      s"boilerplate-only overlap must produce no pairs, got ${pairs.take(5)}")
+  }
+
   test("simhash: identical docs at hamming 0; near-identical within 3 bits") {
     val pairs = DedupOps.simhashPairs(spark, fixtureDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

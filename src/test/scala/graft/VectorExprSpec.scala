@@ -29,4 +29,21 @@ class VectorExprSpec extends SparkTestBase {
     assert(got(1).isNullAt(0))
     assert(got(2).getDouble(0) == 0.0)
   }
+
+  test("native dot returns null on dimension mismatch and null elements, like the HOF form") {
+    // dimension mismatch / null slots must NOT silently truncate to a
+    // partial dot — both formulations return null so the bug is loud
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+         (array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float))),
+         (array(cast(1.0 as float), cast(null as float)), array(cast(3.0 as float), cast(4.0 as float)))
+         AS t(a, b)""")
+    val got = df.select(
+      VectorOps.dot(col("a"), col("b")).as("native"),
+      VectorOps.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(got(0).isNullAt(0), "mismatched dims: native must be null")
+    assert(got(0).isNullAt(1), "mismatched dims: HOF is null (zip_with pads)")
+    assert(got(1).isNullAt(0), "null element: native must be null")
+    assert(got(1).isNullAt(1), "null element: HOF is null")
+  }
 }

@@ -10,6 +10,8 @@ and rows by value, and diffs. Exact for ints/strings; doubles compared to
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pandas as pd
 import numpy as np
@@ -25,35 +27,54 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
 
-def canon(df):
-    df = df[sorted(df.columns)].copy()
-    return df.sort_values(by=list(df.columns), na_position="first",
-                          kind="mergesort").reset_index(drop=True)
+def canon(tbl):
+    """Arrow table -> (sorted DataFrame with per-column null-mask companions,
+    original column list). Masks come from the ARROW layer: pandas float
+    columns turn NULL into NaN, which equal_nan comparison would then
+    silently conflate with a genuine NaN — the masks keep NULL distinct."""
+    df = tbl.to_pandas()
+    orig = sorted(df.columns)
+    masks = []
+    for c in orig:
+        m = "\x00null_" + c
+        df[m] = pc.is_null(tbl[c]).to_pandas().values
+        masks.append(m)
+    df = df[orig + masks]
+    # masks participate as sort tie-breakers so a NULL and a NaN that sort
+    # equal by value land in a deterministic order on both sides
+    return df.sort_values(by=orig + masks, na_position="first",
+                          kind="mergesort").reset_index(drop=True), orig
 
 n_pass = n_fail = n_noor = 0
 for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
-    got = pq.ParquetDataset(files).read().to_pandas()
+    got = pq.ParquetDataset(files).read()
     if name not in oracle:
-        print(f"  [rows-only] {name}: {len(got)} rows")
+        print(f"  [rows-only] {name}: {got.num_rows} rows")
         n_noor += 1
         continue
     try:
-        exp = con.execute(oracle[name]).df()
+        exp = con.execute(oracle[name]).fetch_arrow_table()
     except Exception as e:
         print(f"  [ORACLE-ERR] {name}: {e}")
         n_fail += 1
         continue
-    g, e = canon(got), canon(exp)
+    (g, g_cols), (e, e_cols) = canon(got), canon(exp)
     ok = True
-    if list(g.columns) != list(e.columns):
-        print(f"  [FAIL] {name}: columns spark={list(g.columns)} duck={list(e.columns)}")
+    if g_cols != e_cols:
+        print(f"  [FAIL] {name}: columns spark={g_cols} duck={e_cols}")
         ok = False
     elif len(g) != len(e):
         print(f"  [FAIL] {name}: rows spark={len(g)} duck={len(e)}")
         ok = False
     else:
-        for c in g.columns:
+        for c in g_cols:
+            gm, em = g["\x00null_" + c].values, e["\x00null_" + c].values
+            if not np.array_equal(gm, em):
+                i = int(np.argmax(gm != em))
+                print(f"  [FAIL] {name}.{c}: row {i} null-mask spark={bool(gm[i])} duck={bool(em[i])}")
+                ok = False
+                continue
             gv, ev = g[c].values, e[c].values
             if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
                 bad = ~((pd.isna(gv) & pd.isna(ev)) |
