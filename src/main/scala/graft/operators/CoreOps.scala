@@ -296,6 +296,22 @@ object CoreOps {
       .orderBy(col("avg_price").asc, col("p_brand").asc)
       .limit(10)
 
+  // ---------------------------------------------------------------- S5
+  /** Filtered search — reference S5's demo bool query (MyEsUtil.scala:30-34:
+    * RangeQueryBuilder(doubanScore).gte(8).lte(10) + MatchQueryBuilder on a
+    * text field), the hit-returning half of the ES surface (the agg half is
+    * brandAvgTopN). Here: retail-price range + substring match on p_name,
+    * hits in deterministic order. Both predicates reach the parquet scan
+    * (PushedFilters: GreaterThanOrEqual/LessThanOrEqual + StringContains)
+    * so at 100 TB this is row-group-skipped, never a full scan + filter. */
+  def searchFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .where(col("p_retailprice") >= 905 && col("p_retailprice") <= 915 &&
+        col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
   // ---------------------------------------------------------------- L4
   /** Pagination — reference L4 (dw-chart/.../IndexController.java:79-107):
     * startpage/size over a sorted detail listing. Total-ordered sort with a
@@ -545,6 +561,7 @@ object CoreOps {
     "q_order_wide" -> (orderWide _),
     "q_age_bucket" -> (ageBucket _),
     "q_brand_avg_topn" -> (brandAvgTopN _),
+    "q_search_filter" -> (searchFilter _),
     "q_pagination" -> (pagination _),
     "q_explode" -> (explodeArray _),
   )
@@ -763,6 +780,12 @@ object CoreOps {
                 count(*) AS n_parts
          FROM part GROUP BY p_brand
          ORDER BY avg_price ASC, p_brand ASC LIMIT 10""",
+    "q_search_filter" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice
+         FROM part
+         WHERE p_retailprice BETWEEN 905 AND 915
+           AND contains(p_name, 'red')
+         ORDER BY p_partkey""",
     "q_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC

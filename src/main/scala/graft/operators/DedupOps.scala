@@ -203,12 +203,15 @@ object DedupOps {
       .select(col("doc_id"), col("source"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ 3, blocked by the
-    * 4-chunk pigeonhole: any pair within distance 3 agrees on at least one
-    * of the four 16-bit chunks, so candidates come from chunk-equality
-    * buckets — never an all-pairs join. Spark-only; spec-tested. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(Tables.documents(spark, dir)).cache()
+  /** Pigeonhole-blocked Hamming-pair pipeline, shared by simhashPairs and
+    * hammingNearDup. Input: (doc_id, simhash: long). Any pair within
+    * Hamming distance 3 agrees on at least one of the four 16-bit chunks
+    * (4 chunks can't all absorb ≤3 differing bits), so candidates come
+    * only from chunk-equality buckets — never an all-pairs join — and the
+    * blocking is LOSSLESS for distance ≤ 3, which is what lets the
+    * arithmetic-signature twin be oracle-checked against a plain all-pairs
+    * SQL formulation. */
+  private[operators] def hammingPairs(sig: DataFrame): DataFrame = {
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))
@@ -228,6 +231,36 @@ object DedupOps {
       .distinct()
       .where(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ 3 over the 4-chunk
+    * pigeonhole blocking. Spark-only (xxhash64 signatures have no DuckDB
+    * twin); spec-tested — the blocking/verify pipeline itself is
+    * hash-checked through hammingNearDup's oracle. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    hammingPairs(simhashSignatures(Tables.documents(spark, dir)).cache())
+
+  /** Oracle twin for the Hamming blocking: a deterministic 63-bit ARITHMETIC
+    * signature (expressible in ANSI SQL, unlike xxhash64) pushed through the
+    * exact same hammingPairs pipeline. Signature = 8 bytes derived from
+    * doc_id DIV 4 (each byte kept < 128 so the signed-long sum never
+    * overflows under ANSI mode), XOR one noise bit at a doc-dependent
+    * position — docs sharing a DIV-4 group differ by ≤ 2 bits, so planted
+    * near-pairs exist at every scale. The DuckDB oracle computes the same
+    * signatures and filters ALL pairs by bit_count(xor) ≤ 3: equality holds
+    * because the pigeonhole blocking is lossless at distance ≤ 3, which is
+    * exactly the property being verified. */
+  def hammingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id DIV 4")
+    val base = Seq((3, 17), (5, 29), (7, 43), (11, 59), (13, 71), (17, 89),
+      (19, 101), (23, 113)).zipWithIndex.map { case ((a, b), j) =>
+        shiftleft(pmod(g * a + b, lit(128)), 8 * j)
+      }.reduce(_ + _)
+    val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
+    hammingPairs(sig)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
   // ---------------------------------------------------------------- embedding near-dup
@@ -257,6 +290,7 @@ object DedupOps {
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_simhash" -> (simhashPairs _),
+    "q_hamming_neardup" -> (hammingNearDup _),
     "q_embed_neardup" -> (embedNearDup _),
   )
 
@@ -292,6 +326,28 @@ object DedupOps {
          JOIN card ca ON doc_a = ca.doc_id
          JOIN card cb ON doc_b = cb.doc_id
          WHERE CAST(n_common AS DOUBLE) / (ca.c + cb.c - n_common) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    // the blocking pipeline's oracle: all-pairs bit_count(xor) <= 3 over
+    // the same arithmetic signatures — equality proves the 4-chunk
+    // pigeonhole candidate generation is lossless at distance <= 3
+    "q_hamming_neardup" ->
+      """WITH sig AS (
+           SELECT doc_id,
+                  xor(
+                    ((doc_id // 4) * 3 + 17) % 128
+                    + (((doc_id // 4) * 5 + 29) % 128) * 256
+                    + (((doc_id // 4) * 7 + 43) % 128) * 65536
+                    + (((doc_id // 4) * 11 + 59) % 128) * 16777216
+                    + (((doc_id // 4) * 13 + 71) % 128) * 4294967296
+                    + (((doc_id // 4) * 17 + 89) % 128) * 1099511627776
+                    + (((doc_id // 4) * 19 + 101) % 128) * 281474976710656
+                    + (((doc_id // 4) * 23 + 113) % 128) * 72057594037927936,
+                    CAST(1 AS BIGINT) << CAST((doc_id * 7) % 56 AS INT)) AS simhash
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY doc_a, doc_b""",
     "q_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -73,6 +73,16 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("arithmetic hamming twin: DIV-4 groups pair within 2 bits, nothing else") {
+    // doc_ids 0-5 → groups {0,1,2,3} and {4,5}; noise bits at distinct
+    // positions 7·id % 56, so every within-group pair is exactly hamming 2
+    val pairs = DedupOps.hammingNearDup(spark, fixtureDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = (for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)).toSet + ((4L, 5L))
+    assert(pairs.keySet == expected, s"got ${pairs.keySet}")
+    assert(pairs.values.forall(_ == 2L), s"got $pairs")
+  }
+
   test("minhash signature similarity approximates jaccard on sf0.001") {
     // over the real corpus: every LSH-verified pair has true jaccard >= 0.5
     // by construction; spot-check the pipeline end-to-end runs and pairs
