@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -56,17 +55,21 @@ object DedupOps {
     * similarity over the kept-shingle universe. */
   private[operators] val MaxShingleDf = 100
 
-  /** `shingles` minus hot shingles: per-(source, shingle) document
-    * frequency computed with one windowed count over the exploded sets,
-    * rows with df > MaxShingleDf removed. This is the frame the exact
-    * Jaccard path joins on — its per-key pair fan-out is bounded by
-    * MaxShingleDf² regardless of corpus skew. */
-  private[graft] def keptShingles(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("source", "shingle")))
-      .where(col("df") <= MaxShingleDf)
-      .drop("df")
+  /** `shingles` minus hot shingles. The hot list (df > MaxShingleDf per
+    * (source, shingle)) is computed with a map-side-partial count — NOT a
+    * window over the exploded set, which would re-shuffle and sort every
+    * shingle row — and removed with a broadcast anti-join: the list is
+    * small by construction (≤ total shingle occurrences / MaxShingleDf
+    * entries, the classic stop-shingle bound), so the removal is map-side.
+    * This is the frame the exact Jaccard path joins on — its per-key pair
+    * fan-out is bounded by MaxShingleDf² regardless of corpus skew. */
+  private[graft] def keptShingles(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).cache()
+    val hot = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > MaxShingleDf)
+      .select("source", "shingle")
+    sh.join(broadcast(hot), Seq("source", "shingle"), "left_anti")
+  }
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup: group documents by content hash, keep the lowest doc_id.
@@ -263,6 +266,24 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Apply the near-dup verdicts: drop every document that appears as the
+    * HIGHER id (doc_b) of a qualifying Jaccard pair. Under the a<b pair
+    * convention this keeps exactly the lowest doc_id of each duplicate
+    * group whenever similarity is transitive within the group (the
+    * overwhelmingly common case for ≥0.5 Jaccard); a longer chain
+    * a~b~c where a≁c still drops both b and c — the conservative
+    * direction for training data (never keeps two near-dups). The drop
+    * list is |pairs|-sized — tiny next to the corpus — so it broadcasts
+    * and the keep step is a map-side anti join: one corpus scan, no
+    * shuffle, at any scale. */
+  def nearDupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val drops = ngramJaccard(spark, dir).select(col("doc_b")).distinct()
+    Tables.documents(spark, dir)
+      .join(broadcast(drops), col("doc_id") === col("doc_b"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-duplicates: pairs with cosine > 0.4, blocked by
     * `label` (the cluster id plays the ANN-bucket role at scale). Dot and
@@ -288,18 +309,20 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_neardup_keep" -> (nearDupKeep _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_simhash" -> (simhashPairs _),
     "q_hamming_neardup" -> (hammingNearDup _),
     "q_embed_neardup" -> (embedNearDup _),
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "q_dedup_exact" ->
-      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
-         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
-    "q_ngram_jaccard" ->
-      """WITH toks AS (
+  /** DuckDB twin of ngramJaccard (shared: the pair query itself and the
+    * nearDupKeep apply step's subquery). Mirrors the Spark pipeline stage
+    * by stage: shingle sets (`len(t) >= 3` replicating the sequence()
+    * guard), the df <= 100 hot-shingle cap, blocked intersection counts,
+    * exact Jaccard from integer cardinalities. */
+  private val NgramJaccardSql: String =
+    """WITH toks AS (
            SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
          tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
          sh0 AS (
@@ -326,7 +349,19 @@ object DedupOps {
          JOIN card ca ON doc_a = ca.doc_id
          JOIN card cb ON doc_b = cb.doc_id
          WHERE CAST(n_common AS DOUBLE) / (ca.c + cb.c - n_common) >= 0.5
-         ORDER BY doc_a, doc_b""",
+         ORDER BY doc_a, doc_b"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "q_ngram_jaccard" -> NgramJaccardSql,
+    // the apply step reuses the pair query verbatim as a subquery — the
+    // keep set is definitionally "documents minus doc_b of those pairs"
+    "q_neardup_keep" ->
+      s"""SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_b FROM ($NgramJaccardSql) j)
+         ORDER BY d.doc_id""",
     // the blocking pipeline's oracle: all-pairs bit_count(xor) <= 3 over
     // the same arithmetic signatures — equality proves the 4-chunk
     // pigeonhole candidate generation is lossless at distance <= 3

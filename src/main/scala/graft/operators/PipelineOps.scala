@@ -81,6 +81,48 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language mixture rates (per-mille) for stratified sampling — the
+    * corpus-mixing knob of a training run (e.g. upsample zh, downsample
+    * boilerplate-heavy strata). Values are arbitrary demo weights; the
+    * MECHANISM is the operator. */
+  private val StrataRates: Seq[(String, Int)] =
+    Seq("en" -> 500, "zh" -> 800, "de" -> 250, "es" -> 250, "fr" -> 250)
+  private val DefaultRate = 100
+
+  /** Stratified (per-language) deterministic sampling: keep a doc iff its
+    * content-hash residue mod 1000 falls under its stratum's per-mille
+    * rate. Content-keyed like splitAssign, so the sample is reproducible
+    * across engines/runs, replicas sample identically (no dup leakage),
+    * and — critically at 100 TB — it is a pure map-side filter: no
+    * shuffle, no sort, no per-stratum pass; the mixture materializes in
+    * one scan regardless of how many strata exist. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = StrataRates.foldLeft(lit(DefaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("rate_pm", rate)
+      .where(pmod(contentHash64, lit(1000)) < col("rate_pm"))
+      .select(col("doc_id"), col("lang"), col("rate_pm").cast("long").as("rate_pm"))
+      .orderBy("doc_id")
+  }
+
+  /** Importance (length-weighted) deterministic sampling: keep probability
+    * proportional to min(n_chars, 500)/1000 — longer documents survive
+    * more often, the standard quality-proxy importance sampler. Uses a
+    * DIFFERENT md5 slice (hex chars 9-16) than splitAssign/stratified so
+    * the keep decisions are independent of split/stratum assignment
+    * (slicing one digest is free; a second full hash is not). Map-side
+    * only, like stratifiedSample. */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = conv(substring(md5(col("text")), 9, 8), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("w_pm", least(col("n_chars"), lit(500L)))
+      .where(pmod(h2, lit(1000)) < col("w_pm"))
+      .select(col("doc_id"), col("n_chars"), col("w_pm"))
+      .orderBy("doc_id")
+  }
+
   /** Tokens per pack for sequence packing. */
   private val PackBudget = 512L
   private val NumShards = 16
@@ -159,6 +201,8 @@ object PipelineOps {
     "q_scrub" -> (scrubPayload _),
     "q_len_quantiles" -> (lengthQuantiles _),
     "q_split_assign" -> (splitAssign _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_importance_sample" -> (importanceSample _),
     "q_shard_stats" -> (shardStats _),
     "q_pack_sequences" -> (packSequences _),
   )
@@ -243,5 +287,22 @@ object PipelineOps {
                      WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  CASE lang WHEN 'fr' THEN 250 WHEN 'es' THEN 250
+                            WHEN 'de' THEN 250 WHEN 'zh' THEN 800
+                            WHEN 'en' THEN 500 ELSE 100 END AS rate_pm,
+                  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 AS h
+           FROM documents)
+         SELECT doc_id, lang, CAST(rate_pm AS BIGINT) AS rate_pm
+         FROM r WHERE h < rate_pm ORDER BY doc_id""",
+    "q_importance_sample" ->
+      """WITH r AS (
+           SELECT doc_id, n_chars, least(n_chars, 500) AS w_pm,
+                  ('0x' || substr(md5(text), 9, 8))::BIGINT % 1000 AS h
+           FROM documents)
+         SELECT doc_id, n_chars, w_pm
+         FROM r WHERE h < w_pm ORDER BY doc_id""",
   )
 }
