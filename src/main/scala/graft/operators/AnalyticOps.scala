@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Temporal-join and analytic operators beyond the reference's surface —
+  * the join/window shapes a production analytics engine needs that the
+  * reference's record-at-a-time DStream code could not express (SURVEY.md
+  * §2.6 flags the analytic-window gap; as-of/range joins are the standard
+  * "operators Spark lacks natively" additions).
+  *
+  * Scale notes (the design constraint for every operator here):
+  *   - asofJoin is the union+running-last formulation: ONE shuffle on the
+  *     join key, zero pair blow-up — never the naive pair join + argmax,
+  *     which explodes on hot keys.
+  *   - rangeJoin keeps an equality key so Catalyst plans a hash/SMJ with
+  *     the time range as a post-match residual — never a nested-loop.
+  *   - Event-time comparisons run on the raw `ts_ns` physical column
+  *     (nanos), not the derived micro-precision timestamp, so results are
+  *     exact w.r.t. the stored data and range predicates stay
+  *     pushdown-eligible.
+  */
+object AnalyticOps {
+
+  private val NanosPerDay = 86400L * 1000000000L
+
+  /** o_orderdate is TIMESTAMP_NTZ in the parquet; unix_micros wants
+    * TIMESTAMP. The session timezone is UTC everywhere (GraftSession /
+    * Verify / Bench / tests), so the NTZ→TZ cast is instant-preserving
+    * and matches DuckDB's wall-clock epoch_ns on the same column. */
+  private def orderEpochNanos: org.apache.spark.sql.Column =
+    unix_micros(col("o_orderdate").cast("timestamp")) * 1000L
+
+  // ---------------------------------------------------------------- AS-OF
+  /** As-of (point-in-time) join: for every order, the latest event by the
+    * same user at-or-before the order timestamp — the SCD2 / trade-quote
+    * lookup Spark has no native operator for.
+    *
+    * Implementation: tag events (side=0) and orders (side=1), union, and
+    * take a running `last(…, ignoreNulls)` over a window partitioned by
+    * user and ordered by (time, side, event_id). Each order row then
+    * carries the most recent event ≤ its own time; ties at the same
+    * nanosecond resolve to the highest event_id (deterministic), and
+    * same-instant events sort before the order row (side 0 < 1), so
+    * "at-or-before" is inclusive.
+    *
+    * This is one shuffle on the user key and O(n) per partition —
+    * contrast with the pair-join + row_number formulation (the oracle
+    * SQL), which materializes every (order × earlier event) pair and
+    * detonates on hot users at 100 TB. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id").as("k"),
+      col("ts_ns").as("t"),
+      lit(0).as("side"),
+      col("event_id"),
+      col("event_type"),
+      lit(null).cast("long").as("o_orderkey"))
+    val od = Tables.orders(spark, dir).select(
+      col("o_custkey").as("k"),
+      orderEpochNanos.as("t"),
+      lit(1).as("side"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("event_type"),
+      col("o_orderkey"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(od)
+      .withColumn("asof_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_event_type", last(col("event_type"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("o_orderkey"), col("k").as("o_custkey"),
+        col("asof_event_id"), col("asof_event_type"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- RANGE
+  /** Bounded-interval (range) join: per order, activity of the same user
+    * in the 7 days from the order timestamp. The user equality key makes
+    * this a hash/sort-merge join with the `ts_ns` range as a residual
+    * filter — per-user pair fan-out only, no cross product. Left join so
+    * zero-activity orders survive with n_events=0.
+    *
+    * Aggregates are chosen exact-by-construction (counts, max) — no
+    * order-dependent double summation to reconcile with the oracle. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_type"), col("value"))
+    val od = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      orderEpochNanos.as("lo"))
+    od.join(ev,
+        ev("user_id") === od("o_custkey") &&
+          col("ts_ns") >= col("lo") && col("ts_ns") < col("lo") + lit(7L * NanosPerDay),
+        "left")
+      .groupBy("o_orderkey")
+      .agg(
+        count(col("ts_ns")).as("n_events"),
+        count_distinct(col("event_type")).as("n_event_types"),
+        max(col("value")).as("max_value"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- CUBE
+  /** Multi-dimensional totals via CUBE — all 2^2 grouping sets of
+    * (status, priority) in one pass (partial aggregation handles the
+    * expansion map-side; one shuffle). grouping_id disambiguates a NULL
+    * group key from a rolled-up dimension. */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy(col("gid"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  // ---------------------------------------------------------------- W-RANGE
+  /** Rolling 7-day per-customer spend via a RANGE window frame — the
+    * time-decayed analytic the reference's serving layer approximates
+    * with day buckets. RANGE BETWEEN 6 PRECEDING on an epoch-day ordering
+    * key includes all same-day peers deterministically (a ROWS frame
+    * would be order-sensitive for ties). One shuffle on the customer key. */
+  def rollingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(spark, dir)
+      .withColumn("dnum", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("dnum"))
+      .rangeBetween(-6, Window.currentRow)
+    od.select(col("o_orderkey"), col("o_custkey"), col("dnum"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("spend_7d"),
+        count(lit(1)).over(w).as("n_orders_7d"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- SESSION
+  /** Per-user sessions via the native `session_window` generator (gap =
+    * 30 min) — the engine-native form of PipelineOps.sessionize's manual
+    * lag-island construction; batch here, and the same expression drops
+    * into a streaming groupBy (StreamingOps). Window end = last event +
+    * gap, per session_window semantics; epoch-second floors keep the
+    * output precision-neutral between the nanos oracle and micros Spark. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start_sec"),
+        unix_timestamp(col("sw.end")).as("session_end_sec"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_sec")
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (asofJoin _),
+    "q_range_join" -> (rangeJoin _),
+    "q_cube_sales" -> (cubeSales _),
+    "q_rolling_spend" -> (rollingSpend _),
+    "q_session_window" -> (sessionWindow _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Oracle uses the naive pair join + row_number — O(pairs), fine at
+    // verify SF, and semantically the ground truth for the running-last
+    // formulation above.
+    "q_asof_join" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type
+           FROM events),
+         pairs AS (
+           SELECT o.o_orderkey, e.event_id, e.event_type,
+                  row_number() OVER (PARTITION BY o.o_orderkey
+                                     ORDER BY e.tn DESC, e.event_id DESC) AS rn
+           FROM orders o JOIN ev e
+             ON e.user_id = o.o_custkey AND e.tn <= epoch_ns(o.o_orderdate))
+         SELECT o.o_orderkey, o.o_custkey,
+                p.event_id AS asof_event_id, p.event_type AS asof_event_type
+         FROM orders o LEFT JOIN pairs p
+           ON p.o_orderkey = o.o_orderkey AND p.rn = 1
+         ORDER BY o.o_orderkey""",
+    "q_range_join" ->
+      """SELECT o.o_orderkey,
+                count(e.ts) AS n_events,
+                count(DISTINCT e.event_type) AS n_event_types,
+                max(e.value) AS max_value
+         FROM orders o LEFT JOIN events e
+           ON e.user_id = o.o_custkey
+          AND epoch_ns(e.ts) >= epoch_ns(o.o_orderdate)
+          AND epoch_ns(e.ts) <  epoch_ns(o.o_orderdate) + 7 * 86400000000000
+         GROUP BY o.o_orderkey
+         ORDER BY o.o_orderkey""",
+    "q_cube_sales" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_rolling_spend" ->
+      """WITH od AS (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS dnum
+           FROM orders)
+         SELECT o_orderkey, o_custkey, dnum,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_7d,
+                count(*) OVER w AS n_orders_7d
+         FROM od
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY dnum
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    // Session islands: break when the gap to the previous event is >= 30
+    // minutes (session_window merges strictly-overlapping [t, t+gap)
+    // intervals, i.e. diff < gap merges).
+    "q_session_window" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM events),
+         g AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e),
+         s AS (
+           SELECT user_id, sid, min(ts) AS st, max(ts) AS en,
+                  count(*) AS n_events
+           FROM g GROUP BY user_id, sid)
+         SELECT user_id,
+                CAST(floor(epoch(st)) AS BIGINT) AS session_start_sec,
+                CAST(floor(epoch(en + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end_sec,
+                n_events
+         FROM s ORDER BY user_id, session_start_sec""",
+  )
+}

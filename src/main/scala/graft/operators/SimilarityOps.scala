@@ -217,8 +217,38 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- quantize
+  /** Per-vector int8 scalar quantization (scale = 127/max|x|) — the
+    * storage/transport compression step an ANN index applies before
+    * persisting vectors (4× smaller than float32, dot products stay
+    * SIMD-able). Pure map-side: every output is a narrow per-row
+    * transform, no shuffle at any SF. The quantized stats are integers,
+    * so the oracle comparison is exact — both engines compute the same
+    * double products before the identical half-away-from-zero round.
+    * Zero vectors quantize to all-zero (scale 0) rather than NaN. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x))).as("max_abs_f"))
+      .withColumn("scale",
+        when(col("max_abs_f") > 0f, lit(127.0) / col("max_abs_f").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("qs",
+        transform(col("embedding"),
+          x => round(x.cast("double") * col("scale")).cast("long")))
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        col("max_abs_f").cast("double").as("max_abs"),
+        col("scale"),
+        aggregate(col("qs"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(col("qs")).as("q_min"),
+        array_max(col("qs")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> (embedQuantize _),
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
@@ -226,6 +256,30 @@ object SimilarityOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+                  list_aggregate(list_transform(embedding, x -> abs(x)),
+                                 'max') AS max_abs_f
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, embedding,
+                  CAST(max_abs_f AS DOUBLE) AS max_abs,
+                  CASE WHEN max_abs_f > 0
+                       THEN 127.0 / CAST(max_abs_f AS DOUBLE)
+                       ELSE 0.0 END AS scale
+           FROM b),
+         q AS (
+           SELECT vec_id, max_abs, scale,
+                  CAST(len(embedding) AS BIGINT) AS n_dims,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qs
+           FROM s)
+         SELECT vec_id, n_dims, max_abs, scale,
+                CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+                CAST(list_aggregate(qs, 'min') AS BIGINT) AS q_min,
+                CAST(list_aggregate(qs, 'max') AS BIGINT) AS q_max
+         FROM q ORDER BY vec_id""",
     "q_ann_bruteforce" ->
       """WITH q AS (
            SELECT vec_id AS query_id, embedding AS qe
