@@ -284,6 +284,91 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- components
+  /** Connected components over the near-dup pair graph — the transitive
+    * closure step that turns pairwise verdicts into duplicate CLUSTERS
+    * (nearDupKeep's pair-local drop rule is the conservative shortcut;
+    * this is the exact form: chains a~b~c collapse into one component
+    * labeled by its minimum doc_id, so "keep the canonical doc per
+    * cluster" becomes a trivial filter on `doc_id = comp`).
+    *
+    * Implementation: iterative min-label propagation in DataFrames.
+    * labels(v) ← min(labels(v), min over neighbors labels(u)) until a
+    * fixpoint, which arrives in O(component diameter) rounds — for
+    * near-dup graphs that is single digits (components are tiny; the
+    * pair generation itself caps them). Each round is one shuffle of the
+    * EDGE set, which is |pairs|-sized — orders of magnitude smaller than
+    * the corpus at any scale — and `localCheckpoint` truncates the plan
+    * so lineage doesn't grow with rounds. The per-round convergence probe
+    * is a scalar count (driver control flow, same pattern as the IVF
+    * Lloyd step), not a data collect. For adversarial graphs with long
+    * chains the standard escalation is large-star/small-star (Kiveris et
+    * al.), which this loop structure accommodates without API change.
+    *
+    * Pairs come from the deterministic arithmetic Hamming signature
+    * (hammingNearDup) so the whole operator — graph included — has an
+    * exact DuckDB twin via a recursive CTE. */
+  def dupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = hammingNearDup(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id").as("pid"), col("comp").as("prev")),
+          col("id") === col("pid"))
+        .where(col("comp") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("comp").as("scomp"))
+      .agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, col("comp") === col("scomp"))
+      .select(col("id").as("doc_id"), col("comp"), col("comp_size"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- contamination
+  /** Eval-set decontamination check: for every training document (source
+    * != src0), how many of its distinct shingles also occur anywhere in
+    * the eval set (source = src0), and the contaminated fraction. The
+    * standard pre-training hygiene op (n-gram overlap against benchmark
+    * suites).
+    *
+    * Scale shape: the eval side is tiny next to the corpus (benchmarks
+    * are MBs, training data is TBs), so its distinct-shingle set is
+    * broadcast and the overlap count is a map-side join over the train
+    * shingles — one aggregation shuffle on doc_id, no eval-side skew
+    * possible. No df cap here, deliberately: a shingle shared with the
+    * eval set is contamination regardless of how common it is. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSh = shingles(docs.where(col("source") === "src0"))
+      .select("shingle").distinct()
+    val trainSh = shingles(docs.where(col("source") =!= "src0")).cache()
+    val card = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    card.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-duplicates: pairs with cosine > 0.4, blocked by
     * `label` (the cluster id plays the ANN-bucket role at scale). Dot and
@@ -313,6 +398,8 @@ object DedupOps {
     "q_minhash_lsh" -> (minhashLsh _),
     "q_simhash" -> (simhashPairs _),
     "q_hamming_neardup" -> (hammingNearDup _),
+    "q_dup_components" -> (dupComponents _),
+    "q_contamination" -> (contamination _),
     "q_embed_neardup" -> (embedNearDup _),
   )
 
@@ -351,22 +438,11 @@ object DedupOps {
          WHERE CAST(n_common AS DOUBLE) / (ca.c + cb.c - n_common) >= 0.5
          ORDER BY doc_a, doc_b"""
 
-  val oracleSql: Map[String, String] = Map(
-    "q_dedup_exact" ->
-      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
-         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
-    "q_ngram_jaccard" -> NgramJaccardSql,
-    // the apply step reuses the pair query verbatim as a subquery — the
-    // keep set is definitionally "documents minus doc_b of those pairs"
-    "q_neardup_keep" ->
-      s"""SELECT d.doc_id, d.source, d.n_chars FROM documents d
-         WHERE d.doc_id NOT IN (SELECT doc_b FROM ($NgramJaccardSql) j)
-         ORDER BY d.doc_id""",
-    // the blocking pipeline's oracle: all-pairs bit_count(xor) <= 3 over
-    // the same arithmetic signatures — equality proves the 4-chunk
-    // pigeonhole candidate generation is lossless at distance <= 3
-    "q_hamming_neardup" ->
-      """WITH sig AS (
+  /** All-pairs Hamming ≤ 3 over the deterministic arithmetic signatures
+    * (hammingNearDup's oracle), without a final ORDER BY so it can embed
+    * as a CTE (dup_components) or run standalone (with the sort added). */
+  private val HammingPairSql: String =
+    """WITH sig AS (
            SELECT doc_id,
                   xor(
                     ((doc_id // 4) * 3 + 17) % 128
@@ -382,8 +458,64 @@ object DedupOps {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         ORDER BY doc_a, doc_b""",
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "q_ngram_jaccard" -> NgramJaccardSql,
+    // the apply step reuses the pair query verbatim as a subquery — the
+    // keep set is definitionally "documents minus doc_b of those pairs"
+    "q_neardup_keep" ->
+      s"""SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_b FROM ($NgramJaccardSql) j)
+         ORDER BY d.doc_id""",
+    // the blocking pipeline's oracle: all-pairs bit_count(xor) <= 3 over
+    // the same arithmetic signatures — equality proves the 4-chunk
+    // pigeonhole candidate generation is lossless at distance <= 3
+    "q_hamming_neardup" -> s"$HammingPairSql\n         ORDER BY doc_a, doc_b",
+    // exact transitive closure of the same pair graph via recursive CTE:
+    // walk(id, r) enumerates every node reachable from id (components are
+    // tiny by construction, so the closure is small); comp = min reachable
+    "q_dup_components" ->
+      s"""WITH RECURSIVE pairs AS ($HammingPairSql),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         walk(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+         comp AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
+         sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)
+         SELECT c.id AS doc_id, c.comp, s.comp_size
+         FROM comp c JOIN sizes s USING (comp)
+         ORDER BY doc_id""",
+    // distinct-shingle sets per doc (sh0, no df cap — a shingle shared
+    // with the eval set is contamination no matter how common it is)
+    "q_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tok3)),
+         ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+         tr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+         card AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+         hits AS (
+           SELECT doc_id, count(*) AS n_shared
+           FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+         SELECT c.doc_id, c.n_shingles,
+                COALESCE(h.n_shared, 0) AS n_shared,
+                CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / c.n_shingles AS contam_frac
+         FROM card c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         ORDER BY c.doc_id""",
     "q_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          FROM embeddings a JOIN embeddings b

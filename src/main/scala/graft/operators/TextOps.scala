@@ -133,6 +133,73 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- tf-idf
+  /** Per-source top-5 terms by exact TF-IDF. The idf is the RAW ratio
+    * N/df — not log(N/df) — so the score is (tf·N)/df computed from
+    * integers: IEEE multiply/divide are exactly specified, so the doubles
+    * hash-match DuckDB bit-for-bit (a log() would diverge in the last ulp
+    * between libm implementations). Ranking is deterministic (score desc,
+    * token asc).
+    *
+    * Scale shape: tf is one map-side-partial count shuffled on (source,
+    * token); df is a distinct + count shuffled on token; the df side is
+    * vocabulary-sized (≪ corpus), so it broadcasts into the tf stream.
+    * The final top-5-per-source window runs on the tf aggregate, which is
+    * already small. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("token"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("tf_idf").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select("source", "token", "tf", "df", "tf_idf", "rank")
+      .orderBy("source", "rank")
+  }
+
+  // ---------------------------------------------------------------- repetition
+  /** Gopher-style repetition metrics: duplicate-token fraction and
+    * duplicate-3-gram fraction per doc (Rae et al. 2021 quality filters).
+    * Complements `boilerplate` (max single-shingle share): these measure
+    * TOTAL mass in repeats. Entirely map-side — the n-gram set never
+    * explodes into rows, it stays an array expression per doc, so the
+    * operator is a narrow projection at any scale. Docs under 3 tokens
+    * have no 3-gram: gram columns go null (mirrored in the oracle). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    // Staged projections, not one big select: each expensive array (the
+    // token split, the gram build, the distincts) is materialized ONCE
+    // and referenced as a cheap attribute downstream. CollapseProject
+    // keeps the stages separate exactly because the arrays are non-cheap
+    // and multiply-referenced — a single-select formulation re-evaluates
+    // the gram transform per derived column (~5× the work, measured).
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct_tokens"),
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("grams"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        ((col("n_tokens") - col("n_distinct_tokens")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        col("n_grams"), col("n_distinct_grams"),
+        ((col("n_grams") - col("n_distinct_grams")).cast("double") / col("n_grams"))
+          .as("dup_gram_frac"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> (tokenCount _),
@@ -141,6 +208,8 @@ object TextOps {
     "q_fingerprint" -> (fingerprint _),
     "q_boilerplate" -> (boilerplate _),
     "q_source_quality" -> (sourceQuality _),
+    "q_tfidf" -> (tfidf _),
+    "q_repetition" -> (repetition _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -203,6 +272,40 @@ object TextOps {
                 CAST(sum(toks) AS BIGINT) AS total_tokens,
                 CAST(sum(dtoks) AS DOUBLE) / CAST(sum(toks) AS BIGINT) AS mean_ttr
          FROM d GROUP BY source ORDER BY source""",
+    "q_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         scored AS (
+           SELECT tf.source, tf.token, tf.tf, df.df,
+                  CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tf_idf
+           FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY tf_idf DESC, token) AS rank
+           FROM scored)
+         SELECT source, token, tf, df, tf_idf, rank
+         FROM ranked WHERE rank <= 5 ORDER BY source, rank""",
+    "q_repetition" ->
+      """WITH s AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         m AS (
+           SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct_tokens,
+                  CASE WHEN len(t) >= 3 THEN
+                    list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))
+                  END AS grams
+           FROM s)
+         SELECT doc_id, n_tokens, n_distinct_tokens,
+                CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens AS dup_token_frac,
+                len(grams) AS n_grams,
+                len(list_distinct(grams)) AS n_distinct_grams,
+                CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                  AS dup_gram_frac
+         FROM m ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(

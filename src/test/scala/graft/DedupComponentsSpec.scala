@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, TextOps}
+
+/** dupComponents, contamination, tfidf, repetition — planted fixtures with
+  * hand-computed expectations plus structural properties on sf0.001.
+  */
+class DedupComponentsSpec extends SparkTestBase {
+
+  test("dup components: labels agree with the pair graph; canonical is the min id") {
+    val comps = DedupOps.dupComponents(spark, sf0001).cache()
+    val label = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge endpoint pair shares a component label
+    val pairs = DedupOps.hammingNearDup(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(label(r.getLong(0)) == label(r.getLong(1)),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) split across components")
+    }
+    // the label is the component minimum and labels itself
+    comps.collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(label(r.getLong(1)) == r.getLong(1), "component root must label itself")
+    }
+    // comp_size is consistent with the membership count
+    val sizes = comps.groupBy("comp").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comps.collect().foreach(r => assert(sizes(r.getLong(1)) == r.getLong(2)))
+  }
+
+  test("contamination: planted shingle overlap is counted exactly") {
+    val dir = documentsFixture(Seq(
+      (0L, "alpha beta gamma delta", "en", "src0"),    // eval: shingles "alpha beta gamma", "beta gamma delta"
+      (1L, "alpha beta gamma zeta", "en", "src1"),     // shares "alpha beta gamma" only
+      (2L, "eta theta iota kappa", "en", "src1"),      // shares none
+      (3L, "alpha beta gamma delta", "en", "src2")))   // identical: both shingles shared
+    val got = DedupOps.contamination(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_shared") == 1L)
+    assert(got(1L).getAs[Long]("n_shingles") == 2L)
+    assert(got(1L).getAs[Double]("contam_frac") == 0.5)
+    assert(got(2L).getAs[Long]("n_shared") == 0L)
+    assert(got(3L).getAs[Long]("n_shared") == 2L)
+    assert(got(3L).getAs[Double]("contam_frac") == 1.0)
+    assert(!got.contains(0L), "eval docs are not scored")
+  }
+
+  test("tfidf: hand-computed scores and ranks on a two-source fixture") {
+    val dir = documentsFixture(Seq(
+      (0L, "apple banana apple", "en", "s1"),
+      (1L, "banana cherry", "en", "s2")))
+    // N=2; df: apple 1, banana 2, cherry 1
+    val got = TextOps.tfidf(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val a = got(("s1", "apple"))
+    assert(a.getAs[Long]("tf") == 2L && a.getAs[Long]("df") == 1L)
+    assert(a.getAs[Double]("tf_idf") == 4.0 && a.getAs[Long]("rank") == 1L)
+    assert(got(("s1", "banana")).getAs[Double]("tf_idf") == 1.0)
+    assert(got(("s2", "cherry")).getAs[Long]("rank") == 1L)
+    assert(got(("s2", "banana")).getAs[Double]("tf_idf") == 1.0)
+  }
+
+  test("tfidf: at most 5 ranked terms per source, ranks contiguous from 1") {
+    val got = TextOps.tfidf(spark, sf0001)
+    val perSource = got.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .collect()
+    assert(perSource.length == 20)
+    perSource.foreach { r =>
+      assert(r.getAs[Long]("n") <= 5L && r.getAs[Long]("mn") == 1L &&
+        r.getAs[Long]("mx") == r.getAs[Long]("n"))
+    }
+  }
+
+  test("repetition: duplicate fractions exact; short docs get null gram columns") {
+    val dir = documentsFixture(Seq(
+      (0L, "a a b", "en", "s"),        // 3 tokens, 2 distinct; 1 gram, 0 dup
+      (1L, "a b", "en", "s"),          // < 3 tokens: gram columns null
+      (2L, "x y x y x y", "en", "s"))) // 6 tokens 2 distinct; grams: xyx yxy xyx yxy -> 4 grams 2 distinct
+    val got = TextOps.repetition(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Double]("dup_token_frac") == 1.0 / 3)
+    assert(got(0L).getAs[Long]("n_grams") == 1L &&
+      got(0L).getAs[Double]("dup_gram_frac") == 0.0)
+    assert(got(1L).isNullAt(got(1L).fieldIndex("n_grams")) &&
+      got(1L).isNullAt(got(1L).fieldIndex("dup_gram_frac")))
+    assert(got(2L).getAs[Long]("n_grams") == 4L &&
+      got(2L).getAs[Long]("n_distinct_grams") == 2L &&
+      got(2L).getAs[Double]("dup_gram_frac") == 0.5)
+  }
+}
