@@ -157,6 +157,31 @@ object AnalyticOps {
         col("n_events"))
       .orderBy("user_id", "session_start_sec")
 
+  // ---------------------------------------------------------------- SCD2
+  /** Slowly-changing-dimension (type 2) build: each customer's order
+    * history becomes validity-interval versions — valid_from = this
+    * change's date, valid_to = the next change's date, open (null) for
+    * the current version. The warehouse-side form of the reference's
+    * Phoenix dim upsert (K4): instead of point lookups into a mutable
+    * store, the full history is derivable in one window pass — one
+    * shuffle on the dimension key, O(n) per partition, no mutable state.
+    * Dates are emitted as strings so both engines compare the same
+    * calendar value (not timestamp micros vs nanos). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .withColumn("valid_to",
+        date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("o_custkey", "o_orderkey", "version", "o_orderstatus",
+        "valid_from", "valid_to", "is_current")
+      .orderBy("o_custkey", "version")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofJoin _),
@@ -164,6 +189,7 @@ object AnalyticOps {
     "q_cube_sales" -> (cubeSales _),
     "q_rolling_spend" -> (rollingSpend _),
     "q_session_window" -> (sessionWindow _),
+    "q_scd2" -> (scd2 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -217,6 +243,18 @@ object AnalyticOps {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY dnum
                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey""",
+    "q_scd2" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                  row_number() OVER w AS version,
+                  lead(o_orderdate) OVER w AS next_date
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         SELECT o_custkey, o_orderkey, version, o_orderstatus,
+                strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                strftime(next_date, '%Y-%m-%d') AS valid_to,
+                next_date IS NULL AS is_current
+         FROM o ORDER BY o_custkey, version""",
     // Session islands: break when the gap to the previous event is >= 30
     // minutes (session_window merges strictly-overlapping [t, t+gap)
     // intervals, i.e. diff < gap merges).

@@ -425,6 +425,17 @@ object CoreOps {
       .na.fill(0L, Hours)
       .orderBy("dt")
 
+  /** Unpivot (melt) — the inverse of dauPivot: the dt × 24-hour matrix
+    * back to long (dt, hr, dau) rows via Dataset.unpivot, which plans as
+    * a single Expand (one pass, no shuffle beyond the contract sort).
+    * Round-trips dauPivot exactly, INCLUDING the zero-fill: absent
+    * (dt, hr) cells come back as dau=0 rows, which is what the melted
+    * form of a dense dashboard matrix means. */
+  def dauUnpivot(spark: SparkSession, dir: String): DataFrame =
+    dauPivot(spark, dir)
+      .unpivot(Array(col("dt")), Hours.map(col(_)).toArray, "hr", "dau")
+      .orderBy("dt", "hr")
+
   // ---------------------------------------------------------------- T2 batch
   /** Tumbling event-time windows in batch — the batch analog of the
     * reference's stream time windows (T2): 6-hour buckets of event volume
@@ -548,6 +559,7 @@ object CoreOps {
     "q_set_ops" -> (userSetOps _),
     "q_funnel" -> (conversionFunnel _),
     "q_dau_pivot" -> (dauPivot _),
+    "q_dau_unpivot" -> (dauUnpivot _),
     "q_top_per_brand" -> (topPerBrand _),
     "q_dau_dod_window" -> (dauDayOverDayWindow _),
     "q_sales_rollup" -> (salesRollup _),
@@ -735,6 +747,18 @@ object CoreOps {
           f"count(DISTINCT user_id) FILTER (WHERE strftime(ts, '%%H') = '$h%02d') AS " + "\"" + f"$h%02d" + "\"")
           .mkString(", ") +
         " FROM events GROUP BY dt ORDER BY dt"),
+    // the melted matrix == dense (day × hour) grid of hourly DAU, 0-filled
+    "q_dau_unpivot" ->
+      """WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt FROM events),
+         hrs AS (SELECT printf('%02d', h) AS hr FROM generate_series(0, 23) t(h)),
+         hourly AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hr,
+                  count(DISTINCT user_id) AS dau
+           FROM events GROUP BY 1, 2)
+         SELECT d.dt, h.hr, COALESCE(y.dau, 0) AS dau
+         FROM days d CROSS JOIN hrs h
+         LEFT JOIN hourly y ON y.dt = d.dt AND y.hr = h.hr
+         ORDER BY d.dt, h.hr""",
     "q_tumbling_window" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT) AS bucket_start_sec,
                 count(*) AS n_events, count(DISTINCT user_id) AS n_users

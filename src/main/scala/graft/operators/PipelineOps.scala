@@ -60,6 +60,22 @@ object PipelineOps {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** The 100 TB form of lengthQuantiles: `percentile_approx` (KLL-style
+    * mergeable sketch). Exact `percentile` buffers every value per group
+    * on one reducer — fine at dashboard scale, fatal on a trillion rows;
+    * the sketch is fixed-size per partition and merges map-side, so the
+    * shuffle carries sketches, not data. No DuckDB oracle (the sketch is
+    * engine-specific); the spec bounds the approx values' rank error
+    * against the exact path instead. */
+  def lengthQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        expr("percentile_approx(n_chars, 0.5, 10000)").as("p50_approx"),
+        expr("percentile_approx(n_chars, 0.9, 10000)").as("p90_approx"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
   /** 64-bit content hash (md5 first 8 hex chars): the ONE hash all
     * content-keyed assignments (split buckets, shards) derive from, so
     * they can never disagree on what "same content" means. */
@@ -200,6 +216,7 @@ object PipelineOps {
     "q_sessionize" -> (sessionize _),
     "q_scrub" -> (scrubPayload _),
     "q_len_quantiles" -> (lengthQuantiles _),
+    "q_len_quantiles_approx" -> (lengthQuantilesApprox _),
     "q_split_assign" -> (splitAssign _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_importance_sample" -> (importanceSample _),

@@ -83,6 +83,54 @@ class AnalyticOpsSpec extends SparkTestBase {
     assert(overlaps.count() == 0)
   }
 
+  test("unpivot inverts the pivot: dense day-grid with the hourly DAU values") {
+    val melted = graft.operators.CoreOps.dauUnpivot(spark, sf0001).cache()
+    val days = Tables.events(spark, sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd")).distinct().count()
+    assert(melted.count() == days * 24)
+    // nonzero cells match the hourly aggregate exactly
+    val hourly = Tables.events(spark, sf0001)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        date_format(col("ts"), "HH").as("hr"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    assert(melted.where(col("dau") > 0).except(hourly).count() == 0)
+    assert(hourly.except(melted).count() == 0)
+  }
+
+  test("scd2: contiguous versions, intervals chain, exactly one current per customer") {
+    val got = AnalyticOps.scd2(spark, sf0001).cache()
+    // one open (current) version per customer
+    val cur = got.where(col("is_current")).groupBy("o_custkey").count()
+    assert(cur.where(col("count") =!= 1).count() == 0)
+    // versions are 1..n per customer and valid_to chains to next valid_from
+    val w = Window.partitionBy("o_custkey").orderBy("version")
+    val bad = got
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("prev_v", lag(col("version"), 1).over(w))
+      .where(
+        (col("prev_v").isNotNull && col("version") =!= col("prev_v") + 1) ||
+        (col("next_from").isNotNull && col("valid_to") =!= col("next_from")) ||
+        (col("next_from").isNull && col("valid_to").isNotNull))
+    assert(bad.count() == 0)
+  }
+
+  test("approx quantiles: returned values' rank error is within the sketch accuracy") {
+    import graft.operators.PipelineOps
+    val approx = PipelineOps.lengthQuantilesApprox(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    approx.foreach { case (lang, (p50, p90)) =>
+      val vals = docs(lang); val n = vals.length.toDouble
+      def rankOf(v: Long) = vals.count(_ <= v) / n
+      // accuracy 10000 → rank error 1/10000; allow discreteness slack of 1 row
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.0001 + 1.5 / n,
+        s"$lang p50=$p50 rank=${rankOf(p50)}")
+      assert(rankOf(p90) >= 0.9 - (0.0001 + 1.5 / n))
+    }
+  }
+
   test("int8 quantization: bounds, zero-vector handling, extremum hits ±127") {
     val dir = embeddingsFixture(Seq(
       (0L, Seq(0f, 0f, 0f, 0f), 0),           // zero vector
