@@ -98,6 +98,22 @@ object StreamingOps {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("dt"),
         date_format(col("w.start"), "HH").as("hr"), col("dau"))
 
+  /** T2 extension: per-user SESSION windows on a stream — the same
+    * `session_window` expression as the batch AnalyticOps.sessionWindow
+    * (30 min gap), watermarked so sessions close and emit in append mode
+    * once the watermark passes session end + gap. State per (user,
+    * open-session) only — closed sessions are evicted, so state is
+    * bounded by concurrent activity, not history. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start_sec"),
+        unix_timestamp(col("sw.end")).as("session_end_sec"),
+        col("n_events"))
+
   /** J1: stream-stream inner equi-join, order_info ⋈ order_detail.
     * Both sides watermarked; the ±10s event-time range bounds join state
     * exactly like the reference's 10s sliding window bounded which pairs

@@ -115,6 +115,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got(("2024-01-01", "10")) == 2L, s"dedup inside window: $got")
   }
 
+  test("streaming session windows: gap-merge within session, close on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(0, ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(1, ts("2024-01-01 10:10:00"), 1, "view", 1.0, "{}"), // merges (gap < 30m)
+      Ev(2, ts("2024-01-01 11:30:00"), 1, "view", 1.0, "{}"), // new session (gap 80m)
+      Ev(3, ts("2024-01-01 10:05:00"), 2, "view", 1.0, "{}"),
+      // watermark pusher: closes every session above
+      Ev(4, ts("2024-01-01 14:00:00"), 3, "view", 1.0, "{}"))
+    val q = StreamingOps.sessionWindowStream(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    def sec(s: String) = ts(s).getTime / 1000
+    // session end = last event + 30 min gap (session_window semantics)
+    assert(got((1L, sec("2024-01-01 10:00:00"))) == (sec("2024-01-01 10:40:00"), 2L),
+      s"user 1 first session wrong: $got")
+    assert(got((1L, sec("2024-01-01 11:30:00"))) == (sec("2024-01-01 12:00:00"), 1L))
+    assert(got((2L, sec("2024-01-01 10:05:00"))) == (sec("2024-01-01 10:35:00"), 1L))
+  }
+
   test("stream-static broadcast enrichment (J2): left-outer nulls on dim misses") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
