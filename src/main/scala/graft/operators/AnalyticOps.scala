@@ -53,29 +53,35 @@ object AnalyticOps {
     * SQL), which materializes every (order × earlier event) pair and
     * detonates on hot users at 100 TB. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    // The carried event is ONE struct, so a single running-last picks
+    // both fields from the same event row — two independent
+    // last(ignoreNulls) windows would tear fields apart whenever
+    // event_type is null (id from the newer event, type from an older
+    // one). The struct is null (not struct(null,null)) on order rows so
+    // ignoreNulls skips them.
     val ev = Tables.events(spark, dir).select(
       col("user_id").as("k"),
       col("ts_ns").as("t"),
       lit(0).as("side"),
-      col("event_id"),
-      col("event_type"),
+      col("event_id").as("tie"),
+      struct(col("event_id"), col("event_type")).as("ev"),
       lit(null).cast("long").as("o_orderkey"))
     val od = Tables.orders(spark, dir).select(
       col("o_custkey").as("k"),
       orderEpochNanos.as("t"),
       lit(1).as("side"),
-      lit(null).cast("long").as("event_id"),
-      lit(null).cast("string").as("event_type"),
+      lit(null).cast("long").as("tie"),
+      lit(null).cast("struct<event_id:bigint,event_type:string>").as("ev"),
       col("o_orderkey"))
     val w = Window.partitionBy(col("k"))
-      .orderBy(col("t"), col("side"), col("event_id"))
+      .orderBy(col("t"), col("side"), col("tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.unionByName(od)
-      .withColumn("asof_event_id", last(col("event_id"), ignoreNulls = true).over(w))
-      .withColumn("asof_event_type", last(col("event_type"), ignoreNulls = true).over(w))
+      .withColumn("asof", last(col("ev"), ignoreNulls = true).over(w))
       .where(col("side") === 1)
       .select(col("o_orderkey"), col("k").as("o_custkey"),
-        col("asof_event_id"), col("asof_event_type"))
+        col("asof.event_id").as("asof_event_id"),
+        col("asof.event_type").as("asof_event_type"))
       .orderBy("o_orderkey")
   }
 
@@ -257,29 +263,36 @@ object AnalyticOps {
          FROM o ORDER BY o_custkey, version""",
     // Session islands: break when the gap to the previous event is >= 30
     // minutes (session_window merges strictly-overlapping [t, t+gap)
-    // intervals, i.e. diff < gap merges).
+    // intervals, i.e. diff < gap merges). The oracle sessionizes in the
+    // MICROS domain (epoch_ns // 1000) because that is the engine's time
+    // domain — Tables.events truncates nanos to a micros timestamp by
+    // documented design, so gap comparisons and second floors must use
+    // the same truncation (double-precision epoch() or nanos-exact diffs
+    // would diverge on sub-microsecond data).
     "q_session_window" ->
       """WITH e AS (
-           SELECT user_id, ts, event_id,
-                  CASE WHEN lag(ts) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id) IS NULL
-                         OR ts - lag(ts) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id)
-                            >= INTERVAL 30 MINUTE
+           SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id FROM events),
+         b AS (
+           SELECT user_id, tus, event_id,
+                  CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                                           ORDER BY tus, event_id) IS NULL
+                         OR tus - lag(tus) OVER (PARTITION BY user_id
+                                                 ORDER BY tus, event_id)
+                            >= 1800000000
                        THEN 1 ELSE 0 END AS brk
-           FROM events),
-         g AS (
-           SELECT user_id, ts,
-                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sid
            FROM e),
+         g AS (
+           SELECT user_id, tus,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b),
          s AS (
-           SELECT user_id, sid, min(ts) AS st, max(ts) AS en,
+           SELECT user_id, sid, min(tus) AS st, max(tus) AS en,
                   count(*) AS n_events
            FROM g GROUP BY user_id, sid)
          SELECT user_id,
-                CAST(floor(epoch(st)) AS BIGINT) AS session_start_sec,
-                CAST(floor(epoch(en + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end_sec,
+                st // 1000000 AS session_start_sec,
+                (en + 1800000000) // 1000000 AS session_end_sec,
                 n_events
          FROM s ORDER BY user_id, session_start_sec""",
   )

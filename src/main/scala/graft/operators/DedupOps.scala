@@ -316,9 +316,10 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    val maxRounds = 50
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(min(col("comp")).as("nbr_comp"))
@@ -333,6 +334,15 @@ object DedupOps {
       rounds += 1
     }
     edges.unpersist()
+    // Silently returning mid-propagation labels would split real clusters
+    // (and the canonical-keep filter would keep several docs per cluster)
+    // — fail loudly instead. Component diameter > maxRounds means the
+    // graph needs the large-star/small-star variant, not more rounds.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupComponents did not converge in $maxRounds rounds " +
+          s"($changed labels still changing): component diameter exceeds " +
+          "the round cap — switch to large-star/small-star propagation")
     val sizes = labels.groupBy(col("comp").as("scomp"))
       .agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, col("comp") === col("scomp"))
@@ -406,10 +416,10 @@ object DedupOps {
   /** DuckDB twin of ngramJaccard (shared: the pair query itself and the
     * nearDupKeep apply step's subquery). Mirrors the Spark pipeline stage
     * by stage: shingle sets (`len(t) >= 3` replicating the sequence()
-    * guard), the df <= 100 hot-shingle cap, blocked intersection counts,
+    * guard), the df <= MaxShingleDf hot-shingle cap (interpolated), blocked intersection counts,
     * exact Jaccard from integer cardinalities. */
   private val NgramJaccardSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
            SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
          tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
          sh0 AS (
@@ -422,7 +432,7 @@ object DedupOps {
            SELECT doc_id, source, shingle FROM (
              SELECT *, count(*) OVER (PARTITION BY source, shingle) AS df
              FROM sh0)
-           WHERE df <= 100),
+           WHERE df <= $MaxShingleDf),
          card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

@@ -31,6 +31,27 @@ class AnalyticOpsSpec extends SparkTestBase {
     assert(got.except(naive).count() == 0 && naive.except(got).count() == 0)
   }
 
+  test("as-of join: id and type come from the SAME event when event_type is null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    Seq(
+      (10L, at(1), 1L, Some("view"), 1.0, "{}"),
+      (11L, at(2), 1L, None, 1.0, "{}")) // newer event, null type
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((100L, 1L, at(3)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = AnalyticOps.asofJoin(spark, dir).collect()
+    assert(r.length == 1)
+    // both fields from event 11 — never id=11 with type='view' torn from 10
+    assert(r(0).getAs[Long]("asof_event_id") == 11L)
+    assert(r(0).isNullAt(r(0).fieldIndex("asof_event_type")),
+      s"field tearing: ${r(0)}")
+  }
+
   test("range join matches the naive SQL range formulation; zero-activity orders kept") {
     val got = AnalyticOps.rangeJoin(spark, sf0001).cache()
     val nOrders = Tables.orders(spark, sf0001).count()
