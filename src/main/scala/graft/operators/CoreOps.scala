@@ -361,6 +361,25 @@ object CoreOps {
       .orderBy("c_custkey")
   }
 
+  /** Full-outer join: reconcile the event calendar against the order
+    * calendar — days with activity but no orders surface null n_orders,
+    * order days outside the event window surface null dau. Both sides
+    * pre-aggregate to day grain BEFORE the join (day-count-sized inputs),
+    * so the full-outer shuffle is trivially small at any corpus scale —
+    * the pattern for reconciliation joins: aggregate first, outer-join
+    * the summaries, never full-outer raw facts. */
+  def dailyReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val o = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d2"))
+      .agg(count(lit(1)).as("n_orders"))
+    e.join(o, col("d") === col("d2"), "full")
+      .select(coalesce(col("d"), col("d2")).as("day"), col("dau"), col("n_orders"))
+      .orderBy("day")
+  }
+
   // ---------------------------------------------------------------- funnel
   /** Conversion funnel: of the users who signed up on day D, how many
     * purchased within 7 days of THAT signup — an equi join on user plus an
@@ -555,6 +574,7 @@ object CoreOps {
     "q_tumbling_window" -> (tumblingWindow _),
     "q_semi_join" -> (ordersWithReturns _),
     "q_anti_join" -> (customersNoOrders _),
+    "q_full_outer" -> (dailyReconcile _),
     "q_latest_event" -> (latestEventPerUser _),
     "q_set_ops" -> (userSetOps _),
     "q_funnel" -> (conversionFunnel _),
@@ -712,6 +732,16 @@ object CoreOps {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    "q_full_outer" ->
+      """WITH e AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS d, count(DISTINCT user_id) AS dau
+           FROM events GROUP BY 1),
+         o AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS d2, count(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT COALESCE(d, d2) AS day, dau, n_orders
+         FROM e FULL OUTER JOIN o ON d = d2
+         ORDER BY day""",
     "q_funnel" ->
       """WITH s AS (
            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s_sec,

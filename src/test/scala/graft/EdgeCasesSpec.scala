@@ -32,6 +32,21 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(DedupOps.ngramJaccard(spark, dir).count() == 0)
     assert(DedupOps.simhashPairs(spark, dir).count() == 0)
     assert(TextOps.tokenCount(spark, dir).count() == 0)
+    // iterative components: empty pair graph exits the loop without a round
+    assert(DedupOps.dupComponents(spark, dir).count() == 0)
+    assert(TextOps.tfidf(spark, dir).count() == 0)
+  }
+
+  test("contamination with no eval-source docs: all zero overlap, no errors") {
+    val dir = documentsFixture(Seq(
+      (1L, "alpha beta gamma delta", "en", "src7"),
+      (2L, "eta theta iota kappa", "en", "src8")))
+    val got = DedupOps.contamination(spark, dir).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_shared") == 0L &&
+        r.getAs[Double]("contam_frac") == 0.0)
+    }
   }
 
   test("event ops survive empty and single-row event tables") {
