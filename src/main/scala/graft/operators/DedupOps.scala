@@ -130,17 +130,24 @@ object DedupOps {
     Seq.fill(NumPerm)((next() % (MersennePrime31 - 1) + 1, next() % MersennePrime31))
   }
 
-  /** MinHash signatures per doc: shingle → 64-bit hash → per-permutation
+  /** MinHash signatures per doc: shingle → base hash → per-permutation
     * (a·h+b) mod p, min-aggregated. One shuffle on doc_id with 32 codegen'd
-    * min() partial aggregates — no per-row state, no UDAF. */
-  private[operators] def minhashSignatures(sh: DataFrame): DataFrame = {
+    * min() partial aggregates — no per-row state, no UDAF. The base-hash
+    * column is pluggable: xxhash64 for production (fastest), an
+    * md5-derived hash for the oracle-checked variant (portable to DuckDB).
+    * Either way it is reduced mod p BEFORE the permutation multiply so
+    * a·h stays under 2^62 (ANSI-mode overflow headroom). */
+  private[operators] def minhashSignaturesWith(sh: DataFrame, base: Column): DataFrame = {
     val hashed = sh.select(col("doc_id"), col("source"),
-      pmod(xxhash64(col("shingle")), lit(MersennePrime31)).as("h"))
+      pmod(base, lit(MersennePrime31)).as("h"))
     val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$i")
     }
     hashed.groupBy("doc_id", "source").agg(mins.head, mins.tail: _*)
   }
+
+  private[operators] def minhashSignatures(sh: DataFrame): DataFrame =
+    minhashSignaturesWith(sh, xxhash64(col("shingle")))
 
   /** MinHash+LSH near-dup pairs: signatures → band buckets → candidate
     * pairs within identical (band, bucket-hash) → exact Jaccard verify.
@@ -184,6 +191,56 @@ object DedupOps {
       .join(card.select(col("doc_id").as("kb"), col("c").as("c_b")), col("doc_b") === col("kb"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The ORACLE-CHECKED end of the MinHash pipeline: identical signature
+    * arithmetic and banded candidate generation as minhashLsh, with two
+    * engine-portable substitutions — the base hash is md5-derived (first
+    * 8 hex chars as an integer; DuckDB computes the identical value)
+    * instead of xxhash64, and band buckets are the raw 4-min tuples
+    * instead of hash(tuple) (the tuple IS the bucket key; hashing it is
+    * only a transport optimization and can only ADD collisions). Emits
+    * every banded candidate pair with its estimated Jaccard
+    * (matching mins / 32 — integer-derived double, bit-exact both
+    * engines). DuckDB replays the whole pipeline: same 32 permutations,
+    * bands as a union of 8 equi-joins. This pins the signature math and
+    * the banding logic end-to-end — minhashLsh then differs only in the
+    * (spec-verified) base hash swap and bucket hashing. */
+  def minhashOracle(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val sig = minhashSignaturesWith(sh, base).cache()
+    val bandCols = (0 until NumBands).map { bnd =>
+      val rows = (0 until RowsPerBand).zipWithIndex.map { case (r, j) =>
+        col(s"m${bnd * RowsPerBand + r}").as(s"r$j")
+      }
+      struct(lit(bnd).as("band") +: rows: _*)
+    }
+    val rNames = (0 until RowsPerBand).map(j => s"r$j")
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id") +: (col("bk.band").as("band") +:
+        rNames.map(n => col(s"bk.$n").as(n))): _*)
+    val l = buckets.select(col("doc_id").as("doc_a") +: col("band") +: rNames.map(col(_)): _*)
+    val r = buckets.select(col("doc_id").as("doc_b") +:
+      (col("band").as("band_r") +: rNames.map(n => col(n).as(s"${n}_r"))): _*)
+    val cond = l("band") === r("band_r") &&
+      rNames.map(n => col(n) === col(s"${n}_r")).reduce(_ && _) &&
+      col("doc_a") < col("doc_b")
+    val candidates = l.join(r, cond).select("doc_a", "doc_b").distinct()
+    val sigA = sig.select(col("doc_id").as("sa") +:
+      (0 until NumPerm).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc_id").as("sb") +:
+      (0 until NumPerm).map(i => col(s"m$i").as(s"b$i")): _*)
+    val nMatch = (0 until NumPerm)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    candidates
+      .join(sigA, col("doc_a") === col("sa"))
+      .join(sigB, col("doc_b") === col("sb"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_matching"))
+      .withColumn("est_jaccard", col("n_matching").cast("double") / NumPerm)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -406,6 +463,7 @@ object DedupOps {
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_neardup_keep" -> (nearDupKeep _),
     "q_minhash_lsh" -> (minhashLsh _),
+    "q_minhash_oracle" -> (minhashOracle _),
     "q_simhash" -> (simhashPairs _),
     "q_hamming_neardup" -> (hammingNearDup _),
     "q_dup_components" -> (dupComponents _),
@@ -470,7 +528,54 @@ object DedupOps {
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
+  /** DuckDB replay of minhashOracle, GENERATED from the same permParams /
+    * NumBands constants so the twin can never drift from the Spark math. */
+  private val MinhashOracleSql: String = {
+    val p = MersennePrime31
+    val minExprs = permParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n                  ")
+    val bandJoins = (0 until NumBands).map { bnd =>
+      val eqs = (0 until RowsPerBand)
+        .map(r => s"a.m${bnd * RowsPerBand + r} = b.m${bnd * RowsPerBand + r}")
+        .mkString(" AND ")
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sig a JOIN sig b ON $eqs AND a.doc_id < b.doc_id"""
+    }.mkString("\n             UNION ALL\n             ")
+    val matchSum = (0 until NumPerm)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tok3)),
+         hsh AS (
+           SELECT doc_id, source,
+                  (('0x' || substr(md5(shingle), 1, 8))::BIGINT) % $p AS h
+           FROM sh),
+         sig AS (
+           SELECT doc_id, source,
+                  $minExprs
+           FROM hsh GROUP BY doc_id, source),
+         cand AS (
+           SELECT DISTINCT doc_a, doc_b FROM (
+             $bandJoins))
+         SELECT c.doc_a, c.doc_b,
+                CAST($matchSum AS BIGINT) AS n_matching,
+                CAST($matchSum AS DOUBLE) / $NumPerm AS est_jaccard
+         FROM cand c
+         JOIN sig a ON a.doc_id = c.doc_a
+         JOIN sig b ON b.doc_id = c.doc_b
+         ORDER BY doc_a, doc_b"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_minhash_oracle" -> MinhashOracleSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",

@@ -31,6 +31,20 @@ class DedupComponentsSpec extends SparkTestBase {
     comps.collect().foreach(r => assert(sizes(r.getLong(1)) == r.getLong(2)))
   }
 
+  test("minhash oracle variant: identical docs match on all 32 mins; disjoint docs don't collide") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val dir = documentsFixture(Seq(
+      (0L, base, "en", "s1"),
+      (1L, base, "en", "s1"),     // identical → every band collides
+      (2L, other, "en", "s1")))   // disjoint shingles
+    val got = DedupOps.minhashOracle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("n_matching"), r.getAs[Double]("est_jaccard"))).toMap
+    assert(got.get((0L, 1L)).contains((32L, 1.0)), s"identical pair must fully match: $got")
+    assert(!got.contains((0L, 2L)) && !got.contains((1L, 2L)),
+      s"disjoint docs should not band-collide: $got")
+  }
+
   test("contamination: planted shingle overlap is counted exactly") {
     val dir = documentsFixture(Seq(
       (0L, "alpha beta gamma delta", "en", "src0"),    // eval: shingles "alpha beta gamma", "beta gamma delta"
