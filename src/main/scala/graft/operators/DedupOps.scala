@@ -300,6 +300,35 @@ object DedupOps {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     hammingPairs(simhashSignatures(Tables.documents(spark, dir)).cache())
 
+  /** The ORACLE-CHECKED end of the SimHash pipeline: identical bit-vote
+    * signature construction as simhashSignatures, with the base hash
+    * md5-derived (two 32-bit halves combined into a 63-bit value — DuckDB
+    * errors on 1<<63, and 63 bits changes nothing about the pigeonhole
+    * property) so DuckDB can replay the votes, the sign bits, and the
+    * final all-pairs Hamming ≤ 3 filter exactly. Together with
+    * q_hamming_neardup (which pins the blocked candidate generation ==
+    * all-pairs), this hash-checks everything about simhashPairs except
+    * the xxhash64 swap. */
+  def simhashOracle(spark: SparkSession, dir: String): DataFrame = {
+    val hi = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), shiftleft(hi, 31).bitwiseOR(lo).as("h"))
+    val bitSums = (0 until 63).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sigExpr = (0 until 63).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sigExpr.as("simhash"))
+      .cache()
+    hammingPairs(sig)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Oracle twin for the Hamming blocking: a deterministic 63-bit ARITHMETIC
     * signature (expressible in ANSI SQL, unlike xxhash64) pushed through the
     * exact same hammingPairs pipeline. Signature = 8 bytes derived from
@@ -466,6 +495,7 @@ object DedupOps {
     "q_minhash_oracle" -> (minhashOracle _),
     "q_simhash" -> (simhashPairs _),
     "q_hamming_neardup" -> (hammingNearDup _),
+    "q_simhash_oracle" -> (simhashOracle _),
     "q_dup_components" -> (dupComponents _),
     "q_contamination" -> (contamination _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -574,8 +604,39 @@ object DedupOps {
          ORDER BY doc_a, doc_b"""
   }
 
+  /** DuckDB replay of simhashOracle — GENERATED so the 63 vote columns and
+    * bit weights can't drift from the Spark expressions. */
+  private val SimhashOracleSql: String = {
+    val votes = (0 until 63)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n                  ")
+    val sig = (0 until 63)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+         hsh AS (
+           SELECT doc_id,
+                  ((('0x' || substr(md5(tok), 1, 8))::BIGINT << 31)
+                   | ('0x' || substr(md5(tok), 9, 8))::BIGINT) AS h
+           FROM toks),
+         votes AS (
+           SELECT doc_id,
+                  $votes
+           FROM hsh GROUP BY doc_id),
+         sig AS (SELECT doc_id, $sig AS simhash FROM votes)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY doc_a, doc_b"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracleSql,
+    "q_simhash_oracle" -> SimhashOracleSql,
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
