@@ -60,6 +60,84 @@ object PipelineOps {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** The capstone curation gate: every doc gets a keep/drop verdict with a
+    * reason BITMASK composed from the individual filter operators —
+    * bit 0 quality fail (TextOps.qualityScore criteria), bit 1 high
+    * repetition (dup-3-gram fraction > 0.2), bit 2 boilerplate
+    * (TextOps.boilerplate criteria), bit 3 eval-set contamination
+    * (> 10% shingle overlap with src0), bit 4 exact duplicate (not the
+    * lowest doc_id of its md5 group). keep = flags == 0.
+    *
+    * Scale shape: the quality/repetition flags are pure map-side staged
+    * projections; boilerplate and contamination are the same
+    * shingle-grain aggregations as their standalone operators (shuffles
+    * on doc_id); the exact-dup flag is one window over the content hash.
+    * Everything joins back on doc_id — at 100 TB this is a handful of
+    * doc-grain hash joins, each input already doc-sized, not
+    * shingle-sized. The flags compose in ONE pass over the corpus rather
+    * than five separate filter jobs — the point of an engine, not a
+    * script pile. */
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // map-side flags: quality + repetition (staged so arrays build once)
+    val mapFlags = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        size(filter(col("t"), x => x === "the" || x === "a")).cast("long").as("n_stop"),
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("grams"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
+      .select(col("doc_id"),
+        (!(col("n_tokens") >= 10 &&
+           col("n_stop").cast("double") / col("n_tokens") < 0.3 &&
+           col("n_distinct").cast("double") / col("n_tokens") > 0.2)).as("f_quality"),
+        (coalesce((col("n_grams") - col("n_distinct_grams")).cast("double") /
+           col("n_grams"), lit(0.0)) > 0.2).as("f_repeat"))
+    // boilerplate flag: max single-shingle share (multiplicity shingles)
+    val boiler = DedupOps.shingleExplode(docs)
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_sh"))
+      .select(col("doc_id").as("b_id"),
+        (col("max_rep").cast("double") / col("n_sh") > 0.2 &&
+          col("max_rep") >= 3).as("f_boiler"))
+    // contamination flag: distinct-shingle overlap with the eval source
+    val evalSh = DedupOps.shingles(docs.where(col("source") === "src0"))
+      .select("shingle").distinct()
+    val trainSh = DedupOps.shingles(docs.where(col("source") =!= "src0")).cache()
+    val card = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val contam = card.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id").as("c_id"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles") > 0.1)
+          .as("f_contam"))
+    // exact-dup flag: one window over the content hash
+    val dup = docs.select(col("doc_id").as("d_id"),
+      (col("doc_id") =!= min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+        .as("f_dup"))
+    val flags =
+      when(col("f_quality"), 1L).otherwise(0L) +
+      when(col("f_repeat"), 2L).otherwise(0L) +
+      when(coalesce(col("f_boiler"), lit(false)), 4L).otherwise(0L) +
+      when(coalesce(col("f_contam"), lit(false)), 8L).otherwise(0L) +
+      when(col("f_dup"), 16L).otherwise(0L)
+    docs.select(col("doc_id"), col("source"))
+      .join(mapFlags, Seq("doc_id"))
+      .join(boiler, col("doc_id") === col("b_id"), "left")
+      .join(contam, col("doc_id") === col("c_id"), "left")
+      .join(dup, col("doc_id") === col("d_id"))
+      .select(col("doc_id"), col("source"), flags.as("flags"))
+      .withColumn("keep", col("flags") === 0L)
+      .orderBy("doc_id")
+  }
+
   /** The 100 TB form of lengthQuantiles: `percentile_approx` (KLL-style
     * mergeable sketch). Exact `percentile` buffers every value per group
     * on one reducer — fine at dashboard scale, fatal on a trillion rows;
@@ -217,6 +295,7 @@ object PipelineOps {
     "q_scrub" -> (scrubPayload _),
     "q_len_quantiles" -> (lengthQuantiles _),
     "q_len_quantiles_approx" -> (lengthQuantilesApprox _),
+    "q_curation" -> (curation _),
     "q_split_assign" -> (splitAssign _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_importance_sample" -> (importanceSample _),
@@ -225,6 +304,68 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_curation" ->
+      """WITH s AS (
+           SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
+         q AS (
+           SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+                  len(list_filter(t, x -> x IN ('the', 'a'))) AS n_stop,
+                  CASE WHEN len(t) >= 3 THEN
+                    list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))
+                  END AS grams
+           FROM s),
+         qf AS (
+           SELECT doc_id,
+                  NOT (n_tokens >= 10
+                       AND CAST(n_stop AS DOUBLE) / n_tokens < 0.3
+                       AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.2) AS f_quality,
+                  COALESCE(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams), 0.0) > 0.2 AS f_repeat
+           FROM q),
+         shm AS (
+           SELECT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM s WHERE len(t) >= 3)),
+         bo AS (
+           SELECT doc_id, max(c) AS max_rep, CAST(sum(c) AS BIGINT) AS n_sh FROM (
+             SELECT doc_id, shingle, count(*) AS c FROM shm GROUP BY 1, 2)
+           GROUP BY doc_id),
+         bof AS (
+           SELECT doc_id,
+                  (CAST(max_rep AS DOUBLE) / n_sh > 0.2 AND max_rep >= 3) AS f_boiler
+           FROM bo),
+         shd AS (SELECT DISTINCT doc_id, source, shingle FROM shm),
+         ev AS (SELECT DISTINCT shingle FROM shd WHERE source = 'src0'),
+         tr AS (SELECT doc_id, shingle FROM shd WHERE source <> 'src0'),
+         card AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+         hits AS (
+           SELECT doc_id, count(*) AS n_shared
+           FROM tr JOIN ev USING (shingle) GROUP BY doc_id),
+         cf AS (
+           SELECT c.doc_id,
+                  CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / c.n_shingles > 0.1 AS f_contam
+           FROM card c LEFT JOIN hits h ON c.doc_id = h.doc_id),
+         dup AS (
+           SELECT doc_id,
+                  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS f_dup
+           FROM documents),
+         fl AS (
+           SELECT d.doc_id, d.source,
+                  CAST(  (CASE WHEN qf.f_quality THEN 1 ELSE 0 END)
+                       + (CASE WHEN qf.f_repeat THEN 2 ELSE 0 END)
+                       + (CASE WHEN COALESCE(bof.f_boiler, FALSE) THEN 4 ELSE 0 END)
+                       + (CASE WHEN COALESCE(cf.f_contam, FALSE) THEN 8 ELSE 0 END)
+                       + (CASE WHEN dup.f_dup THEN 16 ELSE 0 END) AS BIGINT) AS flags
+           FROM documents d
+           JOIN qf ON qf.doc_id = d.doc_id
+           LEFT JOIN bof ON bof.doc_id = d.doc_id
+           LEFT JOIN cf ON cf.doc_id = d.doc_id
+           JOIN dup ON dup.doc_id = d.doc_id)
+         SELECT doc_id, source, flags, flags = 0 AS keep
+         FROM fl ORDER BY doc_id""",
     "q_sessionize" ->
       """WITH ev AS (
            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec

@@ -62,6 +62,27 @@ class DedupComponentsSpec extends SparkTestBase {
     assert(!got.contains(0L), "eval docs are not scored")
   }
 
+  test("curation gate: each reason bit fires on its planted doc") {
+    import graft.operators.PipelineOps
+    val dir = documentsFixture(Seq(
+      (0L, "the quick brown fox jumps over a lazy dog tonight", "en", "src1"), // clean
+      (1L, "a b", "en", "src1"),                                               // bit0: too short
+      (2L, "x y z x y z x y z x y z", "en", "src1"),                           // bits1+2: repetition+boilerplate
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src1"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src2"), // bit4: exact dup of 10
+      (20L, "one two three four five six seven eight nine ten", "en", "src0"), // eval doc
+      (21L, "one two three four five aaa bbb ccc ddd eee", "en", "src1")))     // bit3: 3/8 shingles shared
+    val got = PipelineOps.curation(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("flags"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(0L) == (0L, true))
+    assert(got(1L) == (1L, false), s"short doc: ${got(1L)}")
+    assert(got(2L) == (6L, false), s"repetition+boilerplate: ${got(2L)}")
+    assert(got(10L) == (0L, true))
+    assert(got(11L) == (16L, false), s"exact dup: ${got(11L)}")
+    assert(got(20L) == (0L, true), "eval docs are not contamination-flagged")
+    assert(got(21L) == (8L, false), s"contaminated: ${got(21L)}")
+  }
+
   test("tfidf: hand-computed scores and ranks on a two-source fixture") {
     val dir = documentsFixture(Seq(
       (0L, "apple banana apple", "en", "s1"),
