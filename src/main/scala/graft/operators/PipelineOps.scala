@@ -154,6 +154,33 @@ object PipelineOps {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** Source-mixture rebalancing by sqrt temperature scaling — the
+    * multilingual-corpus trick (keep probability ∝ sqrt(n_min/n_s)) that
+    * upweights small sources without discarding most of the big ones.
+    * Deterministic: the keep decision is a content-hash threshold
+    * (floor(rate·10^6) per-mille-of-a-million buckets), so reruns and
+    * engines agree doc-by-doc. sqrt and floor are IEEE-exact — no
+    * transcendental drift against the oracle. Output is the per-source
+    * audit (sizes, rate, kept count): the summary a curator checks
+    * before materializing the resampled corpus; one doc-grain shuffle,
+    * one source-grain aggregate. */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("n_min"))
+    val rated = counts.crossJoin(broadcast(minN))
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_docs")))
+      .withColumn("threshold", floor(col("rate") * 1000000).cast("long"))
+    docs
+      .join(broadcast(rated.select("source", "rate", "threshold")), Seq("source"))
+      .withColumn("kept", pmod(contentHash64, lit(1000000)) < col("threshold"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("rate")).as("rate"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** 64-bit content hash (md5 first 8 hex chars): the ONE hash all
     * content-keyed assignments (split buckets, shards) derive from, so
     * they can never disagree on what "same content" means. */
@@ -296,6 +323,7 @@ object PipelineOps {
     "q_len_quantiles" -> (lengthQuantiles _),
     "q_len_quantiles_approx" -> (lengthQuantilesApprox _),
     "q_curation" -> (curation _),
+    "q_mixture_resample" -> (mixtureResample _),
     "q_split_assign" -> (splitAssign _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_importance_sample" -> (importanceSample _),
@@ -304,6 +332,26 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mixture_resample" ->
+      """WITH counts AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         mn AS (SELECT min(n_docs) AS n_min FROM counts),
+         rated AS (
+           SELECT source, n_docs,
+                  sqrt(CAST(n_min AS DOUBLE) / n_docs) AS rate,
+                  CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 1000000) AS BIGINT)
+                    AS threshold
+           FROM counts CROSS JOIN mn),
+         k AS (
+           SELECT d.source,
+                  (('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000000)
+                    < r.threshold AS kept
+           FROM documents d JOIN rated r ON d.source = r.source)
+         SELECT r.source, r.n_docs, r.rate,
+                CAST(sum(CASE WHEN k.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM k JOIN rated r ON k.source = r.source
+         GROUP BY r.source, r.n_docs, r.rate
+         ORDER BY r.source""",
     "q_curation" ->
       """WITH s AS (
            SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),

@@ -83,6 +83,20 @@ class DedupComponentsSpec extends SparkTestBase {
     assert(got(21L) == (8L, false), s"contaminated: ${got(21L)}")
   }
 
+  test("mixture resample: sqrt temperature rates; smallest source keeps everything") {
+    import graft.operators.PipelineOps
+    val dir = documentsFixture(
+      (0 until 4).map(i => (i.toLong, s"uniq text number $i body", "en", "big")) :+
+        (9L, "the single small source doc", "en", "small"))
+    val got = PipelineOps.mixtureResample(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Double]("rate"),
+        r.getAs[Long]("n_kept"))).toMap
+    assert(got("small") == (1L, 1.0, 1L), s"smallest source keeps all: $got")
+    val (n, rate, kept) = got("big")
+    assert(n == 4L && rate == 0.5, s"sqrt(1/4) rate: $got")
+    assert(kept <= n)
+  }
+
   test("tfidf: hand-computed scores and ranks on a two-source fixture") {
     val dir = documentsFixture(Seq(
       (0L, "apple banana apple", "en", "s1"),
