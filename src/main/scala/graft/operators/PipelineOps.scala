@@ -154,6 +154,31 @@ object PipelineOps {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** Sliding-window document chunking: split each doc into 50-token
+    * chunks with 10-token overlap (40-token stride) — the
+    * context-window preparation step for pretraining/RAG. Entirely
+    * map-side: chunk starts come from a stride sequence over the token
+    * array, each chunk is a slice, and only its fingerprint + counts are
+    * emitted (chunk text re-derives from the source; shipping it would
+    * multiply the corpus by the overlap factor). At 100 TB this is a
+    * narrow explode whose output is ~n_tokens/stride rows per doc. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val ChunkTokens = 50
+    val Stride = 40 // = ChunkTokens - 10 overlap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(Stride))).as("start_tok"))
+      .select(col("doc_id"),
+        ((col("start_tok") - 1) / Stride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("t"), col("start_tok"), lit(ChunkTokens)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Source-mixture rebalancing by sqrt temperature scaling — the
     * multilingual-corpus trick (keep probability ∝ sqrt(n_min/n_s)) that
     * upweights small sources without discarding most of the big ones.
@@ -324,6 +349,7 @@ object PipelineOps {
     "q_len_quantiles_approx" -> (lengthQuantilesApprox _),
     "q_curation" -> (curation _),
     "q_mixture_resample" -> (mixtureResample _),
+    "q_chunk_docs" -> (chunkDocs _),
     "q_split_assign" -> (splitAssign _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_importance_sample" -> (importanceSample _),
@@ -332,6 +358,22 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_chunk_docs" ->
+      """WITH s AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (
+           SELECT doc_id, t, unnest(generate_series(1, len(t), 40)) AS start_tok
+           FROM s),
+         c AS (
+           SELECT doc_id,
+                  CAST((start_tok - 1) // 40 AS BIGINT) AS chunk_idx,
+                  CAST(start_tok AS BIGINT) AS start_tok,
+                  t[start_tok : start_tok + 49] AS chunk
+           FROM st)
+         SELECT doc_id, chunk_idx, start_tok,
+                len(chunk) AS n_chunk_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_fp
+         FROM c ORDER BY doc_id, chunk_idx""",
     "q_mixture_resample" ->
       """WITH counts AS (
            SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

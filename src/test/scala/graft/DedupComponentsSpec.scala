@@ -97,6 +97,26 @@ class DedupComponentsSpec extends SparkTestBase {
     assert(kept <= n)
   }
 
+  test("chunking: stride starts, overlap sizes, and fingerprints line up") {
+    import graft.operators.PipelineOps
+    val words = (1 to 85).map(i => s"w$i")
+    val dir = documentsFixture(Seq(
+      (0L, words.mkString(" "), "en", "s"),
+      (1L, "tiny doc", "en", "s")))
+    val got = PipelineOps.chunkDocs(spark, dir).collect()
+    val d0 = got.filter(_.getLong(0) == 0L)
+    assert(d0.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 50L), (41L, 45L), (81L, 5L)), "starts 1/41/81 with sizes 50/45/5")
+    // fingerprint of the last chunk matches the actual token slice
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(words.slice(80, 85).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d0.find(_.getLong(2) == 81L).get.getString(4) == fp)
+    // short doc: one chunk covering both tokens
+    val d1 = got.filter(_.getLong(0) == 1L)
+    assert(d1.length == 1 && d1(0).getLong(3) == 2L)
+  }
+
   test("tfidf: hand-computed scores and ranks on a two-source fixture") {
     val dir = documentsFixture(Seq(
       (0L, "apple banana apple", "en", "s1"),
