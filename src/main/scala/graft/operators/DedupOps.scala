@@ -315,7 +315,10 @@ object DedupOps {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .select(col("doc_id"), shiftleft(hi, 31).bitwiseOR(lo).as("h"))
+      // hi fills bits 31..62, lo>>1 fills bits 0..30 — disjoint ranges, so
+      // every signature bit stays an unbiased md5 bit (a plain hi<<31 | lo
+      // would OR two independent bits at position 31, biasing it to 3/4)
+      .select(col("doc_id"), shiftleft(hi, 31).bitwiseOR(shiftright(lo, 1)).as("h"))
     val bitSums = (0 until 63).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
     }
@@ -449,19 +452,29 @@ object DedupOps {
     * shingles — one aggregation shuffle on doc_id, no eval-side skew
     * possible. No df cap here, deliberately: a shingle shared with the
     * eval set is contamination regardless of how common it is. */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val evalSh = shingles(docs.where(col("source") === "src0"))
+  /** Per-training-doc (n_shingles, n_shared) against the src0 eval set,
+    * from an already-DISTINCT (doc_id, source, shingle) frame — the ONE
+    * overlap computation contamination() and the curation gate both use.
+    * Filtering source after shingling == shingling filtered docs, so a
+    * caller holding a whole-corpus shingle frame (curation) shares the
+    * explode instead of re-scanning. */
+  private[graft] def contaminationStats(shDistinct: DataFrame): DataFrame = {
+    val evalSh = shDistinct.where(col("source") === "src0")
       .select("shingle").distinct()
-    val trainSh = shingles(docs.where(col("source") =!= "src0")).cache()
+    val trainSh = shDistinct.where(col("source") =!= "src0")
     val card = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     card.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"))
-          .as("contam_frac"))
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    contaminationStats(sh)
+      .withColumn("contam_frac",
+        col("n_shared").cast("double") / col("n_shingles"))
       .orderBy("doc_id")
   }
 
@@ -620,7 +633,7 @@ object DedupOps {
          hsh AS (
            SELECT doc_id,
                   ((('0x' || substr(md5(tok), 1, 8))::BIGINT << 31)
-                   | ('0x' || substr(md5(tok), 9, 8))::BIGINT) AS h
+                   | (('0x' || substr(md5(tok), 9, 8))::BIGINT >> 1)) AS h
            FROM toks),
          votes AS (
            SELECT doc_id,

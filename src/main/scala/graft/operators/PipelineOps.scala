@@ -79,13 +79,15 @@ object PipelineOps {
     * script pile. */
   def curation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // map-side flags: quality + repetition (staged so arrays build once)
+    // map-side flags: quality + repetition (staged so arrays build once);
+    // the criteria come from TextOps — ONE definition shared with
+    // q_text_quality, so the bits can't drift from the standalone op
     val mapFlags = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         size(array_distinct(col("t"))).cast("long").as("n_distinct"),
-        size(filter(col("t"), x => x === "the" || x === "a")).cast("long").as("n_stop"),
+        TextOps.stopwordCount(col("t")).cast("long").as("n_stop"),
         when(size(col("t")) >= 3,
           transform(sequence(lit(1), size(col("t")) - 2),
             i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("grams"))
@@ -93,30 +95,21 @@ object PipelineOps {
         size(col("grams")).cast("long").as("n_grams"),
         size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
       .select(col("doc_id"),
-        (!(col("n_tokens") >= 10 &&
-           col("n_stop").cast("double") / col("n_tokens") < 0.3 &&
-           col("n_distinct").cast("double") / col("n_tokens") > 0.2)).as("f_quality"),
+        (!TextOps.qualityOk(col("n_tokens"), col("n_distinct"), col("n_stop")))
+          .as("f_quality"),
         (coalesce((col("n_grams") - col("n_distinct_grams")).cast("double") /
            col("n_grams"), lit(0.0)) > 0.2).as("f_repeat"))
-    // boilerplate flag: max single-shingle share (multiplicity shingles)
-    val boiler = DedupOps.shingleExplode(docs)
-      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_sh"))
+    // ONE corpus shingle-explode feeds both shingle-grain flags: the
+    // boilerplate aggregation (multiplicity) and the contamination
+    // overlap (distinct), each via the same helper its standalone
+    // operator uses
+    val sh = DedupOps.shingleExplode(docs).cache()
+    val boiler = TextOps.boilerplateStats(sh)
       .select(col("doc_id").as("b_id"),
-        (col("max_rep").cast("double") / col("n_sh") > 0.2 &&
-          col("max_rep") >= 3).as("f_boiler"))
-    // contamination flag: distinct-shingle overlap with the eval source
-    val evalSh = DedupOps.shingles(docs.where(col("source") === "src0"))
-      .select("shingle").distinct()
-    val trainSh = DedupOps.shingles(docs.where(col("source") =!= "src0")).cache()
-    val card = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    val contam = card.join(hits, Seq("doc_id"), "left")
+        TextOps.isBoilerplate(col("max_rep"), col("n_shingles")).as("f_boiler"))
+    val contam = DedupOps.contaminationStats(sh.distinct())
       .select(col("doc_id").as("c_id"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles") > 0.1)
-          .as("f_contam"))
+        (col("n_shared").cast("double") / col("n_shingles") > 0.1).as("f_contam"))
     // exact-dup flag: one window over the content hash
     val dup = docs.select(col("doc_id").as("d_id"),
       (col("doc_id") =!= min(col("doc_id"))
@@ -169,6 +162,12 @@ object PipelineOps {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")), lit(Stride))).as("start_tok"))
+      // a trailing start whose chunk would add <= overlap new tokens is
+      // fully contained in the previous chunk — emitting it injects pure
+      // duplicate content into the chunk stream, so drop it (the previous
+      // chunk already covers through start+overlap-1 >= n)
+      .where(col("start_tok") === 1 ||
+        col("start_tok") + (ChunkTokens - Stride) <= size(col("t")))
       .select(col("doc_id"),
         ((col("start_tok") - 1) / Stride).cast("long").as("chunk_idx"),
         col("start_tok").cast("long").as("start_tok"),
@@ -362,8 +361,10 @@ object PipelineOps {
       """WITH s AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          st AS (
-           SELECT doc_id, t, unnest(generate_series(1, len(t), 40)) AS start_tok
-           FROM s),
+           SELECT doc_id, t, start_tok FROM (
+             SELECT doc_id, t, unnest(generate_series(1, len(t), 40)) AS start_tok
+             FROM s)
+           WHERE start_tok = 1 OR start_tok + 10 <= len(t)),
          c AS (
            SELECT doc_id,
                   CAST((start_tok - 1) // 40 AS BIGINT) AS chunk_idx,

@@ -33,6 +33,30 @@ object TextOps {
   private def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
 
+  // -------- shared criteria: ONE definition each for the standalone
+  // operators AND the curation gate, so the bitmask can't drift from them
+  private[operators] def stopwordCount(toks: Column): Column =
+    markerCount(toks, Stopwords)
+  private[operators] val QualityMinTokens = 10
+  private[operators] val MaxStopwordRatio = 0.3
+  private[operators] val MinTypeTokenRatio = 0.2
+  /** The qualityScore keep criterion from integer component columns. */
+  private[operators] def qualityOk(nTokens: Column, nDistinct: Column,
+      nStopwords: Column): Column =
+    nTokens >= QualityMinTokens &&
+      nStopwords.cast("double") / nTokens < MaxStopwordRatio &&
+      nDistinct.cast("double") / nTokens > MinTypeTokenRatio
+  private[operators] val BoilerMaxShare = 0.2
+  private[operators] val BoilerMinRep = 3
+  /** The boilerplate verdict from its aggregate columns. */
+  private[operators] def isBoilerplate(maxRep: Column, nShingles: Column): Column =
+    maxRep.cast("double") / nShingles > BoilerMaxShare && maxRep >= BoilerMinRep
+  /** Per-doc (max_rep, n_shingles) over a multiplicity shingle frame. */
+  private[operators] def boilerplateStats(sh: org.apache.spark.sql.DataFrame): DataFrame =
+    sh.groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_shingles"))
+
   // ---------------------------------------------------------------- token counting
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (letter runs / digit runs / single non-alphanumeric). */
@@ -73,14 +97,13 @@ object TextOps {
         length(col("text")).cast("long").as("len_chars"),
         size(t).cast("long").as("n_tokens"),
         size(array_distinct(t)).cast("long").as("n_distinct"),
-        markerCount(t, Stopwords).cast("long").as("n_stopwords"))
+        stopwordCount(t).cast("long").as("n_stopwords"))
       .withColumn("type_token_ratio",
         col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("stopword_ratio",
         col("n_stopwords").cast("double") / col("n_tokens"))
       .withColumn("quality_ok",
-        col("n_tokens") >= 10 && col("stopword_ratio") < 0.3 &&
-          col("type_token_ratio") > 0.2)
+        qualityOk(col("n_tokens"), col("n_distinct"), col("n_stopwords")))
       .orderBy("doc_id")
   }
 
@@ -107,12 +130,10 @@ object TextOps {
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     // shares DedupOps' shingle definition (with multiplicity) so
     // "same shingle" is one concept across dedup and boilerplate scoring
-    val sh = DedupOps.shingleExplode(Tables.documents(spark, dir))
-    sh.groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_shingles"))
+    boilerplateStats(DedupOps.shingleExplode(Tables.documents(spark, dir)))
       .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_shingles"))
-      .withColumn("is_boilerplate", col("rep_ratio") > 0.2 && col("max_rep") >= 3)
+      .withColumn("is_boilerplate",
+        isBoilerplate(col("max_rep"), col("n_shingles")))
       .orderBy("doc_id")
   }
 

@@ -105,13 +105,15 @@ class DedupComponentsSpec extends SparkTestBase {
       (1L, "tiny doc", "en", "s")))
     val got = PipelineOps.chunkDocs(spark, dir).collect()
     val d0 = got.filter(_.getLong(0) == 0L)
+    // start 81 would add only 5 new tokens (<= 10 overlap) — fully inside
+    // chunk 41..85, so it must NOT be emitted
     assert(d0.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
-      Seq((1L, 50L), (41L, 45L), (81L, 5L)), "starts 1/41/81 with sizes 50/45/5")
+      Seq((1L, 50L), (41L, 45L)), "starts 1/41 with sizes 50/45, no stub chunk")
     // fingerprint of the last chunk matches the actual token slice
     val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(words.slice(80, 85).mkString(" ").getBytes("UTF-8"))
+      .digest(words.slice(40, 85).mkString(" ").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    assert(d0.find(_.getLong(2) == 81L).get.getString(4) == fp)
+    assert(d0.find(_.getLong(2) == 41L).get.getString(4) == fp)
     // short doc: one chunk covering both tokens
     val d1 = got.filter(_.getLong(0) == 1L)
     assert(d1.length == 1 && d1(0).getLong(3) == 2L)
