@@ -10,9 +10,14 @@ import graft.operators.{AnalyticOps, PipelineOps, TextOps}
   */
 class PlanShapeSpec extends SparkTestBase {
 
-  private def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+  private def hashExchanges(df: => org.apache.spark.sql.DataFrame): Int = {
+    // other suites cache() frames over the same sf0.001 plans; a cache hit
+    // would swap the subtree for InMemoryTableScan and hide the exchanges
+    // this spec exists to count
+    spark.catalog.clearCache()
     "Exchange hashpartitioning".r
       .findAllIn(df.queryExecution.executedPlan.toString).length
+  }
 
   test("repetition metrics are map-side: zero hash exchanges") {
     assert(hashExchanges(TextOps.repetition(spark, sf0001)) == 0)
