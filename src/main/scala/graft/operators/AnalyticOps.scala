@@ -188,6 +188,28 @@ object AnalyticOps {
       .orderBy("o_custkey", "version")
   }
 
+  // ---------------------------------------------------------------- RANKS
+  /** The complete ranking-function surface in one deterministic window:
+    * row_number / rank / dense_rank / ntile / percent_rank / cume_dist /
+    * first_value over (priority, price desc, key) — closes §2.6 fully.
+    * percent_rank and cume_dist are integer-derived ((rank−1)/(n−1),
+    * peers/n) so the doubles are IEEE-exact across engines. One shuffle
+    * on the partition key. */
+  def rankSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey")).over(w).as("top_key"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofJoin _),
@@ -196,6 +218,7 @@ object AnalyticOps {
     "q_rolling_spend" -> (rollingSpend _),
     "q_session_window" -> (sessionWindow _),
     "q_scd2" -> (scd2 _),
+    "q_rank_suite" -> (rankSuite _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -249,6 +272,19 @@ object AnalyticOps {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY dnum
                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey""",
+    "q_rank_suite" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                row_number() OVER w AS rn,
+                rank() OVER w AS rnk,
+                dense_rank() OVER w AS drnk,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume,
+                first_value(o_orderkey) OVER w AS top_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderpriority, rn""",
     "q_scd2" ->
       """WITH o AS (
            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,

@@ -152,6 +152,21 @@ class AnalyticOpsSpec extends SparkTestBase {
     }
   }
 
+  test("rank suite: rank relationships, quartile range, top_key constant per partition") {
+    val got = AnalyticOps.rankSuite(spark, sf0001).cache()
+    val bad = got.where(
+      col("rnk") > col("rn") || col("drnk") > col("rnk") ||
+        col("quartile") < 1 || col("quartile") > 4 ||
+        col("pct_rank") < 0.0 || col("pct_rank") > 1.0 ||
+        col("cume") <= 0.0 || col("cume") > 1.0)
+    assert(bad.count() == 0)
+    // top_key is the first row's key everywhere in its partition
+    val tops = got.where(col("rn") === 1)
+      .select(col("o_orderpriority").as("p"), col("o_orderkey").as("k"))
+    assert(got.join(tops, col("o_orderpriority") === col("p"))
+      .where(col("top_key") =!= col("k")).count() == 0)
+  }
+
   test("int8 quantization: bounds, zero-vector handling, extremum hits ±127") {
     val dir = embeddingsFixture(Seq(
       (0L, Seq(0f, 0f, 0f, 0f), 0),           // zero vector
