@@ -58,9 +58,12 @@ object DedupOps {
   /** `shingles` minus hot shingles. The hot list (df > MaxShingleDf per
     * (source, shingle)) is computed with a map-side-partial count — NOT a
     * window over the exploded set, which would re-shuffle and sort every
-    * shingle row — and removed with a broadcast anti-join: the list is
-    * small by construction (≤ total shingle occurrences / MaxShingleDf
-    * entries, the classic stop-shingle bound), so the removal is map-side.
+    * shingle row — and removed with an anti-join. No broadcast() hint:
+    * the stop-shingle bound (≤ total occurrences / MaxShingleDf) caps the
+    * list's cardinality but NOT its absolute size — on boilerplate-heavy
+    * web data at 100 TB it can be gigabytes, and a forced broadcast would
+    * OOM the driver at exactly the scale the cap exists for. AQE
+    * broadcasts it when it is actually small and shuffles when it isn't.
     * This is the frame the exact Jaccard path joins on — its per-key pair
     * fan-out is bounded by MaxShingleDf² regardless of corpus skew. */
   private[graft] def keptShingles(docs: DataFrame): DataFrame = {
@@ -68,7 +71,7 @@ object DedupOps {
     val hot = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
       .where(col("df") > MaxShingleDf)
       .select("source", "shingle")
-    sh.join(broadcast(hot), Seq("source", "shingle"), "left_anti")
+    sh.join(hot, Seq("source", "shingle"), "left_anti")
   }
 
   // ---------------------------------------------------------------- exact
@@ -349,8 +352,11 @@ object DedupOps {
         shiftleft(pmod(g * a + b, lit(128)), 8 * j)
       }.reduce(_ + _)
     val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
+    // cached: hammingPairs self-joins the signature frame, which would
+    // otherwise scan documents + recompute the arithmetic twice
     val sig = Tables.documents(spark, dir)
       .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
+      .cache()
     hammingPairs(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
@@ -361,14 +367,22 @@ object DedupOps {
     * group whenever similarity is transitive within the group (the
     * overwhelmingly common case for ≥0.5 Jaccard); a longer chain
     * a~b~c where a≁c still drops both b and c — the conservative
-    * direction for training data (never keeps two near-dups). The drop
-    * list is |pairs|-sized — tiny next to the corpus — so it broadcasts
-    * and the keep step is a map-side anti join: one corpus scan, no
-    * shuffle, at any scale. */
+    * direction for training data. No broadcast() hint on the drop list:
+    * at web scale the near-dup fraction is routinely 30%+ of the corpus,
+    * so the list is NOT driver-sized by construction — AQE broadcasts it
+    * when small and falls back to a shuffled anti-join when it isn't.
+    *
+    * KNOWN LIMIT, by design: clusters replicated more than MaxShingleDf
+    * times per source have ALL their shared shingles df-capped away, so
+    * the exact-Jaccard path emits no pairs for them and they are kept.
+    * That regime belongs to minhashLsh (uncapped shingles, banded
+    * buckets bound the pair fan-out) and dedupExact (byte-identical
+    * copies) — the exact path must stay capped or a single hot shingle
+    * detonates a reducer. */
   def nearDupKeep(spark: SparkSession, dir: String): DataFrame = {
     val drops = ngramJaccard(spark, dir).select(col("doc_b")).distinct()
     Tables.documents(spark, dir)
-      .join(broadcast(drops), col("doc_id") === col("doc_b"), "left_anti")
+      .join(drops, col("doc_id") === col("doc_b"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
   }
@@ -405,6 +419,10 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // Each round's localCheckpoint leaves its (pair-graph-sized, tiny)
+    // blocks to the ContextCleaner — they are reclaimed when the
+    // superseded frame is GC'd, not by catalog.clearCache(); bounded by
+    // maxRounds × |nodes|, negligible next to any corpus.
     val maxRounds = 50
     var changed = 1L
     var rounds = 0

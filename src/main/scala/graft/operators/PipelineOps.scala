@@ -79,35 +79,25 @@ object PipelineOps {
     * script pile. */
   def curation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // map-side flags: quality + repetition (staged so arrays build once);
-    // the criteria come from TextOps — ONE definition shared with
-    // q_text_quality, so the bits can't drift from the standalone op
-    val mapFlags = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // map-side flags from TextOps' shared stats + criteria — ONE
+    // definition each with q_text_quality / q_repetition, so the bits
+    // can't drift from the standalone operators
+    val mapFlags = TextOps.repetitionStats(docs)
       .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
-        TextOps.stopwordCount(col("t")).cast("long").as("n_stop"),
-        when(size(col("t")) >= 3,
-          transform(sequence(lit(1), size(col("t")) - 2),
-            i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("grams"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
-      .select(col("doc_id"),
-        (!TextOps.qualityOk(col("n_tokens"), col("n_distinct"), col("n_stop")))
-          .as("f_quality"),
-        (coalesce((col("n_grams") - col("n_distinct_grams")).cast("double") /
-           col("n_grams"), lit(0.0)) > 0.2).as("f_repeat"))
+        (!TextOps.qualityOk(col("n_tokens"), col("n_distinct_tokens"),
+          col("n_stopwords"))).as("f_quality"),
+        TextOps.isRepetitive(col("n_grams"), col("n_distinct_grams"))
+          .as("f_repeat"))
     // ONE corpus shingle-explode feeds both shingle-grain flags: the
     // boilerplate aggregation (multiplicity) and the contamination
-    // overlap (distinct), each via the same helper its standalone
+    // overlap (distinct — cached too, since contaminationStats derives
+    // three subtrees from it), each via the same helper its standalone
     // operator uses
     val sh = DedupOps.shingleExplode(docs).cache()
     val boiler = TextOps.boilerplateStats(sh)
       .select(col("doc_id").as("b_id"),
         TextOps.isBoilerplate(col("max_rep"), col("n_shingles")).as("f_boiler"))
-    val contam = DedupOps.contaminationStats(sh.distinct())
+    val contam = DedupOps.contaminationStats(sh.distinct().cache())
       .select(col("doc_id").as("c_id"),
         (col("n_shared").cast("double") / col("n_shingles") > 0.1).as("f_contam"))
     // exact-dup flag: one window over the content hash

@@ -48,6 +48,31 @@ object TextOps {
       nDistinct.cast("double") / nTokens > MinTypeTokenRatio
   private[operators] val BoilerMaxShare = 0.2
   private[operators] val BoilerMinRep = 3
+  private[operators] val RepeatMaxGramFrac = 0.2
+  /** The repetition verdict from its integer component columns (null
+    * gram counts — docs under 3 tokens — are not repetitive). */
+  private[operators] def isRepetitive(nGrams: Column, nDistinctGrams: Column): Column =
+    coalesce((nGrams - nDistinctGrams).cast("double") / nGrams, lit(0.0)) >
+      RepeatMaxGramFrac
+  /** Per-doc token/3-gram duplication counts, staged so each expensive
+    * array (token split, gram build, distincts) materializes exactly once
+    * — the ONE computation repetition() and the curation gate both use.
+    * (A single-select formulation re-evaluates the gram transform per
+    * derived column: ~5× the work, measured.) */
+  private[operators] def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct_tokens"),
+        stopwordCount(col("t")).cast("long").as("n_stopwords"),
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("grams"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_stopwords"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
   /** The boilerplate verdict from its aggregate columns. */
   private[operators] def isBoilerplate(maxRep: Column, nShingles: Column): Column =
     maxRep.cast("double") / nShingles > BoilerMaxShare && maxRep >= BoilerMinRep
@@ -194,24 +219,8 @@ object TextOps {
     * explodes into rows, it stays an array expression per doc, so the
     * operator is a narrow projection at any scale. Docs under 3 tokens
     * have no 3-gram: gram columns go null (mirrored in the oracle). */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    // Staged projections, not one big select: each expensive array (the
-    // token split, the gram build, the distincts) is materialized ONCE
-    // and referenced as a cheap attribute downstream. CollapseProject
-    // keeps the stages separate exactly because the arrays are non-cheap
-    // and multiply-referenced — a single-select formulation re-evaluates
-    // the gram transform per derived column (~5× the work, measured).
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        size(array_distinct(col("t"))).cast("long").as("n_distinct_tokens"),
-        when(size(col("t")) >= 3,
-          transform(sequence(lit(1), size(col("t")) - 2),
-            i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("grams"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
         ((col("n_tokens") - col("n_distinct_tokens")).cast("double") / col("n_tokens"))
           .as("dup_token_frac"),
@@ -219,7 +228,6 @@ object TextOps {
         ((col("n_grams") - col("n_distinct_grams")).cast("double") / col("n_grams"))
           .as("dup_gram_frac"))
       .orderBy("doc_id")
-  }
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
