@@ -51,6 +51,25 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Sort-on-write for scan-time row-group skipping: a global
+    * repartitionByRange + sortWithinPartitions on the filter column
+    * before the parquet write, so every row group's min/max stats span a
+    * narrow, non-overlapping range. A later range predicate on that
+    * column (e.g. the serving layer's one-day windows) then skips whole
+    * row groups at the footer — the same PushedFilters that full-scan an
+    * unsorted layout become actual IO elimination. The 100 TB layout
+    * rule for any column the workload range-filters on; the range
+    * repartition is one shuffle at write time, paid once, saved every
+    * read. */
+  def writeSorted(df: DataFrame, sortCol: String, path: String,
+      partitions: Int = 0): Unit = {
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, col(sortCol))
+      else df.repartitionByRange(col(sortCol))
+    ranged.sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Idempotent dt-partitioned parquet sink: dynamic partition overwrite
     * replaces only the partitions present in `df`. Replaying the same
     * batch is a no-op state-wise; other partitions are untouched. */

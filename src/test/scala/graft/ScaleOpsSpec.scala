@@ -80,4 +80,35 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(after.where(col("dt") === "2024-01-02").count() == 1)
     assert(after.where(col("id") === 9L).count() == 1)
   }
+
+  test("writeSorted: row-group ts_ns min/max ranges are disjoint (footer-verified skipping)") {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Files.createTempDirectory("graft_sorted_").toString + "/ev"
+    ScaleOps.writeSorted(
+      Tables.events(spark, sf0001).select("event_id", "user_id", "ts_ns"),
+      "ts_ns", path, partitions = 4)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val ranges = new java.io.File(path).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "ts_ns").get.getStatistics
+          (c.genericGetMin.asInstanceOf[Long], c.genericGetMax.asInstanceOf[Long])
+        }.toSeq
+        finally r.close()
+      }.sortBy(_._1)
+    assert(ranges.length >= 4, s"expected >=4 row groups, got ${ranges.length}")
+    // disjoint intervals = a range predicate prunes whole row groups from
+    // the footer alone, which is the entire point of sort-on-write
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (nextMin, _)) =>
+        assert(nextMin >= prevMax,
+          s"row-group ranges overlap: $ranges")
+      case _ =>
+    }
+  }
 }
