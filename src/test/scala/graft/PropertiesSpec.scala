@@ -114,4 +114,43 @@ class PropertiesSpec extends SparkTestBase {
       assert(groups.count() == texts.distinct.size)
     }
   }
+
+  test("property: chunking covers every token exactly; no chunk is contained in another") {
+    import graft.operators.PipelineOps
+    val genDoc = for {
+      n <- Gen.choose(1, 140)
+    } yield (0 until n).map(i => s"t$i").mkString(" ")
+    samples(genDoc, 15).zipWithIndex.foreach { case (text, i) =>
+      val n = text.split(" ").length
+      val dir = documentsFixture(Seq((i.toLong, text, "en", "s")))
+      val chunks = PipelineOps.chunkDocs(spark, dir).collect()
+        .map(r => (r.getLong(2), r.getLong(3))) // (start, len)
+      // coverage: max(start+len-1) == n and first start == 1
+      assert(chunks.head._1 == 1L)
+      assert(chunks.map { case (s, l) => s + l - 1 }.max == n.toLong,
+        s"n=$n chunks=${chunks.toSeq}")
+      // no containment: every chunk after the first adds new tokens
+      chunks.sliding(2).foreach {
+        case Array((s1, l1), (s2, l2)) =>
+          assert(s2 + l2 - 1 > s1 + l1 - 1, s"contained chunk: ${chunks.toSeq}")
+        case _ =>
+      }
+    }
+  }
+
+  test("property: split assignment is a partition — every doc in exactly one split") {
+    import graft.operators.PipelineOps
+    val genTexts = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty))
+    } yield ts
+    samples(genTexts, 10).zipWithIndex.foreach { case (texts, i) =>
+      val dir = documentsFixture(
+        texts.zipWithIndex.map { case (t, j) => (j.toLong, s"$t doc $j", "en", "s") })
+      val got = PipelineOps.splitAssign(spark, dir)
+      assert(got.count() == texts.size)
+      assert(got.select("doc_id").distinct().count() == texts.size)
+      assert(got.where(!col("split").isin("train", "val", "test")).count() == 0)
+    }
+  }
 }
