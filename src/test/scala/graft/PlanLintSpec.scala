@@ -1,0 +1,37 @@
+package graft
+
+/** Engine-wide plan lint: builds the physical plan of EVERY registered
+  * query at sf0.001 and rejects join shapes that detonate at scale —
+  * CartesianProduct anywhere, and BroadcastNestedLoopJoin outside the
+  * whitelisted scalar-frame cross joins (tfidf's corpus count, mixture's
+  * min source size: genuine 1-row broadcast sides). A new operator that
+  * accidentally drops its join keys fails here, not in a 100 TB run.
+  */
+class PlanLintSpec extends SparkTestBase {
+
+  // queries whose plan legitimately contains a BroadcastNestedLoopJoin —
+  // each has a BOUNDED broadcast side by construction:
+  //  - q_tfidf / q_mixture_resample: 1-row aggregate (corpus count / min
+  //    source size) cross-joined into the stream
+  //  - q_ann_bruteforce / q_ann_topk_agg: the query set broadcasts and the
+  //    corpus streams map-side — the stated O(n·q) exact baseline
+  //  - q_ann_ivf: the K centroids collapse to ONE array-of-structs row
+  //    broadcast for map-side assignment (the round-1 shuffle fix)
+  private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
+    "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf")
+
+  test("no registered query plans a cartesian product or an unexpected nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        spark.catalog.clearCache()
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !scalarCrossJoins(name)
+        if (cart || bnlj)
+          Some(s"$name: ${if (cart) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
+        else None
+    }
+    assert(offenders.isEmpty, s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
+  }
+}
