@@ -430,14 +430,17 @@ object DedupOps {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(min(col("comp")).as("nbr_comp"))
+      // the changed flag rides the propagation pass itself — the
+      // convergence probe is then a cheap scan of the checkpointed
+      // result, not a second join against the previous labels
       val next = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .withColumn("ncomp",
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))))
+        .withColumn("chg", col("ncomp") < col("comp"))
+        .select(col("id"), col("ncomp").as("comp"), col("chg"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id").as("pid"), col("comp").as("prev")),
-          col("id") === col("pid"))
-        .where(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.drop("chg")
       rounds += 1
     }
     edges.unpersist()
