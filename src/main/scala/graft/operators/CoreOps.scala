@@ -444,6 +444,23 @@ object CoreOps {
       .na.fill(0L, Hours)
       .orderBy("dt")
 
+  /** Ordered array aggregation: each user's event-type sequence in event
+    * order — the profile/sequence builder behind session models and
+    * next-event training data. collect_list order is partition-dependent,
+    * so the sequence is made deterministic by collecting (event_id, type)
+    * structs and sorting by the unique id before projection; emitted as a
+    * joined string so the verification hash is type-stable. One shuffle
+    * on user_id; per-user arrays stay executor-side (no driver collect). */
+  def eventProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+            s => s.getField("event_type"))).as("event_seq"))
+      .orderBy("user_id")
+
   /** Unpivot (melt) — the inverse of dauPivot: the dt × 24-hour matrix
     * back to long (dt, hr, dau) rows via Dataset.unpivot, which plans as
     * a single Expand (one pass, no shuffle beyond the contract sort).
@@ -580,6 +597,7 @@ object CoreOps {
     "q_funnel" -> (conversionFunnel _),
     "q_dau_pivot" -> (dauPivot _),
     "q_dau_unpivot" -> (dauUnpivot _),
+    "q_event_profile" -> (eventProfile _),
     "q_top_per_brand" -> (topPerBrand _),
     "q_dau_dod_window" -> (dauDayOverDayWindow _),
     "q_sales_rollup" -> (salesRollup _),
@@ -777,6 +795,10 @@ object CoreOps {
           f"count(DISTINCT user_id) FILTER (WHERE strftime(ts, '%%H') = '$h%02d') AS " + "\"" + f"$h%02d" + "\"")
           .mkString(", ") +
         " FROM events GROUP BY dt ORDER BY dt"),
+    "q_event_profile" ->
+      """SELECT user_id, count(*) AS n_events,
+                string_agg(event_type, ',' ORDER BY event_id) AS event_seq
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // the melted matrix == dense (day × hour) grid of hourly DAU, 0-filled
     "q_dau_unpivot" ->
       """WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt FROM events),
