@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDot)
     e.injectFunction(GraftExtensions.topkBy)
+    e.injectOptimizerRule(_ => RewriteRankOneWindow)
   }
 }
 
