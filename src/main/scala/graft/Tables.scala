@@ -48,8 +48,12 @@ object Tables {
       case org.apache.spark.sql.types.LongType => // nanos-as-long testdata
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => // micro-precision parquet (e.g. Spark-written fixtures)
-        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+      case _ =>
+        // micro-precision parquet — TIMESTAMP or TIMESTAMP_NTZ (DuckDB and
+        // most non-Spark writers emit NTZ). The session TZ is pinned UTC
+        // everywhere, so the NTZ→TZ cast is instant-preserving.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000)
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
