@@ -48,12 +48,21 @@ object Tables {
       case org.apache.spark.sql.types.LongType => // nanos-as-long testdata
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
-        // micro-precision parquet — TIMESTAMP or TIMESTAMP_NTZ (DuckDB and
-        // most non-Spark writers emit NTZ). The session TZ is pinned UTC
-        // everywhere, so the NTZ→TZ cast is instant-preserving.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ micro parquet (DuckDB and most non-Spark writers). The
+        // NTZ→TZ cast reinterprets wall-clock values in the SESSION
+        // timezone — instant-preserving only under the engine's pinned
+        // UTC, so fail loudly on a misconfigured session rather than
+        // silently shifting every event (same discipline as the
+        // nanosAsLong check above).
+        require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.parquet has TIMESTAMP_NTZ ts: set " +
+            "spark.sql.session.timeZone=UTC (GraftSession does) — a " +
+            "non-UTC session would shift every event by the local offset")
         raw.withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+      case _ => // TIMESTAMP (tz-aware) micro-precision parquet
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")

@@ -455,10 +455,15 @@ object CoreOps {
     Tables.events(spark, dir)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
+        count(col("event_type")).as("_nn"),
         concat_ws(",",
           transform(
             array_sort(collect_list(struct(col("event_id"), col("event_type")))),
-            s => s.getField("event_type"))).as("event_seq"))
+            s => s.getField("event_type"))).as("_seq"))
+      // concat_ws never returns null but DuckDB's string_agg is NULL when
+      // zero non-null values exist — align the all-null-group edge
+      .select(col("user_id"), col("n_events"),
+        when(col("_nn") === 0, lit(null)).otherwise(col("_seq")).as("event_seq"))
       .orderBy("user_id")
 
   /** Unpivot (melt) — the inverse of dauPivot: the dt × 24-hour matrix

@@ -24,10 +24,13 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Fires only when provably equivalent, i.e. ALL of:
   *  - a single row_number window expression, filtered to exactly `= 1`;
-  *  - ascending NULLS FIRST ordering (the default) on a NON-NULLABLE
-  *    attribute — with a nullable key, row_number picks a null-key row
-  *    first while min_by ignores null keys: not equivalent;
-  *  - partition keys are plain attributes.
+  *  - ascending NULLS FIRST ordering (the default) on an atomic-typed
+  *    attribute. Nullable keys (every parquet-sourced column) are handled
+  *    by encoding null-first as a (null-flag, coalesced-key) struct
+  *    ordering — min_by alone would IGNORE null keys while row_number
+  *    sorts them first;
+  *  - a non-empty PARTITION BY of plain attributes (a global Aggregate
+  *    fabricates one all-null row on empty input; the window emits none).
   *
   * The surviving row is taken as ONE `min_by(struct(cols), k)` — never
   * per-column min_bys, which would tear fields across ordering ties.
@@ -49,8 +52,11 @@ object RewriteRankOneWindow extends Rule[LogicalPlan] {
               Seq(SortOrder(okey: AttributeReference, Ascending, NullsFirst, _)),
               _)), _)),
           _, _, child, _))
-        if !okey.nullable &&
+        if part.nonEmpty && // empty PARTITION BY: a global Aggregate emits
+          // one all-null row on EMPTY input where the window emits none —
+          // not equivalent, so a global rank-1 is left alone
           part.forall(_.isInstanceOf[AttributeReference]) &&
+          okey.dataType.isInstanceOf[org.apache.spark.sql.types.AtomicType] &&
           isRankOne(cond, alias.toAttribute) &&
           child.output.exists(_.exprId == okey.exprId) => {
       // Spark's InsertWindowGroupLimit has usually already wrapped the
@@ -61,6 +67,17 @@ object RewriteRankOneWindow extends Rule[LogicalPlan] {
         case wgl: WindowGroupLimit => wgl.child
         case other => other
       }
+      // Nullable ordering key (every parquet-sourced attribute): encode
+      // ASC NULLS FIRST as a struct ordering — a null-key row gets
+      // (0, default), any non-null row (1, k), so min_by picks a null-key
+      // row first, exactly like row_number's sort. Non-nullable keys use
+      // the key directly.
+      val ordering: Expression =
+        if (okey.nullable)
+          CreateStruct(Seq(
+            If(IsNull(okey), Literal(0), Literal(1)),
+            Coalesce(Seq(okey, Literal.default(okey.dataType)))))
+        else okey
       val partAttrs = part.map(_.asInstanceOf[AttributeReference])
       val others = child.output.filterNot(a => partAttrs.exists(_.exprId == a.exprId))
       if (others.isEmpty) {
@@ -70,7 +87,7 @@ object RewriteRankOneWindow extends Rule[LogicalPlan] {
       } else {
         val minRow = Alias(
           AggregateExpression(
-            MinBy(CreateStruct(others.toIndexedSeq), okey), Complete, isDistinct = false),
+            MinBy(CreateStruct(others.toIndexedSeq), ordering), Complete, isDistinct = false),
           "_graft_rank1_row")()
         val agg = Aggregate(partAttrs, partAttrs :+ minRow, aggChild)
         val minAttr = minRow.toAttribute

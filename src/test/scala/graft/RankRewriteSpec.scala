@@ -42,28 +42,52 @@ class RankRewriteSpec extends SparkTestBase {
     }
   }
 
-  test("guard: nullable ordering key keeps the window form") {
+  test("nullable ordering key rewrites with null-first encoding, matching the window") {
     import spark.implicits._
-    val df = Seq(("d1", 1L, Some(10L), "a"), ("d1", 1L, None, "b"))
+    val df = Seq(("d1", 1L, Some(10L), "a"), ("d1", 1L, None, "b"),
+      ("d1", 2L, Some(3L), "c"))
       .toDF("dt", "user_id", "event_id", "payload")
+    val without = rankOne(df).collect().toSet
     withRule {
       val q = rankOne(df)
-      assert(q.queryExecution.optimizedPlan.toString.contains("Window"),
-        "nullable key must NOT be rewritten (null-first vs min_by divergence)")
-      // and the window form picks the null-key row, proving the guard matters
-      assert(q.collect().head.getString(3) == "b")
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("Window"), s"nullable key should rewrite now:\n$opt")
+      // row_number ASC NULLS FIRST picks the null-key row — so must min_by
+      val byUser = q.collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+      assert(byUser == Map(1L -> "b", 2L -> "c"))
+      assert(q.collect().toSet == without)
     }
   }
 
   test("ties: the surviving row is one coherent input row, never a column mix") {
     import spark.implicits._
-    // same ordering key twice: either row may win, but fields must not tear
-    val df = Seq(("d1", 1L, 5L, "left"), ("d1", 1L, 5L, "right"))
-      .toDF("dt", "user_id", "event_id", "payload")
+    // same ordering key twice with TWO co-varying payload columns: a
+    // per-column-min rewrite would tear ("left","R2")/("right","L2")
+    val df = Seq(("d1", 1L, 5L, "left", "L2"), ("d1", 1L, 5L, "right", "R2"))
+      .toDF("dt", "user_id", "event_id", "p1", "p2")
     withRule {
-      val rows = rankOne(df).collect()
+      val w = Window.partitionBy("dt", "user_id").orderBy("event_id")
+      val rows = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).collect()
       assert(rows.length == 1)
-      assert(Set("left", "right").contains(rows(0).getString(3)))
+      val pair = (rows(0).getString(3), rows(0).getString(4))
+      assert(pair == ("left", "L2") || pair == ("right", "R2"),
+        s"torn row: $pair")
+    }
+  }
+
+  test("guard: empty PARTITION BY (global rank-1) keeps the window form") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("event_id", "payload")
+    withRule {
+      val w = Window.orderBy("event_id")
+      val q = df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      assert(q.queryExecution.optimizedPlan.toString.contains("Window"),
+        "global window must not become a row-fabricating global aggregate")
+      // the equivalence failure the guard prevents: empty input → 0 rows
+      val empty = df.where(col("event_id") < 0)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      assert(empty.count() == 0)
     }
   }
 
