@@ -10,17 +10,20 @@ import org.apache.spark.sql.types.IntegerType
   *
   *   ... WHERE row_number() OVER (PARTITION BY p ORDER BY k ASC) = 1
   *
-  * into a grouped `min_by` aggregation. The window form shuffles EVERY
-  * raw row on p and then sorts whole partitions; the aggregate form runs
-  * map-side partial `min_by` first, so the shuffle carries at most one
-  * row per (group, mapper) — at 100 TB that is the difference between
-  * moving the corpus and moving the group cardinality. (The struct-valued
-  * buffer plans as SortAggregate, whose sorts are on the group keys of
-  * already-reduced data — the raw-data movement is what this removes.
-  * Spark's own WindowGroupLimit prunes rows before the shuffle but still
-  * ships one row per group per mapper AND sorts each reduce partition;
-  * the aggregate form subsumes it, so the matched WindowGroupLimit child
-  * is dropped.)
+  * into a grouped `min_by` aggregation, with map-side partial
+  * aggregation so the shuffle carries at most one row per (group,
+  * mapper).
+  *
+  * MEASURED HONESTLY (graft.RuleBench): on Spark 4 the window form
+  * already gets the same map-side reduction from InsertWindowGroupLimit
+  * (both plans shuffle identical record counts), so the remaining win is
+  * replacing the reduce-side sort+window of the reduced rows with a
+  * sort-aggregate — ~neutral wall-clock at local bench sizes. The rule
+  * earns its keep as (a) the guarded whole-plan-rewrite pattern this
+  * engine would extend for idioms WindowGroupLimit does NOT cover, and
+  * (b) a win on engines/configs without window-group-limit pushdown.
+  * The matched WindowGroupLimit child is dropped (min_by recomputes the
+  * winner; keeping it would only re-add its sort requirement).
   *
   * Fires only when provably equivalent, i.e. ALL of:
   *  - a single row_number window expression, filtered to exactly `= 1`;
