@@ -140,6 +140,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got((2L, sec("2024-01-01 10:05:00"))) == (sec("2024-01-01 10:35:00"), 1L))
   }
 
+  test("watermark drops are observable: late row counted in progress metrics, absent from output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.hourlyDauStream(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("wmobs").start()
+    in.addData(Ev(0, ts("2024-01-01 10:05:00"), 1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // push the watermark far past 10:00-11:00, then send a late event for it
+    in.addData(Ev(1, ts("2024-01-01 14:00:00"), 2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Ev(2, ts("2024-01-01 10:30:00"), 3, "view", 1.0, "{}")) // late
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    // the ops contract: late data is DROPPED (bucket already emitted) and
+    // the drop is VISIBLE in metrics — silent loss is the failure mode
+    assert(dropped >= 1, s"late row must be counted as dropped, got $dropped")
+    val got = spark.table("wmobs").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("2024-01-01", "10")) == 1L,
+      s"late user 3 must not inflate the closed 10:00 bucket: $got")
+  }
+
   test("stream-static broadcast enrichment (J2): left-outer nulls on dim misses") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
