@@ -229,6 +229,26 @@ object TextOps {
           .as("dup_gram_frac"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- BPE
+  /** The first byte-pair-encoding iteration: global counts of adjacent
+    * symbol pairs within words — argmax is the next merge a BPE vocab
+    * trainer would take. The whole iteration is one explode + one
+    * count shuffle; iterating it (apply merge, recount) is the actual
+    * training loop, each round this same shape. Top 20 pairs with
+    * deterministic (count desc, pair asc) ranking. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val chars = split(col("w"), "")
+    val pairs = transform(sequence(lit(1), size(chars) - 1),
+      i => concat_ws("", slice(chars, i, lit(2))))
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> (tokenCount _),
@@ -239,6 +259,7 @@ object TextOps {
     "q_source_quality" -> (sourceQuality _),
     "q_tfidf" -> (tfidf _),
     "q_repetition" -> (repetition _),
+    "q_bpe_pairs" -> (bpePairs _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -301,6 +322,26 @@ object TextOps {
                 CAST(sum(toks) AS BIGINT) AS total_tokens,
                 CAST(sum(dtoks) AS DOUBLE) / CAST(sum(toks) AS BIGINT) AS mean_ttr
          FROM d GROUP BY source ORDER BY source""",
+    "q_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         w2 AS (SELECT w, string_split(w, '') AS c FROM w WHERE length(w) >= 2),
+         p AS (
+           SELECT unnest(list_transform(generate_series(1, len(c) - 1),
+                    i -> c[i] || c[i + 1])) AS pair
+           FROM w2)
+         SELECT pair, count(*) AS n FROM p GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 20""",
+    "q_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         w2 AS (SELECT w, string_split(w, '') AS c FROM w WHERE length(w) >= 2),
+         p AS (
+           SELECT unnest(list_transform(generate_series(1, len(c) - 1),
+                    i -> c[i] || c[i + 1])) AS pair
+           FROM w2)
+         SELECT pair, count(*) AS n FROM p GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 20""",
     "q_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
