@@ -20,12 +20,20 @@ object VectorOps {
 
   def norm(a: Column): Column = VectorFunctions.vec_norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** dot/(|a|·|b|) can exceed 1.0 by an ulp for IDENTICAL vectors
+    * (sqrt(n)² rounds below n, the division rounds past 1) — exactly the
+    * duplicate pairs a dedup pipeline exists to find. Cosine is in
+    * [-1, 1] by definition, so clamp; DuckDB's list_cosine_similarity
+    * clamps the same way (verified bitwise), and in-range values pass
+    * through bit-unchanged. */
+  private def clamp(c: Column): Column = least(greatest(c, lit(-1.0)), lit(1.0))
+
+  def cosine(a: Column, b: Column): Column = clamp(dot(a, b) / (norm(a) * norm(b)))
 
   /** Cosine from precomputed per-side norms — use in joins so each pair
     * costs one dot instead of three. */
   def cosinePrenorm(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    clamp(dot(a, b) / (normA * normB))
 
   /** Reference higher-order-function implementation (interpreted lambdas;
     * ~6× slower in pair joins). Kept for cross-checking the native expr. */
