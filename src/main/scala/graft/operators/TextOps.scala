@@ -332,16 +332,6 @@ object TextOps {
            FROM w2)
          SELECT pair, count(*) AS n FROM p GROUP BY pair
          ORDER BY n DESC, pair LIMIT 20""",
-    "q_bpe_pairs" ->
-      """WITH w AS (
-           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-         w2 AS (SELECT w, string_split(w, '') AS c FROM w WHERE length(w) >= 2),
-         p AS (
-           SELECT unnest(list_transform(generate_series(1, len(c) - 1),
-                    i -> c[i] || c[i + 1])) AS pair
-           FROM w2)
-         SELECT pair, count(*) AS n FROM p GROUP BY pair
-         ORDER BY n DESC, pair LIMIT 20""",
     "q_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, source, unnest(string_split(text, ' ')) AS token

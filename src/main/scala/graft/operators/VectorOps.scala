@@ -24,9 +24,14 @@ object VectorOps {
     * (sqrt(n)² rounds below n, the division rounds past 1) — exactly the
     * duplicate pairs a dedup pipeline exists to find. Cosine is in
     * [-1, 1] by definition, so clamp; DuckDB's list_cosine_similarity
-    * clamps the same way (verified bitwise), and in-range values pass
-    * through bit-unchanged. */
-  private def clamp(c: Column): Column = least(greatest(c, lit(-1.0)), lit(1.0))
+    * clamps the same way for real values (verified bitwise), and
+    * in-range values pass through bit-unchanged. NaN (poisoned
+    * embeddings) stays NaN — Spark's least/greatest would turn it into
+    * 1.0 (NaN orders above all doubles), silently promoting garbage to a
+    * perfect match; the callers' "NaN orders last / excluded" handling
+    * depends on NaN surviving. Codegen CSEs the doubled reference. */
+  private def clamp(c: Column): Column =
+    when(isnan(c), c).otherwise(least(greatest(c, lit(-1.0)), lit(1.0)))
 
   def cosine(a: Column, b: Column): Column = clamp(dot(a, b) / (norm(a) * norm(b)))
 
