@@ -82,13 +82,19 @@ object Bench {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // 3-decimal values: downstream captures only the tail of stdout, and
+    // ~90 queries at full double precision overflow it (round 2's line was
+    // truncated mid-JSON and unparseable). Millisecond precision is below
+    // run-to-run noise anyway.
+    def fmt(v: Double): String = "%.3f".format(v)
     val mins = results.map { case (k, ts) => k -> (if (ts.nonEmpty) ts.min else -1.0) }
-    // "queries" stays {name: min-sec} (the driver's contract shape); the
-    // p50s ride alongside so round-over-round comparisons can see variance,
-    // not just the luckiest rep
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs50 = results.collect { case (k, ts) if ts.nonEmpty => "\"" + k + "\":" + p50(ts) }
+    // p50s go on their OWN line (printed first) so round-over-round variance
+    // is inspectable without bloating the contract line below
+    val qs50 = results.collect { case (k, ts) if ts.nonEmpty => "\"" + k + "\":" + fmt(p50(ts)) }
       .mkString("{", ",", "}")
+    println(s"""{"metric":"p50","unit":"sec","queries_p50":$qs50}""")
+    // "queries" stays {name: min-sec} (the driver's contract shape).
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // -1.0 marks a query with no successful rep; keep it visible per-query
     // but never let it subtract from the headline total — and surface the
     // breakage count at top level so a failing query can't masquerade as a
@@ -96,7 +102,7 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.isEmpty => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_p50":$qs50,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
