@@ -82,19 +82,18 @@ object Bench {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // 3-decimal values: downstream captures only the tail of stdout, and
-    // ~90 queries at full double precision overflow it (round 2's line was
-    // truncated mid-JSON and unparseable). Millisecond precision is below
-    // run-to-run noise anyway.
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a JVM with a comma-decimal default locale would emit
+    // invalid JSON numbers through plain StringOps.format
+    def fmtAt(decimals: Int)(v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val mins = results.map { case (k, ts) => k -> (if (ts.nonEmpty) ts.min else -1.0) }
-    // p50s go on their OWN line (printed first) so round-over-round variance
-    // is inspectable without bloating the contract line below
-    val qs50 = results.collect { case (k, ts) if ts.nonEmpty => "\"" + k + "\":" + fmt(p50(ts)) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"p50","unit":"sec","queries_p50":$qs50}""")
-    // "queries" stays {name: min-sec} (the driver's contract shape).
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Full-precision per-query detail (min + p50) goes on its OWN line
+    // (printed first) so variance and sub-10ms deltas stay inspectable in
+    // full logs without bloating the contract line below.
+    val qs50 = results.collect { case (k, ts) if ts.nonEmpty =>
+      "\"" + k + "\":{\"min\":" + fmtAt(4)(ts.min) + ",\"p50\":" + fmtAt(4)(p50(ts)) + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"detail","unit":"sec","queries_detail":$qs50}""")
     // -1.0 marks a query with no successful rep; keep it visible per-query
     // but never let it subtract from the headline total — and surface the
     // breakage count at top level so a failing query can't masquerade as a
@@ -102,7 +101,25 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.isEmpty => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // The downstream capture keeps only the LAST ~2000 chars of output and
+    // parses the final line: a contract line longer than that gets its HEAD
+    // cut off and becomes unparseable (round 2 failed exactly this way at 82
+    // queries × full-precision values). Degrade per-query precision until
+    // the whole line fits a 1900-char budget — headline total keeps 3
+    // decimals regardless; full precision is on the detail line above.
+    def contractLine(decimals: Int): String = {
+      val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmtAt(decimals)(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val line = (3 to 1 by -1).map(contractLine).find(_.length <= 1900)
+      .getOrElse(contractLine(1))
+    // Nothing may print after the contract line: forked stderr passes
+    // through unprefixed too, so a shutdown-time WARN would land after the
+    // JSON in a merged capture. Silence logging before stop().
+    println(line)
+    System.out.flush()
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
   }
 }
