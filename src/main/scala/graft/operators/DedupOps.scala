@@ -15,8 +15,10 @@ import graft.Tables
   *    materialized globally, only within buckets. This is the difference
   *    between O(n²) and O(n·bucket) at scale.
   *  - Shingle/feature explosion happens map-side off the document scan;
-  *    the only shuffles are the bucket-key groupBys and the candidate
-  *    verification join.
+  *    the only shuffles are the bucket-key groupBys — candidate pairs are
+  *    generated map-side from each bucket's collected doc list
+  *    (pairCombos), never by re-exchanging the exploded grain through a
+  *    self-join.
   *
   * CACHING CONTRACT: ngramJaccard/minhashLsh/simhashPairs `.cache()` the
   * shingle/signature intermediates they reuse within one query. The cache
@@ -45,6 +47,30 @@ object DedupOps {
   private[operators] def shingles(docs: DataFrame): DataFrame =
     shingleExplode(docs).distinct()
 
+  /** All pairs (a[i], a[j]) with i < j from an array column, generated
+    * MAP-SIDE with nested HOF transforms. This is the groupBy-collect
+    * replacement for a blocked self-join: one shuffle (the groupBy that
+    * built the array) instead of two join exchanges + a join, and the
+    * a<b pair convention falls out of the caller sorting the array.
+    * Output size is C(n,2) per array either way — the caller bounds n
+    * (df cap / bucket size), exactly as it had to bound the join's
+    * per-key fan-out. */
+  private[operators] def pairCombos(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), size(arr)), y =>
+        struct(x.as("a"), y.as("b")))))
+
+  /** (source, shingle) → sorted distinct doc list, ONE shuffle off the raw
+    * shingle explosion: collect_set dedups at the partial-aggregate stage,
+    * subsuming the separate distinct() the old keptShingles/self-join
+    * pipeline paid, and the list size IS the shingle's document frequency
+    * (the df cap becomes a map-side size() filter instead of a second
+    * aggregation + anti-join). */
+  private[operators] def shingleDocLists(docs: DataFrame): DataFrame =
+    shingleExplode(docs)
+      .groupBy("source", "shingle")
+      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+
   /** Max document frequency a shingle may have (within its join block,
     * i.e. per source) and still participate in exact-Jaccard candidate
     * generation. Real text is Zipfian: ONE boilerplate shingle shared by
@@ -55,24 +81,16 @@ object DedupOps {
     * similarity over the kept-shingle universe. */
   private[operators] val MaxShingleDf = 100
 
-  /** `shingles` minus hot shingles. The hot list (df > MaxShingleDf per
-    * (source, shingle)) is computed with a map-side-partial count — NOT a
-    * window over the exploded set, which would re-shuffle and sort every
-    * shingle row — and removed with an anti-join. No broadcast() hint:
-    * the stop-shingle bound (≤ total occurrences / MaxShingleDf) caps the
-    * list's cardinality but NOT its absolute size — on boilerplate-heavy
-    * web data at 100 TB it can be gigabytes, and a forced broadcast would
-    * OOM the driver at exactly the scale the cap exists for. AQE
-    * broadcasts it when it is actually small and shuffles when it isn't.
-    * This is the frame the exact Jaccard path joins on — its per-key pair
-    * fan-out is bounded by MaxShingleDf² regardless of corpus skew. */
-  private[graft] def keptShingles(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).cache()
-    val hot = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") > MaxShingleDf)
-      .select("source", "shingle")
-    sh.join(hot, Seq("source", "shingle"), "left_anti")
-  }
+  /** `shingles` minus hot shingles: the df cap applied as a size() filter
+    * on the doc lists, then re-exploded to (doc_id, source, shingle) grain.
+    * One shuffle total — the old form (distinct + hot-count + anti-join)
+    * paid three. The df bound means no single hot boilerplate shingle can
+    * put more than MaxShingleDf docs in one group regardless of corpus
+    * skew. */
+  private[graft] def keptShingles(docs: DataFrame): DataFrame =
+    shingleDocLists(docs)
+      .where(size(col("doc_ids")) <= MaxShingleDf)
+      .select(explode(col("doc_ids")).as("doc_id"), col("source"), col("shingle"))
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup: group documents by content hash, keep the lowest doc_id.
@@ -94,15 +112,19 @@ object DedupOps {
     * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from integer set cardinalities,
     * so the double division is bit-identical across engines. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = keptShingles(Tables.documents(spark, dir)).cache()
-    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
-      col("shingle").as("shingle_b"))
-    val inter = a.join(b,
-        a("shingle") === b("shingle_b") && a("source") === b("source_b") &&
-          a("doc_a") < b("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // df-capped doc lists feed BOTH the cardinalities and the pair
+    // generation — cache the one aggregated frame, not the exploded grain
+    val lists = shingleDocLists(Tables.documents(spark, dir))
+      .where(size(col("doc_ids")) <= MaxShingleDf)
+      .cache()
+    val card = lists.select(explode(col("doc_ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    // pairs are generated map-side from each (source, shingle) doc list —
+    // no self-join, no second exchange of the shingle set; the per-list
+    // fan-out is bounded by C(MaxShingleDf, 2) by the df cap above
+    val inter = lists.where(size(col("doc_ids")) >= 2)
+      .select(explode(pairCombos(col("doc_ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     val ca = card.select(col("doc_id").as("ka"), col("c").as("c_a"))
     val cb = card.select(col("doc_id").as("kb"), col("c").as("c_b"))
@@ -171,28 +193,37 @@ object DedupOps {
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("bsig"))
-    val l = buckets.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
-    val r = buckets.select(col("band").as("band_r"), col("bsig").as("bsig_r"),
-      col("doc_id").as("doc_b"))
-    val candidates = l.join(r,
-        l("band") === r("band_r") && l("bsig") === r("bsig_r") &&
-          l("doc_a") < r("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // exact-Jaccard verification of candidates only (reuses the cached
-    // shingles from the signature pass)
-    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val shA = sh.select(col("doc_id").as("ja"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("jb"), col("shingle").as("shingle_b"))
-    val inter = candidates
-      .join(shA, col("doc_a") === col("ja"))
-      .join(shB, col("doc_b") === col("jb") && col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common").cast("double") /
-      (col("c_a") + col("c_b") - col("n_common"))
-    inter
-      .join(card.select(col("doc_id").as("ka"), col("c").as("c_a")), col("doc_a") === col("ka"))
-      .join(card.select(col("doc_id").as("kb"), col("c").as("c_b")), col("doc_b") === col("kb"))
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+    // candidate pairs map-side from each band-bucket's doc list (one
+    // groupBy exchange instead of two join exchanges); the per-bucket
+    // fan-out is C(bucket,2) — identical to the join's per-key fan-out,
+    // LSH bucket sizes bound both
+    val candidates = buckets.groupBy("band", "bsig")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification of candidates only: per-doc shingle SETS
+    // (one groupBy over the cached shingles) joined to the pair list, the
+    // intersection computed in-place with array_intersect — no re-shuffle
+    // of the shingle grain, no per-shingle intersection groupBy. Cardinali-
+    // ties come free as size(set). Staged projections: n_common referenced
+    // once per derived column would re-run array_intersect (no CSE for
+    // non-cheap HOFs), so materialize it in its own select first.
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shset"))
+    val withSets = candidates
+      .join(docSets.select(col("doc_id").as("ja"), col("shset").as("set_a")),
+        col("doc_a") === col("ja"))
+      .join(docSets.select(col("doc_id").as("jb"), col("shset").as("set_b")),
+        col("doc_b") === col("jb"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),
+        size(col("set_a")).as("c_a"), size(col("set_b")).as("c_b"))
+    withSets
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("c_a") + col("c_b") - col("n_common"))).as("jaccard"))
       .where(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -225,13 +256,15 @@ object DedupOps {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id") +: (col("bk.band").as("band") +:
         rNames.map(n => col(s"bk.$n").as(n))): _*)
-    val l = buckets.select(col("doc_id").as("doc_a") +: col("band") +: rNames.map(col(_)): _*)
-    val r = buckets.select(col("doc_id").as("doc_b") +:
-      (col("band").as("band_r") +: rNames.map(n => col(n).as(s"${n}_r"))): _*)
-    val cond = l("band") === r("band_r") &&
-      rNames.map(n => col(n) === col(s"${n}_r")).reduce(_ && _) &&
-      col("doc_a") < col("doc_b")
-    val candidates = l.join(r, cond).select("doc_a", "doc_b").distinct()
+    // same map-side pair generation from bucket doc lists as minhashLsh,
+    // keyed on the RAW 4-min tuple (the bucket key itself)
+    val candidates = buckets
+      .groupBy(col("band") +: rNames.map(col(_)): _*)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
     val sigA = sig.select(col("doc_id").as("sa") +:
       (0 until NumPerm).map(i => col(s"m$i").as(s"a$i")): _*)
     val sigB = sig.select(col("doc_id").as("sb") +:
@@ -283,16 +316,20 @@ object DedupOps {
       explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"),
         col("ck.v").as("v"))
-    val l = blocked.select(col("chunk"), col("v"), col("doc_id").as("doc_a"),
-      col("simhash").as("sig_a"))
-    val r = blocked.select(col("chunk").as("chunk_r"), col("v").as("v_r"),
-      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    l.join(r, l("chunk") === r("chunk_r") && l("v") === r("v_r") &&
-        l("doc_a") < r("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+    // pairs map-side from each chunk-bucket's (doc_id, simhash) list — the
+    // signature rides inside the struct so the Hamming distance computes
+    // in-place, one groupBy exchange instead of a self-join; sort_array on
+    // the struct orders by doc_id (unique), preserving the a<b convention.
+    // Consequence for callers: `sig` is consumed ONCE (the old self-join
+    // read it twice), so they no longer need to cache it.
+    blocked.groupBy("chunk", "v")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .where(col("hamming") <= 3)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -301,7 +338,7 @@ object DedupOps {
     * twin); spec-tested — the blocking/verify pipeline itself is
     * hash-checked through hammingNearDup's oracle. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    hammingPairs(simhashSignatures(Tables.documents(spark, dir)).cache())
+    hammingPairs(simhashSignatures(Tables.documents(spark, dir)))
 
   /** The ORACLE-CHECKED end of the SimHash pipeline: identical bit-vote
     * signature construction as simhashSignatures, with the base hash
@@ -330,7 +367,6 @@ object DedupOps {
     }.reduce(_ + _)
     val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sigExpr.as("simhash"))
-      .cache()
     hammingPairs(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
@@ -352,11 +388,8 @@ object DedupOps {
         shiftleft(pmod(g * a + b, lit(128)), 8 * j)
       }.reduce(_ + _)
     val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
-    // cached: hammingPairs self-joins the signature frame, which would
-    // otherwise scan documents + recompute the arithmetic twice
     val sig = Tables.documents(spark, dir)
       .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
-      .cache()
     hammingPairs(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
@@ -384,6 +417,51 @@ object DedupOps {
     Tables.documents(spark, dir)
       .join(drops, col("doc_id") === col("doc_b"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- incremental
+  /** Incremental-ingest dedup: a NEW batch of documents is deduplicated
+    * against the EXISTING corpus snapshot (and within itself) by content
+    * hash — the shape every recurring crawl/ingest pipeline runs, where
+    * re-processing the whole corpus per batch would be absurd. Modeled on
+    * the one documents table by doc_id % 10: digits 0-7 play the corpus,
+    * 8-9 the incoming batch.
+    *
+    * Scale shape: the batch side collapses to one row per distinct
+    * content hash first (map-side partial min/count), then a left-anti
+    * join against the corpus hash set — both sides hash-partition on fp,
+    * so the corpus (the 100 TB side) streams through its partitions once;
+    * no broadcast is assumed anywhere (Spark cannot broadcast the right
+    * side of a LEFT ANTI without reversing it, and the corpus side is
+    * never driver-sized). */
+  def snapshotDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpusFp = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      .select(md5(col("text")).as("fp")).distinct()
+    val batchBest = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_copies"))
+    batchBest.join(corpusFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("n_batch_copies"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- graph degree
+  /** Near-dup graph node degrees: how many near-duplicate partners each
+    * document has (over the deterministic arithmetic-signature pair
+    * graph, so the whole operator — including the blocking — has an
+    * exact DuckDB twin). Degree is the first thing a dedup audit reads:
+    * hubs are boilerplate/template families, degree-1 nodes are honest
+    * pair dups. One union + one groupBy over the PAIR set (≪ corpus),
+    * then a doc-grain join for source attribution. */
+  def simDegree(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = hammingNearDup(spark, dir).select("doc_a", "doc_b")
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    deg.join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("degree"))
       .orderBy("doc_id")
   }
 
@@ -533,6 +611,8 @@ object DedupOps {
     "q_dup_components" -> (dupComponents _),
     "q_contamination" -> (contamination _),
     "q_embed_neardup" -> (embedNearDup _),
+    "q_snap_dedup" -> (snapshotDedup _),
+    "q_sim_degree" -> (simDegree _),
   )
 
   /** DuckDB twin of ngramJaccard (shared: the pair query itself and the
@@ -726,6 +806,26 @@ object DedupOps {
                 CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / c.n_shingles AS contam_frac
          FROM card c LEFT JOIN hits h ON c.doc_id = h.doc_id
          ORDER BY c.doc_id""",
+    "q_snap_dedup" ->
+      """WITH corpus AS (
+           SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),
+         b AS (
+           SELECT md5(text) AS fp, min(doc_id) AS doc_id,
+                  count(*) AS n_batch_copies
+           FROM documents WHERE doc_id % 10 >= 8 GROUP BY md5(text))
+         SELECT doc_id, fp, n_batch_copies FROM b
+         WHERE fp NOT IN (SELECT fp FROM corpus)
+         ORDER BY doc_id""",
+    "q_sim_degree" ->
+      s"""WITH pairs AS ($HammingPairSql),
+         deg AS (
+           SELECT doc_id, count(*) AS degree FROM (
+             SELECT doc_a AS doc_id FROM pairs
+             UNION ALL SELECT doc_b FROM pairs)
+           GROUP BY doc_id)
+         SELECT deg.doc_id, d.source, deg.degree
+         FROM deg JOIN documents d USING (doc_id)
+         ORDER BY doc_id""",
     "q_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          FROM embeddings a JOIN embeddings b

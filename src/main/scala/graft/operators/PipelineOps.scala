@@ -329,8 +329,40 @@ object PipelineOps {
       .orderBy("check_name")
   }
 
+  /** Top-p (nucleus-style) per-source coverage curation: keep each
+    * source's largest documents until they cover 80% of its total
+    * character mass — the "head of the distribution" selection a mixture
+    * designer uses to bound a source's long tail. The running total is an
+    * integer window cumsum (n_chars desc, doc_id tiebreak — fully
+    * deterministic), and the 80% test is `running*5 <= total*4`: pure
+    * integer arithmetic, so no float threshold can disagree between
+    * engines at the boundary.
+    *
+    * Scale shape: one window sort per source partition (the cumsum) +
+    * a broadcast of the sources-sized totals frame. Per-source skew is
+    * real at 100 TB (one giant source serializes its own window); the
+    * mitigation is range-partitioning within source on the sort key,
+    * which AQE does not do automatically — documented as the known cost
+    * of EXACT nucleus selection. The approximate alternative (threshold
+    * from percentile_approx, no global sort) is lengthQuantilesApprox's
+    * pattern. */
+  def topPCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = docs.groupBy("source").agg(sum(col("n_chars")).as("total"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("running", sum(col("n_chars")).over(w))
+      .join(broadcast(totals), Seq("source"))
+      .where(col("running") * 5 <= col("total") * 4)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("running"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_p" -> (topPCoverage _),
     "q_dq_checks" -> (dqChecks _),
     "q_sessionize" -> (sessionize _),
     "q_scrub" -> (scrubPayload _),
@@ -347,6 +379,21 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_top_p" ->
+      """WITH t AS (
+           SELECT doc_id, source, n_chars,
+                  CAST(sum(n_chars) OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS running
+           FROM documents),
+         tot AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS total
+           FROM documents GROUP BY source)
+         SELECT doc_id, t.source, n_chars, running
+         FROM t JOIN tot USING (source)
+         WHERE running * 5 <= total * 4
+         ORDER BY doc_id""",
     "q_chunk_docs" ->
       """WITH s AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),

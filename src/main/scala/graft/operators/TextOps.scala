@@ -249,8 +249,52 @@ object TextOps {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- outliers
+  /** Per-source length outliers by z-score, from EXACT integer moments:
+    * count/sum/sum-of-squares are long aggregates (order-independent),
+    * and mean/variance/z are then a fixed dag of individually-rounded
+    * IEEE double ops on integer-derived values — bit-identical in any
+    * engine evaluating the same expression shape, unlike a naive
+    * stddev_samp over doubles whose accumulation order differs per
+    * engine/partitioning. Zero-variance sources are excluded BEFORE the
+    * division: 0/0 would give NaN, which Spark's `>` rejects but DuckDB
+    * sorts above everything — the guard keeps the engines agreeing.
+    *
+    * Scale shape: the moments are one map-side-partial groupBy over
+    * #sources keys; the per-doc z is a broadcast join back (the stats
+    * frame is sources-sized) — fully map-side over the corpus scan. */
+  def lengthZscore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("s1"),
+      sum(col("n_chars") * col("n_chars")).as("s2"))
+    val mean = col("s1").cast("double") / col("n")
+    val variance = col("s2").cast("double") / col("n") - mean * mean
+    docs.join(broadcast(stats), Seq("source"))
+      .where(variance > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((col("n_chars") - mean) / sqrt(variance)).as("z"))
+      .where(abs(col("z")) > 2.0)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- histogram
+  /** Per-source document-length histogram in fixed 100-char buckets —
+    * the corpus-shape profile a curator reads next to the quantiles.
+    * One map-side-partial groupBy on (source, bucket); integer DIV
+    * bucketing (n_chars ≥ 0, so DIV == DuckDB's //). */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), expr("n_chars DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy("source", "bucket")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zscore" -> (lengthZscore _),
+    "q_len_histo" -> (lengthHistogram _),
     "q_token_count" -> (tokenCount _),
     "q_lang_id" -> (langId _),
     "q_text_quality" -> (qualityScore _),
@@ -263,6 +307,26 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_zscore" ->
+      """WITH s AS (
+           SELECT source, count(*) AS n, sum(n_chars) AS s1,
+                  sum(n_chars * n_chars) AS s2
+           FROM documents GROUP BY source)
+         SELECT doc_id, source, n_chars, z FROM (
+           SELECT d.doc_id, d.source, d.n_chars,
+                  (d.n_chars - CAST(s1 AS DOUBLE)/n) /
+                    sqrt(CAST(s2 AS DOUBLE)/n -
+                         (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) AS z
+           FROM documents d JOIN s USING (source)
+           WHERE CAST(s2 AS DOUBLE)/n -
+                 (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n) > 0)
+         WHERE abs(z) > 2
+         ORDER BY doc_id""",
+    "q_len_histo" ->
+      """SELECT source, n_chars // 100 AS bucket, count(*) AS n_docs,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY source, n_chars // 100
+         ORDER BY source, bucket""",
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens

@@ -94,6 +94,30 @@ class DedupSpec extends SparkTestBase {
     assert(df.where(col("jaccard") < 0.5).count() == 0)
   }
 
+  test("snapshot dedup drops batch docs against corpus and within-batch copies") {
+    // corpus = doc_id % 10 < 8 (ids 0, 1); batch = ids 8, 9, 18, 19
+    val dir = documentsFixture(Seq(
+      (0L, "alpha beta gamma", "en", "s"),
+      (1L, "unrelated corpus doc", "en", "s"),
+      (8L, "alpha beta gamma", "en", "s"),   // dup of corpus doc 0 → dropped
+      (9L, "brand new content", "en", "s"),  // genuinely new → kept
+      (18L, "brand new content", "en", "s"), // in-batch dup of 9 → absorbed
+      (19L, "another new one", "en", "s")))  // new, unique → kept
+    val got = DedupOps.snapshotDedup(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(9L, 19L))
+    val copies = got.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(copies(9L) == 2L, "in-batch duplicate must be counted on the keeper")
+    assert(copies(19L) == 1L)
+  }
+
+  test("sim degree counts per-node pair memberships of the hamming graph") {
+    // fixtureDir ids 0-5 → DIV-4 groups {0,1,2,3} (all 6 pairs) and {4,5}
+    val got = DedupOps.simDegree(spark, fixtureDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 1L, 5L -> 1L),
+      s"got $got")
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val v = (0 until 64).map(i => math.sin(i * 0.37).toFloat)
     val v2 = v.updated(0, v(0) + 1e-4f) // nearly identical

@@ -5,6 +5,18 @@ import graft.operators.PipelineOps
 
 class PipelineOpsSpec extends SparkTestBase {
 
+  test("top-p coverage keeps largest docs through the inclusive 80% boundary") {
+    // lengths 50,30,15,5 → total 100; runnings desc: 50,80,95,100.
+    // running*5 <= total*4 keeps 50 AND the exact-80 row — the integer
+    // comparison makes the boundary inclusive with no float threshold.
+    val dir = documentsFixture(Seq(
+      (0L, "a" * 50, "en", "s"), (1L, "a" * 30, "en", "s"),
+      (2L, "a" * 15, "en", "s"), (3L, "a" * 5, "en", "s")))
+    val got = PipelineOps.topPCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 50L), (1L, 80L)), s"got $got")
+  }
+
   test("sessionize: 30-minute gaps split sessions, counts add up") {
     val sess = PipelineOps.sessionize(spark, sf0001).cache()
     // every event lands in exactly one session

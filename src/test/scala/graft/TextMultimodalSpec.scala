@@ -17,6 +17,31 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("length z-score flags the planted outlier with an exactly-computed z") {
+    // source A: nine docs of 100 chars + one of 1000 → n=10, s1=1900,
+    // s2=1_090_000, mean=190, var=72900, sd=270, z_outlier=810/270=3.0
+    // (every step exactly representable); source B has zero variance and
+    // must be excluded by the var>0 guard, not emit NaN/Inf rows
+    val dir = documentsFixture(
+      (0L until 9L).map(i => (i, "a" * 100, "en", "sA")) ++
+        Seq((9L, "a" * 1000, "en", "sA"),
+          (10L, "b" * 50, "en", "sB"), (11L, "b" * 50, "en", "sB")))
+    val got = TextOps.lengthZscore(spark, dir).collect()
+    assert(got.length == 1, s"only the planted outlier: ${got.mkString(",")}")
+    assert(got(0).getLong(0) == 9L)
+    assert(got(0).getDouble(3) == 3.0, "z must be the exact integer-derived value")
+  }
+
+  test("length histogram buckets on integer-division boundaries") {
+    val dir = documentsFixture(Seq(
+      (0L, "a" * 99, "en", "s"), (1L, "a" * 100, "en", "s"),
+      (2L, "a" * 199, "en", "s"), (3L, "a" * 200, "en", "s")))
+    val got = TextOps.lengthHistogram(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((0L, 1L, 99L, 99L), (1L, 2L, 100L, 199L), (2L, 1L, 200L, 200L)),
+      s"got $got")
+  }
+
   test("token counts: ws tokens == words for single-spaced text") {
     val dir = documentsFixture(Seq(
       (0L, "one two three", "en", "s"),
