@@ -316,18 +316,14 @@ object DedupOps {
       explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"),
         col("ck.v").as("v"))
-    // pairs map-side from each chunk-bucket's (doc_id, simhash) list — the
-    // signature rides inside the struct so the Hamming distance computes
-    // in-place, one groupBy exchange instead of a self-join; sort_array on
-    // the struct orders by doc_id (unique), preserving the a<b convention.
-    // Consequence for callers: `sig` is consumed ONCE (the old self-join
-    // read it twice), so they no longer need to cache it.
-    blocked.groupBy("chunk", "v")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ds"))
-      .where(size(col("ds")) >= 2)
-      .select(explode(pairCombos(col("ds"))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
+    val l = blocked.select(col("chunk"), col("v"), col("doc_id").as("doc_a"),
+      col("simhash").as("sig_a"))
+    val r = blocked.select(col("chunk").as("chunk_r"), col("v").as("v_r"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(r, l("chunk") === r("chunk_r") && l("v") === r("v_r") &&
+        l("doc_a") < r("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= 3)
       .distinct()
       .orderBy("doc_a", "doc_b")
@@ -338,7 +334,10 @@ object DedupOps {
     * twin); spec-tested — the blocking/verify pipeline itself is
     * hash-checked through hammingNearDup's oracle. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    hammingPairs(simhashSignatures(Tables.documents(spark, dir)))
+    // cached: hammingPairs self-joins the signature frame, and the two
+    // join sides do NOT collapse into one exchange (AQE broadcasts one),
+    // so an uncached sig would run the 64-sum aggregation twice
+    hammingPairs(simhashSignatures(Tables.documents(spark, dir)).cache())
 
   /** The ORACLE-CHECKED end of the SimHash pipeline: identical bit-vote
     * signature construction as simhashSignatures, with the base hash
@@ -367,6 +366,7 @@ object DedupOps {
     }.reduce(_ + _)
     val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sigExpr.as("simhash"))
+      .cache() // self-joined by hammingPairs; see simhashPairs
     hammingPairs(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
@@ -390,6 +390,7 @@ object DedupOps {
     val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
     val sig = Tables.documents(spark, dir)
       .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
+      .cache() // self-joined by hammingPairs; avoids a second documents scan
     hammingPairs(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
