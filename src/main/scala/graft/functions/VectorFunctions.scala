@@ -9,4 +9,9 @@ import org.apache.spark.sql.graftext.VectorColumns
 object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column = VectorColumns.vec_dot(a, b)
   def vec_norm(a: Column): Column = VectorColumns.vec_norm(a)
+
+  /** All i<j pairs of an array as array<struct<a,b>> (native single-pass
+    * expansion; see graftext.PairCombos). */
+  def pair_combos(x: Column): Column =
+    org.apache.spark.sql.graftext.PairColumns.pair_combos(x)
 }

@@ -48,17 +48,16 @@ object DedupOps {
     shingleExplode(docs).distinct()
 
   /** All pairs (a[i], a[j]) with i < j from an array column, generated
-    * MAP-SIDE with nested HOF transforms. This is the groupBy-collect
-    * replacement for a blocked self-join: one shuffle (the groupBy that
-    * built the array) instead of two join exchanges + a join, and the
-    * a<b pair convention falls out of the caller sorting the array.
-    * Output size is C(n,2) per array either way — the caller bounds n
-    * (df cap / bucket size), exactly as it had to bound the join's
-    * per-key fan-out. */
+    * MAP-SIDE by the native PairCombos expression (one tight loop, one
+    * allocation — the equivalent nested-transform/slice HOF pays O(n²)
+    * interpreted slice copies). This is the groupBy-collect replacement
+    * for a blocked self-join: one shuffle (the groupBy that built the
+    * array) instead of two join exchanges + a join, and the a<b pair
+    * convention falls out of the caller sorting the array. Output size is
+    * C(n,2) per array either way — the caller bounds n (df cap / bucket
+    * size), exactly as it had to bound the join's per-key fan-out. */
   private[operators] def pairCombos(arr: Column): Column =
-    flatten(transform(arr, (x, i) =>
-      transform(slice(arr, i + lit(2), size(arr)), y =>
-        struct(x.as("a"), y.as("b")))))
+    graft.functions.VectorFunctions.pair_combos(arr)
 
   /** (source, shingle) → sorted distinct doc list, ONE shuffle off the raw
     * shingle explosion: collect_set dedups at the partial-aggregate stage,
