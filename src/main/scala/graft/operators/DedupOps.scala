@@ -538,6 +538,30 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Canonical-document selection per duplicate cluster: the apply step on
+    * top of dupComponents — keep exactly ONE doc per component, the
+    * longest (doc_id tiebreak), and report what the cluster cost. This is
+    * the cluster-exact form of nearDupKeep's pair-local rule: chains
+    * a~b~c collapse to one keeper even when a≁c directly.
+    *
+    * The rank-1 window runs on the component frame (pair-graph-sized,
+    * ≪ corpus) joined to doc lengths; RewriteRankOneWindow turns exactly
+    * this shape into a min_by aggregate when the extensions are
+    * installed. */
+  def dupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dupComponents(spark, dir)
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("n_chars").desc, col("doc_id"))
+    comp.join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("comp"), col("doc_id").as("keep_id"),
+        col("n_chars").as("keep_chars"), col("comp_size"),
+        (col("comp_size") - 1).as("n_dropped"))
+      .orderBy("comp")
+  }
+
   // ---------------------------------------------------------------- contamination
   /** Eval-set decontamination check: for every training document (source
     * != src0), how many of its distinct shingles also occur anywhere in
@@ -613,6 +637,7 @@ object DedupOps {
     "q_embed_neardup" -> (embedNearDup _),
     "q_snap_dedup" -> (snapshotDedup _),
     "q_sim_degree" -> (simDegree _),
+    "q_dup_canon" -> (dupCanonical _),
   )
 
   /** DuckDB twin of ngramJaccard (shared: the pair query itself and the
@@ -671,6 +696,23 @@ object DedupOps {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+  /** Shared recursive-CTE prefix: the exact transitive closure of the
+    * arithmetic-signature pair graph, ending at `comp` (node → component
+    * label) and `sizes` (component → size). Both dup_components and
+    * dup_canon build on it. */
+  private val DupComponentsCte: String =
+    s"""WITH RECURSIVE pairs AS ($HammingPairSql),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         walk(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+         comp AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
+         sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)"""
 
   /** DuckDB replay of minhashOracle, GENERATED from the same permParams /
     * NumBands constants so the twin can never drift from the Spark math. */
@@ -769,20 +811,25 @@ object DedupOps {
     // walk(id, r) enumerates every node reachable from id (components are
     // tiny by construction, so the closure is small); comp = min reachable
     "q_dup_components" ->
-      s"""WITH RECURSIVE pairs AS ($HammingPairSql),
-         edges AS (
-           SELECT doc_a AS a, doc_b AS b FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs),
-         nodes AS (SELECT DISTINCT a AS id FROM edges),
-         walk(id, r) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
-         comp AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
-         sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)
+      s"""$DupComponentsCte
          SELECT c.id AS doc_id, c.comp, s.comp_size
          FROM comp c JOIN sizes s USING (comp)
          ORDER BY doc_id""",
+    // canonical keeper per component: rank docs within each cluster by
+    // (n_chars desc, doc_id) over the SAME closure
+    "q_dup_canon" ->
+      s"""$DupComponentsCte,
+         m AS (
+           SELECT c.id AS doc_id, c.comp, s.comp_size
+           FROM comp c JOIN sizes s USING (comp)),
+         j AS (
+           SELECT m.comp, m.doc_id, d.n_chars, m.comp_size,
+                  row_number() OVER (PARTITION BY m.comp
+                    ORDER BY d.n_chars DESC, m.doc_id) AS rn
+           FROM m JOIN documents d USING (doc_id))
+         SELECT comp, doc_id AS keep_id, n_chars AS keep_chars, comp_size,
+                comp_size - 1 AS n_dropped
+         FROM j WHERE rn = 1 ORDER BY comp""",
     // distinct-shingle sets per doc (sh0, no df cap — a shingle shared
     // with the eval set is contamination no matter how common it is)
     "q_contamination" ->

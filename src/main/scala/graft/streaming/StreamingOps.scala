@@ -1,12 +1,36 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Typed row for the exact-state dedup path. */
 case class KeyedEvent(dt: String, user_id: Long, event_id: Long,
     event_type: String)
+
+/** StatefulProcessor for the transformWithState form of exact first-seen
+  * dedup: one boolean ValueState per (dt, user_id). Top-level class (not
+  * an anonymous closure) so the checkpointed operator survives re-launch
+  * with a stable class name. */
+class FirstSeenProcessor
+    extends StatefulProcessor[(String, Long), KeyedEvent, KeyedEvent] {
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    // TTL would bound state for closed days in production (e.g. 48h);
+    // NONE matches the reference's Redis sets (externally expired)
+    seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: (String, Long), rows: Iterator[KeyedEvent],
+      timerValues: TimerValues): Iterator[KeyedEvent] =
+    if (seen.exists()) Iterator.empty
+    else {
+      seen.update(true)
+      rows.take(1)
+    }
+}
 
 /** Structured Streaming layer — the streaming semantics of the reference
   * (SURVEY.md §2.8) rebuilt on event-time + watermarks + the state store.
@@ -86,6 +110,26 @@ object StreamingOps {
             batch.take(1)
           }
         })
+  }
+
+  /** F3, Spark-4-native form: the same exact first-seen-per-(dt, user_id)
+    * semantics as firstSeenExactStream, on the `transformWithState` API —
+    * typed per-key ValueState with first-class TTL support (the modern
+    * replacement for flatMapGroupsWithState's single opaque state object:
+    * named state variables, timers, and per-variable TTL, so the
+    * "reclaim closed days" policy becomes one TTLConfig instead of a
+    * processing-time-timeout dance). Kept alongside the fMGWS variant —
+    * both are spec-pinned to emit identical results. */
+  def firstSeenTwsStream(events: DataFrame): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    val keyed = events
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("dt"), col("user_id"), col("event_id"), col("event_type"))
+      .as[KeyedEvent]
+    keyed
+      .groupByKey(e => (e.dt, e.user_id))
+      .transformWithState(new FirstSeenProcessor, TimeMode.None(),
+        OutputMode.Append(), implicitly[org.apache.spark.sql.Encoder[KeyedEvent]])
   }
 
   /** A2 streaming: hourly DAU as a windowed count over the deduped stream.

@@ -31,6 +31,26 @@ class DedupComponentsSpec extends SparkTestBase {
     comps.collect().foreach(r => assert(sizes(r.getLong(1)) == r.getLong(2)))
   }
 
+  test("dup canonical keeps exactly one doc per component — the longest, min-id on ties") {
+    val comps = DedupOps.dupComponents(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = DedupOps.dupCanonical(spark, sf0001).collect()
+    // one keeper per component, and it is argmax(n_chars, min doc_id)
+    assert(got.map(_.getLong(0)).distinct.length == got.length)
+    got.foreach { r =>
+      val (comp, keepId, keepChars, size, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dropped == size - 1)
+      val members = comps.collect { case (id, c) if c == comp => id }
+      assert(members.size.toLong == size)
+      val best = members.map(id => (-lens(id), id)).min
+      assert(keepId == best._2, s"comp $comp keeper $keepId != expected ${best._2}")
+      assert(keepChars == lens(keepId))
+    }
+  }
+
   test("minhash oracle variant: identical docs match on all 32 mins; disjoint docs don't collide") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val other = "one two three four five six seven eight nine ten"

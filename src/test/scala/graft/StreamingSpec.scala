@@ -236,6 +236,38 @@ class StreamingSpec extends SparkTestBase {
       s"exact first-seen regardless of lateness, got $got")
   }
 
+  test("transformWithState first-seen agrees with the fMGWS variant, late arrivals included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      in.addData(
+        Ev(0, ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+        Ev(1, ts("2024-01-01 23:00:00"), 9, "view", 1.0, "{}"))
+      val q = StreamingOps.firstSeenTwsStream(in.toDF())
+        .writeStream.outputMode("append").format("memory").queryName("ftws").start()
+      q.processAllAvailable()
+      in.addData(Ev(2, ts("2024-01-01 10:00:05"), 1, "view", 1.0, "{}")) // same-day dup
+      in.addData(Ev(3, ts("2024-01-01 00:00:01"), 2, "view", 1.0, "{}")) // late new user
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("ftws").select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // identical verdicts to the flatMapGroupsWithState spec above
+      assert(got == Set((1L, 0L), (9L, 1L), (2L, 3L)),
+        s"tws first-seen must match the fMGWS semantics, got $got")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch/streaming consistency: file-stream dedup finds exactly the batch first-seen set") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
