@@ -106,8 +106,8 @@ object DedupOps {
     * `source` (pairs are only considered within a block — the standard
     * blocking strategy that keeps the candidate join linear at scale) AND
     * df-capped (shingles appearing in > MaxShingleDf docs of a source are
-    * dropped before the self-join — see keptShingles — so no single hot
-    * boilerplate shingle can detonate a reducer at 100 TB).
+    * dropped before pair generation — so no single hot boilerplate
+    * shingle can detonate a reducer at 100 TB).
     * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from integer set cardinalities,
     * so the double division is bit-identical across engines. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
