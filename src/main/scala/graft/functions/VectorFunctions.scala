@@ -15,3 +15,15 @@ object VectorFunctions {
   def pair_combos(x: Column): Column =
     org.apache.spark.sql.graftext.PairColumns.pair_combos(x)
 }
+
+/** Public entry points for the sketch expressions (bloom build/probe,
+  * count-min point estimates — graftext.SketchColumns has the hashing
+  * contract notes). */
+object SketchFunctions {
+  def bloom_agg(value: Column, expectedItems: Long): Column =
+    org.apache.spark.sql.graftext.SketchColumns.bloom_agg(value, expectedItems)
+  def bloom_might_contain(bloomBytes: Array[Byte], value: Column): Column =
+    org.apache.spark.sql.graftext.SketchColumns.bloom_might_contain(bloomBytes, value)
+  def cms_estimate(sketchBytes: Array[Byte], hashedValue: Column): Column =
+    org.apache.spark.sql.graftext.SketchColumns.cms_estimate(sketchBytes, hashedValue)
+}

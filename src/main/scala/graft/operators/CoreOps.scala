@@ -521,6 +521,32 @@ object CoreOps {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("dau_approx"))
       .orderBy("dt")
 
+  /** Mergeable-sketch DAU rollup — the pattern that makes distinct counts
+    * tractable at 100 TB: each day aggregates its users into a DataSketches
+    * HLL binary ONCE (per-partition partials, merged associatively), the
+    * sketches are STORED as data, and any coarser rollup (month here) is a
+    * union of stored sketches — no re-scan of raw events, which is the
+    * whole point when a month of raw events is petabytes but 30 sketches
+    * are kilobytes. `approx_count_distinct` (q_dau_approx) can't do this:
+    * its HLL++ buffer isn't exposed as a value. Emits both grains so the
+    * spec can check day estimates AND that the month estimate came from the
+    * union path. Spark-only (sketch binaries have no DuckDB twin);
+    * HllSketchSpec pins estimates against exact distincts. */
+  def dauSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daySk = withDtHr(Tables.events(spark, dir))
+      .groupBy("dt")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .cache() // reused by both grains; in production this frame is the
+               // STORED per-day sketch table, written once per day
+    val days = daySk.select(lit("day").as("grain"), col("dt").as("key"),
+      hll_sketch_estimate(col("sk")).as("uniques"))
+    val month = daySk
+      .groupBy(substring(col("dt"), 1, 7).as("key"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("uniques"))
+      .select(lit("month").as("grain"), col("key"), col("uniques"))
+    days.unionByName(month).orderBy("grain", "key")
+  }
+
   // ---------------------------------------------------------------- W1
   /** Ranked top-N per group — the analytic-window extension SURVEY §2.6
     * flags (the reference's serving layer fakes top-N with agg size caps):
@@ -586,11 +612,24 @@ object CoreOps {
     spark.sql(graft.SqlQueries.PricingSummary)
   }
 
+  def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    graft.Catalog.registerAll(spark, dir)
+    spark.sql(graft.SqlQueries.ShippingPriority)
+  }
+
+  def sqlLocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    graft.Catalog.registerAll(spark, dir)
+    spark.sql(graft.SqlQueries.LocalSupplierVolume)
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bean_to_json" -> (beanToJson _),
     "q_sql_pricing" -> (sqlPricingSummary _),
+    "q_sql_shipping" -> (sqlShippingPriority _),
+    "q_sql_volume" -> (sqlLocalSupplierVolume _),
     "q_dau_approx" -> (dauApprox _),
+    "q_dau_sketch_rollup" -> (dauSketchRollup _),
     "q_dau_info" -> (dauInfo _),
     "q_order_wide_full" -> (orderWideFull _),
     "q_tumbling_window" -> (tumblingWindow _),
@@ -629,6 +668,8 @@ object CoreOps {
                                     o_orderpriority := o_orderpriority)) AS json
          FROM orders ORDER BY o_orderkey""",
     "q_sql_pricing" -> graft.SqlQueries.PricingSummary,
+    "q_sql_shipping" -> graft.SqlQueries.ShippingPriority,
+    "q_sql_volume" -> graft.SqlQueries.LocalSupplierVolume,
     "q_dau_info" ->
       """WITH fs AS (
            SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id,

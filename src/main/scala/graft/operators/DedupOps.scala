@@ -601,6 +601,56 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The 100 TB form of [[contamination]]: a BLOOM-FILTER prefilter in front
+    * of the exact overlap join, producing the IDENTICAL result (same oracle
+    * SQL — the exact verify join removes every bloom false positive).
+    *
+    * Why it matters at scale: the broadcast-join form ships the full eval
+    * shingle SET (strings — hundreds of MB for a large benchmark suite) to
+    * every executor and hash-probes every training shingle against it. Here
+    * the eval side collapses to a serialized bloom filter (8 bits/item
+    * ≈ 3% FP — MBs, not hundreds), built DISTRIBUTED as an aggregate
+    * (partial blooms per partition, OR-merged), and the probe is a
+    * codegen'd map-side predicate on the training-shingle scan. Only the
+    * ~overlap+3% survivors reach the exact join, so the join's build side
+    * is unchanged but its STREAM side shrinks by ~30× on typical corpora
+    * (most training shingles match nothing) — and the exact join no longer
+    * needs the broadcast assumption at all: a shuffled join over survivors
+    * is cheap because the survivors are rare.
+    *
+    * The per-doc shingle cardinalities still come from the FULL training
+    * stream (before the bloom), so `n_shingles`/`contam_frac` are exact. */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val evalSh = sh.where(col("source") === "src0")
+      .select("shingle").distinct()
+    // driver control flow (like the IVF centroid fetch): one aggregated
+    // row carrying the merged bloom — NOT a collect of data rows
+    val bloomBytes = evalSh
+      .agg(bloom_agg(col("shingle"), 1000 * 1000).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val trainSh = sh.where(col("source") =!= "src0")
+    val card = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // map-side bloom probe prunes the join's stream side; the exact join
+    // over survivors removes false positives (no broadcast hint — the
+    // survivor stream is small, AQE picks the strategy). An EMPTY eval set
+    // aggregates to a null bloom — nothing can be contaminated.
+    val probe =
+      if (bloomBytes == null) lit(false)
+      else bloom_might_contain(bloomBytes, col("shingle"))
+    val hits = trainSh
+      .where(probe)
+      .join(evalSh, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    card.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contam_frac",
+        col("n_shared").cast("double") / col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-duplicates: pairs with cosine > 0.4, blocked by
     * `label` (the cluster id plays the ANN-bucket role at scale). Dot and
@@ -634,6 +684,7 @@ object DedupOps {
     "q_simhash_oracle" -> (simhashOracle _),
     "q_dup_components" -> (dupComponents _),
     "q_contamination" -> (contamination _),
+    "q_contamination_bloom" -> (contaminationBloom _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_snap_dedup" -> (snapshotDedup _),
     "q_sim_degree" -> (simDegree _),
@@ -790,6 +841,31 @@ object DedupOps {
          ORDER BY doc_a, doc_b"""
   }
 
+  /** DuckDB twin of contamination — AND of contaminationBloom, which is
+    * result-identical by construction (the exact verify join removes every
+    * bloom false positive; the bloom can't produce false negatives). */
+  private val ContaminationSql: String =
+    """WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tok3)),
+         ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+         tr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+         card AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+         hits AS (
+           SELECT doc_id, count(*) AS n_shared
+           FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+         SELECT c.doc_id, c.n_shingles,
+                COALESCE(h.n_shared, 0) AS n_shared,
+                CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / c.n_shingles AS contam_frac
+         FROM card c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         ORDER BY c.doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q_minhash_oracle" -> MinhashOracleSql,
     "q_simhash_oracle" -> SimhashOracleSql,
@@ -832,27 +908,10 @@ object DedupOps {
          FROM j WHERE rn = 1 ORDER BY comp""",
     // distinct-shingle sets per doc (sh0, no df cap — a shingle shared
     // with the eval set is contamination no matter how common it is)
-    "q_contamination" ->
-      """WITH toks AS (
-           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
-         sh AS (
-           SELECT DISTINCT doc_id, source, shingle FROM (
-             SELECT doc_id, source,
-                    unnest(list_transform(generate_series(1, len(t) - 2),
-                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
-             FROM tok3)),
-         ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
-         tr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
-         card AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
-         hits AS (
-           SELECT doc_id, count(*) AS n_shared
-           FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
-         SELECT c.doc_id, c.n_shingles,
-                COALESCE(h.n_shared, 0) AS n_shared,
-                CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / c.n_shingles AS contam_frac
-         FROM card c LEFT JOIN hits h ON c.doc_id = h.doc_id
-         ORDER BY c.doc_id""",
+    "q_contamination" -> ContaminationSql,
+    // the bloom-prefilter form is result-identical by construction (the
+    // exact verify join removes every false positive) — same oracle
+    "q_contamination_bloom" -> ContaminationSql,
     "q_snap_dedup" ->
       """WITH corpus AS (
            SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),

@@ -249,6 +249,52 @@ object TextOps {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- heavy hitters
+  /** Exact corpus heavy hitters: the top-50 most frequent tokens — the
+    * vocabulary head a curator inspects for boilerplate markers and a
+    * tokenizer trainer seeds from. One map-side-partial groupBy on the
+    * token (Zipfian keys, but partial aggregation collapses the hot head
+    * BEFORE the shuffle — the reducer sees one partial row per partition
+    * per token, not the raw stream); the top-k is a TakeOrdered, never a
+    * global sort materialization. Total order (count desc, token) makes
+    * the limit boundary deterministic. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+
+  /** The 100 TB form of [[heavyHitters]]: a count-min sketch replaces the
+    * exact per-token counts. At web scale the distinct-token universe
+    * (typos, URLs, hashes) is itself huge — the exact groupBy's shuffle
+    * carries every distinct token. The CMS is a FIXED-SIZE (w×d counters)
+    * mergeable summary built as one aggregate (partial sketches per
+    * partition, merged associatively — same pattern as the bloom/HLL ops),
+    * and any candidate set can then be point-estimated against it
+    * map-side. Candidates here are tokens with doc-frequency ≥ 2 docs — at
+    * scale they'd come from a sample; estimates are one-sided
+    * (est ≥ true, est ≤ true + ε·N at the sketch's confidence — spec
+    * asserts both against the exact counts). Spark-only: the sketch's
+    * murmur hashing has no DuckDB twin (rows-only check; CmsSpec carries
+    * the correctness). */
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // eps=1e-4 → width 27k counters ≈ 1.5 MB at depth 7: fixed size no
+    // matter the corpus. Driver fetch of ONE aggregated row (the sketch).
+    val skBytes = toks
+      .agg(count_min_sketch(xxhash64(col("tok")), lit(0.0001), lit(0.99), lit(42))
+        .as("sk"))
+      .head().getAs[Array[Byte]](0)
+    toks.groupBy("tok").agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select(col("tok"), cms_estimate(skBytes, xxhash64(col("tok"))).as("est_n"))
+      .orderBy(col("est_n").desc, col("tok"))
+      .limit(50)
+  }
+
   // ---------------------------------------------------------------- outliers
   /** Per-source length outliers by z-score, from EXACT integer moments:
     * count/sum/sum-of-squares are long aggregates (order-independent),
@@ -304,9 +350,17 @@ object TextOps {
     "q_tfidf" -> (tfidf _),
     "q_repetition" -> (repetition _),
     "q_bpe_pairs" -> (bpePairs _),
+    "q_heavy_hitters" -> (heavyHitters _),
+    "q_heavy_hitters_cms" -> (heavyHittersCms _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q_heavy_hitters_cms intentionally omitted: the sketch's murmur
+    // hashing has no DuckDB twin — CmsSpec pins est vs exact bounds.
+    "q_heavy_hitters" ->
+      """SELECT tok, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
     "q_zscore" ->
       """WITH s AS (
            SELECT source, count(*) AS n, sum(n_chars) AS s1,
