@@ -249,6 +249,102 @@ object TextOps {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- BPE training
+  /** Merge iterations for [[bpeTrain]] — the oracle SQL is generated with
+    * the same constant so the unrolled CTE chain can't drift. */
+  private[operators] val BpeTrainSteps = 3
+
+  /** ITERATIVE BPE vocabulary training: [[bpePairs]] is one iteration's
+    * statistics; this runs the actual trainer loop — pick the most frequent
+    * adjacent symbol pair (count desc, then lexicographic — the standard
+    * deterministic tie-break), merge it greedily left-to-right across the
+    * corpus, recount, repeat. Output: the merge table (step, pair, count),
+    * i.e. the first [[BpeTrainSteps]] vocab entries a real tokenizer
+    * trainer would emit.
+    *
+    * Same driver-loop shape as dupComponents/IVF: per-step control flow is
+    * a SCALAR argmax fetch (one row), never a data collect; the corpus
+    * stays distributed and each merge is a map-side `replace` over it.
+    *
+    * Symbol encoding: a word's symbols are joined with `//` and wrapped in
+    * `/` (`hello` → `/h//e//l//l//o/`), so the merge of pair (a,b) is a
+    * plain string replace of `/a//b/` with `/ab/` — and because the
+    * replacement consumes the shared boundary, consecutive occurrences
+    * merge greedily left-to-right non-overlapping, which is exactly BPE's
+    * merge rule AND exactly what both engines' `replace` does (the DuckDB
+    * twin replays the whole loop as an unrolled CTE chain). Words
+    * containing '/' are excluded on both sides (they'd break the
+    * encoding). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2 && !col("w").contains("/"))
+      .select(concat(lit("/"), array_join(split(col("w"), ""), "//"), lit("/"))
+        .as("enc"))
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to BpeTrainSteps if !exhausted) {
+      val best = words
+        .select(split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"))
+        .where(size(col("s")) >= 2) // sequence(1, 0) would DESCEND in Spark
+        .selectExpr("""explode(transform(sequence(1, size(s) - 1),
+            i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))) AS p""")
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).take(1)
+      if (best.isEmpty) exhausted = true // every word fully merged — the
+      // oracle's empty b<i> CTE contributes no row either
+      else {
+        val (a, b, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, a, b, n))
+        words = words
+          .select(call_function("replace", col("enc"),
+            lit(s"/$a//$b/"), lit(s"/$a$b/")).as("enc"))
+          .cache()
+      }
+    }
+    merges.result()
+      .toDF("step", "left_sym", "right_sym", "n")
+      .orderBy("step")
+  }
+
+  /** DuckDB replay of [[bpeTrain]]: the loop unrolled into a CTE chain —
+    * generated from the same BpeTrainSteps constant. */
+  private def bpeTrainSql: String = {
+    def pairsCte(src: String, i: Int): String =
+      s"""p$i AS (
+           SELECT s[i] AS a, s[i+1] AS b, count(*) AS n
+           FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), '//') AS s
+                 FROM $src) t,
+                unnest(generate_series(1, len(s) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1)"""
+    val steps = (1 to BpeTrainSteps).map { i =>
+      val merge =
+        if (i == 1) ""
+        else
+          s"""w${i - 1} AS (
+           SELECT replace(enc, '/'||a||'//'||b||'/', '/'||a||b||'/') AS enc
+           FROM w${i - 2} CROSS JOIN b${i - 1}),
+         """
+      merge + pairsCte(s"w${i - 1}", i)
+    }.mkString(",\n         ")
+    val out = (1 to BpeTrainSteps)
+      .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, n FROM b$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH w0 AS (
+           SELECT '/' || array_to_string(string_split(w, ''), '//') || '/' AS enc
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) >= 2 AND w NOT LIKE '%/%'),
+         $steps
+         $out
+         ORDER BY step"""
+  }
+
   // ---------------------------------------------------------------- heavy hitters
   /** Exact corpus heavy hitters: the top-50 most frequent tokens — the
     * vocabulary head a curator inspects for boilerplate markers and a
@@ -352,6 +448,7 @@ object TextOps {
     "q_bpe_pairs" -> (bpePairs _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_heavy_hitters_cms" -> (heavyHittersCms _),
+    "q_bpe_train" -> (bpeTrain _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -361,6 +458,7 @@ object TextOps {
       """SELECT tok, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
+    "q_bpe_train" -> bpeTrainSql,
     "q_zscore" ->
       """WITH s AS (
            SELECT source, count(*) AS n, sum(n_chars) AS s1,

@@ -173,6 +173,26 @@ object StreamingOps {
       "inner")
   }
 
+  /** J1 outer form: stream-stream LEFT OUTER order-wide join. Matched
+    * pairs emit immediately (inner semantics); an order detail whose
+    * order_info never arrives emits ONCE with null order columns after the
+    * watermark passes its join window — the orphan-audit row the
+    * reference's pipeline silently dropped (its window join discarded
+    * unmatched details when the windows slid past each other). State is
+    * bounded exactly as in the inner form: the ±10s event-time range plus
+    * the watermark delay tell Spark when a detail can no longer match and
+    * must be emitted-with-nulls and evicted. */
+  def orderWideStreamOuter(orderInfo: DataFrame,
+      orderDetail: DataFrame): DataFrame = {
+    val oi = orderInfo.withWatermark("o_ts", WatermarkDelay)
+    val od = orderDetail.withWatermark("l_ts", WatermarkDelay)
+    od.join(oi,
+      od("l_orderkey") === oi("o_orderkey") &&
+        od("l_ts") >= oi("o_ts") - expr("INTERVAL 10 SECONDS") &&
+        od("l_ts") <= oi("o_ts") + expr("INTERVAL 10 SECONDS"),
+      "left_outer")
+  }
+
   /** F1+T6: CDC routing predicate (exact reference boolean, incl. the
     * bootstrap-insert leak) applied to a stream; the result carries
     * `table_name` so a single partitionBy("table_name") sink fans out to

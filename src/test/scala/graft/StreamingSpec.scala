@@ -67,6 +67,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == Seq(1L), s"only the in-window pair joins, got ${got.toSeq}")
   }
 
+  test("left-outer stream-stream join emits orphan details with nulls after the watermark closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val oi = MemoryStream[OInfo]
+    val od = MemoryStream[ODet]
+    val joined = StreamingOps.orderWideStreamOuter(oi.toDF(), od.toDF())
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("wide_outer").start()
+    // pair within 10s → joins now; detail 99's order is 60s away → can
+    // never match, must surface as a null-padded orphan once the
+    // watermark passes its window
+    oi.addData(OInfo(1, ts("2024-01-01 10:00:00"), 100.0),
+               OInfo(99, ts("2024-01-01 10:00:00"), 50.0))
+    od.addData(ODet(1, ts("2024-01-01 10:00:05"), 10.0),
+               ODet(99, ts("2024-01-01 10:01:00"), 20.0))
+    q.processAllAvailable()
+    // advance both watermarks far past everything so outer state finalizes
+    oi.addData(OInfo(1000, ts("2024-01-01 11:00:00"), 0.0))
+    od.addData(ODet(1001, ts("2024-01-01 11:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wide_outer")
+      .select("l_orderkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(rows.contains((1L, Some(1L))), s"matched pair must join: $rows")
+    assert(rows.contains((99L, None)),
+      s"out-of-window detail must emit once with null order side: $rows")
+    // the matched detail must NOT also reappear as an orphan
+    assert(!rows.contains((1L, None)), s"no duplicate orphan for matched rows: $rows")
+  }
+
   test("chained stateful operators: stream-stream join feeding windowed revenue agg in ONE query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

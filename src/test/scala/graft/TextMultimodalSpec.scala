@@ -5,6 +5,20 @@ import graft.operators.{MultimodalOps, TextOps}
 
 class TextMultimodalSpec extends SparkTestBase {
 
+  test("bpeTrain merges greedily left-to-right and stops when words are fully merged") {
+    // "aaa": pairs (a,a)×2 → merge (a,a) GREEDY LEFT gives [aa, a] (not
+    // [a, aa]); step2 must therefore see pair (aa, a). After merging that,
+    // every word is one symbol — the trainer must stop early (2 rows, not 3).
+    val dir = documentsFixture(Seq(
+      (0L, "aaa aaa", "en", "srcA"),
+      (1L, "aaa", "en", "srcA")))
+    val got = TextOps.bpeTrain(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 6L),   // 3 words × 2 adjacent (a,a) pairs
+      (2, "aa", "a", 3L))) // greedy left merge → [aa, a] per word; then done
+  }
+
   test("fingerprint matches a driver-side reference implementation") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .limit(20).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
