@@ -277,22 +277,31 @@ object TextOps {
     * encoding). */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var words = Tables.documents(spark, dir)
+    // The one corpus-sized pass: collapse word OCCURRENCES to a WEIGHTED
+    // VOCABULARY (distinct encoded word → occurrence count) — the standard
+    // BPE-trainer representation. Zipf's law makes the vocab orders of
+    // magnitude smaller than the corpus, so the merge iterations below
+    // touch vocab-sized frames only; pair counts stay occurrence-exact
+    // because every vocab row carries its weight.
+    var vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .where(length(col("w")) >= 2 && !col("w").contains("/"))
       .select(concat(lit("/"), array_join(split(col("w"), ""), "//"), lit("/"))
         .as("enc"))
+      .groupBy("enc").agg(count(lit(1)).as("wn"))
       .cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (step <- 1 to BpeTrainSteps if !exhausted) {
-      val best = words
-        .select(split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"))
+      val best = vocab
+        .select(split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"),
+          col("wn"))
         .where(size(col("s")) >= 2) // sequence(1, 0) would DESCEND in Spark
         .selectExpr("""explode(transform(sequence(1, size(s) - 1),
-            i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))) AS p""")
+            i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))) AS p""",
+          "wn")
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("wn")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).take(1)
       if (best.isEmpty) exhausted = true // every word fully merged — the
@@ -301,9 +310,11 @@ object TextOps {
         val (a, b, n) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, a, b, n))
-        words = words
-          .select(call_function("replace", col("enc"),
+        // merged words can collide with existing vocab entries — re-group
+        vocab = vocab
+          .groupBy(call_function("replace", col("enc"),
             lit(s"/$a//$b/"), lit(s"/$a$b/")).as("enc"))
+          .agg(sum(col("wn")).as("wn"))
           .cache()
       }
     }
@@ -317,8 +328,9 @@ object TextOps {
   private def bpeTrainSql: String = {
     def pairsCte(src: String, i: Int): String =
       s"""p$i AS (
-           SELECT s[i] AS a, s[i+1] AS b, count(*) AS n
-           FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), '//') AS s
+           SELECT s[i] AS a, s[i+1] AS b, sum(wn) AS n
+           FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), '//') AS s,
+                        wn
                  FROM $src) t,
                 unnest(generate_series(1, len(s) - 1)) AS u(i)
            GROUP BY 1, 2),
@@ -328,8 +340,9 @@ object TextOps {
         if (i == 1) ""
         else
           s"""w${i - 1} AS (
-           SELECT replace(enc, '/'||a||'//'||b||'/', '/'||a||b||'/') AS enc
-           FROM w${i - 2} CROSS JOIN b${i - 1}),
+           SELECT replace(enc, '/'||a||'//'||b||'/', '/'||a||b||'/') AS enc,
+                  sum(wn) AS wn
+           FROM w${i - 2} CROSS JOIN b${i - 1} GROUP BY 1),
          """
       merge + pairsCte(s"w${i - 1}", i)
     }.mkString(",\n         ")
@@ -337,9 +350,11 @@ object TextOps {
       .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, n FROM b$i")
       .mkString("\n         UNION ALL ")
     s"""WITH w0 AS (
-           SELECT '/' || array_to_string(string_split(w, ''), '//') || '/' AS enc
-           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           WHERE length(w) >= 2 AND w NOT LIKE '%/%'),
+           SELECT enc, count(*) AS wn FROM (
+             SELECT '/' || array_to_string(string_split(w, ''), '//') || '/' AS enc
+             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE length(w) >= 2 AND w NOT LIKE '%/%')
+           GROUP BY enc),
          $steps
          $out
          ORDER BY step"""
