@@ -23,6 +23,9 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_VERIFY_ONLY is set but empty — an empty selection " +
+          "would produce a green-looking zero-coverage gate")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_VERIFY_ONLY unknown: $unknown")
     }

@@ -310,12 +310,17 @@ object TextOps {
         val (a, b, n) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, a, b, n))
-        // merged words can collide with existing vocab entries — re-group
-        vocab = vocab
-          .groupBy(call_function("replace", col("enc"),
-            lit(s"/$a//$b/"), lit(s"/$a$b/")).as("enc"))
-          .agg(sum(col("wn")).as("wn"))
-          .cache()
+        if (step < BpeTrainSteps) {
+          // merged words can collide with existing vocab entries — re-group
+          val next = vocab
+            .groupBy(call_function("replace", col("enc"),
+              lit(s"/$a//$b/"), lit(s"/$a$b/")).as("enc"))
+            .agg(sum(col("wn")).as("wn"))
+            .cache()
+          next.count() // materialize before dropping the parent cache
+          vocab.unpersist()
+          vocab = next
+        }
       }
     }
     merges.result()
@@ -391,8 +396,11 @@ object TextOps {
     * the correctness). */
   def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SketchFunctions._
+    // cached: the sketch-build action and the candidate aggregation both
+    // consume the exploded token stream (Verify/Bench clear caches per query)
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .cache()
     // eps=1e-4 → width 27k counters ≈ 1.5 MB at depth 7: fixed size no
     // matter the corpus. Driver fetch of ONE aggregated row (the sketch).
     val skBytes = toks

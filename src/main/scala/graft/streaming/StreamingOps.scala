@@ -163,14 +163,20 @@ object StreamingOps {
     * exactly like the reference's 10s sliding window bounded which pairs
     * could meet. Input schemas follow the testdata mapping:
     * orders(o_orderkey, ..., o_ts) and lineitem(l_orderkey, ..., l_ts). */
-  def orderWideStream(orderInfo: DataFrame, orderDetail: DataFrame): DataFrame = {
+  def orderWideStream(orderInfo: DataFrame, orderDetail: DataFrame): DataFrame =
+    orderWideJoin(orderInfo, orderDetail, "inner")
+
+  /** Shared watermark + ±10s range condition for the inner/outer order-wide
+    * joins — one definition so the window width and keys can't diverge. */
+  private def orderWideJoin(orderInfo: DataFrame, orderDetail: DataFrame,
+      joinType: String): DataFrame = {
     val oi = orderInfo.withWatermark("o_ts", WatermarkDelay)
     val od = orderDetail.withWatermark("l_ts", WatermarkDelay)
     od.join(oi,
       od("l_orderkey") === oi("o_orderkey") &&
         od("l_ts") >= oi("o_ts") - expr("INTERVAL 10 SECONDS") &&
         od("l_ts") <= oi("o_ts") + expr("INTERVAL 10 SECONDS"),
-      "inner")
+      joinType)
   }
 
   /** J1 outer form: stream-stream LEFT OUTER order-wide join. Matched
@@ -183,15 +189,8 @@ object StreamingOps {
     * the watermark delay tell Spark when a detail can no longer match and
     * must be emitted-with-nulls and evicted. */
   def orderWideStreamOuter(orderInfo: DataFrame,
-      orderDetail: DataFrame): DataFrame = {
-    val oi = orderInfo.withWatermark("o_ts", WatermarkDelay)
-    val od = orderDetail.withWatermark("l_ts", WatermarkDelay)
-    od.join(oi,
-      od("l_orderkey") === oi("o_orderkey") &&
-        od("l_ts") >= oi("o_ts") - expr("INTERVAL 10 SECONDS") &&
-        od("l_ts") <= oi("o_ts") + expr("INTERVAL 10 SECONDS"),
-      "left_outer")
-  }
+      orderDetail: DataFrame): DataFrame =
+    orderWideJoin(orderInfo, orderDetail, "left_outer")
 
   /** F1+T6: CDC routing predicate (exact reference boolean, incl. the
     * bootstrap-insert leak) applied to a stream; the result carries
