@@ -361,7 +361,34 @@ object PipelineOps {
   }
 
   // ------------------------------------------------------------ registry
+  /** PII redaction chain: emails → phones → long digit runs, in that order
+    * (emails first, or the digit-run pass would destroy the address before
+    * the email pattern can see it). The corpus tables carry no natural
+    * PII, so the input is a contact string SYNTHESIZED identically in both
+    * engines from customer fields — what's under test is the redaction
+    * expression chain, which is the reusable operator (pure map-side
+    * regexp_replace stack, codegen'd, no shuffle until the contract sort).
+    * Patterns stay in the RE2 ∩ Java-regex common subset so Spark and
+    * DuckDB agree byte-for-byte. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("c_name"), lit(" <user"),
+      col("c_custkey").cast("string"), lit("@example.com> call 555-"),
+      col("c_custkey").cast("string"), lit(" ref 1234567890"))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "555-[0-9]+"
+    val idRun = "[0-9]{6,}"
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(raw, email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          idRun, "<ID>").as("redacted"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> (piiRedact _),
     "q_top_p" -> (topPCoverage _),
     "q_dq_checks" -> (dqChecks _),
     "q_sessionize" -> (sessionize _),
@@ -379,6 +406,16 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pii_redact" ->
+      """SELECT c_custkey,
+                regexp_replace(regexp_replace(regexp_replace(
+                  c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+                         || '@example.com> call 555-'
+                         || CAST(c_custkey AS VARCHAR) || ' ref 1234567890',
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '555-[0-9]+', '<PHONE>', 'g'),
+                  '[0-9]{6,}', '<ID>', 'g') AS redacted
+         FROM customer ORDER BY c_custkey""",
     "q_top_p" ->
       """WITH t AS (
            SELECT doc_id, source, n_chars,

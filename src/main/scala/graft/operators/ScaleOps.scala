@@ -140,9 +140,30 @@ object ScaleOps {
         zvalue(col("user_id"), expr("ts_ns DIV 1000000000")).as("zval"))
       .orderBy("event_id")
 
+  /** Join-key skew profile: the heaviest keys of a fact-side join column
+    * and their share of the table — the diagnostic that decides between a
+    * plain shuffle join, AQE skew splitting, and [[saltedJoin]] BEFORE the
+    * job runs at 100 TB (a 5% key means one reducer gets 5% of the table).
+    * One map-side-partial groupBy on the key; the total rides along as a
+    * broadcast single-row frame (never a window-over-everything, which
+    * would funnel all keys through one partition). Share is a pure
+    * int-division double — bit-identical across engines. */
+  def joinKeyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val counts = li.groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = li.agg(count(lit(1)).as("t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n"),
+        (col("n").cast("double") / col("t")).as("share"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (zorderValues _),
+    "q_skew_profile" -> (joinKeyProfile _),
   )
 
   /** GENERATED from the same ZBits constant as [[zvalue]] so the 32 bit
@@ -165,5 +186,10 @@ object ScaleOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_zorder" -> ZOrderSql,
+    "q_skew_profile" ->
+      """SELECT key, n, CAST(n AS DOUBLE) / t AS share
+         FROM (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1)
+         CROSS JOIN (SELECT count(*) AS t FROM lineitem)
+         ORDER BY n DESC, key LIMIT 20""",
   )
 }

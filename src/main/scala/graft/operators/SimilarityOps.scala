@@ -217,6 +217,137 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- PQ
+  /** Product-quantization geometry: M subspaces × K codes. 64 dims → four
+    * 16-dim subvectors, each coded by one of 16 centroids → an 8-byte code
+    * per vector (4 codes × 4 bits would be 2 bytes; ints here for
+    * clarity). IVF partitions WHERE a query looks; PQ compresses WHAT it
+    * scans — together they are the standard 100 TB ANN architecture. */
+  private val PqM = 4
+  private val PqK = 16
+  private val SubDim = Dim / PqM
+
+  /** (vec_id, m, sub, na2): the M per-subspace views of each vector, with
+    * the squared norm precomputed so every later L2 distance is one native
+    * dot (|a−c|² = |a|² − 2a·c + |c|²). */
+  private def subvectors(e: DataFrame): DataFrame = {
+    val subs = (0 until PqM).map { m =>
+      struct(lit(m).as("m"),
+        slice(col("embedding"), m * SubDim + 1, SubDim).as("sub"))
+    }
+    e.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+      .withColumn("na2", VectorOps.dot(col("sub"), col("sub")))
+  }
+
+  /** Elementwise mean subvector per (m, code) — the codebook update step.
+    * Same posexplode + two-groupBy shape as ivfCentroids.meansOf. */
+  private def pqMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy("m", "code", "pos").agg(avg("v").as("mv"))
+      .groupBy("m", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("m"), col("code"),
+        expr("transform(pm, x -> cast(x.mv as float))").as("cent"))
+      .withColumn("nc2", VectorOps.dot(col("cent"), col("cent")))
+
+  /** Encode every subvector with its nearest code — SHUFFLE-FREE, same
+    * broadcast-packed-argmin trick as the IVF assign: the whole codebook
+    * (M·K rows) collapses to one row; the argmin over a subspace's K
+    * centroids runs map-side while the corpus streams. Ties break to the
+    * lowest code id; L2 in each subspace (the PQ standard). */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    val packed = codebook
+      .agg(collect_list(struct(col("m"), col("code"), col("cent"), col("nc2")))
+        .as("cb"))
+    val mine = filter(col("cb"), c => c.getField("m") === col("m"))
+    val best = array_min(transform(mine, c =>
+      struct(
+        (col("na2") - lit(2.0) * VectorOps.dot(col("sub"), c.getField("cent"))
+          + c.getField("nc2")).as("d2"),
+        c.getField("code").as("code"))))
+    subs.join(broadcast(packed))
+      .select(col("vec_id"), col("m"), col("sub"), col("na2"),
+        best.getField("code").as("code"))
+  }
+
+  /** Per-subspace codebooks trained fully in DataFrames: deterministic
+    * init (code = vec_id mod K) refined by one Lloyd iteration — identical
+    * training recipe to the IVF coarse quantizer, run in each of the M
+    * subspaces at once (m is just another grouping key). */
+  private[operators] def pqCodebook(e: DataFrame): DataFrame = {
+    val subs = subvectors(e)
+    val init = pqMeans(subs.withColumn("code",
+      (col("vec_id") % PqK).cast("int")))
+    pqMeans(pqAssign(subs, init))
+  }
+
+  /** ADC shortlist size per query before the exact refinement pass. */
+  private val PqShortlist = 10 * TopK
+
+  /** PQ ANN with ADC (asymmetric distance computation) + exact
+    * refinement — the production two-stage shape:
+    *
+    * Stage 1 (codes only): the corpus is scanned as CODES — at 100 TB a
+    * 32× smaller scan than the float vectors — and each query's
+    * approximate distance is a sum of M table lookups. The distance table
+    * (query × m × code: exact L2 from the UNQUANTIZED query subvector to
+    * each centroid) is queries·M·K rows and broadcasts; the only
+    * corpus-grain work is the (m,code) lookup join and a
+    * groupBy(query, vec) summing M terms. The ADC top-[[PqShortlist]]
+    * per query survives.
+    *
+    * Stage 2 (full vectors, shortlist only): the shortlist — queries ×
+    * 50 ids, NOT corpus-sized — joins back to the stored vectors for an
+    * exact L2 re-rank to top-k. Quantization error costs recall only when
+    * a true neighbor misses the 10×k shortlist, not whenever ADC locally
+    * mis-orders two candidates. Spark-only (codebooks are corpus-trained);
+    * SimilaritySpec pins planted-duplicate retrieval and recall vs
+    * exact-L2 brute force. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val codebook = pqCodebook(e).cache()
+    val codes = pqAssign(subvectors(e), codebook)
+      .select(col("vec_id"), col("m"), col("code"))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val qsubs = subvectors(e.where(col("vec_id") < NumQueries))
+      .select(col("vec_id").as("query_id"), col("m").as("qm"),
+        col("sub").as("qsub"), col("na2").as("nq2"))
+    // ADC table: exact distance from each query subvector to each centroid
+    val dtable = qsubs.join(codebook, col("qm") === codebook("m"))
+      .select(col("query_id"), col("qm").as("m"), col("code"),
+        (col("nq2") - lit(2.0) * VectorOps.dot(col("qsub"), col("cent"))
+          + col("nc2")).as("d2"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    val shortlist = codes.join(broadcast(dtable), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("approx_d2"))
+      .withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= PqShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact refinement over the shortlist: |x−q|² with full vectors
+    val nbr = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"))
+    val exact = VectorOps.dot(col("ne"), col("ne")) -
+      lit(2.0) * VectorOps.dot(col("ne"), col("qe")) +
+      VectorOps.dot(col("qe"), col("qe"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist2").asc, col("neighbor_id").asc)
+    shortlist
+      .join(nbr, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), exact.as("l2_dist2"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("l2_dist2"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- quantize
   /** Per-vector int8 scalar quantization (scale = 127/max|x|) — the
     * storage/transport compression step an ANN index applies before
@@ -252,6 +383,7 @@ object SimilarityOps {
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_pq" -> (annPq _),
     "q_ann_topk_agg" -> (annTopKAgg _),
   )
 
@@ -310,7 +442,7 @@ object SimilarityOps {
              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
            FROM s)
          WHERE rank <= 5 ORDER BY query_id, rank""",
-    // q_ann_lsh omitted: hyperplanes live in the Spark plan only;
-    // recall vs brute force is asserted in ScalaTest.
+    // q_ann_lsh / q_ann_pq omitted: hyperplanes/codebooks live in the
+    // Spark plan only; recall vs brute force is asserted in ScalaTest.
   )
 }

@@ -42,6 +42,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
   }
 
+  test("pii redaction leaves no email, phone, or long digit run behind") {
+    val out = PipelineOps.piiRedact(spark, sf0001)
+      .collect().map(_.getString(1))
+    assert(out.nonEmpty)
+    out.foreach { s =>
+      assert(!s.contains("@"), s"email survived: $s")
+      assert(!"555-[0-9]".r.findFirstIn(s).isDefined, s"phone survived: $s")
+      assert(!"[0-9]{6,}".r.findFirstIn(s).isDefined, s"id run survived: $s")
+      assert(s.contains("<EMAIL>") && s.contains("<PHONE>") && s.contains("<ID>"),
+        s"placeholders missing (redaction not exercised): $s")
+    }
+  }
+
   test("scrub masks every digit run") {
     val bad = PipelineOps.scrubPayload(spark, sf0001)
       .where(col("props_scrubbed").rlike("[0-9]"))

@@ -17,8 +17,12 @@ class PlanLintSpec extends SparkTestBase {
   //    corpus streams map-side — the stated O(n·q) exact baseline
   //  - q_ann_ivf: the K centroids collapse to ONE array-of-structs row
   //    broadcast for map-side assignment (the round-1 shuffle fix)
+  //  - q_ann_pq: same packed-codebook single-row broadcast (encode side)
+  //  - q_skew_profile: 1-row total-count aggregate cross-joined to compute
+  //    each key's share
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
-    "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf")
+    "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
+    "q_skew_profile")
 
   test("no registered query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
