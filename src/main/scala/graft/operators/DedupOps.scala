@@ -651,6 +651,26 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Contamination ATTRIBUTION: which eval document leaked into which
+    * training document — the pair-grain report a decontamination audit
+    * needs ([[contamination]] only says "how much", this says "from
+    * where", so the owning benchmark can be quarantined). Same broadcast
+    * shape as the fraction query (eval side is benchmark-sized); the
+    * output grain is true (train, eval) overlaps of ≥ 3 shingles —
+    * bounded by real contamination, never a pair space. */
+  def contaminationPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val ev = sh.where(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val tr = sh.where(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    tr.join(broadcast(ev), Seq("shingle"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .orderBy("train_id", "eval_id")
+  }
+
   // ---------------------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-duplicates: pairs with cosine > 0.4, blocked by
     * `label` (the cluster id plays the ANN-bucket role at scale). Dot and
@@ -685,6 +705,7 @@ object DedupOps {
     "q_dup_components" -> (dupComponents _),
     "q_contamination" -> (contamination _),
     "q_contamination_bloom" -> (contaminationBloom _),
+    "q_contamination_pairs" -> (contaminationPairs _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_snap_dedup" -> (snapshotDedup _),
     "q_sim_degree" -> (simDegree _),
@@ -912,6 +933,22 @@ object DedupOps {
     // the bloom-prefilter form is result-identical by construction (the
     // exact verify join removes every false positive) — same oracle
     "q_contamination_bloom" -> ContaminationSql,
+    "q_contamination_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tok3)),
+         ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE source = 'src0'),
+         tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE source <> 'src0')
+         SELECT train_id, eval_id, count(*) AS n_shared
+         FROM tr JOIN ev USING (shingle)
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY train_id, eval_id""",
     "q_snap_dedup" ->
       """WITH corpus AS (
            SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),

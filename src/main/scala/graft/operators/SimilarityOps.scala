@@ -377,9 +377,36 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- inference
+  /** Deterministic linear-model weights on the exact 1/16 grid: every
+    * value is a terminating binary fraction, so the float literal here,
+    * its double widening, and the oracle's decimal SQL literal are all
+    * the SAME number — the dot product is then bit-identical across
+    * engines. */
+  private[operators] val ScoreWeights: Seq[Float] =
+    (0 until Dim).map(i => ((i * 37 + 11) % 33 - 16) / 16.0f)
+
+  /** Batch model inference as a map-side expression — the "score every
+    * document with a small quality/relevance model" step of a curation
+    * pipeline. The weight vector rides the plan as a literal (the
+    * broadcast-a-model pattern: at 100 TB the corpus streams through one
+    * codegen'd projection; no shuffle, no per-row JVM calls beyond the
+    * native dot). The squash is the RATIONAL z/(1+|z|) rather than a
+    * sigmoid: same monotone S-shape, but exp() is transcendental and
+    * diverges at the last bit across engines — div/abs are
+    * IEEE-exact, so the oracle hash-matches. */
+  def embedScore(spark: SparkSession, dir: String): DataFrame = {
+    val z = VectorOps.dot(col("embedding"), typedlit(ScoreWeights)) + lit(0.25)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"), z.as("logit"))
+      .withColumn("score", col("logit") / (lit(1.0) + abs(col("logit"))))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize" -> (embedQuantize _),
+    "q_embed_score" -> (embedScore _),
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
@@ -387,7 +414,23 @@ object SimilarityOps {
     "q_ann_topk_agg" -> (annTopKAgg _),
   )
 
+  /** GENERATED from ScoreWeights so the literal can't drift. The weights
+    * are exact binary fractions, so the decimal text parses to the same
+    * doubles FloatVectorDot works with. */
+  private val EmbedScoreSql: String = {
+    val wlit = ScoreWeights.map(_.toString).mkString("[", ", ", "]")
+    s"""SELECT vec_id, CAST(label AS BIGINT) AS label, logit,
+                logit / (1.0 + abs(logit)) AS score
+         FROM (
+           SELECT vec_id, label,
+                  list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   $wlit::DOUBLE[]) + 0.25 AS logit
+           FROM embeddings)
+         ORDER BY vec_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_embed_score" -> EmbedScoreSql,
     "q_embed_quantize" ->
       """WITH b AS (
            SELECT vec_id, embedding,
