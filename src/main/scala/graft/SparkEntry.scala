@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticOps, CoreOps, DedupOps, MultimodalOps, PipelineOps, ScaleOps, ServingOps, SimilarityOps, TextOps}
+import graft.operators.{AnalyticOps, CoreOps, DedupOps, GraphOps, MultimodalOps, PipelineOps, ScaleOps, ServingOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ ServingOps.queries ++
-      PipelineOps.queries ++ AnalyticOps.queries ++ ScaleOps.queries
+      PipelineOps.queries ++ AnalyticOps.queries ++ ScaleOps.queries ++
+      GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOps.oracleSql ++ TextOps.oracleSql ++ DedupOps.oracleSql ++
       SimilarityOps.oracleSql ++ MultimodalOps.oracleSql ++ ServingOps.oracleSql ++
-      PipelineOps.oracleSql ++ AnalyticOps.oracleSql ++ ScaleOps.oracleSql
+      PipelineOps.oracleSql ++ AnalyticOps.oracleSql ++ ScaleOps.oracleSql ++
+      GraphOps.oracleSql
 }

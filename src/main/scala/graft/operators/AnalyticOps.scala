@@ -210,8 +210,73 @@ object AnalyticOps {
       .orderBy("o_orderpriority", "rn")
   }
 
+  // -------------------------------------------------------------- GAPFILL
+  /** Calendar gap-fill + forward-fill: every user's daily activity series
+    * densified to a contiguous per-user date range, with inactive days
+    * zero-filled, a running event total, and days-since-last-activity
+    * carried forward — the time-series densification step feature
+    * pipelines need before any rolling/sequence model, which no single
+    * native operator provides.
+    *
+    * The calendar comes from `sequence(min_d, max_d)` per user (array of
+    * dates, exploded map-side off the span aggregate) — output is bounded
+    * by users × corpus-day-span, never a cross join of users with a
+    * global calendar when spans differ. The fill joins calendar←daily on
+    * (user, day) and runs two per-user windows in one pass: a running sum
+    * (exact long arithmetic) and a running `last(active_day,
+    * ignoreNulls)` for the forward fill — one shuffle on the user key
+    * after the daily rollup. */
+  def gapfillActivity(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id", "d").agg(count(lit(1)).as("n_events"))
+    val cal = daily.groupBy("user_id")
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("active_d", when(col("n_events").isNotNull, col("d")))
+      .select(col("user_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("dt"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        sum(coalesce(col("n_events"), lit(0L))).over(w).as("cum_events"),
+        datediff(col("d"), last(col("active_d"), ignoreNulls = true).over(w))
+          .cast("long").as("days_since_active"))
+      .orderBy("user_id", "dt")
+  }
+
+  // ------------------------------------------------------------ RETENTION
+  /** Cohort retention: users grouped by first-seen day, counted on each
+    * later active day as an offset from their cohort day, with the
+    * retained fraction of the cohort — the canonical product-analytics
+    * rollup over the same first-seen semantics as the reference's DAU
+    * dedup (SURVEY §2.3 F3 defines first-seen; this is its longitudinal
+    * readout).
+    *
+    * Rate is ONE double division of two exact counts — bit-identical
+    * across engines. The (user, day) distinct and the cohort min are two
+    * aggregations on the user key; cohort sizes are a days-sized frame →
+    * broadcast. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("c0"))
+    val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("cohort_n"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("c0"), datediff(col("d"), col("c0")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "c0")
+      .select(date_format(col("c0"), "yyyy-MM-dd").as("cohort_dt"),
+        col("day_offset"), col("n_users"), col("cohort_n"),
+        (col("n_users").cast("double") / col("cohort_n")).as("retained_frac"))
+      .orderBy("cohort_dt", "day_offset")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gapfill" -> (gapfillActivity _),
+    "q_retention" -> (retention _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
     "q_cube_sales" -> (cubeSales _),
@@ -222,6 +287,41 @@ object AnalyticOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_gapfill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+         cal AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+           FROM span),
+         j AS (
+           SELECT c.user_id, c.d, daily.n
+           FROM cal c LEFT JOIN daily ON daily.user_id = c.user_id AND daily.d = c.d)
+         SELECT user_id, strftime(d, '%Y-%m-%d') AS dt,
+                coalesce(n, 0) AS n_events,
+                CAST(sum(coalesce(n, 0)) OVER w AS BIGINT) AS cum_events,
+                date_diff('day',
+                  last_value(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS) OVER w,
+                  d) AS days_since_active
+         FROM j
+         WINDOW w AS (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING)
+         ORDER BY user_id, dt""",
+    "q_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         cohort AS (SELECT user_id, min(d) AS c0 FROM ev GROUP BY 1),
+         sizes AS (SELECT c0, count(*) AS cohort_n FROM cohort GROUP BY 1),
+         r AS (
+           SELECT c.c0, date_diff('day', c.c0, ev.d) AS day_offset,
+                  count(*) AS n_users
+           FROM ev JOIN cohort c ON ev.user_id = c.user_id
+           GROUP BY 1, 2)
+         SELECT strftime(r.c0, '%Y-%m-%d') AS cohort_dt, r.day_offset,
+                r.n_users, s.cohort_n,
+                CAST(r.n_users AS DOUBLE) / s.cohort_n AS retained_frac
+         FROM r JOIN sizes s ON r.c0 = s.c0
+         ORDER BY cohort_dt, day_offset""",
     // Oracle uses the naive pair join + row_number — O(pairs), fine at
     // verify SF, and semantically the ground truth for the running-last
     // formulation above.

@@ -692,8 +692,33 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------------------------------------------------------------- shared chunks
+  /** Cross-document repeated chunks: 50-token sliding-window fingerprints
+    * (the [[PipelineOps.docChunks]] grain) that appear in ≥ 2 distinct
+    * documents — substring-level duplication that document-level exact
+    * dedup can never see (two documents sharing one boilerplate passage
+    * hash differently as wholes). This is the chunk-granular variant of
+    * suffix-based substring dedup: the fingerprinted window stream makes
+    * "repeated ≥ 50-token span" detectable with ONE groupBy on the
+    * fingerprint.
+    *
+    * Emits a per-fingerprint summary (doc span + occurrence counts), not
+    * the doc-pair expansion — a web-scale boilerplate chunk shared by 10⁶
+    * docs stays one aggregate row here, where a pair attribution would
+    * need the same df cap as the shingle join ([[MaxShingleDf]]). */
+  def chunkShared(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.docChunks(spark, dir)
+      .groupBy("chunk_fp")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy("chunk_fp")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_shared" -> (chunkShared _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_neardup_keep" -> (nearDupKeep _),
@@ -888,6 +913,23 @@ object DedupOps {
          ORDER BY c.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    // same chunking CTE as q_chunk_docs (PipelineOps), rolled up by fp
+    "q_chunk_shared" ->
+      """WITH s AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (
+           SELECT doc_id, t, start_tok FROM (
+             SELECT doc_id, t, unnest(generate_series(1, len(t), 40)) AS start_tok
+             FROM s)
+           WHERE start_tok = 1 OR start_tok + 10 <= len(t)),
+         c AS (
+           SELECT doc_id,
+                  md5(array_to_string(t[start_tok : start_tok + 49], ' ')) AS chunk_fp
+           FROM st)
+         SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM c GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY chunk_fp""",
     "q_minhash_oracle" -> MinhashOracleSql,
     "q_simhash_oracle" -> SimhashOracleSql,
     "q_dedup_exact" ->

@@ -145,7 +145,12 @@ object PipelineOps {
     * emitted (chunk text re-derives from the source; shipping it would
     * multiply the corpus by the overlap factor). At 100 TB this is a
     * narrow explode whose output is ~n_tokens/stride rows per doc. */
-  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    docChunks(spark, dir).orderBy("doc_id", "chunk_idx")
+
+  /** The unordered chunk frame behind [[chunkDocs]] — also the input to
+    * the cross-document repeated-chunk detection in [[DedupOps]]. */
+  private[operators] def docChunks(spark: SparkSession, dir: String): DataFrame = {
     val ChunkTokens = 50
     val Stride = 40 // = ChunkTokens - 10 overlap
     Tables.documents(spark, dir)
@@ -165,7 +170,6 @@ object PipelineOps {
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         size(col("c")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("c"))).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Source-mixture rebalancing by sqrt temperature scaling — the

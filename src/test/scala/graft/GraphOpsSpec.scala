@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnalyticOps, GraphOps}
+
+/** GraphOps (co-purchase lift, triangle enumeration) + the AnalyticOps
+  * round-4 additions (gap-fill, retention): planted fixtures with
+  * hand-computed expectations, plus equivalence of the degree-oriented
+  * triangle join to the naive id-ordered triple join on real data.
+  */
+class GraphOpsSpec extends SparkTestBase {
+
+  private def writeLineitem(rows: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("triangles: planted K4 yields exactly its four triangles") {
+    // two orders with all of {1,2,3,4} → every pair has support 2 (K4);
+    // part 5 co-occurs only once → below support, never in a triangle
+    val dir = writeLineitem(
+      (1L to 4L).map(p => (100L, p)) ++ (1L to 4L).map(p => (101L, p)) :+ (100L, 5L))
+    val got = GraphOps.triangles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: degree-oriented join == naive id-ordered triple join (sf0.001)") {
+    val got = GraphOps.triangles(spark, sf0001)
+    // independent naive formulation: a<b edges joined three ways by id order
+    val op = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.alias("x").join(op.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+      .select("a", "b").cache()
+    val naive = e.alias("e1")
+      .join(e.alias("e2"), col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+      .join(e.alias("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("part_x"), col("e1.b").as("part_y"),
+        col("e2.b").as("part_z"))
+    assert(got.count() == naive.count())
+    assert(got.except(naive).count() == 0 && naive.except(got).count() == 0)
+  }
+
+  test("copurchase lift: hand-computed independence ratio") {
+    // 4 orders; parts 1,2 together twice, each in 2 orders total:
+    // lift = n_ab*N/(n_a*n_b) = 2*4/(2*2) = 2.0. Parts 3,4 share one
+    // order only → support 1, filtered out.
+    val dir = writeLineitem(Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L),
+      (3L, 3L), (3L, 4L),
+      (4L, 3L)))
+    val got = GraphOps.copurchaseLift(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("part_a") == 1L && r.getAs[Long]("part_b") == 2L)
+    assert(r.getAs[Long]("n_ab") == 2L && r.getAs[Long]("n_a") == 2L &&
+      r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("lift") == 2.0)
+  }
+
+  test("copurchase lift: duplicate lineitems of the same part count once per order") {
+    // part 1 appears twice in order 1 (two lineitems) — the basket is a
+    // SET, so pair (1,2) support is 2, not inflated
+    val dir = writeLineitem(Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L)))
+    val r = GraphOps.copurchaseLift(spark, dir).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("n_ab") == 2L)
+  }
+
+  test("gapfill: zero-filled gap days, forward-filled staleness, running total") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    def day(n: Int) = new java.sql.Timestamp(t0.getTime + n * 86400000L)
+    // user 1: two events day0, one event day3; nothing between
+    Seq(
+      (1L, day(0), 1L, "view", 1.0, "{}"),
+      (2L, day(0), 1L, "view", 1.0, "{}"),
+      (3L, day(3), 1L, "buy", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticOps.gapfillActivity(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 2L, 2L, 0L),
+      ("2024-03-02", 0L, 2L, 1L),
+      ("2024-03-03", 0L, 2L, 2L),
+      ("2024-03-04", 1L, 3L, 0L)))
+  }
+
+  test("retention: cohort sizes and retained fractions from first-seen days") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:30:00")
+    def day(n: Int) = new java.sql.Timestamp(t0.getTime + n * 86400000L)
+    // users 1,2 first seen day0; user 1 returns day1; user 3 first seen day1
+    Seq(
+      (1L, day(0), 1L), (2L, day(0), 2L),
+      (3L, day(1), 1L), (4L, day(1), 3L))
+      .map { case (e, ts, u) => (e, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticOps.retention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 0L, 2L, 2L, 1.0),
+      ("2024-03-01", 1L, 1L, 2L, 0.5),
+      ("2024-03-02", 0L, 1L, 1L, 1.0)))
+  }
+
+  test("shared chunks: planted common 50-token prefix across two docs is found") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_").toString
+    val common = (1 to 50).map(i => s"w$i").mkString(" ")
+    val tailA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val tailB = (1 to 30).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, s"$common $tailA", "en", "src0", 0L),
+      (2L, s"$common $tailB", "en", "src0", 0L),
+      (3L, tailA + " " + tailB, "en", "src0", 0L)) // no aligned shared chunk
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.DedupOps.chunkShared(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_occ") == 2L)
+    assert(r.getAs[Long]("min_doc") == 1L && r.getAs[Long]("max_doc") == 2L)
+  }
+}
