@@ -116,10 +116,49 @@ object GraphOps {
       .orderBy("part_x", "part_y", "part_z")
   }
 
+  // ------------------------------------------------------------ pagerank
+  /** PageRank (3 unrolled power iterations, damping 0.85) over the
+    * undirected co-purchase graph — the iterative
+    * propagate-along-edges-then-aggregate pattern every distributed graph
+    * metric reduces to, expressed as plain join + groupBy rounds.
+    *
+    * All arithmetic is INTEGER mass: each node starts with 1 000 000
+    * units, a round sends `(mass·85) DIV (100·deg)` units down every
+    * incident edge and restarts with 150 000 base units. Truncating
+    * integer division drops remainder mass deterministically — the ranks
+    * are exact longs, reproducible in any engine, where a floating-point
+    * PageRank's per-node sums would be accumulation-order-dependent and
+    * could never hash-match the oracle.
+    *
+    * Scale shape: per round ONE equi-join of the edge list with the
+    * node-sized mass frame (both hash-partitioned on the source key —
+    * co-partitioned round over round) + ONE groupBy on the destination.
+    * The loop unrolls into a single linear plan; nothing driver-side but
+    * plan construction. Undirected edges mean every node has in-edges, so
+    * no dangling-mass correction is needed. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = pairSupports(baskets(spark, dir))
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val directed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = directed.join(deg, "src").cache() // reused every round
+    var mass = deg.select(col("src").as("v"), lit(1000000L).as("mass"))
+    for (_ <- 1 to 3) {
+      mass = withDeg.join(mass, col("src") === col("v"))
+        .select(col("dst"), expr("(mass * 85) DIV (100 * deg)").as("contrib"))
+        .groupBy("dst").agg((lit(150000L) + sum(col("contrib"))).as("mass"))
+        .select(col("dst").as("v"), col("mass"))
+    }
+    mass.select(col("v").as("part"), col("mass"))
+      .orderBy(col("mass").desc, col("part"))
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_copurchase_lift" -> (copurchaseLift _),
     "q_triangles" -> (triangles _),
+    "q_pagerank" -> (pagerank _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,6 +179,36 @@ object GraphOps {
            JOIN f fb ON pr.pb = fb.l_partkey
            CROSS JOIN n
          ORDER BY pr.n_ab DESC, part_a, part_b""",
+    // the three power iterations unrolled as CTEs; all integer arithmetic
+    // (// is truncating BIGINT division, matching Spark's DIV)
+    "q_pagerank" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (
+           SELECT pa AS src, pb AS dst FROM e
+           UNION ALL SELECT pb AS src, pa AS dst FROM e),
+         deg AS (SELECT src, count(*) AS deg FROM d GROUP BY 1),
+         m0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS mass FROM deg),
+         m1 AS (
+           SELECT d.dst AS v,
+                  150000 + CAST(sum((m.mass * 85) // (100 * deg.deg)) AS BIGINT) AS mass
+           FROM d JOIN deg USING (src) JOIN m0 m ON m.v = d.src
+           GROUP BY d.dst),
+         m2 AS (
+           SELECT d.dst AS v,
+                  150000 + CAST(sum((m.mass * 85) // (100 * deg.deg)) AS BIGINT) AS mass
+           FROM d JOIN deg USING (src) JOIN m1 m ON m.v = d.src
+           GROUP BY d.dst),
+         m3 AS (
+           SELECT d.dst AS v,
+                  150000 + CAST(sum((m.mass * 85) // (100 * deg.deg)) AS BIGINT) AS mass
+           FROM d JOIN deg USING (src) JOIN m2 m ON m.v = d.src
+           GROUP BY d.dst)
+         SELECT v AS part, mass FROM m3 ORDER BY mass DESC, part""",
     // ground truth: naive id-ordered triple join — with a < b edges,
     // e1=(a,b), e2=(a,c), e3=(b,c) enumerates each triangle exactly once
     "q_triangles" ->

@@ -83,6 +83,23 @@ object StreamingOps {
       .withWatermark("ts", WatermarkDelay)
       .dropDuplicates("dt", "user_id")
 
+  /** F3 bounded-state variant: `dropDuplicatesWithinWatermark` (Spark
+    * 3.5+) evicts a key's dedup state once the watermark passes its event
+    * time + delay — the right trade when duplicates only arrive
+    * near-in-time (at-least-once replays, retried producers), because
+    * state stays O(keys-per-watermark-window) forever instead of growing
+    * with every (dt, user_id) ever seen. Within one watermark window the
+    * emissions match [[firstSeenStream]] exactly (spec-pinned); a
+    * duplicate arriving after its key's state expired is re-emitted —
+    * that is the documented contract, not a bug, and why the unbounded
+    * variants above exist for the reference's whole-day semantics. */
+  def firstSeenBoundedStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col("ts"), "HH"))
+      .withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("dt", "user_id")
+
   /** F3 with EXACT reference semantics: the Redis-SADD dedup accepted a
     * mid's first occurrence no matter how late it arrived (state unbounded
     * within a day, T4). Watermarked dropDuplicates trades that for bounded

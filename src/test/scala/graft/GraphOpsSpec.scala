@@ -76,6 +76,19 @@ class GraphOpsSpec extends SparkTestBase {
     assert(r.length == 1 && r.head.getAs[Long]("n_ab") == 2L)
   }
 
+  test("pagerank: hand-computed integer masses on a planted star") {
+    // star: center 10 — leaves 1,2,3; every edge co-ordered twice.
+    // Round-by-round integer mass (damping 85/100, base 150000):
+    //   m1(c)=150000+3*850000=2700000   m1(l)=150000+85000000/300=433333
+    //   m2(c)=150000+3*368333=1254999   m2(l)=150000+765000=915000
+    //   m3(c)=150000+3*777750=2483250   m3(l)=150000+355583=505583
+    val dir = writeLineitem(
+      (1L to 3L).flatMap(l => Seq((l * 10, 10L), (l * 10, l), (l * 10 + 1, 10L), (l * 10 + 1, l))))
+    val got = GraphOps.pagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 2483250L), (1L, 505583L), (2L, 505583L), (3L, 505583L)))
+  }
+
   test("gapfill: zero-filled gap days, forward-filled staleness, running total") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gap_").toString

@@ -44,6 +44,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == Seq(1L, 2L), "one row per user per day across batches")
   }
 
+  test("bounded-state dedup: within-watermark dups collapse, expired keys re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.firstSeenBoundedStream(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("fsb").start()
+    // near-in-time duplicate collapses exactly like firstSeenStream
+    in.addData(
+      Ev(0, ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(1, ts("2024-01-01 10:00:01"), 1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // an hour later: watermark passes user 1's state (10:00:00 + 10s) → evicted
+    in.addData(Ev(2, ts("2024-01-01 11:00:00"), 99, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // same (dt, user) again after eviction → re-emitted: the documented
+    // bounded-state contract (the unbounded variants keep whole-day state)
+    in.addData(Ev(3, ts("2024-01-01 11:00:05"), 1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fsb").select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 1L), (2L, 99L), (3L, 1L)),
+      s"dup 1 collapsed, post-eviction repeat re-emitted; got ${got.toSeq}")
+  }
+
   test("stream-stream join emits each matched pair once; orphans beyond window never join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
