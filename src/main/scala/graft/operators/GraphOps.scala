@@ -139,10 +139,14 @@ object GraphOps {
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val edges = pairSupports(baskets(spark, dir))
       .select(col("part_a").as("a"), col("part_b").as("b"))
+    // the ONE cache point: everything downstream (degrees, per-round
+    // propagation) re-derives from this support-filtered edge list, so
+    // the expensive basket build + pair expansion runs exactly once
     val directed = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
     val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = directed.join(deg, "src").cache() // reused every round
+    val withDeg = directed.join(broadcast(deg), "src")
     var mass = deg.select(col("src").as("v"), lit(1000000L).as("mass"))
     for (_ <- 1 to 3) {
       mass = withDeg.join(mass, col("src") === col("v"))
