@@ -111,6 +111,18 @@ object DedupOps {
     * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from integer set cardinalities,
     * so the double division is bit-identical across engines. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val jac = col("n_common").cast("double") /
+      (col("c_a") + col("c_b") - col("n_common"))
+    shinglePairOverlap(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared candidate-pair frame behind [[ngramJaccard]] and
+    * [[containment]]: (doc_a, doc_b, n_common, c_a, c_b) over the
+    * df-capped per-source shingle sets. */
+  private def shinglePairOverlap(spark: SparkSession, dir: String): DataFrame = {
     // df-capped doc lists feed BOTH the cardinalities and the pair
     // generation — cache the one aggregated frame, not the exploded grain
     val lists = shingleDocLists(Tables.documents(spark, dir))
@@ -125,15 +137,28 @@ object DedupOps {
       .select(explode(pairCombos(col("doc_ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    val ca = card.select(col("doc_id").as("ka"), col("c").as("c_a"))
-    val cb = card.select(col("doc_id").as("kb"), col("c").as("c_b"))
-    val jac = col("n_common").cast("double") /
-      (col("c_a") + col("c_b") - col("n_common"))
     inter
-      .join(ca, col("doc_a") === col("ka"))
-      .join(cb, col("doc_b") === col("kb"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
-      .where(col("jaccard") >= 0.5)
+      .join(card.select(col("doc_id").as("ka"), col("c").as("c_a")),
+        col("doc_a") === col("ka"))
+      .join(card.select(col("doc_id").as("kb"), col("c").as("c_b")),
+        col("doc_b") === col("kb"))
+      .select("doc_a", "doc_b", "n_common", "c_a", "c_b")
+  }
+
+  /** Containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.9 over the same
+    * df-capped shingle sets — the asymmetric measure that catches a small
+    * document embedded inside a much larger one, which Jaccard
+    * structurally cannot (a 50-shingle doc fully contained in a
+    * 5000-shingle doc has Jaccard ≈ 0.01 but containment 1.0). Same
+    * one-shuffle map-side pair generation as [[ngramJaccard]]; the ratio
+    * is one double division over integer cardinalities — bit-identical
+    * across engines. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val cont = col("n_common").cast("double") / least(col("c_a"), col("c_b"))
+    shinglePairOverlap(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("c_a"), col("c_b"), cont.as("containment"))
+      .where(col("containment") >= 0.9)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -719,6 +744,7 @@ object DedupOps {
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_shared" -> (chunkShared _),
+    "q_containment" -> (containment _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_neardup_keep" -> (nearDupKeep _),
@@ -936,6 +962,36 @@ object DedupOps {
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "q_ngram_jaccard" -> NgramJaccardSql,
+    // same shingle/df-cap/pair CTEs as the Jaccard oracle, asymmetric ratio
+    "q_containment" ->
+      s"""WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh0 AS (
+           SELECT DISTINCT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tok3)),
+         sh AS (
+           SELECT doc_id, source, shingle FROM (
+             SELECT *, count(*) OVER (PARTITION BY source, shingle) AS df
+             FROM sh0)
+           WHERE df <= $MaxShingleDf),
+         card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_common, ca.c AS c_a, cb.c AS c_b,
+                CAST(n_common AS DOUBLE) / least(ca.c, cb.c) AS containment
+         FROM inter
+         JOIN card ca ON doc_a = ca.doc_id
+         JOIN card cb ON doc_b = cb.doc_id
+         WHERE CAST(n_common AS DOUBLE) / least(ca.c, cb.c) >= 0.9
+         ORDER BY doc_a, doc_b""",
     // the apply step reuses the pair query verbatim as a subquery — the
     // keep set is definitionally "documents minus doc_b of those pairs"
     "q_neardup_keep" ->

@@ -123,11 +123,45 @@ object MultimodalOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Target shard payload bytes (WebDataset-style tar shards would use
+    * ~100 MB–1 GB; small here so the verify SFs produce multiple shards). */
+  val ShardBytes = 65536L
+  /** Manifest volume width: shards are scoped per (modality, volume =
+    * asset_id DIV width), so the packing window never sorts more than one
+    * volume on one task — the same per-scope parallelization as
+    * PipelineOps.packSequences' per-shard windows. */
+  val VolumeAssets = 100000L
+
+  /** Shard manifest: assign every asset to a byte-budgeted output shard
+    * and compute its offset within the shard — the WebDataset-style
+    * tar-packing manifest a multimodal training pipeline materializes
+    * before the (IO-bound) shard writer runs. Assignment is the
+    * offset-bucket approximation also used by `q_pack_sequences`:
+    * shard = floor(preceding-bytes / target), so a shard can overflow its
+    * budget by at most one asset — in exchange the whole manifest is one
+    * window pass (running sum of byte lengths per (modality, volume)),
+    * deterministic, and engine-exact (pure integer arithmetic). */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("modality", "volume").orderBy("asset_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    assets(spark, dir)
+      .select(col("asset_id"), col("modality"),
+        expr(s"asset_id DIV $VolumeAssets").as("volume"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .withColumn("cum_before", coalesce(sum(col("byte_len")).over(w), lit(0L)))
+      .select(col("asset_id"), col("modality"), col("volume"), col("byte_len"),
+        expr(s"cum_before DIV $ShardBytes").as("shard_id"),
+        expr(s"cum_before % $ShardBytes").as("offset_in_shard"))
+      .orderBy("modality", "asset_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> (assetMeta _),
     "q_mm_features" -> (featureStats _),
     "q_mm_feature_ann" -> (featureAnn _),
+    "q_mm_shards" -> (shardManifest _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,6 +174,25 @@ object MultimodalOps {
                 n_chars % 480 + 1 AS height,
                 n_chars * 40 AS duration_ms
          FROM documents ORDER BY asset_id""",
+    "q_mm_shards" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                  ELSE 'video' END AS modality,
+                  doc_id // 100000 AS volume,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+           FROM documents),
+         c AS (
+           SELECT asset_id, modality, volume, byte_len,
+                  CAST(coalesce(sum(byte_len) OVER (
+                    PARTITION BY modality, volume ORDER BY asset_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+           FROM a)
+         SELECT asset_id, modality, volume, byte_len,
+                cum_before // 65536 AS shard_id,
+                cum_before % 65536 AS offset_in_shard
+         FROM c ORDER BY modality, asset_id""",
     // q_mm_features omitted: the decode stub is Spark-side only
     // (rows-only check; exact values asserted in ScalaTest).
   )

@@ -25,6 +25,24 @@ class DedupSpec extends SparkTestBase {
     assert(!got.contains(1L), "doc 1 must be absorbed into doc 0's group")
   }
 
+  test("containment catches a small doc embedded in a large one that jaccard misses") {
+    // doc 11 = the full 18-shingle run of doc 10's prefix; doc 10 continues
+    // with 60 more distinct tokens → Jaccard ≈ 18/78 < 0.5 (not a pair),
+    // containment = 18/18 = 1.0 (a pair)
+    val small = (1 to 20).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (1 to 60).map(i => s"x$i").mkString(" ")
+    val dir = documentsFixture(Seq(
+      (10L, big, "en", "src0"),
+      (11L, small, "en", "src0"),
+      (12L, "unrelated content entirely different", "en", "src0")))
+    val cont = DedupOps.containment(spark, dir).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getLong(0) == 10L && cont.head.getLong(1) == 11L)
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    val jac = DedupOps.ngramJaccard(spark, dir).collect()
+    assert(jac.isEmpty, "jaccard at 0.5 must NOT pair the embedded doc")
+  }
+
   test("minhash+lsh finds planted near-dups, including cross-source ones jaccard blocking misses") {
     val dir = fixtureDir
     val pairs = DedupOps.minhashLsh(spark, dir)

@@ -101,6 +101,23 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("shard manifest: byte-budget bucketing with hand-computed offsets") {
+    // doc_ids 1,4,7 are all 'audio'; byte lens 40000,40000,30000 against
+    // the 65536 target → preceding-bytes 0,40000,80000 → shards 0,0,1
+    // with offsets 0,40000,14464 (80000-65536)
+    val dir = documentsFixture(Seq(
+      (1L, "a" * 40000, "en", "src0"),
+      (4L, "b" * 40000, "en", "src0"),
+      (7L, "c" * 30000, "en", "src0")))
+    val got = graft.operators.MultimodalOps.shardManifest(spark, dir).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
+        r.getAs[Long]("shard_id"), r.getAs[Long]("offset_in_shard")))
+    assert(got.toSeq == Seq(
+      (1L, "audio", 0L, 0L),
+      (4L, "audio", 0L, 40000L),
+      (7L, "audio", 1L, 14464L)))
+  }
+
   test("multimodal: features deterministic across runs, histogram sums to 1") {
     val f1 = MultimodalOps.featureStats(spark, sf0001).collect()
     val f2 = MultimodalOps.featureStats(spark, sf0001).collect()
