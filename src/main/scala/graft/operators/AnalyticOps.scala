@@ -273,8 +273,85 @@ object AnalyticOps {
       .orderBy("cohort_dt", "day_offset")
   }
 
+  // ------------------------------------------------------------------ RFM
+  /** RFM customer segmentation: recency / frequency / monetary per
+    * customer, each scored into quartiles — the classic warehouse
+    * segmentation rollup over the same order fact the reference's DWS
+    * layer aggregates.
+    *
+    * The quartile windows run over the CUSTOMER-grain frame (one row per
+    * customer — dim-sized, not the fact), so the global ntile sort is a
+    * dim sort; the fact is only touched by the one groupBy. Monetary is
+    * an exact DECIMAL sum cast to double (the engine's standard oracle
+    * parity trick); every window orders with the custkey tiebreak so
+    * quartile assignment is total-order deterministic. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m"))
+    val dmax = per.agg(max(col("last_d")).as("d_max"))
+    def q(c: org.apache.spark.sql.Column*) =
+      ntile(4).over(Window.orderBy(c: _*)).cast("long")
+    per.crossJoin(broadcast(dmax))
+      .select(col("o_custkey"),
+        datediff(col("d_max"), col("last_d")).cast("long").as("recency_days"),
+        col("frequency"), col("m").cast("double").as("monetary"))
+      .withColumn("r_q", q(col("recency_days"), col("o_custkey")))
+      .withColumn("f_q", q(col("frequency").desc, col("o_custkey")))
+      .withColumn("m_q", q(col("monetary").desc, col("o_custkey")))
+      .withColumn("segment",
+        concat(col("r_q"), lit("-"), col("f_q"), lit("-"), col("m_q")))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------- TRANSITIONS
+  /** Event-type transition matrix: counts of consecutive (prev → next)
+    * event types per user in event-time order — the Markov-chain
+    * statistics sequence models and funnel diagnostics start from. One
+    * lag window on the user key (ordered by raw nanos + event_id
+    * tiebreak, so ordering is exact and deterministic), one
+    * map-side-partial groupBy on the 2-gram key. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // ------------------------------------------------------------------ WAU
+  /** Rolling 7-day active users per day (WAU) — the sliding-window
+    * companion to the reference's daily DAU (SURVEY §2.5 A1/A2).
+    * `count_distinct` can't run over a sliding RANGE frame, so each
+    * (user, day) activity row is exploded to the 7 report days it covers
+    * and the per-day distinct count becomes ONE groupBy — fan-out exactly
+    * 7×, shuffle carries (day, user) pairs, partial-dedup map-side.
+    * Report days past the last observed day are clipped (partial windows
+    * at the corpus edge would under-count). */
+  def wau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val dmax = ud.agg(max(col("d")).as("d_max"))
+    ud.select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("report_d"))
+      .crossJoin(broadcast(dmax))
+      .where(col("report_d") <= col("d_max"))
+      .groupBy("report_d")
+      .agg(count_distinct(col("user_id")).as("wau"))
+      .select(date_format(col("report_d"), "yyyy-MM-dd").as("dt"), col("wau"))
+      .orderBy("dt")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (rfm _),
+    "q_transitions" -> (transitions _),
+    "q_wau" -> (wau _),
     "q_gapfill" -> (gapfillActivity _),
     "q_retention" -> (retention _),
     "q_asof_join" -> (asofJoin _),
@@ -287,6 +364,48 @@ object AnalyticOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rfm" ->
+      """WITH per AS (
+           SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+                  count(*) AS frequency,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           FROM orders GROUP BY 1),
+         dm AS (SELECT max(last_d) AS d_max FROM per),
+         r AS (
+           SELECT o_custkey,
+                  date_diff('day', last_d, d_max) AS recency_days,
+                  frequency, monetary
+           FROM per CROSS JOIN dm)
+         SELECT o_custkey, recency_days, frequency, monetary,
+                CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_q,
+                CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_q,
+                CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_q,
+                ntile(4) OVER (ORDER BY recency_days, o_custkey) || '-' ||
+                ntile(4) OVER (ORDER BY frequency DESC, o_custkey) || '-' ||
+                ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS segment
+         FROM r ORDER BY o_custkey""",
+    "q_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_ns(ts), event_id) AS from_type
+           FROM events)
+         SELECT from_type, event_type AS to_type, count(*) AS n
+         FROM e WHERE from_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "q_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         dm AS (SELECT max(d) AS d_max FROM ud),
+         x AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                              INTERVAL 1 DAY)) AS DATE) AS report_d
+           FROM ud)
+         SELECT strftime(report_d, '%Y-%m-%d') AS dt,
+                count(DISTINCT user_id) AS wau
+         FROM x CROSS JOIN dm
+         WHERE report_d <= d_max
+         GROUP BY 1 ORDER BY dt""",
     "q_gapfill" ->
       """WITH daily AS (
            SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n

@@ -456,8 +456,44 @@ object TextOps {
         min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
       .orderBy("source", "bucket")
 
+  // ---------------------------------------------------------------- surprisal
+  /** Per-document mean token surprisal against the corpus unigram
+    * distribution — the model-free "how rare is this document's
+    * vocabulary" score used next to quality/repetition in curation
+    * (rare-token-heavy docs ≈ novel or noisy; common-token docs ≈
+    * boilerplate).
+    *
+    * Surprisal −log₂ p(tok) is quantized to INTEGER bits as
+    * `floor(log₂ N) − floor(log₂ c)` (within ±1 bit of the real value) —
+    * computed via binary-digit length (`length(bin(x))−1`), never a
+    * floating log: libm rounding differs across engines, but the digit
+    * length is exact integer arithmetic, so the oracle hash-matches and
+    * the score is reproducible anywhere.
+    *
+    * Scale shape: one groupBy for the token frequencies, one shuffle
+    * join of the exploded token stream with them (vocabulary-sized right
+    * side — AQE broadcasts it when small, hash-joins when web-scale), one
+    * per-doc aggregation. The token stream is cached: frequencies, the
+    * total, and the join all consume it. */
+  def surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .cache()
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val bits = (length(bin(col("n_total"))) - 1) - (length(bin(col("c"))) - 1)
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), bits.as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_bits", col("sum_bits").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_surprisal" -> (surprisal _),
     "q_zscore" -> (lengthZscore _),
     "q_len_histo" -> (lengthHistogram _),
     "q_token_count" -> (tokenCount _),
@@ -477,6 +513,22 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     // q_heavy_hitters_cms intentionally omitted: the sketch's murmur
     // hashing has no DuckDB twin — CmsSpec pins est vs exact bounds.
+    // floor-log2 via binary digit length (to_base == Spark's bin) — exact
+    // integer bits, no libm
+    "q_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n_total FROM toks),
+         b AS (
+           SELECT doc_id,
+                  (length(to_base(n.n_total, 2)) - 1)
+                    - (length(to_base(f.c, 2)) - 1) AS bits
+           FROM toks JOIN freq f USING (tok) CROSS JOIN n)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(bits) AS BIGINT) AS sum_bits,
+                CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
     "q_heavy_hitters" ->
       """SELECT tok, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -110,6 +110,23 @@ class GraphOpsSpec extends SparkTestBase {
       ("2024-03-04", 1L, 3L, 0L)))
   }
 
+  test("wau: each activity covers 7 report days, edge windows clipped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wau_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 08:00:00")
+    def day(n: Int) = new java.sql.Timestamp(t0.getTime + n * 86400000L)
+    // user 1 active day0, user 2 active day3 → report days end at day3
+    Seq((1L, day(0), 1L), (2L, day(3), 2L))
+      .map { case (e, ts, u) => (e, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticOps.wau(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 1L), ("2024-03-02", 1L),
+      ("2024-03-03", 1L), ("2024-03-04", 2L)))
+  }
+
   test("retention: cohort sizes and retained fractions from first-seen days") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ret_").toString

@@ -101,6 +101,17 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("surprisal: integer floor-log2 bits, hand-computed") {
+    // corpus tokens: a×4, b×1 → N=5 (floor log2 = 2), c(a)=4 (2), c(b)=1 (0)
+    // doc 1: four a's → bits 0 each, mean 0.0; doc 2: one b → bits 2, mean 2.0
+    val dir = documentsFixture(Seq(
+      (1L, "a a a a", "en", "src0"),
+      (2L, "b", "en", "src0")))
+    val got = graft.operators.TextOps.surprisal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 0L, 0.0), (2L, 1L, 2L, 2.0)))
+  }
+
   test("shard manifest: byte-budget bucketing with hand-computed offsets") {
     // doc_ids 1,4,7 are all 'audio'; byte lens 40000,40000,30000 against
     // the 65536 target → preceding-bytes 0,40000,80000 → shards 0,0,1
