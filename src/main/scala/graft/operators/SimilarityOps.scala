@@ -169,7 +169,7 @@ object SimilarityOps {
     * `array_min` over struct(negsim, cl) is the same lexicographic rule the
     * old min(struct) aggregation used — NaN cosines order last, ties break
     * to the lowest cluster id, independent of centroid array order. */
-  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[operators] def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val packed = centroids
       .agg(collect_list(struct(col("cl"), col("centroid"))).as("cents"))
     val best = array_min(transform(col("cents"), c =>
@@ -404,7 +404,49 @@ object SimilarityOps {
   }
 
   // ------------------------------------------------------------ registry
+  /** SemDeDup similarity floor: within-cluster pairs above it are
+    * semantic duplicates; the higher-id side is dropped. */
+  private val SemDedupTau = 0.9
+
+  /** SemDeDup (semantic dedup): coarse-quantize the corpus with the SAME
+    * DataFrame-trained quantizer the IVF index uses, then prune
+    * near-identical vectors WITHIN each cluster — the
+    * cluster-then-compare architecture that makes embedding-level dedup
+    * tractable (all-pairs cosine never materializes; the cluster id is
+    * the blocking key, exactly like `label` in q_embed_neardup or
+    * `source` in the shingle dedups).
+    *
+    * Keep rule matches the engine's other dedup apply-steps
+    * (q_neardup_keep): a vector is dropped iff some LOWER-id vector in
+    * its cluster is > τ cosine-similar — so kept vectors are the min-id
+    * canonicals and no kept within-cluster pair exceeds τ (spec-pinned).
+    *
+    * Scale: the within-cluster self-join is O(Σ cluster²) — production
+    * scales K with the corpus (K ≈ n/target_cluster_size) so per-cluster
+    * cost stays bounded; here K=16 over the test corpus. Spark-only
+    * (centroids are corpus-derived); planted-dup + canonical-property
+    * specs carry correctness. */
+  def semDeDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val clustered = assign(e, ivfCentroids(e))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .cache() // both join sides + the final anti-join read it
+    val a = clustered.select(col("cl"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = clustered.select(col("cl"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val drops = a.join(b, Seq("cl"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(VectorOps.cosinePrenorm(col("ea"), col("eb"),
+        col("na"), col("nb")) > SemDedupTau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    clustered.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cl"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semdedup" -> (semDeDup _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_embed_score" -> (embedScore _),
     "q_ann_bruteforce" -> (annBruteForce _),

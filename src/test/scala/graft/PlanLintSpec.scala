@@ -23,9 +23,12 @@ class PlanLintSpec extends SparkTestBase {
   //  - q_copurchase_lift: 1-row total-order count (the lift denominator N)
   //  - q_surprisal: 1-row total-token count (the log2 N term)
   //  - q_rfm / q_wau: 1-row max-date aggregate (recency anchor / window clip)
+  //  - q_semdedup: the same packed single-row centroid broadcast as
+  //    q_ann_ivf (map-side cluster assignment)
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
-    "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_rfm", "q_wau")
+    "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_rfm", "q_wau",
+    "q_semdedup")
 
   test("no registered query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

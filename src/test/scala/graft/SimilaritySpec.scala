@@ -61,6 +61,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(top1.get(1L).contains(0L))
   }
 
+  test("semdedup: planted near-identical vector is dropped, canonical kept") {
+    val v = (0 until 64).map(i => math.sin(i * 0.37).toFloat)
+    val v2 = v.updated(2, v(2) + 1e-4f) // cosine ~1 → same cluster, > tau
+    val others = (2L until 50L).map { j =>
+      (j, (0 until 64).map(i => math.sin(i * 0.11 + j * 2.7).toFloat), 0)
+    }
+    val dir = embeddingsFixture(Seq((0L, v, 0), (1L, v2, 0)) ++ others)
+    val kept = SimilarityOps.semDeDup(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && !kept.contains(1L),
+      "min-id canonical kept, its semantic duplicate dropped")
+  }
+
+  test("semdedup: kept set is exactly the min-id canonicals (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf0001)
+    val kept = SimilarityOps.semDeDup(spark, sf0001).cache()
+    // no kept within-cluster pair exceeds tau: joining kept to itself on
+    // the cluster id and checking cosines must find nothing above 0.9
+    val ke = kept.join(e, "vec_id")
+    val a = ke.select(col("cl"), col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = ke.select(col("cl"), col("vec_id").as("ib"), col("embedding").as("eb"))
+    val over = a.join(b, Seq("cl")).where(col("ia") < col("ib"))
+      .where(graft.operators.VectorOps.cosine(col("ea"), col("eb")) > 0.9)
+      .count()
+    assert(over == 0, s"$over kept within-cluster pairs above tau")
+    assert(kept.count() > 0)
+  }
+
   test("IVF ANN recall vs brute force on real data") {
     val bf = SimilarityOps.annBruteForce(spark, sf0001)
       .select("query_id", "neighbor_id")
