@@ -741,8 +741,34 @@ object DedupOps {
       .where(col("n_docs") >= 2)
       .orderBy("chunk_fp")
 
+  // ---------------------------------------------------------------- funnel report
+  /** Dedup funnel report: corpus survival counts through the dedup
+    * stages — raw → exact-canonical (one per md5 group) → exact AND not
+    * near-dup-dropped (the q_neardup_keep rule applied to the exact
+    * canonicals). The one-line health readout a curation run logs; each
+    * stage reuses the SAME definitions as its standalone operator
+    * (dedupExact's min-id groups, ngramJaccard's ≥0.5 pairs), so the
+    * report can't drift from them. Three aggregates over already-bounded
+    * frames; output is 3 rows. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exactKeep = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id")).cache()
+    val drops = ngramJaccard(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.agg(count(lit(1)).as("n_docs"))
+      .select(lit("0_raw").as("stage"), col("n_docs"))
+      .unionAll(exactKeep.agg(count(lit(1)).as("n_docs"))
+        .select(lit("1_exact").as("stage"), col("n_docs")))
+      .unionAll(exactKeep.join(drops, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("2_neardup").as("stage"), col("n_docs")))
+      .orderBy("stage")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_report" -> (dedupReport _),
     "q_chunk_shared" -> (chunkShared _),
     "q_containment" -> (containment _),
     "q_dedup_exact" -> (dedupExact _),
@@ -958,6 +984,15 @@ object DedupOps {
          ORDER BY chunk_fp""",
     "q_minhash_oracle" -> MinhashOracleSql,
     "q_simhash_oracle" -> SimhashOracleSql,
+    "q_dedup_report" ->
+      s"""WITH ek AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         drops AS (SELECT DISTINCT doc_b FROM ($NgramJaccardSql) j)
+         SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+         UNION ALL SELECT '1_exact', count(*) FROM ek
+         UNION ALL SELECT '2_neardup', count(*) FROM ek
+           WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+         ORDER BY stage""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",

@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Typed row for the exact-state dedup path. */
 case class KeyedEvent(dt: String, user_id: Long, event_id: Long,
@@ -30,6 +31,63 @@ class FirstSeenProcessor
       seen.update(true)
       rows.take(1)
     }
+}
+
+/** Closed session emitted by [[TimerSessionProcessor]]. */
+case class ClosedSession(user_id: Long, session_start_sec: Long,
+    session_end_sec: Long, n_events: Long)
+
+/** Per-user open-session aggregate held in the state store. */
+case class OpenSession(start_ms: Long, end_ms: Long, n: Long)
+
+/** StatefulProcessor sessionization with EVENT-TIME TIMERS: each user's
+  * open session lives in a ValueState, and a timer at (session end + gap)
+  * fires once the watermark passes it — `handleExpiredTimer` then emits
+  * the closed session and clears state. This is the imperative twin of
+  * `session_window` (same gap semantics, same closed-session outputs —
+  * spec-pinned) for when per-session logic outgrows the declarative
+  * aggregate: custom merge rules, side outputs, per-key TTL policy.
+  * State per key is ONE open session; timers replace the "perpetual empty
+  * batches" cost of processing-time timeouts. */
+class TimerSessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, Long), ClosedSession] {
+  @transient private var sess: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[OpenSession]("sess",
+      Encoders.product[OpenSession], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    var cur = if (sess.exists()) sess.get() else null
+    rows.foreach { case (_, ts) =>
+      cur =
+        if (cur == null) OpenSession(ts, ts, 1)
+        // a row within gap of the open session extends it (rows can
+        // arrive out of order within the watermark, so min/max both ways)
+        else if (ts >= cur.start_ms - gapMs && ts <= cur.end_ms + gapMs)
+          OpenSession(math.min(cur.start_ms, ts), math.max(cur.end_ms, ts), cur.n + 1)
+        else cur // beyond gap: the timer will close it; a genuinely newer
+                 // session would need a list state — one open session per
+                 // key is this processor's documented contract
+    }
+    if (cur != null) {
+      // re-arm: one timer at end+gap (delete any stale one first)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(cur.end_ms + gapMs)
+      sess.update(cur)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    if (!sess.exists()) return Iterator.empty
+    val s = sess.get()
+    sess.clear()
+    Iterator.single(ClosedSession(key, s.start_ms / 1000,
+      s.end_ms / 1000, s.n))
+  }
 }
 
 /** Structured Streaming layer — the streaming semantics of the reference
@@ -165,6 +223,23 @@ object StreamingOps {
     * once the watermark passes session end + gap. State per (user,
     * open-session) only — closed sessions are evicted, so state is
     * bounded by concurrent activity, not history. */
+  /** The [[TimerSessionProcessor]] form of [[sessionWindowStream]]:
+    * event-time-timer-driven session close over `transformWithState`.
+    * Same 30-min-gap semantics; emits once the watermark passes
+    * session end + gap. */
+  def timerSessionStream(events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 1000").as("ts_ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[ClosedSession]])
+  }
+
   def sessionWindowStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", WatermarkDelay)
