@@ -347,8 +347,68 @@ object AnalyticOps {
       .orderBy("dt")
   }
 
+  // ----------------------------------------------------------------- CORR
+  /** Pearson correlation of line-item quantity vs extended price per
+    * return flag — computed from EXACT integer moments, never
+    * `corr()`: the built-in accumulates doubles in partition order, so
+    * its low bits differ run to run and engine to engine. Here price is
+    * quantized to integer cents (`round(x*100)` — exact for a
+    * 2-decimal-valued double), quantity to units; all five moments are
+    * overflow-safe BIGINT sums; and the final correlation is one fixed
+    * dag of IEEE double ops over those integers — bit-identical
+    * anywhere, same discipline as the z-score operator. */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    // moments accumulate in DECIMAL(38,0): cents² sums overflow BIGINT
+    // beyond ~1M rows, and double accumulation is order-dependent —
+    // decimal is both exact and big enough (≤ ~1e26 ≪ 1e38)
+    val q = expr("CAST(l_quantity AS DECIMAL(20,0))") // integral-valued by construction
+    val pc = expr("CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))") // cents
+    def d(c: String) = col(c).cast("double")
+    val n = col("n").cast("double")
+    val cov = n * d("sxy") - d("sx") * d("sy")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), q.as("x"), pc.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"),
+        (cov / sqrt(vx * vy)).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------------------------ MAD
+  /** Robust length outliers by median absolute deviation — the
+    * heavy-tail-safe twin of the z-score operator (one planted 10⁶-char
+    * doc shifts a mean/stddev gate but barely moves the median). Exact
+    * interpolated medians (`percentile`, matching DuckDB's
+    * quantile_cont — the parity q_len_quantiles already pins), one
+    * per-source broadcast join back, flag = |x − med| > 3·MAD. MAD-zero
+    * sources (more than half the docs at the median) are excluded before
+    * the comparison, like the zero-variance guard in q_zscore. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val med = docs.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val mad = docs.join(broadcast(med), "source")
+      .groupBy("source", "med")
+      .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+    docs.join(broadcast(mad), "source")
+      .where(col("mad") > 0)
+      .where(abs(col("n_chars") - col("med")) > col("mad") * 3)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med"), col("mad"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr" -> (corrStats _),
+    "q_mad_outliers" -> (madOutliers _),
     "q_rfm" -> (rfm _),
     "q_transitions" -> (transitions _),
     "q_wau" -> (wau _),
@@ -364,6 +424,41 @@ object AnalyticOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_corr" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS DECIMAL(20,0)) AS x,
+                  CAST(round(l_extendedprice * 100) AS DECIMAL(20,0)) AS y
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x*x) AS sxx, sum(y*y) AS syy,
+                  sum(x*y) AS sxy
+           FROM m GROUP BY 1)
+         SELECT l_returnflag, n,
+                CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS corr_qty_price
+         FROM s ORDER BY l_returnflag""",
+    "q_mad_outliers" ->
+      """WITH med AS (
+           SELECT source, quantile_cont(n_chars, 0.5) AS med
+           FROM documents GROUP BY 1),
+         mad AS (
+           SELECT d.source, med.med,
+                  quantile_cont(abs(d.n_chars - med.med), 0.5) AS mad
+           FROM documents d JOIN med USING (source)
+           GROUP BY 1, 2)
+         SELECT d.doc_id, d.source, d.n_chars, mad.med, mad.mad
+         FROM documents d JOIN mad USING (source)
+         WHERE mad.mad > 0 AND abs(d.n_chars - mad.med) > mad.mad * 3
+         ORDER BY d.doc_id""",
     "q_rfm" ->
       """WITH per AS (
            SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,

@@ -315,6 +315,26 @@ object StreamingOps {
     * is exactly the schema `.writeStream.format("kafka")` consumes; kept
     * sink-agnostic so it is testable without a broker (this environment
     * has none) and reusable for any keyed-JSON sink. */
+  /** Streaming → idempotent-table bridge: run a stream into a
+    * dt-partitioned parquet table through `foreachBatch` +
+    * `ScaleOps.overwriteByPartition`. Each micro-batch dynamically
+    * overwrites exactly the partitions it touches, so a batch REPLAY
+    * (at-least-once upstream, checkpoint rollback) converges to the same
+    * table state instead of appending duplicates — the foreachBatch form
+    * of the reference's ES doc-id / Phoenix keyed upserts (K1/K4), where
+    * the sink's own format has no transactional upsert. The batch
+    * function is deliberately a pure (DataFrame, batchId) => write so it
+    * also runs standalone in batch tests. */
+  def upsertByPartitionSink(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.ScaleOps.overwriteByPartition(batch, "dt", path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
   def toKafkaRecords(df: DataFrame, keyCol: String, topic: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),

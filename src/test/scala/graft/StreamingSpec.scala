@@ -365,6 +365,28 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("foreachBatch upsert sink: a replayed partition is replaced, others untouched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingOps.upsertByPartitionSink(
+      in.toDF().toDF("dt", "user_id"), s"$out/t", s"$out/ckpt")
+    in.addData(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-02", 3L))
+    q.processAllAvailable()
+    // second batch touches ONLY 01-01 → dynamic overwrite replaces that
+    // partition (replay semantics), 01-02 must survive untouched
+    in.addData(("2024-01-01", 9L))
+    q.processAllAvailable()
+    q.stop()
+    // partition-column type inference reads dt back as DATE — stringify
+    val got = spark.read.parquet(s"$out/t")
+      .select(col("dt").cast("string"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("2024-01-01", 9L), ("2024-01-02", 3L)),
+      s"partition replace + untouched sibling, got $got")
+  }
+
   test("batch/streaming consistency: file-stream dedup finds exactly the batch first-seen set") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
