@@ -40,4 +40,17 @@ object FileSources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(path)
+
+  /** ORC read with explicit schema — the other columnar format a warehouse
+    * ingests alongside parquet. Binary columnar formats have no
+    * line-level corrupt capture (a torn file fails the split, which is the
+    * correct loud behavior); the explicit schema still guards against
+    * silent column drift: missing columns read as null, extra columns are
+    * pruned at the scan. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC write, zlib-compressed (the format's interoperable default). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
 }

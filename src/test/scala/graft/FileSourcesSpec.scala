@@ -41,6 +41,25 @@ class FileSourcesSpec extends SparkTestBase {
     assert(got.where(col(FileSources.CorruptCol).isNull).count() == 2)
   }
 
+  test("orc: write/read round-trip preserves rows; missing column reads null, extra pruned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    FileSources.writeOrc(
+      Seq((1L, "a", 10.5), (2L, "b", 20.25)).toDF("id", "name", "v"), dir)
+    // same schema round-trips exactly
+    val full = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val back = FileSources.readOrc(spark, dir, full).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == Set((1L, "a", 10.5), (2L, "b", 20.25)))
+    // declared-but-absent column → null; undeclared column pruned at scan
+    val drifted = StructType(Seq(StructField("id", LongType),
+      StructField("added_later", StringType)))
+    val d = FileSources.readOrc(spark, dir, drifted)
+    assert(d.columns.toSeq == Seq("id", "added_later"))
+    assert(d.where(col("added_later").isNull).count() == 2)
+  }
+
   test("AvailableNow trigger: drains existing files then terminates (batch catch-up)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_avnow_").toString
