@@ -161,9 +161,77 @@ object ScaleOps {
   }
 
   // ------------------------------------------------------------ registry
+  /** MERGE INTO emulation for formats without a transactional merge
+    * (plain parquet here; the reference's Phoenix/ES sinks merged by
+    * primary key on write — K1/K4). `changes` carries full rows plus an
+    * `_op` column: "U" upserts (update when the key matches, insert when
+    * it doesn't), "D" deletes.
+    *
+    * Shape: result = (target ANTI-JOIN touched keys) ∪ upsert rows — one
+    * left-anti hash join on the key plus a union, never a full-outer
+    * row-compare. The anti join shuffles on the merge key exactly once
+    * and the union is free (no dedup needed: a key is either kept-as-was
+    * OR replaced). Combine with [[overwriteByPartition]] to write the
+    * result back idempotently. */
+  def mergeInto(target: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val touched = changes.select(col(key))
+    target.join(touched, Seq(key), "left_anti")
+      .unionByName(changes.where(col("_op") === "U").drop("_op"))
+  }
+
+  /** [[mergeInto]] as an oracle-checked query: a deterministic change
+    * batch against `orders` (keys ≡3 mod 100 → status update to 'X',
+    * ≡7 → delete, ≡11 → a NEW key at +10⁹ with that row's payload),
+    * merged and fully emitted. The oracle replays the same anti-join ∪
+    * upserts algebra in SQL. */
+  def mergeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val base = o.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val updates = base.where(col("o_orderkey") % 100 === 3)
+      .withColumn("o_orderstatus", lit("X")).withColumn("_op", lit("U"))
+    val deletes = base.where(col("o_orderkey") % 100 === 7)
+      .withColumn("_op", lit("D"))
+    val inserts = base.where(col("o_orderkey") % 100 === 11)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      .withColumn("_op", lit("U"))
+    mergeInto(base, updates.unionByName(deletes).unionByName(inserts),
+      "o_orderkey")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Snapshot diff (change-data-feed emulation): classify every key as
+    * Insert / Update / Delete / unchanged between two table versions and
+    * emit only the changes — what downstream incremental consumers need
+    * when the source can't produce a CDC stream itself (the inverse of
+    * [[mergeInto]]). One full-outer hash join on the key; the "new"
+    * snapshot here is the same deterministic mutation as
+    * [[mergeOrders]], so diff(old, merge(old)) must be exactly the
+    * change batch — the spec asserts that round trip. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val n = mergeOrders(spark, dir).select(
+      col("o_orderkey").as("n_key"), col("o_orderstatus").as("new_status"))
+    o.join(n, col("o_orderkey") === col("n_key"), "full_outer")
+      .withColumn("change",
+        when(col("o_orderkey").isNull, "I")
+          .when(col("n_key").isNull, "D")
+          .when(col("o_orderstatus") =!= col("new_status"), "U"))
+      .where(col("change").isNotNull)
+      .select(coalesce(col("o_orderkey"), col("n_key")).as("key"),
+        col("change"), col("o_orderstatus").as("old_status"), col("new_status"))
+      .orderBy("key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (zorderValues _),
     "q_skew_profile" -> (joinKeyProfile _),
+    "q_merge_orders" -> (mergeOrders _),
+    "q_snapshot_diff" -> (snapshotDiff _),
   )
 
   /** GENERATED from the same ZBits constant as [[zvalue]] so the 32 bit
@@ -184,7 +252,51 @@ object ScaleOps {
          FROM b ORDER BY event_id"""
   }
 
+  /** The deterministic merge result as plain SQL — shared CTE prefix for
+    * the merge and diff oracles. */
+  private val MergedOrdersSql: String =
+    """WITH base AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         FROM orders),
+       up AS (
+         SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice, o_orderdate
+         FROM base WHERE o_orderkey % 100 = 3),
+       ins AS (
+         SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus,
+                o_totalprice, o_orderdate
+         FROM base WHERE o_orderkey % 100 = 11),
+       touched AS (
+         SELECT o_orderkey FROM base WHERE o_orderkey % 100 IN (3, 7)
+         UNION ALL
+         SELECT o_orderkey + 1000000000 FROM base WHERE o_orderkey % 100 = 11),
+       kept AS (
+         SELECT * FROM base
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)),
+       merged AS (
+         SELECT * FROM kept UNION ALL SELECT * FROM up
+         UNION ALL SELECT * FROM ins)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q_merge_orders" ->
+      s"""$MergedOrdersSql
+         SELECT o_orderkey, o_orderstatus, o_totalprice,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_date
+         FROM merged ORDER BY o_orderkey""",
+    "q_snapshot_diff" ->
+      s"""$MergedOrdersSql,
+         old AS (SELECT o_orderkey, o_orderstatus FROM orders),
+         d AS (
+           SELECT coalesce(old.o_orderkey, m.o_orderkey) AS key,
+                  CASE WHEN old.o_orderkey IS NULL THEN 'I'
+                       WHEN m.o_orderkey IS NULL THEN 'D'
+                       WHEN old.o_orderstatus <> m.o_orderstatus THEN 'U'
+                  END AS change,
+                  old.o_orderstatus AS old_status,
+                  m.o_orderstatus AS new_status
+           FROM old FULL OUTER JOIN merged m
+             ON old.o_orderkey = m.o_orderkey)
+         SELECT key, change, old_status, new_status
+         FROM d WHERE change IS NOT NULL ORDER BY key""",
     "q_zorder" -> ZOrderSql,
     "q_skew_profile" ->
       """SELECT key, n, CAST(n AS DOUBLE) / t AS share

@@ -59,6 +59,32 @@ class ScaleOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("snapshot diff of a merge is exactly the change batch (round trip)") {
+    import org.apache.spark.sql.functions._
+    val diff = graft.operators.ScaleOps.snapshotDiff(spark, sf0001).cache()
+    val byChange = diff.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables.orders(spark, sf0001).select(col("o_orderkey"))
+    def nMod(m: Long) = keys.where(col("o_orderkey") % 100 === m).count()
+    // U rows are exactly the mod-3 keys, D the mod-7, I the shifted mod-11
+    assert(byChange.getOrElse("U", 0L) == nMod(3))
+    assert(byChange.getOrElse("D", 0L) == nMod(7))
+    assert(byChange.getOrElse("I", 0L) == nMod(11))
+    assert(diff.where(col("change") === "I" && col("key") < 1000000000L).count() == 0)
+    assert(diff.where(col("change") === "U" && col("new_status") =!= "X").count() == 0)
+  }
+
+  test("mergeInto: update replaces, delete removes, insert appends — nothing else moves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (9L, "z", "U"))
+      .toDF("k", "v", "_op")
+    val got = graft.operators.ScaleOps.mergeInto(target, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (9L, "z")))
+  }
+
   test("overwriteByPartition: replay is idempotent and untouched partitions survive") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_sink_").toString
