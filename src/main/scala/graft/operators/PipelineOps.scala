@@ -391,7 +391,32 @@ object PipelineOps {
       .orderBy("c_custkey")
   }
 
+  /** Column-level data profile of the orders fact: row count, null count
+    * and distinct count per column — the pre-flight every ingestion run
+    * logs before a DQ gate can have thresholds. ONE aggregation pass
+    * computes all 2·N column stats (map-side partials; count_distinct
+    * keeps per-column hash sets, the one genuinely stateful part), then a
+    * tiny explode unpivots the single stats row to per-column rows — a
+    * per-column loop of aggregates would scan the fact N times. */
+  def nullProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"null_$c"),
+        count_distinct(col(c)).as(s"dist_$c")))
+    Tables.orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"null_$c").as("n_null"),
+          col(s"dist_$c").as("n_distinct"))): _*)).as("s"))
+      .select(col("s.column").as("column"), col("n_rows"),
+        col("s.n_null").as("n_null"), col("s.n_distinct").as("n_distinct"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_profile" -> (nullProfile _),
     "q_pii_redact" -> (piiRedact _),
     "q_top_p" -> (topPCoverage _),
     "q_dq_checks" -> (dqChecks _),
@@ -410,6 +435,32 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_null_profile" ->
+      """WITH p AS (
+           SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  count(DISTINCT o_orderkey) AS n_distinct FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*),
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_custkey) FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*),
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderstatus) FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', count(*),
+                  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_totalprice) FROM orders
+           UNION ALL
+           SELECT 'o_orderdate', count(*),
+                  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderdate) FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*),
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderpriority) FROM orders)
+         SELECT "column", n_rows, n_null, n_distinct FROM p ORDER BY "column"""",
     "q_pii_redact" ->
       """SELECT c_custkey,
                 regexp_replace(regexp_replace(regexp_replace(
