@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDot)
     e.injectFunction(GraftExtensions.topkBy)
+    e.injectFunction(GraftExtensions.pairCombos)
     e.injectOptimizerRule(_ => RewriteRankOneWindow)
   }
 }
@@ -43,10 +44,17 @@ object GraftExtensions {
       TopKByScore(exprs(0), exprs(1), k)
     })
 
+  private[graftext] val pairCombos = (
+    FunctionIdentifier("pair_combos"),
+    info("pair_combos",
+      "pair_combos(arr) - all (a, b) element pairs with index i < j"),
+    (exprs: Seq[Expression]) => PairCombos(exprs(0)))
+
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDot._3, "scala_udf")
     registry.createOrReplaceTempFunction("topk_by", topkBy._3, "scala_udf")
+    registry.createOrReplaceTempFunction("pair_combos", pairCombos._3, "scala_udf")
   }
 }

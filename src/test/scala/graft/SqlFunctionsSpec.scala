@@ -23,6 +23,15 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(top(2L) == Seq((0.1, 13L)))
   }
 
+  test("pair_combos is callable from SQL text") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT pair_combos(array(1L, 2L, 3L)) AS p")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("topk_by rejects wrong input types with a clear analysis error") {
     GraftExtensions.register(spark)
     import spark.implicits._
