@@ -405,8 +405,34 @@ object AnalyticOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- LATENCY
+  /** Order-to-first-ship latency per priority: days from order date to
+    * the EARLIEST lineitem ship date, averaged per priority class — the
+    * operational-SLA rollup every order warehouse reports. The min-ship
+    * aggregation runs BEFORE the join (one groupBy on the lineitem fact,
+    * then an orderkey equi-join — never a join-then-dedup), and the mean
+    * is an exact integer-day sum over a count, one double division. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    Tables.orders(spark, dir)
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), to_date(col("o_orderdate")))
+          .cast("long").as("lat"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("lat")).as("sum_days"),
+        min(col("lat")).as("min_days"),
+        max(col("lat")).as("max_days"))
+      .withColumn("avg_days", col("sum_days").cast("double") / col("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ship_latency" -> (shipLatency _),
     "q_corr" -> (corrStats _),
     "q_mad_outliers" -> (madOutliers _),
     "q_rfm" -> (rfm _),
@@ -424,6 +450,19 @@ object AnalyticOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ship_latency" ->
+      """WITH fs AS (
+           SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+           FROM lineitem GROUP BY 1),
+         lat AS (
+           SELECT o.o_orderpriority,
+                  date_diff('day', CAST(o.o_orderdate AS DATE), fs.first_ship) AS lat
+           FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey)
+         SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(lat) AS BIGINT) AS sum_days,
+                min(lat) AS min_days, max(lat) AS max_days,
+                CAST(sum(lat) AS DOUBLE) / count(*) AS avg_days
+         FROM lat GROUP BY 1 ORDER BY o_orderpriority""",
     "q_corr" ->
       """WITH m AS (
            SELECT l_returnflag,
