@@ -61,23 +61,41 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+    // Wall-clock deadline (seconds, from JVM-entry of this loop): the round-4
+    // driver run was killed externally (rc=124) BEFORE the all-reps loop
+    // finished, so no contract line printed and the whole round benched as
+    // null. Default sits safely under the driver's observed ~900 s budget;
+    // 0 disables. Reps are ROUND-ROBIN (rep 1 of every query before rep 2 of
+    // any) so a deadline hit costs measurement *precision* (min-of-1 vs
+    // min-of-2), not *coverage*.
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "780").toDouble
+    val benchT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
+    val ordered = selected.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val attempted = scala.collection.mutable.Set.empty[String]
+    var deadlineHit = false
+    for (rep <- 1 to reps; (name, fn) <- ordered if !deadlineHit) {
+      if (deadlineSec > 0 && elapsed > deadlineSec) deadlineHit = true
+      else {
+        attempted += name
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}")
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // intra-query caches (shingle sets etc.) must not leak memory/GC
         // pressure into the next query's measurement
         spark.catalog.clearCache()
-        if (ok) Some(dt) else None
+        if (ok) times(name) = times(name) :+ dt
       }
-      name -> times
     }
+    val results = ordered.map { case (name, _) => name -> times(name) }
     def p50(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -86,21 +104,31 @@ object Bench {
     // invalid JSON numbers through plain StringOps.format
     def fmtAt(decimals: Int)(v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-    val mins = results.map { case (k, ts) => k -> (if (ts.nonEmpty) ts.min else -1.0) }
+    // skipped queries are excluded from the per-query map entirely (they
+    // carry no information and would bloat the size-budgeted contract line);
+    // failed ones stay visible as -1.0
+    val mins = results.collect {
+      case (k, ts) if ts.nonEmpty || attempted(k) =>
+        k -> (if (ts.nonEmpty) ts.min else -1.0)
+    }
+    // -1.0 marks a query that was attempted but had no successful rep; keep
+    // it visible per-query but never let it subtract from the headline total.
+    // failed = attempted, zero successful reps; skipped = never attempted
+    // because the deadline fired first. Both surface at top level so neither
+    // can masquerade as a speedup of the (then-partial) total.
+    val failed = results.collect { case (k, ts) if ts.isEmpty && attempted(k) => k }
+    val skipped = results.collect { case (k, ts) if ts.isEmpty && !attempted(k) => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = mins.map(_._2).filter(_ >= 0).sum
     // Full-precision per-query detail (min + p50) goes on its OWN line
     // (printed first) so variance and sub-10ms deltas stay inspectable in
-    // full logs without bloating the contract line below.
+    // full logs without bloating the contract line below; skipped names live
+    // here too — only their COUNT fits the contract line's budget.
     val qs50 = results.collect { case (k, ts) if ts.nonEmpty =>
       "\"" + k + "\":{\"min\":" + fmtAt(4)(ts.min) + ",\"p50\":" + fmtAt(4)(p50(ts)) + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"detail","unit":"sec","queries_detail":$qs50}""")
-    // -1.0 marks a query with no successful rep; keep it visible per-query
-    // but never let it subtract from the headline total — and surface the
-    // breakage count at top level so a failing query can't masquerade as a
-    // speedup of the total
-    val failed = results.collect { case (k, ts) if ts.isEmpty => k }
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = mins.map(_._2).filter(_ >= 0).sum
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"detail","unit":"sec","queries_detail":$qs50,"skipped_names":$skippedJson}""")
     // The downstream capture keeps only the LAST ~2000 chars of output and
     // parses the final line: a contract line longer than that gets its HEAD
     // cut off and becomes unparseable (round 2 failed exactly this way at 82
@@ -110,7 +138,7 @@ object Bench {
     def contractLine(decimals: Int): String = {
       val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmtAt(decimals)(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"skipped":${skipped.size},"sf":"$sfDir"}"""
     }
     val line = (3 to 1 by -1).map(contractLine).find(_.length <= 1900)
       .getOrElse(contractLine(1))

@@ -1,18 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Budget-safe by construction: oracle_sql.json is written BEFORE the query
+  * loop (it depends on nothing the loop computes), so an external kill at any
+  * point leaves a *partial* correctness gate — every per-query parquet already
+  * on disk still gets checked. Round 4 lost all 100+ finished results because
+  * the oracle file was written last and the kill landed first.
+  */
 object Verify {
+  /** Queries measured slowest at sf0.01 (multi-action sketch/graph plans).
+    * Scheduled LAST so an external budget kill costs the fewest checks —
+    * the many fast queries all land before the first slow one starts. */
+  private val knownSlow = Seq(
+    "q_minhash_lsh", "q_dup_canon", "q_semdedup", "q_pagerank",
+    "q_copurchase_lift", "q_retention", "q_containment", "q_contamination_bloom")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 1 preserves strictly sequential behavior (plus per-query clearCache)
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    // 0 = no internal deadline (the driver's external kill is survivable
+    // anyway — see above); >0 = stop LAUNCHING queries after N seconds so
+    // the JVM exits cleanly inside a known budget
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_DEADLINE_SEC", "0").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); readers no longer set this
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // concurrent queries time-share executor slots instead of queueing
+      // whole jobs FIFO behind one long query's stages
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,16 +57,6 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // drop any caches a query built (shingle sets etc.) so later queries
-      // don't run under accumulated storage/GC pressure
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -58,6 +72,36 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val t0 = System.nanoTime()
+    def expired: Boolean =
+      deadlineSec > 0 && (System.nanoTime() - t0) / 1e9 > deadlineSec
+    // fast queries first, known-slow ones last (kill-cost minimization)
+    val ordered = selected.toSeq.sortBy { case (n, _) =>
+      (knownSlow.indexOf(n), n) // -1 (not slow) sorts before 0..7
+    }
+    val pool = Executors.newFixedThreadPool(threads)
+    ordered.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          if (expired) { System.err.println(s"[verify] $name skipped (deadline)"); return }
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          // Sequential mode: drop any caches a query built (shingle sets
+          // etc.) so later queries don't run under accumulated storage/GC
+          // pressure. In parallel mode a global clear would unpersist
+          // frames an in-flight sibling is mid-scan on (correct but a
+          // recompute storm) — there we rely on MEMORY_AND_DISK eviction;
+          // sf0.01 caches are far below the storage fraction anyway.
+          if (threads == 1) spark.catalog.clearCache()
+        }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(7, TimeUnit.DAYS)
     spark.stop()
   }
 }
