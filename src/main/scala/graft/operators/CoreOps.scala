@@ -162,14 +162,17 @@ object CoreOps {
   /** Fact-to-dim enrichment — reference J2 (province broadcast join,
     * DwdOrderInfoApp.scala:87-109) + J3 (per-record user lookup, :65-73).
     * Both become broadcast hash left-joins; J3's per-record Phoenix RPC
-    * physical choice is obsolete on Spark. Dims are explicitly broadcast —
-    * at 100 TB the fact side streams through map-side joins, zero shuffle. */
+    * physical choice is obsolete on Spark. Only the BOUNDED dims (nation=25,
+    * region=5 rows at every SF) carry an explicit broadcast hint; customer
+    * grows with scale factor, so its join strategy is left to AQE's runtime
+    * size check — a forced hint would override that check and OOM the driver
+    * at 100× (it broadcasts at test SFs either way). */
   def orderEnrich(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
       .select(o("o_orderkey"), o("o_orderstatus"), o("o_totalprice"),
@@ -182,16 +185,18 @@ object CoreOps {
   /** 4-way snowflake broadcast join — reference J4
     * (DwdOrderDetailApp.scala:65-133): detail → sku → {spu, trademark,
     * category3}, left-outer at every hop. Testdata: lineitem → part and
-    * lineitem → supplier → nation → region (two-hop chain). All dims
-    * broadcast; the only large input streams through. */
+    * lineitem → supplier → nation → region (two-hop chain). Bounded dims
+    * (nation, region) hinted broadcast; part/supplier are SF-proportional,
+    * so AQE decides for them at runtime (broadcast at test SFs, shuffle
+    * join once they outgrow the threshold at cluster scale). */
   def snowflake(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
     val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"), "left")
+    l.join(p, l("l_partkey") === p("p_partkey"), "left")
+      .join(s, l("l_suppkey") === s("s_suppkey"), "left")
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"), "left")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
       .select(l("l_orderkey"), l("l_linenumber"), l("l_partkey"),
@@ -228,7 +233,8 @@ object CoreOps {
     * fields merged from enriched order_info + enriched order_detail):
     * fact-fact join plus every dimension hop, with the P4 date/hour
     * derivations. This is the reference's whole DWS layer as one plan:
-    * one fact-fact shuffle, all dims broadcast. */
+    * one fact-fact shuffle; bounded dims (nation, region) hinted broadcast,
+    * SF-proportional ones (customer, part) left to AQE's size check. */
   def orderWideFull(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
@@ -237,10 +243,10 @@ object CoreOps {
     val r = Tables.region(spark, dir)
     val p = Tables.part(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"), "inner")
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(c, o("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
-      .join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+      .join(p, l("l_partkey") === p("p_partkey"), "left")
       .select(
         o("o_orderkey").as("order_id"), l("l_linenumber").as("detail_id"),
         o("o_custkey").as("user_id"), o("o_orderstatus").as("order_status"),

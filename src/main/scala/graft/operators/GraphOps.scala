@@ -54,17 +54,19 @@ object GraphOps {
     * The lift is ONE double division over exact integer counts (the
     * numerator product stays in long arithmetic) — bit-identical across
     * engines, no float accumulation order involved. Part frequencies are
-    * a parts-dim-sized frame, so both enrichment joins broadcast; the
-    * total-order count is a single aggregated row cross-joined in (a
-    * literal would need a driver-side collect). */
+    * part-proportional (they grow with SF), so the enrichment joins carry
+    * NO broadcast hint — AQE broadcasts them at test scale and falls back
+    * to shuffle joins when they outgrow the threshold; the total-order
+    * count is a single aggregated row cross-joined in (a literal would
+    * need a driver-side collect). */
   def copurchaseLift(spark: SparkSession, dir: String): DataFrame = {
     val bk = baskets(spark, dir).cache() // feeds pairs + freqs + total
     val nOrders = bk.agg(count(lit(1)).as("n_orders"))
     val freq = bk.select(explode(col("parts")).as("p"))
       .groupBy("p").agg(count(lit(1)).as("n_p"))
     pairSupports(bk)
-      .join(broadcast(freq.select(col("p").as("part_a"), col("n_p").as("n_a"))), "part_a")
-      .join(broadcast(freq.select(col("p").as("part_b"), col("n_p").as("n_b"))), "part_b")
+      .join(freq.select(col("p").as("part_a"), col("n_p").as("n_a")), "part_a")
+      .join(freq.select(col("p").as("part_b"), col("n_p").as("n_b")), "part_b")
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
         ((col("n_ab") * col("n_orders")).cast("double") / (col("n_a") * col("n_b")))
@@ -93,10 +95,11 @@ object GraphOps {
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    // nodes are parts (dim-sized) → both degree lookups broadcast
+    // nodes are parts — SF-proportional, so no forced broadcast: AQE
+    // broadcasts the degree lookups while they fit and shuffles at scale
     val withDeg = edges
-      .join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
-      .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("src"), col("b").as("dst")))
@@ -145,8 +148,9 @@ object GraphOps {
     val directed = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
+    // deg is node(=part)-proportional: no forced broadcast, AQE decides
     val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = directed.join(broadcast(deg), "src")
+    val withDeg = directed.join(deg, "src")
     var mass = deg.select(col("src").as("v"), lit(1000000L).as("mass"))
     for (_ <- 1 to 3) {
       mass = withDeg.join(mass, col("src") === col("v"))

@@ -1,11 +1,22 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+
 /** Engine-wide plan lint: builds the physical plan of EVERY registered
   * query at sf0.001 and rejects join shapes that detonate at scale —
   * CartesianProduct anywhere, and BroadcastNestedLoopJoin outside the
   * whitelisted scalar-frame cross joins (tfidf's corpus count, mixture's
   * min source size: genuine 1-row broadcast sides). A new operator that
   * accidentally drops its join keys fails here, not in a 100 TB run.
+  *
+  * Second rule: no explicit broadcast() hint on a frame derived from an
+  * SF-PROPORTIONAL table (customer/part/supplier/lineitem/orders). The
+  * hint overrides AQE's runtime size check, so a frame that broadcasts
+  * fine at test SF force-broadcasts — and OOMs the driver — at 100×.
+  * Bounded dims (nation=25, region=5 rows at every SF) may keep hints;
+  * a global (grouping-less) aggregate or LIMIT below the hint reduces
+  * any input to a bounded frame and is exempt (the scalar-attach shape).
   */
 class PlanLintSpec extends SparkTestBase {
 
@@ -43,5 +54,40 @@ class PlanLintSpec extends SparkTestBase {
         else None
     }
     assert(offenders.isEmpty, s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
+  }
+
+  // signature column → table, for the tables that GROW with scale factor
+  private val sfTableSignature = Map(
+    "c_custkey" -> "customer", "p_partkey" -> "part", "s_suppkey" -> "supplier",
+    "l_linenumber" -> "lineitem", "o_custkey" -> "orders")
+
+  private def sfTablesUnder(p: LogicalPlan): Set[String] =
+    p.collectLeaves().flatMap { leaf =>
+      sfTableSignature.collect {
+        case (c, t) if leaf.output.exists(_.name == c) => t
+      }
+    }.toSet
+
+  private def boundedByConstruction(p: LogicalPlan): Boolean =
+    p.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+      case l: GlobalLimit => l
+    }.nonEmpty
+
+  test("no explicit broadcast hint on an SF-proportional table") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        spark.catalog.clearCache()
+        val analyzed = fn(spark, sf0001).queryExecution.analyzed
+        analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+            val sfTabs = sfTablesUnder(h.child)
+            if (sfTabs.nonEmpty && !boundedByConstruction(h.child))
+              Some(s"$name: broadcast() over SF-proportional ${sfTabs.mkString(",")}")
+            else None
+        }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcasts that OOM at scale:\n${offenders.mkString("\n")}")
   }
 }
