@@ -255,18 +255,25 @@ object AnalyticOps {
     * readout).
     *
     * Rate is ONE double division of two exact counts — bit-identical
-    * across engines. The (user, day) distinct and the cohort min are two
-    * aggregations on the user key; cohort sizes are a days-sized frame →
-    * broadcast. */
+    * across engines. Single-pass shape: the cohort day rides a per-user
+    * min() window on the SAME distinct frame (no self-join), and the
+    * cohort size IS the rollup's own day_offset=0 row (every user is
+    * active on their cohort day by definition), read back with a window
+    * over the days-sized rollup — so the whole query is one linear chain
+    * of 4 exchanges with the events fact scanned exactly once, where the
+    * old form scanned it twice and paid a cohort-sizes join. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("c0"))
-    val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("cohort_n"))
-    ev.join(cohort, "user_id")
+    val withC0 = ev.withColumn("c0",
+      min(col("d")).over(Window.partitionBy("user_id")))
+    val roll = withC0
       .groupBy(col("c0"), datediff(col("d"), col("c0")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
-      .join(broadcast(sizes), "c0")
+    roll
+      .withColumn("cohort_n",
+        max(when(col("day_offset") === 0, col("n_users")))
+          .over(Window.partitionBy("c0")))
       .select(date_format(col("c0"), "yyyy-MM-dd").as("cohort_dt"),
         col("day_offset"), col("n_users"), col("cohort_n"),
         (col("n_users").cast("double") / col("cohort_n")).as("retained_frac"))

@@ -519,6 +519,10 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // EAGER checkpoints, deliberately: the lazy variant was A/B-measured
+    // ~1.6x slower end-to-end here — deferring materialization into the
+    // convergence count serializes block writes into the measured job and
+    // loses the dedicated checkpoint job's full-parallel write
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -605,26 +609,30 @@ object DedupOps {
     * overlap computation contamination() and the curation gate both use.
     * Filtering source after shingling == shingling filtered docs, so a
     * caller holding a whole-corpus shingle frame (curation) shares the
-    * explode instead of re-scanning. */
+    * explode instead of re-scanning.
+    *
+    * SINGLE PASS over the train shingles: a left join against the
+    * (distinct, marker-tagged) eval set keeps every train row exactly
+    * once, so ONE doc_id aggregation yields both the cardinality and the
+    * hit count — the old card-frame/hits-frame/outer-join shape consumed
+    * the train side twice and paid two extra exchanges. */
   private[graft] def contaminationStats(shDistinct: DataFrame): DataFrame = {
     val evalSh = shDistinct.where(col("source") === "src0")
-      .select("shingle").distinct()
-    val trainSh = shDistinct.where(col("source") =!= "src0")
-    val card = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    card.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .select("shingle").distinct().withColumn("hit", lit(1))
+    shDistinct.where(col("source") =!= "src0")
+      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
   }
 
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
-    contaminationStats(sh)
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    // no cache: the source filters inside contaminationStats push through
+    // the explode+distinct to the parquet scan, so each side reads only
+    // its own slice — cheaper than materializing the full shingle frame
+    contaminationStats(shingles(Tables.documents(spark, dir)))
       .withColumn("contam_frac",
         col("n_shared").cast("double") / col("n_shingles"))
       .orderBy("doc_id")
-  }
 
   /** The 100 TB form of [[contamination]]: a BLOOM-FILTER prefilter in front
     * of the exact overlap join, producing the IDENTICAL result (same oracle
@@ -647,15 +655,19 @@ object DedupOps {
     * stream (before the bloom), so `n_shingles`/`contam_frac` are exact. */
   def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SketchFunctions._
-    val sh = shingles(Tables.documents(spark, dir)).cache()
-    val evalSh = sh.where(col("source") === "src0")
+    // no corpus-wide cache: eval/train slices are separate pushed-filter
+    // scans (each branch reads only its own row groups); the eval side is
+    // benchmark-sized, so its double consumption (bloom build + exact
+    // verify join) is cheaper than materializing the full shingle frame
+    val docs = Tables.documents(spark, dir)
+    val evalSh = shingles(docs.where(col("source") === "src0"))
       .select("shingle").distinct()
     // driver control flow (like the IVF centroid fetch): one aggregated
     // row carrying the merged bloom — NOT a collect of data rows
     val bloomBytes = evalSh
       .agg(bloom_agg(col("shingle"), 1000 * 1000).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val trainSh = sh.where(col("source") =!= "src0")
+    val trainSh = shingles(docs.where(col("source") =!= "src0"))
     val card = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // map-side bloom probe prunes the join's stream side; the exact join
     // over survivors removes false positives (no broadcast hint — the
@@ -684,10 +696,11 @@ object DedupOps {
     * output grain is true (train, eval) overlaps of ≥ 3 shingles —
     * bounded by real contamination, never a pair space. */
   def contaminationPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
-    val ev = sh.where(col("source") === "src0")
+    // each side is a pushed-filter scan of its own slice — no shared cache
+    val docs = Tables.documents(spark, dir)
+    val ev = shingles(docs.where(col("source") === "src0"))
       .select(col("doc_id").as("eval_id"), col("shingle"))
-    val tr = sh.where(col("source") =!= "src0")
+    val tr = shingles(docs.where(col("source") =!= "src0"))
       .select(col("doc_id").as("train_id"), col("shingle"))
     tr.join(broadcast(ev), Seq("shingle"))
       .groupBy("train_id", "eval_id")
