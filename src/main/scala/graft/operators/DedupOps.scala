@@ -206,15 +206,25 @@ object DedupOps {
     * ScalaTest against the exact-Jaccard oracle path. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // shingles feed BOTH the signature pass and the verification join —
-    // cache once instead of re-exploding the corpus
-    val sh = shingles(docs).cache()
-    val sig = minhashSignatures(sh)
+    val sh = shingles(docs)
+    // ONE per-doc aggregation carries BOTH pipeline inputs: the 32 minhash
+    // mins (signature pass) and the shingle set (exact-Jaccard verify) —
+    // the old shape ran two separate groupBys over a cached copy of the
+    // 100x-larger exploded shingle grain; this caches only the doc-grain
+    // result and pays one aggregation exchange instead of two
+    val hashed = sh.select(col("doc_id"), col("shingle"),
+      pmod(xxhash64(col("shingle")), lit(MersennePrime31)).as("h"))
+    val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$i")
+    }
+    val combined = hashed.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shset"), mins: _*)
+      .cache() // feeds the band explode + both verification join sides
     val bandCols = (0 until NumBands).map { bnd =>
       val rows = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
       struct(lit(bnd).as("band"), hash(rows: _*).as("sig"))
     }
-    val buckets = sig
+    val buckets = combined
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("bsig"))
     // candidate pairs map-side from each band-bucket's doc list (one
@@ -227,15 +237,14 @@ object DedupOps {
       .select(explode(pairCombos(col("ds"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    // exact-Jaccard verification of candidates only: per-doc shingle SETS
-    // (one groupBy over the cached shingles) joined to the pair list, the
-    // intersection computed in-place with array_intersect — no re-shuffle
-    // of the shingle grain, no per-shingle intersection groupBy. Cardinali-
-    // ties come free as size(set). Staged projections: n_common referenced
-    // once per derived column would re-run array_intersect (no CSE for
-    // non-cheap HOFs), so materialize it in its own select first.
-    val docSets = sh.groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("shset"))
+    // exact-Jaccard verification of candidates only: the per-doc shingle
+    // SETS come free off the combined aggregate, joined to the pair list,
+    // the intersection computed in-place with array_intersect — no
+    // re-shuffle of the shingle grain, no per-shingle intersection groupBy.
+    // Cardinalities come free as size(set). Staged projections: n_common
+    // referenced once per derived column would re-run array_intersect (no
+    // CSE for non-cheap HOFs), so materialize it in its own select first.
+    val docSets = combined.select(col("doc_id"), col("shset"))
     val withSets = candidates
       .join(docSets.select(col("doc_id").as("ja"), col("shset").as("set_a")),
         col("doc_a") === col("ja"))
