@@ -12,12 +12,8 @@ import java.util.concurrent.{Executors, TimeUnit}
   * the oracle file was written last and the kill landed first.
   */
 object Verify {
-  /** Queries measured slowest at sf0.01 (multi-action sketch/graph plans).
-    * Scheduled LAST so an external budget kill costs the fewest checks —
-    * the many fast queries all land before the first slow one starts. */
-  private val knownSlow = Seq(
-    "q_minhash_lsh", "q_dup_canon", "q_semdedup", "q_pagerank",
-    "q_copurchase_lift", "q_retention", "q_containment", "q_contamination_bloom")
+  /** Slow queries scheduled last — see [[SparkEntry.knownSlow]]. */
+  private val knownSlow = SparkEntry.knownSlow
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -85,9 +81,16 @@ object Verify {
       pool.submit(new Runnable {
         def run(): Unit = {
           if (expired) { System.err.println(s"[verify] $name skipped (deadline)"); return }
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          val q0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            // per-query wall time (under concurrency it includes slot
+            // contention — a triage signal, not a benchmark; Bench owns
+            // the real numbers)
+            System.err.println(
+              f"[verify] $name ok in ${(System.nanoTime() - q0) / 1e9}%.1fs")
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
           // Sequential mode: drop any caches a query built (shingle sets
