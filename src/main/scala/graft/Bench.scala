@@ -25,6 +25,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Hook FIRST, fallback emitter: a kill during warm-up (pre-loop) must
+    // still produce a parseable contract line, not silence. installEmitter
+    // swaps in the real state-reading emitter once the loop state exists.
+    emit = () => if (emitted.compareAndSet(false, true)) {
+      try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+      println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"failures":0,"failed":[],"skipped":${SparkEntry.queries.size},"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(), "bench-emit"))
     // Warm-up against the benched dataset: touch every table's footers
     // (metadata count) so no query pays first-touch IO for a table the
     // others didn't, plus one real query for JIT/codegen warm-up.
@@ -72,20 +81,48 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "780").toDouble
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
+    // Per-query ceiling (seconds). This sandbox intermittently degrades under
+    // sustained load (sys-CPU dominating user); a query that runs in seconds
+    // standalone was observed taking 346 s late in a long run — one such
+    // stall must cost ITSELF, not the ~100 unmeasured queries behind it.
+    // 90 s is ~18× the slowest healthy-window sf0.1 query (≈5 s), yet caps a
+    // host-stall at one query's cost; a cancelled query is retried by the
+    // next round-robin rep, so a transient stall still gets measured.
+    val queryCapSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "90").toDouble
     // fast queries first, known-slow ones last (same kill-cost ordering as
     // Verify): a deadline hit then skips the fewest measurements — the slow
     // tail eats whatever budget remains instead of starving ~110 fast ones
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       (SparkEntry.knownSlow.indexOf(n), n) // -1 (not slow) sorts first
     }
-    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
-      .withDefaultValue(Vector.empty)
-    val attempted = scala.collection.mutable.Set.empty[String]
+    // Thread-safe: the shutdown hook below reads these from another thread
+    // while the loop writes.
+    val times = scala.collection.concurrent.TrieMap.empty[String, Vector[Double]]
+    val attempted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t })
+    installEmitter(spark, sfDir, ordered, times, attempted)
     var deadlineHit = false
     for (rep <- 1 to reps; (name, fn) <- ordered if !deadlineHit) {
       if (deadlineSec > 0 && elapsed > deadlineSec) deadlineHit = true
       else {
-        attempted += name
+        attempted.add(name)
+        // Cancel this query's jobs at min(per-query cap, remaining global
+        // budget + grace). Repeating fixed-delay: cancelJobGroup only kills
+        // ACTIVE jobs, so a multi-action query that submits its next job
+        // after the first cancel gets whacked again 5 s later.
+        val remaining =
+          if (deadlineSec > 0) deadlineSec - elapsed + 10 else Double.MaxValue
+        val budget = math.min(queryCapSec, remaining)
+        spark.sparkContext.setJobGroup(name, s"bench:$name", interruptOnCancel = true)
+        val canceller = watchdog.scheduleWithFixedDelay(
+          () => {
+            System.err.println(f"[bench] $name exceeded $budget%.0f s cap - cancelling jobs")
+            try spark.sparkContext.cancelJobGroup(name)
+            catch { case _: Throwable => () }
+          },
+          (budget * 1000).toLong, 5000L, java.util.concurrent.TimeUnit.MILLISECONDS)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -93,14 +130,37 @@ object Bench {
             System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}")
             false
           }
+          finally {
+            canceller.cancel(false)
+            spark.sparkContext.clearJobGroup()
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // intra-query caches (shingle sets etc.) must not leak memory/GC
         // pressure into the next query's measurement
         spark.catalog.clearCache()
-        if (ok) times(name) = times(name) :+ dt
+        if (ok) times(name) = times.getOrElse(name, Vector.empty) :+ dt
       }
     }
-    val results = ordered.map { case (name, _) => name -> times(name) }
+    emit()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
+  }
+
+  /** Single-shot guard: the contract line must print EXACTLY once whether we
+    * reach the normal end or an external SIGTERM runs the shutdown hook. */
+  private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var emit: () => Unit = () => ()
+
+  /** Builds the detail + contract lines from the CURRENT state of the
+    * concurrent maps and prints them once. Installed as both the normal-path
+    * finisher and a JVM shutdown hook: the round-4 driver bench was killed
+    * externally (rc=124) before the loop ended, printed nothing, and the
+    * whole round benched as null — a partial bench must still report. */
+  private def installEmitter(
+      spark: SparkSession, sfDir: String,
+      ordered: Seq[(String, Any)],
+      times: scala.collection.concurrent.TrieMap[String, Vector[Double]],
+      attempted: java.util.Set[String]): Unit = {
     def p50(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -109,50 +169,52 @@ object Bench {
     // invalid JSON numbers through plain StringOps.format
     def fmtAt(decimals: Int)(v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-    // skipped queries are excluded from the per-query map entirely (they
-    // carry no information and would bloat the size-budgeted contract line);
-    // failed ones stay visible as -1.0
-    val mins = results.collect {
-      case (k, ts) if ts.nonEmpty || attempted(k) =>
-        k -> (if (ts.nonEmpty) ts.min else -1.0)
+    emit = () => if (emitted.compareAndSet(false, true)) {
+      val results = ordered.map { case (name, _) => name -> times.getOrElse(name, Vector.empty) }
+      // skipped queries are excluded from the per-query map entirely (they
+      // carry no information and would bloat the size-budgeted contract
+      // line); failed ones stay visible as -1.0
+      val mins = results.collect {
+        case (k, ts) if ts.nonEmpty || attempted.contains(k) =>
+          k -> (if (ts.nonEmpty) ts.min else -1.0)
+      }
+      // -1.0 marks a query that was attempted but had no successful rep; keep
+      // it visible per-query but never let it subtract from the headline
+      // total. failed = attempted, zero successful reps; skipped = never
+      // attempted because the deadline fired first. Both surface at top level
+      // so neither can masquerade as a speedup of the (then-partial) total.
+      val failed = results.collect { case (k, ts) if ts.isEmpty && attempted.contains(k) => k }
+      val skipped = results.collect { case (k, ts) if ts.isEmpty && !attempted.contains(k) => k }
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = mins.map(_._2).filter(_ >= 0).sum
+      // Full-precision per-query detail (min + p50) goes on its OWN line
+      // (printed first) so variance and sub-10ms deltas stay inspectable in
+      // full logs without bloating the contract line below; skipped names
+      // live here too — only their COUNT fits the contract line's budget.
+      val qs50 = results.collect { case (k, ts) if ts.nonEmpty =>
+        "\"" + k + "\":{\"min\":" + fmtAt(4)(ts.min) + ",\"p50\":" + fmtAt(4)(p50(ts)) + "}"
+      }.mkString("{", ",", "}")
+      val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"detail","unit":"sec","queries_detail":$qs50,"skipped_names":$skippedJson}""")
+      // The downstream capture keeps only the LAST ~2000 chars of output and
+      // parses the final line: a contract line longer than that gets its HEAD
+      // cut off and becomes unparseable (round 2 failed exactly this way at
+      // 82 queries × full-precision values). Degrade per-query precision
+      // until the whole line fits a 1900-char budget — headline total keeps 3
+      // decimals regardless; full precision is on the detail line above.
+      def contractLine(decimals: Int): String = {
+        val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmtAt(decimals)(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"skipped":${skipped.size},"sf":"$sfDir"}"""
+      }
+      val line = (3 to 1 by -1).map(contractLine).find(_.length <= 1900)
+        .getOrElse(contractLine(1))
+      // Nothing may print after the contract line: forked stderr passes
+      // through unprefixed too, so a shutdown-time WARN would land after the
+      // JSON in a merged capture. Silence logging before printing.
+      try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+      println(line)
+      System.out.flush()
     }
-    // -1.0 marks a query that was attempted but had no successful rep; keep
-    // it visible per-query but never let it subtract from the headline total.
-    // failed = attempted, zero successful reps; skipped = never attempted
-    // because the deadline fired first. Both surface at top level so neither
-    // can masquerade as a speedup of the (then-partial) total.
-    val failed = results.collect { case (k, ts) if ts.isEmpty && attempted(k) => k }
-    val skipped = results.collect { case (k, ts) if ts.isEmpty && !attempted(k) => k }
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = mins.map(_._2).filter(_ >= 0).sum
-    // Full-precision per-query detail (min + p50) goes on its OWN line
-    // (printed first) so variance and sub-10ms deltas stay inspectable in
-    // full logs without bloating the contract line below; skipped names live
-    // here too — only their COUNT fits the contract line's budget.
-    val qs50 = results.collect { case (k, ts) if ts.nonEmpty =>
-      "\"" + k + "\":{\"min\":" + fmtAt(4)(ts.min) + ",\"p50\":" + fmtAt(4)(p50(ts)) + "}"
-    }.mkString("{", ",", "}")
-    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"detail","unit":"sec","queries_detail":$qs50,"skipped_names":$skippedJson}""")
-    // The downstream capture keeps only the LAST ~2000 chars of output and
-    // parses the final line: a contract line longer than that gets its HEAD
-    // cut off and becomes unparseable (round 2 failed exactly this way at 82
-    // queries × full-precision values). Degrade per-query precision until
-    // the whole line fits a 1900-char budget — headline total keeps 3
-    // decimals regardless; full precision is on the detail line above.
-    def contractLine(decimals: Int): String = {
-      val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmtAt(decimals)(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"skipped":${skipped.size},"sf":"$sfDir"}"""
-    }
-    val line = (3 to 1 by -1).map(contractLine).find(_.length <= 1900)
-      .getOrElse(contractLine(1))
-    // Nothing may print after the contract line: forked stderr passes
-    // through unprefixed too, so a shutdown-time WARN would land after the
-    // JSON in a merged capture. Silence logging before stop().
-    println(line)
-    System.out.flush()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
   }
 }
