@@ -546,16 +546,20 @@ object DedupOps {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(min(col("comp")).as("nbr_comp"))
-      // the changed flag rides the propagation pass itself — the
-      // convergence probe is then a cheap scan of the checkpointed
-      // result, not a second join against the previous labels
+      // the changed count rides the checkpoint materialization itself as
+      // an observed metric — ONE job per round, not checkpoint + count.
+      // (Per-job overhead dominates this sandbox under load; the count
+      // job was half of every round's cost for zero information the
+      // observe() can't deliver.)
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
       val next = labels.join(nbrMin, col("id") === col("nid"), "left")
         .withColumn("ncomp",
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))))
         .withColumn("chg", col("ncomp") < col("comp"))
         .select(col("id"), col("ncomp").as("comp"), col("chg"))
+        .observe(obs, coalesce(sum(col("chg").cast("long")), lit(0L)).as("n_chg"))
         .localCheckpoint()
-      changed = next.where(col("chg")).count()
+      changed = obs.get("n_chg").asInstanceOf[Long]
       labels = next.drop("chg")
       rounds += 1
     }

@@ -292,6 +292,13 @@ object TextOps {
       .cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
+    // The parent vocabulary stays cached ONE extra step: each step's argmax
+    // job materializes the freshly-built child cache (the full-scan
+    // aggregation touches every partition) while reading the still-cached
+    // parent, so no separate count() materialization job is needed — one
+    // job per merge step instead of two. The parent unpersists only after
+    // the argmax that consumed it.
+    var prevVocab: Option[org.apache.spark.sql.DataFrame] = None
     for (step <- 1 to BpeTrainSteps if !exhausted) {
       val best = vocab
         .select(split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"),
@@ -304,6 +311,8 @@ object TextOps {
         .agg(sum(col("wn")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).take(1)
+      prevVocab.foreach(_.unpersist())
+      prevVocab = None
       if (best.isEmpty) exhausted = true // every word fully merged — the
       // oracle's empty b<i> CTE contributes no row either
       else {
@@ -317,12 +326,12 @@ object TextOps {
               lit(s"/$a//$b/"), lit(s"/$a$b/")).as("enc"))
             .agg(sum(col("wn")).as("wn"))
             .cache()
-          next.count() // materialize before dropping the parent cache
-          vocab.unpersist()
+          prevVocab = Some(vocab)
           vocab = next
         }
       }
     }
+    prevVocab.foreach(_.unpersist())
     merges.result()
       .toDF("step", "left_sym", "right_sym", "n")
       .orderBy("step")
