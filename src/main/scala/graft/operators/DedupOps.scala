@@ -523,8 +523,17 @@ object DedupOps {
     * Pairs come from the deterministic arithmetic Hamming signature
     * (hammingNearDup) so the whole operator — graph included — has an
     * exact DuckDB twin via a recursive CTE. */
-  def dupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = hammingNearDup(spark, dir).select("doc_a", "doc_b")
+  def dupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsOfPairs(hammingNearDup(spark, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** The propagation loop itself, over an arbitrary undirected pair list
+    * (doc_a, doc_b) — separated from the pair source so the multi-round
+    * convergence path is directly testable on planted long-chain graphs
+    * (a diameter-d path needs d rounds of min-label propagation; the
+    * organic near-dup fixtures converge in 1-2). Returns one row per
+    * node: (doc_id, comp, comp_size), unordered. */
+  private[graft] def componentsOfPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -577,7 +586,6 @@ object DedupOps {
       .agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, col("comp") === col("scomp"))
       .select(col("id").as("doc_id"), col("comp"), col("comp_size"))
-      .orderBy("doc_id")
   }
 
   /** Canonical-document selection per duplicate cluster: the apply step on

@@ -31,6 +31,23 @@ class DedupComponentsSpec extends SparkTestBase {
     comps.collect().foreach(r => assert(sizes(r.getLong(1)) == r.getLong(2)))
   }
 
+  test("components: a diameter-9 chain converges to one min-labeled cluster") {
+    // min-label propagation moves one hop per round, so this path graph
+    // forces ~9 propagation rounds through the observed-metric convergence
+    // path — the organic near-dup fixtures converge in 1-2 rounds and
+    // would never exercise a deep loop
+    import spark.implicits._
+    val chain = (1L to 9L).map(i => (i, i + 1))         // 1-2-3-...-10
+    val pairs = (chain :+ ((20L, 21L))).toDF("doc_a", "doc_b")
+    val got = DedupOps.componentsOfPairs(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1L to 10L).foreach { id =>
+      assert(got(id) == ((1L, 10L)), s"node $id: ${got(id)}")
+    }
+    assert(got(20L) == ((20L, 2L)) && got(21L) == ((20L, 2L)))
+    assert(got.size == 12)
+  }
+
   test("dup canonical keeps exactly one doc per component — the longest, min-id on ties") {
     val comps = DedupOps.dupComponents(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
