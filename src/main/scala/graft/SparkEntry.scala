@@ -33,6 +33,12 @@ object SparkEntry {
     * the first slow one starts. Shared here so Verify and Bench can't
     * drift apart. */
   val knownSlow: Seq[String] = Seq(
+    // multi-action / cached multi-stage queries: cheap in a healthy window
+    // but the first to balloon when the host degrades (sketch head-fetches,
+    // shared cached frames) — run them after the single-plan majority
+    "q_heavy_hitters_cms", "q_minhash_oracle", "q_dedup_report", "q_funnel",
+    "q_copurchase_lift", "q_containment", "q_contamination_bloom",
+    // the measured-slowest tail (iterative / trained / many-exchange)
     "q_retention", "q_semdedup", "q_minhash_lsh", "q_ann_bruteforce",
     "q_pagerank", "q_bpe_train", "q_ann_lsh", "q_dup_components",
     "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf")
