@@ -277,6 +277,16 @@ object TextOps {
     * encoding). */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    learnBpeMerges(spark, dir)
+      .toDF("step", "left_sym", "right_sym", "n")
+      .orderBy("step")
+  }
+
+  /** The trainer loop shared by [[bpeTrain]] (which emits the merge table)
+    * and [[bpeEncode]] (which applies it to the corpus). Returns the learned
+    * (step, left, right, pair-count) merges in step order. */
+  private[operators] def learnBpeMerges(
+      spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     // The one corpus-sized pass: collapse word OCCURRENCES to a WEIGHTED
     // VOCABULARY (distinct encoded word → occurrence count) — the standard
     // BPE-trainer representation. Zipf's law makes the vocab orders of
@@ -333,13 +343,49 @@ object TextOps {
     }
     prevVocab.foreach(_.unpersist())
     merges.result()
-      .toDF("step", "left_sym", "right_sym", "n")
-      .orderBy("step")
   }
 
-  /** DuckDB replay of [[bpeTrain]]: the loop unrolled into a CTE chain —
-    * generated from the same BpeTrainSteps constant. */
-  private def bpeTrainSql: String = {
+  /** TOKENIZER APPLICATION: encode the corpus with the merge table
+    * [[learnBpeMerges]] learns — the other half of a tokenizer round-trip,
+    * and the shape of the "tokenize the whole corpus" job every training
+    * run fronts. Per doc: qualifying-word count, post-merge token count,
+    * and how many of those tokens are merged (multi-char) symbols — the
+    * compression the learned vocab actually buys.
+    *
+    * Scale shape: the merge table is DRIVER-SMALL by construction (one row
+    * per learned merge — a real trainer caps it at vocab-size, ~50k) and is
+    * folded into the plan as literal chained `replace`s, so encoding is a
+    * pure MAP over words: no shuffle until the final per-doc groupBy. At
+    * 100 TB the merge chain compiles into whole-stage codegen and streams;
+    * only the (doc_id-keyed, uniform) aggregation exchanges data. Same
+    * word-filter as the trainer (length >= 2, no '/'), so the oracle's
+    * unrolled-CTE replay sees the identical corpus. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = learnBpeMerges(spark, dir)
+    val enc0 = concat(lit("/"), array_join(split(col("w"), ""), "//"), lit("/"))
+    // apply merges in learned order — BPE's merge precedence IS train order
+    val encFinal = merges.sortBy(_._1).foldLeft(enc0) { case (e, (_, a, b, _)) =>
+      call_function("replace", e, lit(s"/$a//$b/"), lit(s"/$a$b/"))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2 && !col("w").contains("/"))
+      .select(col("doc_id"), encFinal.as("enc"))
+      .select(col("doc_id"),
+        split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("s")).cast("long")).as("n_tokens"),
+        sum(size(filter(col("s"), x => length(x) > 1)).cast("long"))
+          .as("n_merged"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared WITH-body for the BPE oracles: the trainer loop unrolled into a
+    * CTE chain (weighted vocab w0, then p_i pair-counts / b_i argmax / w_i
+    * merged-vocab per step) — generated from the same BpeTrainSteps constant
+    * so the SQL can't drift from the Scala loop. */
+  private def bpeChainCtes: String = {
     def pairsCte(src: String, i: Int): String =
       s"""p$i AS (
            SELECT s[i] AS a, s[i+1] AS b, sum(wn) AS n
@@ -360,18 +406,58 @@ object TextOps {
          """
       merge + pairsCte(s"w${i - 1}", i)
     }.mkString(",\n         ")
-    val out = (1 to BpeTrainSteps)
-      .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, n FROM b$i")
-      .mkString("\n         UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
            SELECT enc, count(*) AS wn FROM (
              SELECT '/' || array_to_string(string_split(w, ''), '//') || '/' AS enc
              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
              WHERE length(w) >= 2 AND w NOT LIKE '%/%')
            GROUP BY enc),
-         $steps
+         $steps"""
+  }
+
+  /** DuckDB replay of [[bpeTrain]]. */
+  private def bpeTrainSql: String = {
+    // CAST: DuckDB sum(BIGINT) is HUGEINT; the driver hashes dtypes-included,
+    // so an int128 12345 vs Spark's int64 12345 is a hash MISMATCH even though
+    // the values print identically (and check.py's string-compare used to
+    // pass — exactly how this slipped through the round-5 local gate).
+    val out = (1 to BpeTrainSteps)
+      .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, CAST(n AS BIGINT) AS n FROM b$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH $bpeChainCtes
          $out
          ORDER BY step"""
+  }
+
+  /** DuckDB replay of [[bpeEncode]]: the b_i merges from the shared chain,
+    * applied per word (doc_id kept) in step order. Assumes all
+    * BpeTrainSteps merges exist (an empty b_i would empty the CROSS JOIN)
+    * — same corpus-richness assumption the trainer oracle already makes. */
+  private def bpeEncodeSql: String = {
+    val encChain = (1 to BpeTrainSteps).map { i =>
+      s"""e$i AS (
+           SELECT doc_id,
+                  replace(enc, '/'||a||'//'||b||'/', '/'||a||b||'/') AS enc
+           FROM e${i - 1} CROSS JOIN b$i)"""
+    }.mkString(",\n         ")
+    s"""WITH $bpeChainCtes,
+         e0 AS (
+           SELECT doc_id,
+                  '/' || array_to_string(string_split(w, ''), '//') || '/' AS enc
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE length(w) >= 2 AND w NOT LIKE '%/%'),
+         $encChain,
+         syms AS (
+           SELECT doc_id,
+                  string_split(substr(enc, 2, length(enc) - 2), '//') AS s
+           FROM e$BpeTrainSteps)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(s)) AS BIGINT) AS n_tokens,
+                CAST(sum(len(list_filter(s, x -> length(x) > 1))) AS BIGINT)
+                  AS n_merged
+         FROM syms GROUP BY doc_id ORDER BY doc_id"""
   }
 
   // ---------------------------------------------------------------- heavy hitters
@@ -517,6 +603,7 @@ object TextOps {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_heavy_hitters_cms" -> (heavyHittersCms _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_bpe_encode" -> (bpeEncode _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -543,6 +630,7 @@ object TextOps {
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_zscore" ->
       """WITH s AS (
            SELECT source, count(*) AS n, sum(n_chars) AS s1,

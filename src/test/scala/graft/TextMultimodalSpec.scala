@@ -19,6 +19,24 @@ class TextMultimodalSpec extends SparkTestBase {
       (2, "aa", "a", 3L))) // greedy left merge → [aa, a] per word; then done
   }
 
+  test("bpeEncode applies every learned merge in train order, per doc") {
+    // merges learned: (a,a,6) then (aa,a,3) then — tie (a,b):1 vs (c,d):1,
+    // lexicographic tie-break — (a,b,1). Encoding: "aaa" collapses to ONE
+    // merged token via merges 1+2; "ab" needs merge 3 (which the trainer
+    // learns but never applies to its own vocab — encode MUST apply it);
+    // "cd" stays two unmerged chars; "x" is filtered (length < 2).
+    val dir = documentsFixture(Seq(
+      (0L, "aaa aaa", "en", "srcA"),
+      (1L, "aaa ab", "en", "srcA"),
+      (2L, "cd x", "en", "srcA")))
+    val got = TextOps.bpeEncode(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 2L),   // two "aaa" → one merged token each
+      (1L, 2L, 2L, 2L),   // "aaa" + "ab" → both single merged tokens
+      (2L, 1L, 2L, 0L)))  // "cd" alone: [c, d], nothing merged
+  }
+
   test("fingerprint matches a driver-side reference implementation") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .limit(20).collect().map(r => r.getLong(0) -> r.getString(1)).toMap

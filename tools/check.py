@@ -59,8 +59,34 @@ for name in names:
         print(f"  [ORACLE-ERR] {name}: {e}")
         n_fail += 1
         continue
-    (g, g_cols), (e, e_cols) = canon(got), canon(exp)
+    # Arrow-dtype parity: the driver HASHES result values after a pandas
+    # round-trip, where dtype drives representation — a DuckDB HUGEINT
+    # (arrow decimal128) column hashes differently from Spark's int64 even
+    # when every value prints identically, so the string-compare below
+    # would pass while the driver fails (exactly how q_bpe_train slipped
+    # through round 5's local gate: an uncast sum(BIGINT)). 128-bit vs
+    # 64-bit integer mismatches are therefore a hard FAIL here; any other
+    # type difference is surfaced as a warning for eyeballing.
     ok = True
+    g_types = {f.name: f.type for f in got.schema}
+    e_types = {f.name: f.type for f in exp.schema}
+    for c in sorted(set(g_types) & set(e_types)):
+        gt, et = g_types[c], e_types[c]
+        if gt == et:
+            continue
+        import pyarrow.types as pt
+        wide = lambda t: pt.is_decimal(t) or (pt.is_integer(t) and t.bit_width > 64)
+        if (wide(gt) != wide(et)) and (pt.is_integer(gt) or wide(gt)) and (pt.is_integer(et) or wide(et)):
+            print(f"  [FAIL] {name}.{c}: dtype spark={gt} duck={et} "
+                  f"(int-width mismatch hashes differently driver-side — CAST the oracle)")
+            ok = False
+        elif pt.is_large_string(gt) != pt.is_large_string(et) and \
+                (pt.is_string(gt) or pt.is_large_string(gt)) and \
+                (pt.is_string(et) or pt.is_large_string(et)):
+            pass  # string vs large_string: same pandas object representation
+        else:
+            print(f"  [warn] {name}.{c}: dtype spark={gt} duck={et}")
+    (g, g_cols), (e, e_cols) = canon(got), canon(exp)
     if g_cols != e_cols:
         print(f"  [FAIL] {name}: columns spark={g_cols} duck={e_cols}")
         ok = False
