@@ -21,17 +21,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * unless `spark.sql.legacy.parquet.nanosAsLong=true` is set — at SESSION
-    * BUILD time (GraftSession.build, Verify, Bench and the test base all
-    * set it; a reader must not mutate session state as a side effect).
-    * Under that conf ts arrives as epoch-nanos long and is converted to a
-    * microsecond TimestampType column. Sub-microsecond precision is
-    * dropped — all derived dt/hr/second-level values are unaffected. The
-    * raw nanos survive as `ts_ns`: it is a passthrough of the physical
-    * column, so range predicates on it (e.g. one-day serving windows) push
-    * down into the parquet scan for row-group skipping — a filter on the
-    * derived `ts` could not. */
+  /** events.ts has shipped in two parquet flavors across driver rounds —
+    * TIMESTAMP(NANOS) (readable only as epoch-nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which GraftSession.build,
+    * Verify, Bench and the test base all still set; harmless for the other
+    * flavors) and, since round 6, TIMESTAMP(MICROS) NTZ. This reader
+    * normalizes every flavor to the same surface:
+    *
+    *   - `ts`     — tz-aware TimestampType (UTC session pinned)
+    *   - `ts_ns`  — epoch nanoseconds long (ordering/arithmetic column)
+    *   - plus, when the physical column itself is not long-nanos, a
+    *     PASSTHROUGH of the physical column so day-range predicates can
+    *     still reach the parquet scan (row-group min/max skipping) — a
+    *     filter on a DERIVED column cannot push. Use [[eventsDayFilter]]
+    *     to build range predicates; it targets the right column per
+    *     flavor. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw =
@@ -44,17 +48,25 @@ object Tables {
               "session (GraftSession.build does) — Tables.events no longer " +
               "sets it for you", e)
       }
+    normalizeEvents(spark, raw)
+  }
+
+  /** The flavor normalization of [[events]], exposed for any frame with the
+    * raw events schema (e.g. a streaming file source reading the same
+    * parquet — batch/streaming consistency comes from sharing THIS code). */
+  private[graft] def normalizeEvents(
+      spark: SparkSession, raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long testdata
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // NTZ micro parquet (DuckDB and most non-Spark writers). The
-        // NTZ→TZ cast reinterprets wall-clock values in the SESSION
-        // timezone — instant-preserving only under the engine's pinned
-        // UTC, so fail loudly on a misconfigured session rather than
-        // silently shifting every event (same discipline as the
-        // nanosAsLong check above).
+        // NTZ micro parquet (round-6 testdata; DuckDB and most non-Spark
+        // writers). The NTZ→TZ cast reinterprets wall-clock values in the
+        // SESSION timezone — instant-preserving only under the engine's
+        // pinned UTC, so fail loudly on a misconfigured session rather
+        // than silently shifting every event.
         require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
           "events.parquet has TIMESTAMP_NTZ ts: set " +
             "spark.sql.session.timeZone=UTC (GraftSession does) — a " +
@@ -64,6 +76,33 @@ object Tables {
       case _ => // TIMESTAMP (tz-aware) micro-precision parquet
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
     }
+  }
+
+  /** [[events]] restricted to `[startEpochSec, endEpochSec)` with the range
+    * predicate applied to the PHYSICAL ts column BEFORE normalization, per
+    * flavor — the only formulation that reaches the parquet scan for
+    * row-group min/max skipping in every flavor. (`ts_ns` is physical only
+    * in the nanos-long flavor; in the NTZ flavor it is derived and a
+    * predicate on it scans everything — the 100 TB serving-window mistake
+    * this helper exists to prevent.) Output schema is identical to
+    * [[events]]. */
+  def eventsInRange(spark: SparkSession, dir: String,
+      startEpochSec: Long, endEpochSec: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = t(spark, dir, "events")
+    val pred = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") >= startEpochSec * 1000000000L &&
+          col("ts") < endEpochSec * 1000000000L
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        def ntz(sec: Long) = lit(java.time.LocalDateTime
+          .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC))
+        col("ts") >= ntz(startEpochSec) && col("ts") < ntz(endEpochSec)
+      case _ =>
+        col("ts") >= timestamp_seconds(lit(startEpochSec)) &&
+          col("ts") < timestamp_seconds(lit(endEpochSec))
+    }
+    normalizeEvents(spark, raw.where(pred))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

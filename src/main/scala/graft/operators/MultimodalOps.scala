@@ -79,14 +79,18 @@ object MultimodalOps {
         col("width"), col("height"), col("duration_ms"))
       .orderBy("asset_id")
 
-  /** Feature stats through the stub decoder — deterministic, so the driver's
-    * rows-only check is stable; exactness is asserted in ScalaTest. */
+  /** Feature stats through the stub decoder. Oracle-checked: the stub's
+    * byte-histogram math is replayed in DuckDB over `hex(encode(text))`
+    * byte pairs, and the f0/f1 values are raw count/len double divisions —
+    * the same exact integers divided the same way on both sides, so they
+    * are BIT-identical (no rounding needed; rounding would only add a
+    * half-up-vs-half-even parity hazard). */
   def featureStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(spark, dir).toDF()
       .select(col("asset_id"), col("modality"), col("byte_len"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 2), 6).as("f1"))
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 2).as("f1"))
       .orderBy("asset_id")
   }
 
@@ -193,7 +197,30 @@ object MultimodalOps {
                 cum_before // 65536 AS shard_id,
                 cum_before % 65536 AS offset_in_shard
          FROM c ORDER BY modality, asset_id""",
-    // q_mm_features omitted: the decode stub is Spark-side only
-    // (rows-only check; exact values asserted in ScalaTest).
+    // The stub decoder's 8-bin byte histogram, replayed byte-for-byte:
+    // hex(encode(text)) → 2-char pairs → ('0x'||pair)::INT % 8. Empty
+    // payloads keep a row with f0=f1=0 via the LEFT JOIN + greatest(n,1)
+    // — mirroring the stub's max(len,1) divisor.
+    "q_mm_features" ->
+      """WITH enc AS (
+           SELECT doc_id AS asset_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                  ELSE 'video' END AS modality,
+                  hex(encode(text)) AS hx,
+                  CAST(octet_length(encode(text)) AS INT) AS n
+           FROM documents),
+         cnt AS (
+           SELECT asset_id,
+                  sum(CASE WHEN ('0x' || substr(hx, 2*i - 1, 2))::INT % 8 = 0
+                           THEN 1 ELSE 0 END) AS c0,
+                  sum(CASE WHEN ('0x' || substr(hx, 2*i - 1, 2))::INT % 8 = 1
+                           THEN 1 ELSE 0 END) AS c1
+           FROM enc, unnest(generate_series(1, n)) AS u(i)
+           GROUP BY asset_id)
+         SELECT e.asset_id, e.modality, e.n AS byte_len,
+                CAST(coalesce(c.c0, 0) AS DOUBLE) / greatest(e.n, 1) AS f0,
+                CAST(coalesce(c.c1, 0) AS DOUBLE) / greatest(e.n, 1) AS f1
+         FROM enc e LEFT JOIN cnt c USING (asset_id)
+         ORDER BY asset_id""",
   )
 }

@@ -415,7 +415,114 @@ object PipelineOps {
       .orderBy("column")
   }
 
+  // ------------------------------------------------------------ in-engine training
+  /** Gradient iterations for [[perceptronTrain]] — the oracle SQL is
+    * generated from the same constant so the unrolled chain can't drift. */
+  private[operators] val PerceptronIters = 3
+
+  /** IN-ENGINE MODEL TRAINING: a batch perceptron fit to the corpus quality
+    * rule — the "train the quality-filter classifier on the cluster"
+    * step of a curation pipeline, expressed as pure dataflow. Features are
+    * the integer quality components (n_tokens, n_distinct, n_stopwords +
+    * bias); the label is [[TextOps.qualityOk]] (so the run demonstrably
+    * converges); the update is the BATCH rule w += Σ_misclassified y·x with
+    * unit learning rate — all-integer arithmetic, so the whole training
+    * trajectory is exact and cross-engine reproducible (same trick as
+    * q_pagerank's integer mass and q_corr's integer moments; a float SGD
+    * would be order-dependent and unverifiable).
+    *
+    * Scale shape: one cached feature pass over the corpus, then per
+    * iteration ONE map-side partial-aggregated reduction (the gradient is a
+    * sum — associative, so executors combine locally and the exchange
+    * carries 32 partial rows, not the corpus). The weight vector rides as a
+    * 1-ROW broadcast frame (`crossJoin(broadcast(w))`, the documented
+    * scalar-attach pattern) — never a driver collect — so the unrolled
+    * 3-iteration trajectory is a single declarative plan. Output: per-step
+    * misclassification count + post-update weights. */
+  def perceptronTrain(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(t).cast("long").as("x1"),
+        size(array_distinct(t)).cast("long").as("x2"),
+        TextOps.stopwordCount(t).cast("long").as("x3"))
+      .withColumn("y",
+        when(TextOps.qualityOk(col("x1"), col("x2"), col("x3")), 1L)
+          .otherwise(-1L))
+      .cache() // reused PerceptronIters times; Verify/Bench clear per query
+    var w = spark.range(1).select(
+      lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
+    val steps = (1 to PerceptronIters).map { i =>
+      val j = feats.crossJoin(broadcast(w))
+      val margin = col("y") *
+        (col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+          col("w3") * col("x3"))
+      def g(e: org.apache.spark.sql.Column) =
+        coalesce(sum(when(margin <= 0, e).otherwise(0L)), lit(0L))
+      val s = j.agg(
+        // max() of a broadcast-constant column = the value itself; it rides
+        // the same aggregation so the previous weights need no second join
+        coalesce(max(col("w0")), lit(0L)).as("pw0"),
+        coalesce(max(col("w1")), lit(0L)).as("pw1"),
+        coalesce(max(col("w2")), lit(0L)).as("pw2"),
+        coalesce(max(col("w3")), lit(0L)).as("pw3"),
+        g(lit(1L)).as("n_mis"), g(col("y")).as("g0"),
+        g(col("y") * col("x1")).as("g1"), g(col("y") * col("x2")).as("g2"),
+        g(col("y") * col("x3")).as("g3"))
+        .select(lit(i).as("step"), col("n_mis"),
+          (col("pw0") + col("g0")).as("w0"), (col("pw1") + col("g1")).as("w1"),
+          (col("pw2") + col("g2")).as("w2"), (col("pw3") + col("g3")).as("w3"))
+      w = s.select(col("w0"), col("w1"), col("w2"), col("w3"))
+      s
+    }
+    steps.reduce(_ union _).orderBy("step")
+  }
+
+  /** DuckDB replay of [[perceptronTrain]]: the iteration chain unrolled —
+    * generated from the same PerceptronIters constant. CASTs: DuckDB
+    * sum(BIGINT) is HUGEINT, which the driver hashes differently from
+    * int64. */
+  private def perceptronSql: String = {
+    def mis(w: String) =
+      s"y*($w.w0 + $w.w1*x1 + $w.w2*x2 + $w.w3*x3) <= 0"
+    def g(w: String, e: String) =
+      s"coalesce(sum(CASE WHEN ${mis(w)} THEN $e ELSE 0 END), 0)"
+    val steps = (1 to PerceptronIters).map { i =>
+      val w = s"wt${i - 1}"
+      s"""s$i AS (
+           SELECT CAST(${g(w, "1")} AS BIGINT) AS n_mis,
+                  CAST(coalesce(max($w.w0), 0) + ${g(w, "y")} AS BIGINT) AS w0,
+                  CAST(coalesce(max($w.w1), 0) + ${g(w, "y*x1")} AS BIGINT) AS w1,
+                  CAST(coalesce(max($w.w2), 0) + ${g(w, "y*x2")} AS BIGINT) AS w2,
+                  CAST(coalesce(max($w.w3), 0) + ${g(w, "y*x3")} AS BIGINT) AS w3
+           FROM l CROSS JOIN wt${i - 1}),
+         wt$i AS (SELECT w0, w1, w2, w3 FROM s$i)"""
+    }.mkString(",\n         ")
+    val out = (1 to PerceptronIters)
+      .map(i => s"SELECT $i AS step, n_mis, w0, w1, w2, w3 FROM s$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH f AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the', 'a'))) AS BIGINT) AS x3
+           FROM documents),
+         l AS (
+           SELECT doc_id, x1, x2, x3,
+                  CASE WHEN x1 >= 10 AND CAST(x3 AS DOUBLE)/x1 < 0.3
+                            AND CAST(x2 AS DOUBLE)/x1 > 0.2
+                       THEN 1 ELSE -1 END AS y
+           FROM f),
+         wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                        CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+         $steps
+         $out
+         ORDER BY step"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perceptron" -> (perceptronTrain _),
     "q_null_profile" -> (nullProfile _),
     "q_pii_redact" -> (piiRedact _),
     "q_top_p" -> (topPCoverage _),
@@ -435,6 +542,7 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_perceptron" -> perceptronSql,
     "q_null_profile" ->
       """WITH p AS (
            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,

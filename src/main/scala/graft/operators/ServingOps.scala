@@ -17,28 +17,28 @@ import graft.Tables
   */
 object ServingOps {
 
-  /** One-day window as raw epoch-nanos bounds (UTC). Filtering on the
-    * passthrough `ts_ns` column — not the derived timestamp — lets the
-    * predicate push into the parquet scan (row-group min/max skipping);
-    * `date_format(ts) === d` would force a full scan at 100 TB. */
-  private def dayFilter(date: String): org.apache.spark.sql.Column = {
+  /** One-day window read through [[Tables.eventsInRange]], which applies
+    * the range predicate to the PHYSICAL ts column per testdata flavor so
+    * it pushes into the parquet scan (row-group min/max skipping);
+    * `date_format(ts) === d` — or a predicate on the derived `ts_ns` —
+    * would force a full scan at 100 TB. */
+  private def dayEvents(spark: SparkSession, dir: String,
+      date: String): DataFrame = {
     val start = java.time.LocalDate.parse(date)
-      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
-    col("ts_ns") >= start && col("ts_ns") < start + 86400L * 1000000000L
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond
+    Tables.eventsInRange(spark, dir, start, start + 86400L)
   }
 
   /** GET /realtime-total?date= — total DAU for one day
     * (P/service/impl/DauServicelmpl.java:26-42). */
   def realtimeTotal(spark: SparkSession, dir: String, date: String): DataFrame =
-    Tables.events(spark, dir)
-      .where(dayFilter(date))
+    dayEvents(spark, dir, date)
       .agg(count_distinct(col("user_id")).as("dau"))
 
   /** GET /realtime-hour — hourly DAU curve for one day
     * (DauServicelmpl.java:45-71, terms agg size 24). */
   def realtimeHourly(spark: SparkSession, dir: String, date: String): DataFrame =
-    Tables.events(spark, dir)
-      .where(dayFilter(date))
+    dayEvents(spark, dir, date)
       .groupBy(date_format(col("ts"), "HH").as("hr"))
       .agg(count_distinct(col("user_id")).as("dau"))
       .orderBy("hr")

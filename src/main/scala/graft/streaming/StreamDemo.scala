@@ -27,18 +27,14 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     // file-stream source: schema from the batch footer; events.parquet only.
-    // ts arrives as epoch-nanos LONG on the driver-generated testdata
-    // (TIMESTAMP(NANOS) under nanosAsLong) but as a real TimestampType on
-    // Spark-written micro-precision fixtures — branch like Tables.events.
+    // ts flavor varies by driver round (epoch-nanos LONG, NTZ micros, or a
+    // Spark-written TimestampType) — normalize exactly like the batch path
+    // so batch/streaming consistency is by construction.
     val schema = spark.read
       .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
-    val raw0 = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    val raw = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw0
-    }
+    val raw = graft.Tables.normalizeEvents(spark, spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
 
     val deduped = StreamingOps.firstSeenStream(raw)
       .select("dt", "hr", "user_id", "event_id", "event_type")

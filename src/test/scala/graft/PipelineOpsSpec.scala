@@ -17,6 +17,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Seq((0L, 50L), (1L, 80L)), s"got $got")
   }
 
+  test("perceptron trainer matches an exact reference batch-update loop") {
+    // Mixed labels: doc 0 fails the quality rule (5 tokens < 10 → y=-1);
+    // doc 1 passes (12 distinct non-stopword tokens → y=+1); doc 2 fails
+    // (all-stopword). Every arithmetic step is integer-exact, so the
+    // reference loop below must agree to the last unit.
+    val rows = Seq(
+      (0L, "the the the a a", "en", "s"),
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12", "en", "s"),
+      (2L, "the a the a the a the a the a the a", "en", "s"))
+    val dir = documentsFixture(rows)
+    // reference: same features/label/update computed in plain Scala
+    val feats = rows.map { case (_, text, _, _) =>
+      val t = text.split(" ", -1)
+      val x = Array(1L, t.length.toLong, t.distinct.length.toLong,
+        t.count(w => w == "the" || w == "a").toLong)
+      val ok = x(1) >= 10 && x(3).toDouble / x(1) < 0.3 &&
+        x(2).toDouble / x(1) > 0.2
+      (x, if (ok) 1L else -1L)
+    }
+    var w = Array(0L, 0L, 0L, 0L)
+    val expected = (1 to 3).map { step =>
+      val mis = feats.filter { case (x, y) =>
+        y * (w(0) * x(0) + w(1) * x(1) + w(2) * x(2) + w(3) * x(3)) <= 0 }
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi + mis.map { case (x, y) => y * x(i) }.sum }
+      (step, mis.size.toLong, w(0), w(1), w(2), w(3))
+    }
+    val got = PipelineOps.perceptronTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // sanity: the trajectory must actually move (not all-zero weights)
+    assert(expected.last._3 != 0L || expected.last._4 != 0L)
+  }
+
   test("sessionize: 30-minute gaps split sessions, counts add up") {
     val sess = PipelineOps.sessionize(spark, sf0001).cache()
     // every event lands in exactly one session

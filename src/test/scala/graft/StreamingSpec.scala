@@ -389,12 +389,12 @@ class StreamingSpec extends SparkTestBase {
 
   test("batch/streaming consistency: file-stream dedup finds exactly the batch first-seen set") {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read
       .option("pathGlobFilter", "events.parquet").parquet(sf0001).schema
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf0001)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // batch/streaming consistency comes from sharing the SAME flavor
+    // normalization (nanos-long vs NTZ-micros) as Tables.events
+    val raw = Tables.normalizeEvents(spark, spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0001))
     val q = StreamingOps.firstSeenStream(raw)
       .select("dt", "user_id")
       .writeStream.outputMode("append").format("memory").queryName("fsfile").start()
