@@ -162,6 +162,55 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------------- contrastive pairs
+  /** CONTRASTIVE TRAINING-PAIR GENERATION: (anchor, hardest-positive,
+    * pseudorandom-negative) triplets for contrastive embedding training —
+    * the sampling step in front of an encoder fine-tune. Anchors are docs
+    * with at least one near-dup partner; the positive is the MAX-Jaccard
+    * partner (ties → min id) from the blocked [[ngramJaccard]] frame; the
+    * negative is drawn deterministically from the anchor's source block by
+    * the MD5-RING trick: order the block by md5(doc_id), take the next doc
+    * (wrapping) — a pseudorandom same-block pick that costs ONE window
+    * pass over the corpus instead of a per-anchor candidate scan (the
+    * quadratic trap a naive "random negative per anchor" join falls into
+    * at 100 TB). The rare ring-neighbor-is-also-a-partner case is FLAGGED
+    * (`neg_is_dup`), not re-drawn — re-drawing needs unbounded iteration;
+    * a production pipeline filters the flag and re-rings with a salt.
+    *
+    * Scale shape: positives ride the existing blocked+df-capped pair
+    * frame (linear); the ring is one hash-ordered window per source; the
+    * partner-flag join is on the (small) pair set. */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = ngramJaccard(spark, dir).select("doc_a", "doc_b", "jaccard")
+    val sym = p.union(p.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b"), col("jaccard")))
+    val wPos = Window.partitionBy("doc_a")
+      .orderBy(col("jaccard").desc, col("doc_b"))
+    val pos = sym.withColumn("rn", row_number().over(wPos))
+      .where(col("rn") === 1)
+      .select(col("doc_a").as("anchor_id"), col("doc_b").as("positive_id"),
+        col("jaccard").as("pos_jaccard"))
+    val ringW = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val fullFrame = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ring = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("negative_id",
+        coalesce(lead(col("doc_id"), 1).over(ringW),
+          first(col("doc_id")).over(fullFrame)))
+      .select(col("doc_id").as("anchor_id"), col("negative_id"))
+    val partnerFlag = sym.select(col("doc_a").as("anchor_id"),
+      col("doc_b").as("negative_id"), lit(true).as("neg_is_dup"))
+    pos.join(ring, "anchor_id")
+      .join(partnerFlag, Seq("anchor_id", "negative_id"), "left")
+      .select(col("anchor_id"), col("positive_id"), col("pos_jaccard"),
+        col("negative_id"),
+        coalesce(col("neg_is_dup"), lit(false)).as("neg_is_dup"))
+      .orderBy("anchor_id")
+  }
+
   // ---------------------------------------------------------------- MinHash + LSH
   /** Number of minhash permutations / LSH bands (4 rows per band). */
   private val NumPerm = 32
@@ -807,6 +856,7 @@ object DedupOps {
     "q_containment" -> (containment _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_contrastive_pairs" -> (contrastivePairs _),
     "q_neardup_keep" -> (nearDupKeep _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_minhash_oracle" -> (minhashOracle _),
@@ -1031,6 +1081,66 @@ object DedupOps {
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "q_ngram_jaccard" -> NgramJaccardSql,
+    // same shingle/df-cap/pair CTEs as the Jaccard oracle, then the
+    // symmetric best-positive window and the md5-ring negative
+    "q_contrastive_pairs" ->
+      s"""WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh0 AS (
+           SELECT DISTINCT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tok3)),
+         sh AS (
+           SELECT doc_id, source, shingle FROM (
+             SELECT *, count(*) OVER (PARTITION BY source, shingle) AS df
+             FROM sh0)
+           WHERE df <= $MaxShingleDf),
+         card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b,
+                  CAST(n_common AS DOUBLE) / (ca.c + cb.c - n_common) AS jaccard
+           FROM inter
+           JOIN card ca ON doc_a = ca.doc_id
+           JOIN card cb ON doc_b = cb.doc_id
+           WHERE CAST(n_common AS DOUBLE) / (ca.c + cb.c - n_common) >= 0.5),
+         sym AS (
+           SELECT doc_a, doc_b, jaccard FROM pairs
+           UNION ALL
+           SELECT doc_b AS doc_a, doc_a AS doc_b, jaccard FROM pairs),
+         pos AS (
+           SELECT doc_a AS anchor_id, doc_b AS positive_id,
+                  jaccard AS pos_jaccard
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rn
+                 FROM sym)
+           WHERE rn = 1),
+         ring AS (
+           SELECT doc_id AS anchor_id,
+                  coalesce(
+                    lead(doc_id) OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id),
+                    first_value(doc_id) OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)) AS negative_id
+           FROM documents)
+         SELECT p.anchor_id, p.positive_id, p.pos_jaccard, r.negative_id,
+                coalesce(s.dup, FALSE) AS neg_is_dup
+         FROM pos p
+         JOIN ring r USING (anchor_id)
+         LEFT JOIN (SELECT doc_a AS anchor_id, doc_b AS negative_id,
+                           TRUE AS dup FROM sym) s
+           USING (anchor_id, negative_id)
+         ORDER BY anchor_id""",
     // same shingle/df-cap/pair CTEs as the Jaccard oracle, asymmetric ratio
     "q_containment" ->
       s"""WITH toks AS (

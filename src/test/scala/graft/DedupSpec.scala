@@ -84,6 +84,35 @@ class DedupSpec extends SparkTestBase {
       s"boilerplate-only overlap must produce no pairs, got ${pairs.take(5)}")
   }
 
+  test("contrastive pairs: hardest positive per anchor, same-block ring negative, honest dup flag") {
+    // two planted near-dup pairs + one unrelated doc, one source block.
+    // 12-token texts differing in ONE token → 3-gram jaccard well over 0.5.
+    val base1 = (1 to 12).map(i => s"a$i").mkString(" ")
+    val dup1 = ((1 to 11).map(i => s"a$i") :+ "zz").mkString(" ")
+    val base2 = (1 to 12).map(i => s"b$i").mkString(" ")
+    val dup2 = ((1 to 11).map(i => s"b$i") :+ "yy").mkString(" ")
+    val lone = (1 to 12).map(i => s"c$i").mkString(" ")
+    val dir = documentsFixture(Seq(
+      (0L, base1, "en", "s"), (1L, dup1, "en", "s"),
+      (2L, lone, "en", "s"),
+      (3L, base2, "en", "s"), (4L, dup2, "en", "s")))
+    val got = DedupOps.contrastivePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    // anchors are exactly the docs with a near-dup partner; each anchor's
+    // positive is its (only, hence hardest) partner
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      Map(0L -> 1L, 1L -> 0L, 3L -> 4L, 4L -> 3L), s"got ${got.toSeq}")
+    // the partner set recomputed independently drives the neg_is_dup flag
+    val partners = DedupOps.ngramJaccard(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .toSet
+    got.foreach { case (a, _, neg, flag) =>
+      assert(neg != a, s"anchor $a drew itself as negative")
+      assert(flag == partners((a, neg)),
+        s"anchor $a negative $neg: flag $flag vs partner set")
+    }
+  }
+
   test("simhash: identical docs at hamming 0; near-identical within 3 bits") {
     val pairs = DedupOps.simhashPairs(spark, fixtureDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
