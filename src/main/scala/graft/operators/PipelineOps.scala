@@ -415,6 +415,34 @@ object PipelineOps {
       .orderBy("column")
   }
 
+  // ------------------------------------------------------------ corpus shuffle
+  /** Shard count for [[corpusShuffle]] (16 = the first hex nibble of the
+    * md5 shuffle key — shard assignment is a map-side substring, no
+    * modulo-bias bookkeeping). */
+  private[operators] val ShuffleShards = 16
+
+  /** DETERMINISTIC GLOBAL TRAINING-ORDER SHUFFLE: every epoch-0 data
+    * loader needs the corpus in a pseudorandom but REPRODUCIBLE order,
+    * sharded so loaders stream their shard sequentially. Shuffle key =
+    * md5(doc_id): shard = first hex nibble (map-side, no shuffle),
+    * position-in-shard = rank by the remaining digest (one window per
+    * shard — NEVER a global single-partition row_number, which is the
+    * 100 TB anti-pattern this formulation exists to avoid; the per-shard
+    * sort is what a range-partitioned sort-within-partitions write does).
+    * Keys are unique (md5 over distinct ids; doc_id tiebreak regardless),
+    * so the order is total and cross-engine stable. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy("shard").orderBy(col("key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("shard",
+        conv(substring(col("key"), 1, 1), 16, 10).cast("long"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos_in_shard")
+      .orderBy("shard", "pos_in_shard")
+  }
+
   // ------------------------------------------------------------ in-engine training
   /** Gradient iterations for [[perceptronTrain]] — the oracle SQL is
     * generated from the same constant so the unrolled chain can't drift. */
@@ -439,9 +467,13 @@ object PipelineOps {
     * scalar-attach pattern) — never a driver collect — so the unrolled
     * 3-iteration trajectory is a single declarative plan. Output: per-step
     * misclassification count + post-update weights. */
-  def perceptronTrain(spark: SparkSession, dir: String): DataFrame = {
+  def perceptronTrain(spark: SparkSession, dir: String): DataFrame =
+    perceptronSteps(spark, dir)._1.reduce(_ union _).orderBy("step")
+
+  /** Integer quality features + rule label — the trainer's input frame. */
+  private def perceptronFeats(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
-    val feats = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(t).cast("long").as("x1"),
         size(array_distinct(t)).cast("long").as("x2"),
@@ -449,7 +481,15 @@ object PipelineOps {
       .withColumn("y",
         when(TextOps.qualityOk(col("x1"), col("x2"), col("x3")), 1L)
           .otherwise(-1L))
-      .cache() // reused PerceptronIters times; Verify/Bench clear per query
+  }
+
+  /** The unrolled training trajectory: per-step (step, n_mis, w0..w3)
+    * frames plus the feature frame and the FINAL 1-row weight frame —
+    * shared by [[perceptronTrain]] and [[thresholdSweep]]. */
+  private def perceptronSteps(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame, DataFrame) = {
+    // reused PerceptronIters (+1 for the sweep) times; gates clear per query
+    val feats = perceptronFeats(spark, dir).cache()
     var w = spark.range(1).select(
       lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
     val steps = (1 to PerceptronIters).map { i =>
@@ -475,14 +515,48 @@ object PipelineOps {
       w = s.select(col("w0"), col("w1"), col("w2"), col("w3"))
       s
     }
-    steps.reduce(_ union _).orderBy("step")
+    (steps, feats, w)
   }
 
-  /** DuckDB replay of [[perceptronTrain]]: the iteration chain unrolled —
-    * generated from the same PerceptronIters constant. CASTs: DuckDB
+  /** MODEL CALIBRATION SWEEP: precision/recall of the trained perceptron
+    * at EVERY decision threshold — the curve a curator reads to pick the
+    * operating point before a corpus-wide filter run. Scores are integer
+    * w·x (exact), grouped to the DISTINCT-score grain before the
+    * cumulative window, so the prefix sums run over the (bounded)
+    * score-value domain, not the corpus; precision/recall are single
+    * divisions of exact longs — bit-identical cross-engine. The
+    * cumulative window is globally ordered like q_top_p's mass curve: at
+    * 100 TB the distinct-score frame is KB-sized, so the single-partition
+    * prefix scan is on a tiny aggregate, never the corpus. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, feats, finalW) = perceptronSteps(spark, dir)
+    val scored = feats.crossJoin(broadcast(finalW))
+      .select(col("doc_id"),
+        (col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+          col("w3") * col("x3")).as("score"),
+        col("y"))
+    val byScore = scored.groupBy("score")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+    val wCum = Window.orderBy(col("score").desc)
+    val tot = byScore.agg(sum(col("n_pos")).as("total_pos"))
+    byScore
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("score"), col("n_docs"), col("cum_docs"), col("cum_pos"),
+        (col("cum_pos").cast("double") / col("cum_docs")).as("precision_at"),
+        (col("cum_pos").cast("double") / col("total_pos")).as("recall_at"))
+      .orderBy(col("score").desc)
+  }
+
+  /** Shared WITH-body for the perceptron oracles: features f, labels l,
+    * and the unrolled wt0→wtN weight chain — generated from the same
+    * PerceptronIters constant as the Scala loop. CASTs: DuckDB
     * sum(BIGINT) is HUGEINT, which the driver hashes differently from
     * int64. */
-  private def perceptronSql: String = {
+  private def perceptronChainCtes: String = {
     def mis(w: String) =
       s"y*($w.w0 + $w.w1*x1 + $w.w2*x2 + $w.w3*x3) <= 0"
     def g(w: String, e: String) =
@@ -498,10 +572,7 @@ object PipelineOps {
            FROM l CROSS JOIN wt${i - 1}),
          wt$i AS (SELECT w0, w1, w2, w3 FROM s$i)"""
     }.mkString(",\n         ")
-    val out = (1 to PerceptronIters)
-      .map(i => s"SELECT $i AS step, n_mis, w0, w1, w2, w3 FROM s$i")
-      .mkString("\n         UNION ALL ")
-    s"""WITH f AS (
+    s"""f AS (
            SELECT doc_id,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
@@ -516,13 +587,52 @@ object PipelineOps {
            FROM f),
          wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
                         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-         $steps
+         $steps"""
+  }
+
+  /** DuckDB replay of [[perceptronTrain]]. */
+  private def perceptronSql: String = {
+    val out = (1 to PerceptronIters)
+      .map(i => s"SELECT $i AS step, n_mis, w0, w1, w2, w3 FROM s$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH $perceptronChainCtes
          $out
          ORDER BY step"""
   }
 
+  /** DuckDB replay of [[thresholdSweep]]: final weights from the shared
+    * chain, integer scores, distinct-score cumulative sums. */
+  private def thresholdSweepSql: String =
+    s"""WITH $perceptronChainCtes,
+         scored AS (
+           SELECT l.doc_id,
+                  CAST(w.w0 + w.w1*l.x1 + w.w2*l.x2 + w.w3*l.x3 AS BIGINT)
+                    AS score,
+                  l.y
+           FROM l CROSS JOIN wt$PerceptronIters w),
+         byscore AS (
+           SELECT score, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_pos
+           FROM scored GROUP BY score),
+         tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos FROM byscore),
+         cum AS (
+           SELECT score, n_docs,
+                  CAST(sum(n_docs) OVER (ORDER BY score DESC) AS BIGINT)
+                    AS cum_docs,
+                  CAST(sum(n_pos) OVER (ORDER BY score DESC) AS BIGINT)
+                    AS cum_pos
+           FROM byscore)
+         SELECT score, n_docs, cum_docs, cum_pos,
+                CAST(cum_pos AS DOUBLE) / cum_docs AS precision_at,
+                CAST(cum_pos AS DOUBLE) / total_pos AS recall_at
+         FROM cum CROSS JOIN tot
+         ORDER BY score DESC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_shuffle" -> (corpusShuffle _),
     "q_perceptron" -> (perceptronTrain _),
+    "q_threshold_sweep" -> (thresholdSweep _),
     "q_null_profile" -> (nullProfile _),
     "q_pii_redact" -> (piiRedact _),
     "q_top_p" -> (topPCoverage _),
@@ -542,7 +652,19 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, shard, pos_in_shard FROM (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::INT
+                       AS BIGINT) AS shard,
+                  CAST(row_number() OVER (
+                    PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS BIGINT) AS pos_in_shard
+           FROM documents)
+         ORDER BY shard, pos_in_shard""",
     "q_perceptron" -> perceptronSql,
+    "q_threshold_sweep" -> thresholdSweepSql,
     "q_null_profile" ->
       """WITH p AS (
            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,

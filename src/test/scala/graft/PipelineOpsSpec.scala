@@ -52,6 +52,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(expected.last._3 != 0L || expected.last._4 != 0L)
   }
 
+  test("corpus shuffle is a total permutation with contiguous shard positions") {
+    val got = PipelineOps.corpusShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(got.length == nDocs, "every doc appears exactly once")
+    assert(got.map(_._1).distinct.length == got.length)
+    // per shard: positions are exactly 1..n (a reader can stream its shard
+    // by position with no gaps); shard is the first md5 nibble
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.take(20).foreach { case (id, shard, _) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(shard == java.lang.Long.parseLong(hex.substring(0, 1), 16),
+        s"doc $id shard $shard != first md5 nibble of '$id'")
+    }
+  }
+
+  test("threshold sweep: cumulative counts monotone, endpoints exact") {
+    val rows = PipelineOps.thresholdSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // scores strictly descending; cum_docs strictly increasing;
+    // cum_pos and recall nondecreasing; precision in [0, 1]
+    rows.sliding(2).foreach { case Array((s1, d1, p1, _, r1), (s2, d2, p2, _, r2)) =>
+      assert(s1 > s2 && d1 < d2 && p1 <= p2 && r1 <= r2)
+    case _ => ()
+    }
+    rows.foreach { case (_, d, p, prec, _) =>
+      assert(p <= d && prec >= 0.0 && prec <= 1.0)
+    }
+    // the loosest threshold admits everything: recall exactly 1, and
+    // cum counts equal the corpus totals the label rule implies
+    val feats = Tables.documents(spark, sf0001).count()
+    val (_, lastDocs, lastPos, _, lastRecall) = rows.last
+    assert(lastDocs == feats && lastRecall == 1.0)
+    assert(lastPos == rows.map(_._3).max)
+  }
+
   test("sessionize: 30-minute gaps split sessions, counts add up") {
     val sess = PipelineOps.sessionize(spark, sf0001).cache()
     // every event lands in exactly one session

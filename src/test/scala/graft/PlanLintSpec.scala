@@ -36,12 +36,13 @@ class PlanLintSpec extends SparkTestBase {
   //  - q_rfm / q_wau: 1-row max-date aggregate (recency anchor / window clip)
   //  - q_semdedup: the same packed single-row centroid broadcast as
   //    q_ann_ivf (map-side cluster assignment)
-  //  - q_perceptron: the 1-row weight frame broadcast into each unrolled
-  //    gradient iteration (the in-engine trainer's scalar attach)
+  //  - q_perceptron / q_threshold_sweep: the 1-row weight frame broadcast
+  //    into each unrolled gradient iteration (the in-engine trainer's
+  //    scalar attach); the sweep adds a 1-row total-positives attach
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_rfm", "q_wau",
-    "q_semdedup", "q_perceptron")
+    "q_semdedup", "q_perceptron", "q_threshold_sweep")
 
   test("no registered query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
