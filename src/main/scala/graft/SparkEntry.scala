@@ -40,7 +40,7 @@ object SparkEntry {
     "q_copurchase_lift", "q_containment", "q_contamination_bloom",
     // the measured-slowest tail (iterative / trained / many-exchange)
     "q_retention", "q_semdedup", "q_minhash_lsh", "q_contrastive_pairs",
-    "q_ann_bruteforce",
+    "q_snap_neardup", "q_ann_bruteforce",
     "q_pagerank", "q_bpe_train", "q_bpe_encode", "q_ann_lsh", "q_dup_components",
     "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf")
 

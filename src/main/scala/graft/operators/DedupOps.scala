@@ -362,6 +362,126 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ----------------------------------------------------- incremental near-dup
+  /** Minimum matching permutations for the incremental near-dup verdict
+    * (= est_jaccard ≥ 0.5). */
+  private val SnapMinMatch = NumPerm / 2
+
+  /** INCREMENTAL NEAR-DUP: a new crawl batch (doc_id % 10 ≥ 8, the same
+    * split as [[snapshotDedup]]) probed against the CORPUS MinHash index —
+    * the continuous-ingestion companion to the batch near-dup ops. At
+    * scale the corpus band buckets are a persisted index the batch joins;
+    * here both sides derive in-query from the same signature frame. The
+    * candidate join is strictly batch×corpus within a band bucket — the
+    * corpus never pairs with itself, which is the whole point of
+    * incremental dedup: per-batch cost is proportional to the BATCH, not
+    * the corpus pair space. Signature math is the md5-based
+    * engine-portable variant of [[minhashOracle]], so the entire pipeline
+    * — signatures, banding, probe join, best-partner pick — has an exact
+    * DuckDB twin. Output: each batch doc's best corpus partner at
+    * est_jaccard ≥ 0.5 (max matches, min corpus id), i.e. the drop list
+    * with provenance. */
+  def snapshotNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(Tables.documents(spark, dir))
+    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val sig = minhashSignaturesWith(sh, base)
+      .withColumn("is_batch", pmod(col("doc_id"), lit(10)) >= 8)
+      .cache() // feeds buckets (both sides) + both scoring joins
+    val bandCols = (0 until NumBands).map { bnd =>
+      val rows = (0 until RowsPerBand).zipWithIndex.map { case (r, j) =>
+        col(s"m${bnd * RowsPerBand + r}").as(s"r$j")
+      }
+      struct(lit(bnd).as("band") +: rows: _*)
+    }
+    val rNames = (0 until RowsPerBand).map(j => s"r$j")
+    val buckets = sig
+      .select(col("doc_id"), col("is_batch"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id") +: col("is_batch") +: (col("bk.band").as("band") +:
+        rNames.map(n => col(s"bk.$n").as(n))): _*)
+    val probe = buckets.where(col("is_batch"))
+      .select(col("doc_id").as("batch_id") +: col("band") +: rNames.map(col(_)): _*)
+    val index = buckets.where(!col("is_batch"))
+      .select(col("doc_id").as("corpus_id") +: col("band") +: rNames.map(col(_)): _*)
+    val cand = probe.join(index, "band" +: rNames)
+      .select("batch_id", "corpus_id").distinct()
+    val sigA = sig.select(col("doc_id").as("sa") +:
+      (0 until NumPerm).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc_id").as("sb") +:
+      (0 until NumPerm).map(i => col(s"m$i").as(s"b$i")): _*)
+    val nMatch = (0 until NumPerm)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val w = Window.partitionBy("batch_id")
+      .orderBy(col("n_matching").desc, col("corpus_id"))
+    cand
+      .join(sigA, col("batch_id") === col("sa"))
+      .join(sigB, col("corpus_id") === col("sb"))
+      .select(col("batch_id"), col("corpus_id"), nMatch.as("n_matching"))
+      .where(col("n_matching") >= SnapMinMatch)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id"), col("n_matching"),
+        (col("n_matching").cast("double") / NumPerm).as("est_jaccard"))
+      .orderBy("batch_id")
+  }
+
+  /** DuckDB replay of [[snapshotNearDup]] — generated from the same
+    * permParams / NumBands / SnapMinMatch constants. */
+  private def snapNearDupSql: String = {
+    val p = MersennePrime31
+    val minExprs = permParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n                  ")
+    val bandJoins = (0 until NumBands).map { bnd =>
+      val eqs = (0 until RowsPerBand)
+        .map(r => s"a.m${bnd * RowsPerBand + r} = b.m${bnd * RowsPerBand + r}")
+        .mkString(" AND ")
+      s"""SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id
+             FROM bsig a JOIN csig b ON $eqs"""
+    }.mkString("\n             UNION ALL\n             ")
+    val matchSum = (0 until NumPerm)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tok3)),
+         hsh AS (
+           SELECT doc_id, source,
+                  (('0x' || substr(md5(shingle), 1, 8))::BIGINT) % $p AS h
+           FROM sh),
+         sig AS (
+           SELECT doc_id, source,
+                  $minExprs
+           FROM hsh GROUP BY doc_id, source),
+         bsig AS (SELECT * FROM sig WHERE doc_id % 10 >= 8),
+         csig AS (SELECT * FROM sig WHERE doc_id % 10 < 8),
+         cand AS (
+           SELECT DISTINCT batch_id, corpus_id FROM (
+             $bandJoins)),
+         scored AS (
+           SELECT c.batch_id, c.corpus_id,
+                  CAST($matchSum AS BIGINT) AS n_matching
+           FROM cand c
+           JOIN sig a ON a.doc_id = c.batch_id
+           JOIN sig b ON b.doc_id = c.corpus_id
+           WHERE $matchSum >= $SnapMinMatch)
+         SELECT batch_id, corpus_id, n_matching,
+                CAST(n_matching AS DOUBLE) / $NumPerm AS est_jaccard
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY batch_id
+                 ORDER BY n_matching DESC, corpus_id) AS rn
+               FROM scored)
+         WHERE rn = 1
+         ORDER BY batch_id"""
+  }
+
   // ---------------------------------------------------------------- SimHash
   /** 64-bit SimHash per doc: token hashes vote per bit position; the sign
     * of each bit-sum forms the signature. Expressed as 64 codegen'd
@@ -869,6 +989,7 @@ object DedupOps {
     "q_contamination_pairs" -> (contaminationPairs _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_snap_dedup" -> (snapshotDedup _),
+    "q_snap_neardup" -> (snapshotNearDup _),
     "q_sim_degree" -> (simDegree _),
     "q_dup_canon" -> (dupCanonical _),
   )
@@ -1067,6 +1188,7 @@ object DedupOps {
          FROM c GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
          ORDER BY chunk_fp""",
     "q_minhash_oracle" -> MinhashOracleSql,
+    "q_snap_neardup" -> snapNearDupSql,
     "q_simhash_oracle" -> SimhashOracleSql,
     "q_dedup_report" ->
       s"""WITH ek AS (

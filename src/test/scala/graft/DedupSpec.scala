@@ -113,6 +113,29 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("incremental near-dup: batch probes the corpus index, best partner wins") {
+    // ids pick their role via doc_id % 10: 0-7 corpus, 8-9 batch.
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 19).map(i => s"w$i") :+ "zz").mkString(" ")
+    val unrelated = (1 to 20).map(i => s"u$i").mkString(" ")
+    val dir = documentsFixture(Seq(
+      (0L, base, "en", "s"),        // corpus original
+      (1L, unrelated, "en", "s"),   // corpus, unrelated
+      (8L, near, "en", "s"),        // batch near-dup of doc 0
+      (9L, base, "en", "s"),        // batch EXACT copy of doc 0
+      (18L, (1 to 20).map(i => s"q$i").mkString(" "), "en", "s"))) // batch novel
+    val got = DedupOps.snapshotNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byBatch = got.map(t => t._1 -> (t._2, t._3)).toMap
+    // the exact copy matches its corpus twin on every permutation
+    assert(byBatch(9L) == (0L, 32L), s"got $got")
+    // the near-dup finds doc 0 with most (but not necessarily all) mins equal
+    assert(byBatch.get(8L).exists { case (c, n) => c == 0L && n >= 16L && n < 32L },
+      s"got $got")
+    // the novel batch doc and the corpus docs never appear as batch_id
+    assert(!byBatch.contains(18L) && !byBatch.contains(0L) && !byBatch.contains(1L))
+  }
+
   test("simhash: identical docs at hamming 0; near-identical within 3 bits") {
     val pairs = DedupOps.simhashPairs(spark, fixtureDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
