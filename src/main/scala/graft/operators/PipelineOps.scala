@@ -415,6 +415,30 @@ object PipelineOps {
       .orderBy("column")
   }
 
+  // ------------------------------------------------------------ dataset card
+  /** DATASET CARD: the one-row corpus summary every released training set
+    * ships with — sizes, diversity, and exact duplication rate. Two
+    * aggregates total: a single full-scan multi-agg (count/token-sum/
+    * distinct sources+langs) and the md5 dup profile (groupBy fp → docs in
+    * >1-copy groups), attached via the 1-row broadcast cross join. All
+    * integers except the final exact long/long division. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dups = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(when(col("n") > 1, col("n")).otherwise(0L)), lit(0L))
+        .as("n_dup_docs"))
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"))
+      .crossJoin(broadcast(dups))
+      .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+        col("n_langs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"))
+  }
+
   // ------------------------------------------------------------ corpus shuffle
   /** Shard count for [[corpusShuffle]] (16 = the first hex nibble of the
     * md5 shuffle key — shard assignment is a map-side substring, no
@@ -631,6 +655,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_shuffle" -> (corpusShuffle _),
+    "q_dataset_card" -> (datasetCard _),
     "q_perceptron" -> (perceptronTrain _),
     "q_threshold_sweep" -> (thresholdSweep _),
     "q_null_profile" -> (nullProfile _),
@@ -665,6 +690,21 @@ object PipelineOps {
          ORDER BY shard, pos_in_shard""",
     "q_perceptron" -> perceptronSql,
     "q_threshold_sweep" -> thresholdSweepSql,
+    "q_dataset_card" ->
+      """WITH s AS (
+           SELECT count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                  count(DISTINCT source) AS n_sources,
+                  count(DISTINCT lang) AS n_langs
+           FROM documents),
+         du AS (
+           SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+                       AS BIGINT) AS n_dup_docs
+           FROM (SELECT md5(text) AS fp, count(*) AS n
+                 FROM documents GROUP BY 1))
+         SELECT n_docs, n_tokens, n_sources, n_langs, n_dup_docs,
+                CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_frac
+         FROM s CROSS JOIN du""",
     "q_null_profile" ->
       """WITH p AS (
            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,

@@ -52,6 +52,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(expected.last._3 != 0L || expected.last._4 != 0L)
   }
 
+  test("dataset card counts docs, tokens, diversity, and dup mass exactly") {
+    // 5 docs, one duplicated text in THREE copies (all 3 count as dup mass),
+    // two sources, two langs, token counts 2+2+2+3+4
+    val dir = documentsFixture(Seq(
+      (0L, "a b", "en", "s1"), (1L, "a b", "en", "s1"), (2L, "a b", "de", "s2"),
+      (3L, "c d e", "en", "s1"), (4L, "f g h i", "de", "s2")))
+    val r = PipelineOps.datasetCard(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((5L, 13L, 2L, 2L, 3L)), s"got $row")
+    assert(row.getDouble(5) == 3.0 / 5.0)
+  }
+
   test("corpus shuffle is a total permutation with contiguous shard positions") {
     val got = PipelineOps.corpusShuffle(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -42,7 +42,7 @@ class PlanLintSpec extends SparkTestBase {
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_rfm", "q_wau",
-    "q_semdedup", "q_perceptron", "q_threshold_sweep")
+    "q_semdedup", "q_perceptron", "q_threshold_sweep", "q_dataset_card")
 
   test("no registered query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
