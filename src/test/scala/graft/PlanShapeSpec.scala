@@ -35,4 +35,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges(
       graft.operators.SimilarityOps.embedQuantize(spark, sf0001)) == 0)
   }
+
+  test("corpus shuffle windows are partitioned — no single-partition sort") {
+    spark.catalog.clearCache()
+    val plan = PipelineOps.corpusShuffle(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // a Window over an EMPTY partition spec funnels the corpus through one
+    // task — the formulation this operator's scaladoc promises to avoid
+    val emptyPartitionWindow = "Window \\[[^\\]]*\\], \\[\\]".r
+    assert(emptyPartitionWindow.findFirstIn(plan).isEmpty,
+      s"found unpartitioned window in:\n$plan")
+    assert(plan.contains("windowspecdefinition(shard"),
+      "rank window must partition by shard")
+  }
 }
