@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drift guards for the driver-contract registry. The failure modes these
+  * pin are all SILENT at runtime: an oracle key that doesn't match its
+  * query name simply never gets compared (the query demotes to a rows-only
+  * check and the round's correctness credit quietly shrinks); a typo'd
+  * knownSlow name silently stops affecting gate ordering.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("the rows-only set is exactly the documented engine-specific one") {
+    // Every name here is engine-specific by NATURE (xxhash64/murmur
+    // signatures, trained float quantizers, sketches) and carries
+    // planted-fixture / recall / error-bound specs instead. Growing this
+    // set is a deliberate decision — a new query missing its oracle should
+    // fail HERE, not silently weaken the gate.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      "q_ann_ivf", "q_ann_lsh", "q_ann_pq",            // trained/float ANN
+      "q_dau_approx", "q_dau_sketch_rollup",           // HLL sketches
+      "q_heavy_hitters_cms",                           // count-min sketch
+      "q_len_quantiles_approx",                        // KLL-style quantiles
+      "q_minhash_lsh", "q_simhash",                    // xxhash64 signatures
+      "q_mm_feature_ann",                              // float cosine on stub
+      "q_semdedup")                                    // IVF-cluster blocking
+    assert(rowsOnly == documented,
+      s"undocumented rows-only: ${rowsOnly -- documented}; " +
+        s"stale documented: ${documented -- rowsOnly}")
+  }
+
+  test("knownSlow names are all real queries") {
+    val ghosts = SparkEntry.knownSlow.toSet -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"knownSlow ghosts: $ghosts")
+  }
+
+  test("query names are registry-safe (json/sort friendly)") {
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("q_[a-z0-9_]+"))
+    assert(bad.isEmpty, s"nonconforming names: $bad")
+  }
+}
