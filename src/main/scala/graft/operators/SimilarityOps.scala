@@ -377,6 +377,43 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------- per-class embedding QA
+  /** Quantization grid for [[labelCentroids]]: 2^20 ticks per unit. */
+  private val CentroidScale = 1048576.0
+
+  /** PER-CLASS EMBEDDING STATISTICS: the centroid and spread of each
+    * label's vectors, per dimension — the embedding-QA pass that catches
+    * collapsed classes (near-zero variance), dead dimensions, and label
+    * noise before vectors feed ANN/SemDeDup. The order-free trick: floats
+    * quantize to a 2^20 integer grid FIRST (round(x·2^20) — exact, each
+    * float is a dyadic rational), then all statistics are LONG sums —
+    * associative/commutative, so map-side partial aggregation is exact
+    * and the result is independent of partitioning (a naive float sum
+    * would be order-dependent and unverifiable; same trick as q_corr's
+    * integer moments). Output long-form (label, dim) so no array-compare
+    * ambiguity exists in the gate. Mean/variance derive from the exact
+    * integer moments in one double division each. One posexplode + one
+    * groupBy: a single shuffle of (labels × dims) partial rows. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * lit(CentroidScale)).cast("long"))))
+      .select(col("label"), col("pos").as("dim"), col("col").as("qx"))
+    q.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qx")).as("s1"),
+        sum(col("qx") * col("qx")).as("s2"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        col("s1"), col("s2"),
+        (col("s1").cast("double") / col("n_vecs") / CentroidScale)
+          .as("mean_val"),
+        ((col("s2").cast("double") / col("n_vecs")) -
+          (col("s1").cast("double") / col("n_vecs")) *
+          (col("s1").cast("double") / col("n_vecs"))).as("var_q"))
+      .orderBy("label", "dim")
+  }
+
   // ---------------------------------------------------------------- inference
   /** Deterministic linear-model weights on the exact 1/16 grid: every
     * value is a terminating binary fraction, so the float literal here,
@@ -448,6 +485,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semdedup" -> (semDeDup _),
     "q_embed_quantize" -> (embedQuantize _),
+    "q_label_centroids" -> (labelCentroids _),
     "q_embed_score" -> (embedScore _),
     "q_ann_bruteforce" -> (annBruteForce _),
     "q_ann_lsh" -> (annLsh _),
@@ -472,6 +510,26 @@ object SimilarityOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // division shapes mirror the Spark expressions exactly (s1/n/scale,
+    // s2/n - (s1/n)^2) so the doubles are bit-identical
+    "q_label_centroids" ->
+      """WITH q AS (
+           SELECT label, CAST(i - 1 AS INT) AS dim,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+                       AS BIGINT) AS qx
+           FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS u(i)),
+         m AS (
+           SELECT label, dim, count(*) AS n_vecs,
+                  CAST(sum(qx) AS BIGINT) AS s1,
+                  CAST(sum(qx * qx) AS BIGINT) AS s2
+           FROM q GROUP BY label, dim)
+         SELECT label, dim, n_vecs, s1, s2,
+                CAST(s1 AS DOUBLE) / n_vecs / 1048576.0 AS mean_val,
+                (CAST(s2 AS DOUBLE) / n_vecs)
+                  - (CAST(s1 AS DOUBLE) / n_vecs)
+                    * (CAST(s1 AS DOUBLE) / n_vecs) AS var_q
+         FROM m ORDER BY label, dim""",
     "q_embed_score" -> EmbedScoreSql,
     "q_embed_quantize" ->
       """WITH b AS (

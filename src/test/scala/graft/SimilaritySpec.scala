@@ -5,6 +5,24 @@ import graft.operators.{SimilarityOps, VectorOps}
 
 class SimilaritySpec extends SparkTestBase {
 
+  test("label centroids: exact quantized moments, hand-computed mean and variance") {
+    // label 1: (1,2) and (3,4) — dim 0 mean 2.0, dim 1 mean 3.0, and in
+    // 2^20-quantized units both dims have variance exactly (2^20)^2 = 2^40
+    // ((q1²+q2²)/2 − mean² with q separated by 2·2^20). label 2: a single
+    // vector — variance exactly 0, means exact.
+    val dir = embeddingsFixture(Seq(
+      (0L, Seq(1.0f, 2.0f), 1), (1L, Seq(3.0f, 4.0f), 1),
+      (2L, Seq(5.0f, 6.0f), 2)))
+    val got = graft.operators.SimilarityOps.labelCentroids(spark, dir)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    val s2_40 = math.pow(2, 40)
+    assert(got((1, 0)) == ((2L, 2.0, s2_40)), s"got ${got((1, 0))}")
+    assert(got((1, 1)) == ((2L, 3.0, s2_40)))
+    assert(got((2, 0)) == ((1L, 5.0, 0.0)))
+    assert(got((2, 1)) == ((1L, 6.0, 0.0)))
+  }
+
   test("brute-force ANN: exactly top-5 per query, correctly ordered") {
     val df = SimilarityOps.annBruteForce(spark, sf0001).cache()
     val perQuery = df.groupBy("query_id").count().collect()
