@@ -168,8 +168,13 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val failedJson = failed.take(15).map("\"" + _ + "\"").mkString("[", ",", "]")
     // cheapest-first so `drop(n)` removes the least informative entries;
-    // name tie-break keeps elision deterministic across reps
-    val byCost = mins.sortBy { case (k, v) => (v, k) }
+    // name tie-break keeps elision deterministic across reps. FAILED
+    // entries (-1.0) sort LAST, not first: a plain by-value sort would
+    // elide failure markers before any timing — combined with the
+    // 15-name failed cap, a heavy-elision run could lose per-query
+    // failure visibility entirely. Failed markers now survive until
+    // every successful timing has already been elided.
+    val byCost = mins.sortBy { case (k, v) => (v < 0, v, k) }
     def build(decimals: Int, elideN: Int): String = {
       val kept = byCost.drop(elideN).sortBy(_._1)
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmtAt(decimals)(v) }

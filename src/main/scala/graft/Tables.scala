@@ -30,12 +30,11 @@ object Tables {
     *
     *   - `ts`     — tz-aware TimestampType (UTC session pinned)
     *   - `ts_ns`  — epoch nanoseconds long (ordering/arithmetic column)
-    *   - plus, when the physical column itself is not long-nanos, a
-    *     PASSTHROUGH of the physical column so day-range predicates can
-    *     still reach the parquet scan (row-group min/max skipping) — a
-    *     filter on a DERIVED column cannot push. Use [[eventsDayFilter]]
-    *     to build range predicates; it targets the right column per
-    *     flavor. */
+    *
+    * Both columns are DERIVED in the non-long flavors, so a range filter
+    * placed on them after this reader cannot reach the parquet scan. For
+    * day/range scans use [[eventsInRange]], which applies the predicate
+    * to the PHYSICAL column per flavor before normalizing. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw =

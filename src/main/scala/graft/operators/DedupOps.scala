@@ -20,11 +20,16 @@ import graft.Tables
   *    (pairCombos), never by re-exchanging the exploded grain through a
   *    self-join.
   *
-  * CACHING CONTRACT: ngramJaccard/minhashLsh/simhashPairs `.cache()` the
-  * shingle/signature intermediates they reuse within one query. The cache
-  * handles are internal, so a LONG-LIVED session running these repeatedly
-  * should call `spark.catalog.clearCache()` between queries (Verify and
-  * Bench both do) — otherwise cached exploded-shingle blocks accumulate.
+  * CACHING CONTRACT: ngramJaccard/minhashLsh/simhashPairs/snapshotNearDup
+  * `.cache()` the shingle/signature intermediates they reuse within one
+  * query and never unpersist them (the handles are internal; the query
+  * returns a lazy frame, so there is no in-query point "after
+  * materialization" to release at). A LONG-LIVED session running these
+  * repeatedly should call `spark.catalog.clearCache()` between queries —
+  * Bench does after every query, Verify in sequential mode; Verify's
+  * PARALLEL mode deliberately relies on MEMORY_AND_DISK LRU eviction
+  * instead (a global clear would unpersist frames an in-flight sibling is
+  * mid-scan on — see the comment in Verify.main).
   */
 object DedupOps {
 
@@ -182,7 +187,14 @@ object DedupOps {
     * partner-flag join is on the (small) pair set. */
   def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = ngramJaccard(spark, dir).select("doc_a", "doc_b", "jaccard")
+    // cached at the doc-PAIR grain (tiny: only ≥0.5-Jaccard pairs): `sym`
+    // reads p twice (both orientations) and is itself read twice (pos +
+    // partnerFlag), so an uncached p would replay the whole blocked
+    // pair-generation subtree 4× in one plan — 4× the dedup work for free
+    // at 100 TB. The shingle doc-list cache inside shinglePairOverlap only
+    // covered the frame BELOW the pair aggregation, not the aggregation
+    // and cardinality joins themselves.
+    val p = ngramJaccard(spark, dir).select("doc_a", "doc_b", "jaccard").cache()
     val sym = p.union(p.select(col("doc_b").as("doc_a"),
       col("doc_a").as("doc_b"), col("jaccard")))
     val wPos = Window.partitionBy("doc_a")
@@ -248,12 +260,34 @@ object DedupOps {
     minhashSignaturesWith(sh, xxhash64(col("shingle")))
 
   /** MinHash+LSH near-dup pairs: signatures → band buckets → candidate
-    * pairs within identical (band, bucket-hash) → exact Jaccard verify.
+    * pairs within identical band buckets → exact Jaccard verify.
     * The band-bucket groupBy is the LSH trick: at 100 TB the candidate
-    * join touches only hash-colliding docs, never the full pair space.
-    * Spark-only (murmur/xxhash have no DuckDB twin) — verified by
-    * ScalaTest against the exact-Jaccard oracle path. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    * join touches only band-colliding docs, never the full pair space.
+    *
+    * REGISTERED (driver-oracle-checked) form: the base hash is md5-derived
+    * (first 8 hex chars as an integer — DuckDB computes the identical
+    * value) and bucket keys are the raw 4-min tuples, so DuckDB replays
+    * the ENTIRE pipeline — signatures, banding, candidate pairs AND the
+    * exact set-intersection verify — and the driver hash-compares it.
+    * [[minhashLshFast]] is the production variant (xxhash64 base hash +
+    * hashed bucket keys — cheapest per-shingle work and narrowest shuffle
+    * rows); identical pipeline shape, spec-verified on the same planted
+    * fixtures. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshImpl(spark, dir,
+      conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
+      hashedBuckets = false)
+
+  /** Production fast path of [[minhashLsh]]: xxhash64 base hash (one
+    * 8-byte hash per shingle instead of a 32-hex-char md5) and
+    * hash-compressed bucket keys (band explode carries one int instead of
+    * four longs). Engine-specific hashes → no DuckDB twin; DedupSpec pins
+    * planted-pair recall and the jaccard-superset property. */
+  def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
+    minhashLshImpl(spark, dir, xxhash64(col("shingle")), hashedBuckets = true)
+
+  private def minhashLshImpl(spark: SparkSession, dir: String,
+      base: Column, hashedBuckets: Boolean): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = shingles(docs)
     // ONE per-doc aggregation carries BOTH pipeline inputs: the 32 minhash
@@ -262,25 +296,44 @@ object DedupOps {
     // 100x-larger exploded shingle grain; this caches only the doc-grain
     // result and pays one aggregation exchange instead of two
     val hashed = sh.select(col("doc_id"), col("shingle"),
-      pmod(xxhash64(col("shingle")), lit(MersennePrime31)).as("h"))
+      pmod(base, lit(MersennePrime31)).as("h"))
     val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$i")
     }
     val combined = hashed.groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("shset"), mins: _*)
       .cache() // feeds the band explode + both verification join sides
-    val bandCols = (0 until NumBands).map { bnd =>
-      val rows = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
-      struct(lit(bnd).as("band"), hash(rows: _*).as("sig"))
-    }
-    val buckets = combined
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("bsig"))
     // candidate pairs map-side from each band-bucket's doc list (one
     // groupBy exchange instead of two join exchanges); the per-bucket
     // fan-out is C(bucket,2) — identical to the join's per-key fan-out,
-    // LSH bucket sizes bound both
-    val candidates = buckets.groupBy("band", "bsig")
+    // LSH bucket sizes bound both. Bucket key: the raw 4-min tuple is THE
+    // bucket identity; hash(tuple) is a transport compression that can
+    // only ADD collisions (harmless — the exact verify removes them).
+    val (buckets, keyCols) =
+      if (hashedBuckets) {
+        val bandCols = (0 until NumBands).map { bnd =>
+          val rows = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
+          struct(lit(bnd).as("band"), hash(rows: _*).as("sig"))
+        }
+        (combined
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("bsig")),
+          Seq("band", "bsig"))
+      } else {
+        val bandCols = (0 until NumBands).map { bnd =>
+          val rows = (0 until RowsPerBand).zipWithIndex.map { case (r, j) =>
+            col(s"m${bnd * RowsPerBand + r}").as(s"r$j")
+          }
+          struct(lit(bnd).as("band") +: rows: _*)
+        }
+        val rNames = (0 until RowsPerBand).map(j => s"r$j")
+        (combined
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id") +: (col("bk.band").as("band") +:
+            rNames.map(n => col(s"bk.$n").as(n))): _*),
+          "band" +: rNames)
+      }
+    val candidates = buckets.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .where(size(col("ds")) >= 2)
       .select(explode(pairCombos(col("ds"))).as("p"))
@@ -321,8 +374,10 @@ object DedupOps {
     * (matching mins / 32 — integer-derived double, bit-exact both
     * engines). DuckDB replays the whole pipeline: same 32 permutations,
     * bands as a union of 8 equi-joins. This pins the signature math and
-    * the banding logic end-to-end — minhashLsh then differs only in the
-    * (spec-verified) base hash swap and bucket hashing. */
+    * the banding logic end-to-end at the CANDIDATE grain (every banded
+    * pair with its estimate), complementing q_minhash_lsh's verified-pair
+    * output; minhashLshFast then differs only in the (spec-verified) base
+    * hash swap and bucket hashing. */
   def minhashOracle(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Tables.documents(spark, dir))
     val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
@@ -531,26 +586,28 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ 3 over the 4-chunk
-    * pigeonhole blocking. Spark-only (xxhash64 signatures have no DuckDB
-    * twin); spec-tested — the blocking/verify pipeline itself is
-    * hash-checked through hammingNearDup's oracle. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+  /** Production fast path of [[simhashPairs]]: xxhash64 token hashes (no
+    * DuckDB twin) through the same pigeonhole-blocked Hamming pipeline.
+    * Spec-tested on planted fixtures; the blocking/verify pipeline itself
+    * is hash-checked through hammingNearDup's oracle and the registered
+    * portable form. */
+  def simhashPairsFast(spark: SparkSession, dir: String): DataFrame =
     // cached: hammingPairs self-joins the signature frame, and the two
     // join sides do NOT collapse into one exchange (AQE broadcasts one),
     // so an uncached sig would run the 64-sum aggregation twice
     hammingPairs(simhashSignatures(Tables.documents(spark, dir)).cache())
 
-  /** The ORACLE-CHECKED end of the SimHash pipeline: identical bit-vote
-    * signature construction as simhashSignatures, with the base hash
-    * md5-derived (two 32-bit halves combined into a 63-bit value — DuckDB
-    * errors on 1<<63, and 63 bits changes nothing about the pigeonhole
-    * property) so DuckDB can replay the votes, the sign bits, and the
-    * final all-pairs Hamming ≤ 3 filter exactly. Together with
+  /** SimHash near-dup pairs with Hamming distance ≤ 3 over the 4-chunk
+    * pigeonhole blocking — the REGISTERED (driver-oracle-checked) form:
+    * identical bit-vote signature construction as simhashSignatures, with
+    * the base hash md5-derived (two 32-bit halves combined into a 63-bit
+    * value — DuckDB errors on 1<<63, and 63 bits changes nothing about
+    * the pigeonhole property) so DuckDB can replay the votes, the sign
+    * bits, and the final Hamming ≤ 3 filter exactly. Together with
     * q_hamming_neardup (which pins the blocked candidate generation ==
-    * all-pairs), this hash-checks everything about simhashPairs except
-    * the xxhash64 swap. */
-  def simhashOracle(spark: SparkSession, dir: String): DataFrame = {
+    * all-pairs), this hash-checks everything about [[simhashPairsFast]]
+    * except the xxhash64 swap. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val hi = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
     val lo = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")
     val toks = Tables.documents(spark, dir)
@@ -568,7 +625,7 @@ object DedupOps {
     }.reduce(_ + _)
     val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sigExpr.as("simhash"))
-      .cache() // self-joined by hammingPairs; see simhashPairs
+      .cache() // self-joined by hammingPairs; see simhashPairsFast
     hammingPairs(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
@@ -982,7 +1039,6 @@ object DedupOps {
     "q_minhash_oracle" -> (minhashOracle _),
     "q_simhash" -> (simhashPairs _),
     "q_hamming_neardup" -> (hammingNearDup _),
-    "q_simhash_oracle" -> (simhashOracle _),
     "q_dup_components" -> (dupComponents _),
     "q_contamination" -> (contamination _),
     "q_contamination_bloom" -> (contaminationBloom _),
@@ -1114,7 +1170,7 @@ object DedupOps {
          ORDER BY doc_a, doc_b"""
   }
 
-  /** DuckDB replay of simhashOracle — GENERATED so the 63 vote columns and
+  /** DuckDB replay of simhashPairs — GENERATED so the 63 vote columns and
     * bit weights can't drift from the Spark expressions. */
   private val SimhashOracleSql: String = {
     val votes = (0 until 63)
@@ -1141,6 +1197,62 @@ object DedupOps {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY doc_a, doc_b"""
+  }
+
+  /** DuckDB replay of the FULL registered MinHash+LSH pipeline
+    * (q_minhash_lsh): md5-derived base hash → 32 permutation mins → band
+    * buckets as raw 4-min tuples (a union of 8 equi-joins) → exact
+    * Jaccard verify of the candidates via a shingle-equality join.
+    * GENERATED from the same permParams / NumBands constants as the Spark
+    * code so the twin can never drift. Pairs whose banded candidacy comes
+    * only from hash collisions fall out identically on both sides (the
+    * ≥ 0.5 exact-Jaccard filter removes them). */
+  private val MinhashLshSql: String = {
+    val p = MersennePrime31
+    val minExprs = permParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n                  ")
+    val bandJoins = (0 until NumBands).map { bnd =>
+      val eqs = (0 until RowsPerBand)
+        .map(r => s"a.m${bnd * RowsPerBand + r} = b.m${bnd * RowsPerBand + r}")
+        .mkString(" AND ")
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sig a JOIN sig b ON $eqs AND a.doc_id < b.doc_id"""
+    }.mkString("\n             UNION ALL\n             ")
+    s"""WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tok3)),
+         hsh AS (
+           SELECT doc_id,
+                  (('0x' || substr(md5(shingle), 1, 8))::BIGINT) % $p AS h
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+                  $minExprs
+           FROM hsh GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT doc_a, doc_b FROM (
+             $bandJoins)),
+         card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS n_common
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           GROUP BY 1, 2)
+         SELECT i.doc_a, i.doc_b,
+                CAST(i.n_common AS DOUBLE) / (ca.c + cb.c - i.n_common) AS jaccard
+         FROM inter i
+         JOIN card ca ON i.doc_a = ca.doc_id
+         JOIN card cb ON i.doc_b = cb.doc_id
+         WHERE CAST(i.n_common AS DOUBLE) / (ca.c + cb.c - i.n_common) >= 0.5
          ORDER BY doc_a, doc_b"""
   }
 
@@ -1188,8 +1300,9 @@ object DedupOps {
          FROM c GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
          ORDER BY chunk_fp""",
     "q_minhash_oracle" -> MinhashOracleSql,
+    "q_minhash_lsh" -> MinhashLshSql,
     "q_snap_neardup" -> snapNearDupSql,
-    "q_simhash_oracle" -> SimhashOracleSql,
+    "q_simhash" -> SimhashOracleSql,
     "q_dedup_report" ->
       s"""WITH ek AS (
            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -96,9 +96,12 @@ object SimilarityOps {
   }
 
   /** LSH-bucketed ANN: same output shape as annBruteForce but neighbors are
-    * drawn only from LSH-bucket collisions (any of the L tables). Spark-only
-    * (planes aren't expressible in the oracle); ScalaTest measures recall
-    * against annBruteForce. */
+    * drawn only from LSH-bucket collisions (any of the L tables).
+    * Driver-oracle-checked end-to-end: the plane components are fixed
+    * literals, the signature dots widen float→double in array order
+    * (FloatVectorDot), and DuckDB replays the same dots from the DOUBLE
+    * value of each plane component — see [[AnnLshSql]]. ScalaTest
+    * additionally measures recall against annBruteForce. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val sigCols = (0 until NumTables).map(t =>
@@ -509,7 +512,54 @@ object SimilarityOps {
          ORDER BY vec_id"""
   }
 
+  /** DuckDB replay of [[annLsh]] — GENERATED from the same `planes`
+    * constants. Each plane component is emitted as the DOUBLE value of the
+    * Float (`toDouble.toString` is the shortest decimal that round-trips
+    * to that exact double), matching FloatVectorDot's float→double
+    * widening; `list_dot_product` over DOUBLE[] accumulates in array order
+    * exactly like FloatVectorDot (parity already driver-proven by
+    * q_embed_score), so the sign of every signature bit — and therefore
+    * the candidate set — is identical across engines. The final cosine
+    * re-rank is the same `list_cosine_similarity` form as the
+    * q_ann_bruteforce oracle. */
+  private val AnnLshSql: String = {
+    def sigExpr(t: Int): String = (0 until BitsPerTable).map { b =>
+      val wlit = planes(t)(b).map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                   $wlit::DOUBLE[]) > 0 THEN ${1 << b} ELSE 0 END)"""
+    }.mkString("\n                + ")
+    val sigCols = (0 until NumTables)
+      .map(t => s"${sigExpr(t)} AS sig$t")
+      .mkString(",\n              ")
+    val unpivot = (0 until NumTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, sig$t AS sig FROM sigs")
+      .mkString("\n           UNION ALL ")
+    s"""WITH sigs AS (
+           SELECT vec_id,
+              $sigCols
+           FROM embeddings),
+         b AS (
+           $unpivot),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM b q JOIN b c ON q.tbl = c.tbl AND q.sig = c.sig
+           WHERE q.vec_id < $NumQueries AND c.vec_id != q.vec_id),
+         s AS (
+           SELECT cand.query_id, cand.neighbor_id,
+                  list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                         CAST(ne.embedding AS DOUBLE[])) AS cos_sim
+           FROM cand
+           JOIN embeddings qe ON qe.vec_id = cand.query_id
+           JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM s)
+         WHERE rank <= $TopK ORDER BY query_id, rank"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" -> AnnLshSql,
     // division shapes mirror the Spark expressions exactly (s1/n/scale,
     // s2/n - (s1/n)^2) so the doubles are bit-identical
     "q_label_centroids" ->
@@ -585,7 +635,9 @@ object SimilarityOps {
              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
            FROM s)
          WHERE rank <= 5 ORDER BY query_id, rank""",
-    // q_ann_lsh / q_ann_pq omitted: hyperplanes/codebooks live in the
-    // Spark plan only; recall vs brute force is asserted in ScalaTest.
+    // q_ann_ivf / q_ann_pq / q_semdedup omitted: their centroids/codebooks
+    // are CORPUS-TRAINED via float avg() — an order-dependent double sum
+    // no other engine can replay bit-exactly; recall vs brute force and
+    // planted-duplicate retrieval are asserted in ScalaTest instead.
   )
 }

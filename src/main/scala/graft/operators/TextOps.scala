@@ -430,15 +430,20 @@ object TextOps {
   }
 
   /** DuckDB replay of [[bpeEncode]]: the b_i merges from the shared chain,
-    * applied per word (doc_id kept) in step order. Assumes all
-    * BpeTrainSteps merges exist (an empty b_i would empty the CROSS JOIN)
-    * — same corpus-richness assumption the trainer oracle already makes. */
+    * applied per word (doc_id kept) in step order. Each step is TOTAL: a
+    * corpus that exhausts merges before BpeTrainSteps leaves later b_i
+    * empty, and the LEFT JOIN + CASE makes that step a no-op — exactly
+    * like the Scala loop, which simply has no more merges to apply. (The
+    * earlier CROSS JOIN form emptied the whole encode chain instead: a
+    * silent 0-row oracle on a sparse corpus while Spark still encoded.) */
   private def bpeEncodeSql: String = {
     val encChain = (1 to BpeTrainSteps).map { i =>
       s"""e$i AS (
            SELECT doc_id,
-                  replace(enc, '/'||a||'//'||b||'/', '/'||a||b||'/') AS enc
-           FROM e${i - 1} CROSS JOIN b$i)"""
+                  CASE WHEN a IS NULL THEN enc
+                       ELSE replace(enc, '/'||a||'//'||b||'/', '/'||a||b||'/')
+                  END AS enc
+           FROM e${i - 1} LEFT JOIN b$i ON TRUE)"""
     }.mkString(",\n         ")
     s"""WITH $bpeChainCtes,
          e0 AS (

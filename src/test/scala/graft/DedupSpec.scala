@@ -138,9 +138,29 @@ class DedupSpec extends SparkTestBase {
 
   test("simhash: identical docs at hamming 0; near-identical within 3 bits") {
     val pairs = DedupOps.simhashPairs(spark, fixtureDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0L), "identical docs → hamming 0")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash fast path (xxhash64) finds the same planted structure") {
+    val pairs = DedupOps.simhashPairsFast(spark, fixtureDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.get((0L, 1L)).contains(0), "identical docs → hamming 0")
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash fast path (xxhash64 + hashed buckets) keeps planted recall and the jaccard floor") {
+    val dir = fixtureDir
+    val pairs = DedupOps.minhashLshFast(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact duplicate pair must be found")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "near-dup with appended token must be found (cross-source)")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the exact-Jaccard verify is shared: every emitted pair clears 0.5
+    val df = DedupOps.minhashLshFast(spark, sf0001)
+    assert(df.where(col("jaccard") < 0.5).count() == 0)
   }
 
   test("arithmetic hamming twin: DIV-4 groups pair within 2 bits, nothing else") {

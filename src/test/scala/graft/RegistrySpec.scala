@@ -23,11 +23,10 @@ class RegistrySpec extends AnyFunSuite {
     // fail HERE, not silently weaken the gate.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set(
-      "q_ann_ivf", "q_ann_lsh", "q_ann_pq",            // trained/float ANN
+      "q_ann_ivf", "q_ann_pq",                         // corpus-trained quantizers
       "q_dau_approx", "q_dau_sketch_rollup",           // HLL sketches
       "q_heavy_hitters_cms",                           // count-min sketch
       "q_len_quantiles_approx",                        // KLL-style quantiles
-      "q_minhash_lsh", "q_simhash",                    // xxhash64 signatures
       "q_mm_feature_ann",                              // float cosine on stub
       "q_semdedup")                                    // IVF-cluster blocking
     assert(rowsOnly == documented,

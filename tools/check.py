@@ -75,8 +75,12 @@ for name in names:
         if gt == et:
             continue
         import pyarrow.types as pt
-        wide = lambda t: pt.is_decimal(t) or (pt.is_integer(t) and t.bit_width > 64)
-        if (wide(gt) != wide(et)) and (pt.is_integer(gt) or wide(gt)) and (pt.is_integer(et) or wide(et)):
+        intish = lambda t: pt.is_decimal(t) or pt.is_integer(t)
+        width = lambda t: t.bit_width if pt.is_integer(t) else 128
+        # ANY integer bit-width mismatch (32 vs 64 just like 64 vs 128)
+        # hashes differently after the driver's dtype-included pandas
+        # round-trip — all of them are hard FAILs, not warnings.
+        if intish(gt) and intish(et) and width(gt) != width(et):
             print(f"  [FAIL] {name}.{c}: dtype spark={gt} duck={et} "
                   f"(int-width mismatch hashes differently driver-side — CAST the oracle)")
             ok = False
