@@ -481,6 +481,86 @@ object DedupOps {
       .orderBy("batch_id")
   }
 
+  /** The 8 LSH band keys of a signature row as ONE string column each
+    * ('band/r0/r1/r2/r3' — components are non-negative longs, so string
+    * equality IS tuple equality). A single key column is what a persisted
+    * index bucketizes on; [[snapshotNearDup]]'s in-query form keeps the
+    * raw tuple columns (same buckets either way). */
+  private def bandKeyArray: Column = array((0 until NumBands).map { bnd =>
+    concat_ws("/", lit(bnd) +:
+      (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}")): _*)
+  }: _*)
+
+  /** Materialize [[snapshotNearDup]]'s corpus side as PERSISTED index
+    * tables — the "at scale the corpus band buckets are a persisted index"
+    * claim as checked behavior rather than a comment:
+    *
+    *  - `indexTable` (bkey, corpus_id): the band-bucket membership list,
+    *    BUCKETED BY bkey — a later probe join on bkey reads it with zero
+    *    shuffle (the bucketing is its partitioning).
+    *  - `sigTable` (corpus_id, m0..m31): one signature row per corpus doc,
+    *    BUCKETED BY corpus_id — the verification join ships candidates to
+    *    the signatures, never re-shuffles the (corpus-sized) signature
+    *    table.
+    *
+    * At 100 TB these writes run once per corpus snapshot; every batch
+    * probe then pays only batch-proportional work ([[snapshotNearDupProbe]],
+    * plan-asserted shuffle-free on both persisted sides by
+    * SnapIndexSpec). */
+  def buildSnapNearDupIndex(spark: SparkSession, dir: String,
+      indexTable: String, sigTable: String): Unit = {
+    val corpus = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(10)) < 8)
+    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val sig = minhashSignaturesWith(shingles(corpus), base)
+      .drop("source").cache() // feeds both writes; released by clearCache
+    ScaleOps.writeBucketed(
+      sig.select(explode(bandKeyArray).as("bkey"), col("doc_id").as("corpus_id")),
+      indexTable, "bkey", 8)
+    ScaleOps.writeBucketed(
+      sig.withColumnRenamed("doc_id", "corpus_id"), sigTable, "corpus_id", 8)
+  }
+
+  /** [[snapshotNearDup]] against the PERSISTED corpus index: batch
+    * signatures derive in-query (batch docs only — per-batch cost is
+    * proportional to the batch), candidates come from a bkey equi-join
+    * into the bucketed `indexTable`, and scoring joins the bucketed
+    * `sigTable`. Output is row-identical to [[snapshotNearDup]]
+    * (spec-asserted): the probe join on the string band key matches
+    * exactly the raw-tuple band equality. */
+  def snapshotNearDupProbe(spark: SparkSession, dir: String,
+      indexTable: String, sigTable: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batch = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(10)) >= 8)
+    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val bsig = minhashSignaturesWith(shingles(batch), base)
+      .drop("source").cache() // probe keys + the batch scoring side
+    val probe = bsig.select(col("doc_id").as("batch_id"),
+      explode(bandKeyArray).as("bkey"))
+    val cand = probe.join(spark.table(indexTable), "bkey")
+      .select("batch_id", "corpus_id").distinct()
+    val sigA = bsig.select(col("doc_id").as("sa") +:
+      (0 until NumPerm).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sigB = spark.table(sigTable).select(col("corpus_id").as("sb") +:
+      (0 until NumPerm).map(i => col(s"m$i").as(s"b$i")): _*)
+    val nMatch = (0 until NumPerm)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val w = Window.partitionBy("batch_id")
+      .orderBy(col("n_matching").desc, col("corpus_id"))
+    cand
+      .join(sigA, col("batch_id") === col("sa"))
+      .join(sigB, col("corpus_id") === col("sb"))
+      .select(col("batch_id"), col("corpus_id"), nMatch.as("n_matching"))
+      .where(col("n_matching") >= SnapMinMatch)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id"), col("n_matching"),
+        (col("n_matching").cast("double") / NumPerm).as("est_jaccard"))
+      .orderBy("batch_id")
+  }
+
   /** DuckDB replay of [[snapshotNearDup]] — generated from the same
     * permParams / NumBands / SnapMinMatch constants. */
   private def snapNearDupSql: String = {
