@@ -98,8 +98,13 @@ object MultimodalOps {
     * top-3 within each modality block (the decode → embed → ANN pipeline
     * a multimodal training set needs, with the modality playing the
     * ANN-block role). Feature vectors come from the typed Dataset path
-    * and are cast to float[] for the native dot expression. Spark-only
-    * (stub features); determinism spec'd. */
+    * and are cast to float[] for the native dot expression.
+    * Driver-oracle-checked end-to-end: DuckDB replays the byte-histogram
+    * features (as q_mm_features), the double→float cast (same IEEE
+    * round-to-nearest in both engines) and the cosine ranking
+    * (list_cosine_similarity — parity proven by q_ann_bruteforce); the
+    * zero-norm exclusion is exactly `byte_len > 0` (a non-empty payload
+    * always fills some bin). */
   def featureAnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val feats = extractFeatures(spark, dir).toDF()
@@ -168,7 +173,51 @@ object MultimodalOps {
     "q_mm_shards" -> (shardManifest _),
   )
 
+  /** DuckDB replay of [[featureAnn]] — GENERATED over the FeatureDim bins
+    * so the histogram/float-cast chain can't drift from the stub. */
+  private val FeatureAnnSql: String = {
+    val binSums = (0 until FeatureDim)
+      .map(i => s"sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS c$i")
+      .mkString(",\n                  ")
+    val fvList = (0 until FeatureDim)
+      .map(i => s"CAST(CAST(c.c$i AS DOUBLE) / e.n AS FLOAT)")
+      .mkString("[", ",\n                  ", "]")
+    s"""WITH enc AS (
+           SELECT doc_id AS asset_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                  ELSE 'video' END AS modality,
+                  hex(encode(text)) AS hx,
+                  CAST(octet_length(encode(text)) AS INT) AS n
+           FROM documents),
+         cnt AS (
+           SELECT asset_id,
+                  $binSums
+           FROM (SELECT asset_id,
+                        ('0x' || substr(hx, 2*i - 1, 2))::INT % $FeatureDim AS bin
+                 FROM enc, unnest(generate_series(1, n)) AS u(i))
+           GROUP BY asset_id),
+         f AS (
+           SELECT e.asset_id, e.modality,
+                  $fvList AS v
+           FROM enc e JOIN cnt c USING (asset_id)
+           WHERE e.n > 0),
+         q AS (
+           SELECT asset_id AS query_id, modality AS q_mod, v AS qv
+           FROM f WHERE asset_id < 10),
+         s AS (
+           SELECT q.query_id, f.asset_id AS neighbor_id,
+                  list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                         CAST(f.v AS DOUBLE[])) AS cos_sim
+           FROM q JOIN f ON f.modality = q.q_mod AND f.asset_id != q.query_id)
+         SELECT query_id, rank, neighbor_id FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM s)
+         WHERE rank <= 3 ORDER BY query_id, rank"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_mm_feature_ann" -> FeatureAnnSql,
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id,
                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

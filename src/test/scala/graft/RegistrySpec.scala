@@ -27,7 +27,6 @@ class RegistrySpec extends AnyFunSuite {
       "q_dau_approx", "q_dau_sketch_rollup",           // HLL sketches
       "q_heavy_hitters_cms",                           // count-min sketch
       "q_len_quantiles_approx",                        // KLL-style quantiles
-      "q_mm_feature_ann",                              // float cosine on stub
       "q_semdedup")                                    // IVF-cluster blocking
     assert(rowsOnly == documented,
       s"undocumented rows-only: ${rowsOnly -- documented}; " +
