@@ -144,15 +144,32 @@ object SimilarityOps {
     * (cluster = vec_id mod K) refined by one Lloyd iteration (assign to
     * nearest centroid, recompute elementwise means via posexplode +
     * groupBy(cluster, dim)). No driver-side math, no RNG — the "training"
-    * is two aggregations that scale linearly with the corpus. */
+    * is two aggregations that scale linearly with the corpus.
+    *
+    * ORDER-FREE means: each component quantizes to the 2^20 integer grid
+    * FIRST (round(x·2^20) — exact; every float is a dyadic rational), the
+    * cluster mean is then one LONG sum (associative/commutative — exact
+    * map-side partials, independent of partitioning) divided once in
+    * double and cast to float. Same trick as q_label_centroids — it makes
+    * the trained centroids BIT-REPRODUCIBLE across partitionings AND
+    * replayable in DuckDB (a float avg() would be an order-dependent
+    * double sum no one could reproduce), which is what lets q_ann_ivf and
+    * q_semdedup carry full driver oracles. */
+  private[operators] def meansOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cl"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * lit(CentroidScale)).cast("long")))
+          .as(Seq("pos", "qv")))
+      .groupBy("cl", "pos")
+      .agg(sum(col("qv")).as("s1"), count(lit(1)).as("n"))
+      .groupBy("cl")
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s1").cast("double") / col("n") / lit(CentroidScale)).as("m"))))
+        .as("pm"))
+      .select(col("cl"), expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
+
   private[operators] def ivfCentroids(e: DataFrame): DataFrame = {
-    def meansOf(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cl", "pos").agg(avg("v").as("m"))
-        .groupBy("cl")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cl"), expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
     val init = meansOf(e.select((col("vec_id") % IvfK).cast("int").as("cl"),
       col("embedding")))
     // one Lloyd refinement: reassign by max cosine, recompute means
@@ -186,9 +203,10 @@ object SimilarityOps {
   /** IVF ANN: coarse-quantize the corpus into K inverted lists, probe the
     * `IvfProbes` nearest lists per query, exact-rank only the candidates.
     * At 100 TB the inverted lists are the partitioning: a query touches
-    * nprobe/K of the corpus instead of all of it. Spark-only (centroids
-    * are corpus-derived); ScalaTest checks planted-dup retrieval + recall
-    * vs brute force. */
+    * nprobe/K of the corpus instead of all of it. Driver-oracle-checked
+    * end-to-end ([[AnnIvfSql]] — the order-free integer-moment centroid
+    * training makes the whole trained index replayable); ScalaTest
+    * additionally checks planted-dup retrieval + recall vs brute force. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val centroids = ivfCentroids(e).cache()
@@ -244,13 +262,22 @@ object SimilarityOps {
   }
 
   /** Elementwise mean subvector per (m, code) — the codebook update step.
-    * Same posexplode + two-groupBy shape as ivfCentroids.meansOf. */
+    * Same posexplode + two-groupBy shape as [[meansOf]], and the same
+    * ORDER-FREE integer-moment trick (2^20 grid, long sums, one double
+    * division, float cast): codebooks are bit-reproducible across
+    * partitionings and DuckDB-replayable. */
   private def pqMeans(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
-      .groupBy("m", "code", "pos").agg(avg("v").as("mv"))
+      .select(col("m"), col("code"),
+        posexplode(transform(col("sub"),
+          x => round(x.cast("double") * lit(CentroidScale)).cast("long")))
+          .as(Seq("pos", "qv")))
+      .groupBy("m", "code", "pos")
+      .agg(sum(col("qv")).as("s1"), count(lit(1)).as("n"))
       .groupBy("m", "code")
-      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s1").cast("double") / col("n") / lit(CentroidScale)).as("mv"))))
+        .as("pm"))
       .select(col("m"), col("code"),
         expr("transform(pm, x -> cast(x.mv as float))").as("cent"))
       .withColumn("nc2", VectorOps.dot(col("cent"), col("cent")))
@@ -305,9 +332,10 @@ object SimilarityOps {
     * 50 ids, NOT corpus-sized — joins back to the stored vectors for an
     * exact L2 re-rank to top-k. Quantization error costs recall only when
     * a true neighbor misses the 10×k shortlist, not whenever ADC locally
-    * mis-orders two candidates. Spark-only (codebooks are corpus-trained);
-    * SimilaritySpec pins planted-duplicate retrieval and recall vs
-    * exact-L2 brute force. */
+    * mis-orders two candidates. Driver-oracle-checked end-to-end
+    * ([[AnnPqSql]] — order-free codebook training + fixed-order ADC sums
+    * make the trained index replayable); SimilaritySpec additionally pins
+    * planted-duplicate retrieval and recall vs exact-L2 brute force. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val codebook = pqCodebook(e).cache()
@@ -325,10 +353,19 @@ object SimilarityOps {
           + col("nc2")).as("d2"))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    // ADC sum in FIXED subspace order: sum(d2) over the M rows of a group
+    // accumulates doubles in partition-dependent order — pivoting to one
+    // conditional sum per subspace (each sees exactly ONE row, so it is
+    // exact) and adding d0+..+d3 left-to-right makes the shortlist
+    // deterministic and engine-replayable
+    val perM = (0 until PqM).map(m =>
+      sum(when(col("m") === m, col("d2"))).as(s"d$m"))
+    val adcSum = (0 until PqM).map(m => col(s"d$m")).reduce(_ + _)
     val shortlist = codes.join(broadcast(dtable), Seq("m", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("d2")).as("approx_d2"))
+      .agg(perM.head, perM.tail: _*)
+      .select(col("query_id"), col("neighbor_id"), adcSum.as("approx_d2"))
       .withColumn("arank", row_number().over(wa))
       .where(col("arank") <= PqShortlist)
       .select(col("query_id"), col("neighbor_id"))
@@ -463,9 +500,10 @@ object SimilarityOps {
     *
     * Scale: the within-cluster self-join is O(Σ cluster²) — production
     * scales K with the corpus (K ≈ n/target_cluster_size) so per-cluster
-    * cost stays bounded; here K=16 over the test corpus. Spark-only
-    * (centroids are corpus-derived); planted-dup + canonical-property
-    * specs carry correctness. */
+    * cost stays bounded; here K=16 over the test corpus.
+    * Driver-oracle-checked ([[SemDedupSql]] shares the replayed quantizer
+    * chain); planted-dup + canonical-property specs carry the semantic
+    * claims. */
   def semDeDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val clustered = assign(e, ivfCentroids(e))
@@ -510,6 +548,204 @@ object SimilarityOps {
                                    $wlit::DOUBLE[]) + 0.25 AS logit
            FROM embeddings)
          ORDER BY vec_id"""
+  }
+
+  /** Shared CTE prefix replaying the DataFrame-trained IVF quantizer —
+    * init assignment (vec_id mod K), order-free integer-moment means,
+    * one Lloyd reassignment, final means, final assignment (`lists`).
+    * Exact because [[meansOf]] quantizes to the 2^20 grid (long sums →
+    * order-free) and every cosine is the driver-proven
+    * list_cosine_similarity. NaN ordering: the ASSIGN argmax in Spark is
+    * an array_min over struct(negsim, cl), where a NaN negsim sorts LAST
+    * — replayed as `isnan(csim) ASC` before `csim DESC`. (The PROBE
+    * window below deliberately has no isnan guard: Spark's plain
+    * `csim DESC` window treats NaN as largest, same as DuckDB.) */
+  private val IvfChainCtes: String = {
+    val sc = CentroidScale
+    def means(assignCte: String, out: String): String =
+      s"""${out}m AS (
+           SELECT a.cl, q0.pos,
+                  CAST(sum(q0.qv) AS DOUBLE) / count(*) / $sc AS m
+           FROM q0 JOIN $assignCte a USING (vec_id) GROUP BY 1, 2),
+         $out AS (
+           SELECT cl, list(CAST(m AS FLOAT) ORDER BY pos) AS centroid
+           FROM ${out}m GROUP BY cl)"""
+    def assignTo(centCte: String, out: String): String =
+      s"""${out}s AS (
+           SELECT e.vec_id, c.cl,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) AS csim
+           FROM e, $centCte c),
+         $out AS (
+           SELECT vec_id, cl FROM (
+             SELECT vec_id, cl, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY isnan(csim) ASC, csim DESC, cl ASC) AS rn
+             FROM ${out}s) WHERE rn = 1)"""
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+         q0 AS (
+           SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
+           FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
+         a0 AS (SELECT vec_id, CAST(vec_id % $IvfK AS INT) AS cl FROM e),
+         ${means("a0", "c0")},
+         ${assignTo("c0", "a1")},
+         ${means("a1", "c1")},
+         ${assignTo("c1", "lists")}"""
+  }
+
+  /** DuckDB replay of [[annIvf]] off the shared quantizer chain: probe
+    * the IvfProbes best final centroids per query (plain csim DESC window
+    * — see the NaN note on [[IvfChainCtes]]), candidates from the probed
+    * inverted lists, exact cosine re-rank. */
+  private val AnnIvfSql: String =
+    s"""WITH $IvfChainCtes,
+         qv AS (SELECT vec_id AS query_id, embedding AS qe
+                FROM e WHERE vec_id < $NumQueries),
+         ps AS (
+           SELECT q.query_id, c.cl,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) AS csim
+           FROM qv q, c1 c),
+         probes AS (
+           SELECT query_id, cl FROM (
+             SELECT query_id, cl, row_number() OVER (
+               PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS prank
+             FROM ps) WHERE prank <= $IvfProbes),
+         cand AS (
+           SELECT p.query_id, l.vec_id AS neighbor_id
+           FROM probes p JOIN lists l USING (cl)
+           WHERE l.vec_id != p.query_id),
+         scored AS (
+           SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(ne.embedding AS DOUBLE[])) AS cos_sim
+           FROM cand c
+           JOIN qv q USING (query_id)
+           JOIN e ne ON ne.vec_id = c.neighbor_id)
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM scored)
+         WHERE rank <= $TopK ORDER BY query_id, rank"""
+
+  /** DuckDB replay of [[semDeDup]] off the shared quantizer chain: the
+    * final assignment IS the clustering; within-cluster a<b pairs above
+    * τ mark the higher id dropped; survivors emit (vec_id, cl). */
+  private val SemDedupSql: String =
+    s"""WITH $IvfChainCtes,
+         drops AS (
+           SELECT DISTINCT lb.vec_id
+           FROM lists la
+           JOIN lists lb ON la.cl = lb.cl AND la.vec_id < lb.vec_id
+           JOIN e a ON a.vec_id = la.vec_id
+           JOIN e b ON b.vec_id = lb.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                   > $SemDedupTau)
+         SELECT l.vec_id, l.cl FROM lists l
+         WHERE l.vec_id NOT IN (SELECT vec_id FROM drops)
+         ORDER BY vec_id"""
+
+  /** DuckDB replay of [[annPq]] — the full trained pipeline: subvector
+    * views, order-free integer-moment codebook training (init mod-K, one
+    * Lloyd step), final code assignment, the ADC distance table, the
+    * fixed-order pivoted ADC shortlist, and the exact-L2 refinement.
+    * NaN ordering mirrors the Spark forms exactly: the ASSIGN argmin is
+    * an array_min (NaN last → `isnan ASC` guard); the shortlist/refine
+    * windows are plain ASC sorts (NaN last in BOTH engines → no guard,
+    * same as the Spark windows). */
+  private val AnnPqSql: String = {
+    val sc = CentroidScale
+    val ms = (0 until PqM).mkString("[", ", ", "]")
+    def means(assignJoin: String, out: String): String =
+      s"""${out}m AS (
+           SELECT s.m, a.code, s.pos,
+                  CAST(sum(s.qv) AS DOUBLE) / count(*) / $sc AS mv
+           FROM sq s JOIN $assignJoin GROUP BY 1, 2, 3),
+         ${out}l AS (
+           SELECT m, code, list(CAST(mv AS FLOAT) ORDER BY pos) AS cent
+           FROM ${out}m GROUP BY m, code),
+         $out AS (
+           SELECT m, code, cent,
+                  list_dot_product(CAST(cent AS DOUBLE[]),
+                                   CAST(cent AS DOUBLE[])) AS nc2
+           FROM ${out}l)"""
+    def assignTo(cb: String, out: String): String =
+      s"""${out}s AS (
+           SELECT s.vec_id, s.m, c.code,
+                  s.na2 - 2.0 * list_dot_product(CAST(s.sub AS DOUBLE[]),
+                                                 CAST(c.cent AS DOUBLE[]))
+                    + c.nc2 AS d2
+           FROM subs s JOIN $cb c ON c.m = s.m),
+         $out AS (
+           SELECT vec_id, m, code FROM (
+             SELECT vec_id, m, code, row_number() OVER (
+               PARTITION BY vec_id, m
+               ORDER BY isnan(d2) ASC, d2 ASC, code ASC) AS rn
+             FROM ${out}s) WHERE rn = 1)"""
+    val adcPivot = (0 until PqM)
+      .map(m => s"sum(CASE WHEN d.m = $m THEN d.d2 END) AS d$m")
+      .mkString(",\n                  ")
+    val adcSum = (0 until PqM).map(m => s"d$m").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         sub0 AS (
+           SELECT vec_id, m,
+                  embedding[m*$SubDim+1 : m*$SubDim+$SubDim] AS sub
+           FROM e, unnest($ms) AS mm(m)),
+         subs AS (
+           SELECT vec_id, m, sub,
+                  list_dot_product(CAST(sub AS DOUBLE[]),
+                                   CAST(sub AS DOUBLE[])) AS na2
+           FROM sub0),
+         sq AS (
+           SELECT vec_id, m, CAST(i - 1 AS INT) AS pos,
+                  CAST(round(CAST(sub[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
+           FROM sub0, unnest(generate_series(1, len(sub))) AS u(i)),
+         a0 AS (SELECT vec_id, CAST(vec_id % $PqK AS INT) AS code FROM e),
+         ${means("a0 a USING (vec_id)", "cb0")},
+         ${assignTo("cb0", "a1")},
+         ${means("a1 a ON a.vec_id = s.vec_id AND a.m = s.m", "cb1")},
+         ${assignTo("cb1", "codes")},
+         qids AS (SELECT vec_id AS query_id, embedding AS qe
+                  FROM e WHERE vec_id < $NumQueries),
+         qsubs AS (SELECT vec_id AS query_id, m, sub, na2 AS nq2
+                   FROM subs WHERE vec_id < $NumQueries),
+         dtable AS (
+           SELECT q.query_id, c.m, c.code,
+                  q.nq2 - 2.0 * list_dot_product(CAST(q.sub AS DOUBLE[]),
+                                                 CAST(c.cent AS DOUBLE[]))
+                    + c.nc2 AS d2
+           FROM qsubs q JOIN cb1 c ON c.m = q.m),
+         adc AS (
+           SELECT d.query_id, k.vec_id AS neighbor_id,
+                  $adcPivot
+           FROM codes k JOIN dtable d ON d.m = k.m AND d.code = k.code
+           WHERE k.vec_id != d.query_id
+           GROUP BY 1, 2),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ($adcSum) ASC, neighbor_id ASC) AS arank
+             FROM adc) WHERE arank <= $PqShortlist),
+         ex AS (
+           SELECT s.query_id, s.neighbor_id,
+                  list_dot_product(CAST(ne.embedding AS DOUBLE[]),
+                                   CAST(ne.embedding AS DOUBLE[]))
+                  - 2.0 * list_dot_product(CAST(ne.embedding AS DOUBLE[]),
+                                           CAST(q.qe AS DOUBLE[]))
+                  + list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                     CAST(q.qe AS DOUBLE[])) AS l2_dist2
+           FROM short s
+           JOIN e ne ON ne.vec_id = s.neighbor_id
+           JOIN qids q USING (query_id))
+         SELECT query_id, rank, neighbor_id, l2_dist2 FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY l2_dist2 ASC, neighbor_id ASC) AS rank
+           FROM ex)
+         WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
 
   /** DuckDB replay of [[annLsh]] — GENERATED from the same `planes`
@@ -560,6 +796,9 @@ object SimilarityOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> AnnLshSql,
+    "q_ann_ivf" -> AnnIvfSql,
+    "q_ann_pq" -> AnnPqSql,
+    "q_semdedup" -> SemDedupSql,
     // division shapes mirror the Spark expressions exactly (s1/n/scale,
     // s2/n - (s1/n)^2) so the doubles are bit-identical
     "q_label_centroids" ->
@@ -635,9 +874,8 @@ object SimilarityOps {
              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
            FROM s)
          WHERE rank <= 5 ORDER BY query_id, rank""",
-    // q_ann_ivf / q_ann_pq / q_semdedup omitted: their centroids/codebooks
-    // are CORPUS-TRAINED via float avg() — an order-dependent double sum
-    // no other engine can replay bit-exactly; recall vs brute force and
-    // planted-duplicate retrieval are asserted in ScalaTest instead.
+    // every SimilarityOps query now carries a full DuckDB twin — the
+    // trained indexes became replayable once centroid/codebook means went
+    // order-free (integer moments) and the ADC sum got a fixed order.
   )
 }

@@ -22,12 +22,13 @@ class RegistrySpec extends AnyFunSuite {
     // set is a deliberate decision — a new query missing its oracle should
     // fail HERE, not silently weaken the gate.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Only true SKETCHES remain: a fixed-size probabilistic summary has no
+    // exact cross-engine twin by definition; each carries error-bound
+    // specs against its exact counterpart instead.
     val documented = Set(
-      "q_ann_ivf", "q_ann_pq",                         // corpus-trained quantizers
       "q_dau_approx", "q_dau_sketch_rollup",           // HLL sketches
       "q_heavy_hitters_cms",                           // count-min sketch
-      "q_len_quantiles_approx",                        // KLL-style quantiles
-      "q_semdedup")                                    // IVF-cluster blocking
+      "q_len_quantiles_approx")                        // KLL-style quantiles
     assert(rowsOnly == documented,
       s"undocumented rows-only: ${rowsOnly -- documented}; " +
         s"stale documented: ${documented -- rowsOnly}")
