@@ -67,6 +67,28 @@ class BenchContractSpec extends AnyFunSuite {
     assert(j.get("failed").size() === 15)
   }
 
+  test("failed (-1.0) markers survive elision: successful cheap queries fold first") {
+    // 300 successful queries force heavy elision; 20 failures exceed the
+    // 15-name failed-list cap, so per-query -1.0 markers are the ONLY
+    // visibility for 5 of them. A by-value elision order would fold the
+    // -1.0 entries FIRST (they sort cheapest); the fix elides them LAST.
+    val qs = mkQueries(300) ++ (1 to 20).map(i => (f"q_broken_$i%02d", -1.0))
+    val failed = (1 to 20).map(i => f"q_broken_$i%02d")
+    val total = qs.map(_._2).filter(_ >= 0).sum
+    val line = Bench.contractLine(qs, total, failed, 0, "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"line is ${line.length} chars")
+    val j = parse(line)
+    assert(Option(j.get("elided")).map(_.asInt()).getOrElse(0) > 0,
+      "fixture must actually trigger elision")
+    failed.foreach { name =>
+      assert(j.get("queries").has(name),
+        s"failure marker $name must survive elision")
+      assert(j.get("queries").get(name).asDouble() === -1.0)
+    }
+    // elided seconds never include the -1 markers
+    assert(j.get("elided_sec").asDouble() >= 0)
+  }
+
   test("failed queries report -1 per-query but never poison the total") {
     val qs = mkQueries(10) :+ ("q_broken" -> -1.0)
     val total = qs.map(_._2).filter(_ >= 0).sum
