@@ -30,7 +30,7 @@ object Bench {
     // swaps in the real state-reading emitter once the loop state exists.
     emit = () => if (emitted.compareAndSet(false, true)) {
       try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
-      println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"failures":0,"failed":[],"skipped":${SparkEntry.queries.size},"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"failures":0,"failed":[],"skipped":${SparkEntry.queries.size + SparkEntry.benchExtras.size},"sf":"$sfDir"}""")
       System.out.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(), "bench-emit"))
@@ -59,16 +59,20 @@ object Bench {
     // driver never sets it, so round benches always cover everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Bench covers the registry PLUS the bench-only production fast-path
+    // aliases (x_*): those have no DuckDB twin so Verify never runs them,
+    // but their per-round timing is the perf signal for the 100 TB path
+    val benchable = SparkEntry.queries ++ SparkEntry.benchExtras
     // a typo'd name must not silently shrink the run to a clean-looking
     // empty bench — unknown names are a hard error
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
+      val unknown = names -- benchable.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
     }
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
+      case Some(names) => benchable.filter(kv => names(kv._1))
+      case None => benchable
     }
     // Wall-clock deadline (seconds, from JVM-entry of this loop): the round-4
     // driver run was killed externally (rc=124) BEFORE the all-reps loop

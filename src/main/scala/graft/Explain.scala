@@ -20,7 +20,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
+    // registry first, then the bench-only x_ fast-path aliases
+    val fn = (SparkEntry.queries ++ SparkEntry.benchExtras)(name)
     fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()

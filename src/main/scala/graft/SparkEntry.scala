@@ -39,10 +39,32 @@ object SparkEntry {
     "q_heavy_hitters_cms", "q_minhash_oracle", "q_dedup_report", "q_funnel",
     "q_copurchase_lift", "q_containment", "q_contamination_bloom",
     // the measured-slowest tail (iterative / trained / many-exchange)
-    "q_retention", "q_semdedup", "q_minhash_lsh", "q_contrastive_pairs",
+    // q_simhash: 1.7 s standalone, but its md5 + 63-way bit-agg pipeline
+    // took round 7's largest in-run inflation (9.4 s) — exactly the
+    // multi-stage shape that balloons first when the host degrades
+    "q_retention", "q_semdedup", "q_minhash_lsh", "q_simhash",
+    "q_contrastive_pairs",
     "q_snap_neardup", "q_ann_bruteforce",
     "q_pagerank", "q_bpe_train", "q_bpe_encode", "q_ann_lsh", "q_dup_components",
-    "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf")
+    "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf",
+    // bench-only fast-path aliases: same multi-stage dedup shapes as their
+    // q_ twins (Verify never sees these names; only Bench ordering does)
+    "x_minhash_lsh_fast", "x_simhash_fast")
+
+  /** BENCH-ONLY aliases: the xxhash64 production fast paths of the
+    * near-dup operators. The registered `q_minhash_lsh` / `q_simhash`
+    * run md5-portable hashes so DuckDB can replay them end-to-end (the
+    * driver-oracle requirement); these variants swap in engine-native
+    * hashing — the shape a 100 TB run would actually deploy — and have
+    * no DuckDB twin by construction, so they live OUTSIDE `queries`:
+    * Bench times them every round (the at-scale perf signal), Verify
+    * and the driver oracle never see them, PlanLintSpec lints them,
+    * DedupSpec pins their semantics on planted fixtures. Keys are
+    * `x_`-prefixed so a registry/alias collision is impossible by
+    * construction (RegistrySpec asserts disjointness anyway). */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_minhash_lsh_fast" -> ((s, d) => DedupOps.minhashLshFast(s, d)),
+    "x_simhash_fast" -> ((s, d) => DedupOps.simhashPairsFast(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

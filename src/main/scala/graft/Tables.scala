@@ -72,8 +72,22 @@ object Tables {
             "non-UTC session would shift every event by the local offset")
         raw.withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000)
-      case _ => // TIMESTAMP (tz-aware) micro-precision parquet
+      case org.apache.spark.sql.types.TimestampType =>
+        // tz-aware micro-precision parquet (isAdjustedToUTC=true)
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+      case other =>
+        // FLAVOR TRIPWIRE: the driver has already shipped two physical
+        // flavors in 7 rounds (NANOS-as-long through round 5; MICROS NTZ
+        // since round 6). A THIRD flavor must fail HERE with an
+        // actionable message, not be silently mis-normalized by a
+        // catch-all — every reader funnels through this function, so this
+        // is the single choke point to extend when it fires.
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — supported " +
+            "flavors: LongType (TIMESTAMP(NANOS) under nanosAsLong), " +
+            "TimestampNTZType (MICROS NTZ), TimestampType (MICROS " +
+            "tz-aware). A new driver corpus flavor needs an explicit " +
+            "branch in Tables.normalizeEvents AND Tables.eventsInRange.")
     }
   }
 
@@ -97,9 +111,13 @@ object Tables {
         def ntz(sec: Long) = lit(java.time.LocalDateTime
           .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC))
         col("ts") >= ntz(startEpochSec) && col("ts") < ntz(endEpochSec)
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType =>
         col("ts") >= timestamp_seconds(lit(startEpochSec)) &&
           col("ts") < timestamp_seconds(lit(endEpochSec))
+      case other => // see the normalizeEvents tripwire — same contract
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — extend " +
+            "Tables.eventsInRange alongside Tables.normalizeEvents")
     }
     normalizeEvents(spark, raw.where(pred))
   }

@@ -513,12 +513,16 @@ object DedupOps {
       .where(pmod(col("doc_id"), lit(10)) < 8)
     val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
     val sig = minhashSignaturesWith(shingles(corpus), base)
-      .drop("source").cache() // feeds both writes; released by clearCache
-    ScaleOps.writeBucketed(
-      sig.select(explode(bandKeyArray).as("bkey"), col("doc_id").as("corpus_id")),
-      indexTable, "bkey", 8)
-    ScaleOps.writeBucketed(
-      sig.withColumnRenamed("doc_id", "corpus_id"), sigTable, "corpus_id", 8)
+      .drop("source").cache() // feeds both writes below
+    try {
+      ScaleOps.writeBucketed(
+        sig.select(explode(bandKeyArray).as("bkey"), col("doc_id").as("corpus_id")),
+        indexTable, "bkey", 8)
+      ScaleOps.writeBucketed(
+        sig.withColumnRenamed("doc_id", "corpus_id"), sigTable, "corpus_id", 8)
+    } finally sig.unpersist() // both writes are complete actions — a
+    // corpus-sized signature frame must not stay pinned in a long-lived
+    // caller that never runs the gate harnesses' clearCache loop
   }
 
   /** [[snapshotNearDup]] against the PERSISTED corpus index: batch

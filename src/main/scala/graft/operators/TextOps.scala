@@ -188,10 +188,14 @@ object TextOps {
     * token asc).
     *
     * Scale shape: tf is one map-side-partial count shuffled on (source,
-    * token); df is a distinct + count shuffled on token; the df side is
-    * vocabulary-sized (≪ corpus), so it broadcasts into the tf stream.
-    * The final top-5-per-source window runs on the tf aggregate, which is
-    * already small. */
+    * token); df is a distinct + count shuffled on token. Both sides of
+    * the tf⋈df join are VOCABULARY-sized: fewer rows than the corpus,
+    * but on a 100 TB web corpus distinct tokens run to hundreds of
+    * millions — far past broadcast feasibility — so the join carries no
+    * hint and AQE picks broadcast vs shuffle from the RUNTIME size (both
+    * sides already hash-partition on `token` from their aggregations, so
+    * the sort-merge fallback is exchange-free). The final top-5-per-source
+    * window runs on the tf aggregate, which is already small. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), col("source"),
@@ -202,7 +206,7 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("tf_idf").desc, col("token"))
-    tf.join(broadcast(df), Seq("token"))
+    tf.join(df, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tf_idf", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -44,8 +44,13 @@ class PlanLintSpec extends SparkTestBase {
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_rfm", "q_wau",
     "q_semdedup", "q_perceptron", "q_threshold_sweep", "q_dataset_card")
 
+  // bench-only fast-path aliases (x_*) are linted alongside the registry:
+  // they are the shapes a 100 TB run deploys, so a scale-hostile join or
+  // forced broadcast there is exactly as bad as in an oracle query
+  private def lintedQueries = SparkEntry.queries ++ SparkEntry.benchExtras
+
   test("no registered query plans a cartesian product or an unexpected nested-loop join") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val offenders = lintedQueries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         spark.catalog.clearCache()
         val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -78,7 +83,7 @@ class PlanLintSpec extends SparkTestBase {
     }.nonEmpty
 
   test("no explicit broadcast hint on an SF-proportional table") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val offenders = lintedQueries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         spark.catalog.clearCache()
         val analyzed = fn(spark, sf0001).queryExecution.analyzed

@@ -34,13 +34,29 @@ class RegistrySpec extends AnyFunSuite {
         s"stale documented: ${documented -- rowsOnly}")
   }
 
-  test("knownSlow names are all real queries") {
-    val ghosts = SparkEntry.knownSlow.toSet -- SparkEntry.queries.keySet
+  test("knownSlow names are all real queries or bench aliases") {
+    val ghosts = SparkEntry.knownSlow.toSet --
+      SparkEntry.queries.keySet -- SparkEntry.benchExtras.keySet
     assert(ghosts.isEmpty, s"knownSlow ghosts: $ghosts")
   }
 
   test("query names are registry-safe (json/sort friendly)") {
     val bad = SparkEntry.queries.keySet.filterNot(_.matches("q_[a-z0-9_]+"))
     assert(bad.isEmpty, s"nonconforming names: $bad")
+  }
+
+  test("bench-only aliases stay outside the verify/oracle contract") {
+    // benchExtras exists so the xxhash64 production fast paths get a
+    // per-round Bench timing WITHOUT entering the driver's verify loop
+    // (they have no DuckDB twin). A name collision with the registry
+    // would make Bench time the wrong closure; an oracle entry for one
+    // would make the driver run SQL against a result it never dumps.
+    val extras = SparkEntry.benchExtras.keySet
+    assert((extras & SparkEntry.queries.keySet).isEmpty,
+      s"benchExtras collide with the registry: ${extras & SparkEntry.queries.keySet}")
+    assert((extras & SparkEntry.oracleSql.keySet).isEmpty,
+      s"benchExtras must not carry oracles: ${extras & SparkEntry.oracleSql.keySet}")
+    val bad = extras.filterNot(_.matches("x_[a-z0-9_]+"))
+    assert(bad.isEmpty, s"bench aliases must be x_-prefixed: $bad")
   }
 }

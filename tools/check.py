@@ -79,10 +79,16 @@ for name in names:
         width = lambda t: t.bit_width if pt.is_integer(t) else 128
         # ANY integer bit-width mismatch (32 vs 64 just like 64 vs 128)
         # hashes differently after the driver's dtype-included pandas
-        # round-trip — all of them are hard FAILs, not warnings.
-        if intish(gt) and intish(et) and width(gt) != width(et):
+        # round-trip — all of them are hard FAILs, not warnings. So does
+        # same-width signedness (DuckDB UBIGINT vs Spark int64: uint64 vs
+        # int64 are distinct pandas dtypes even when every value is
+        # representable in both).
+        signed_mismatch = (pt.is_integer(gt) and pt.is_integer(et) and
+                           pt.is_unsigned_integer(gt) != pt.is_unsigned_integer(et))
+        if intish(gt) and intish(et) and (width(gt) != width(et) or signed_mismatch):
+            why = ("int-width" if width(gt) != width(et) else "signedness")
             print(f"  [FAIL] {name}.{c}: dtype spark={gt} duck={et} "
-                  f"(int-width mismatch hashes differently driver-side — CAST the oracle)")
+                  f"({why} mismatch hashes differently driver-side — CAST the oracle)")
             ok = False
         elif pt.is_large_string(gt) != pt.is_large_string(et) and \
                 (pt.is_string(gt) or pt.is_large_string(gt)) and \
