@@ -14,6 +14,13 @@ object VectorFunctions {
     * expansion; see graftext.PairCombos). */
   def pair_combos(x: Column): Column =
     org.apache.spark.sql.graftext.PairColumns.pair_combos(x)
+
+  /** Nearest-centroid cluster id by max cosine over a packed
+    * array<struct<cl:int,centroid:array<float>>> column (native codegen'd
+    * K×dim loop; see graftext.NearestCentroid for the bit-parity
+    * contract with the array_min(transform(...)) formulation). */
+  def nearest_centroid(cents: Column, emb: Column): Column =
+    org.apache.spark.sql.graftext.CentroidColumns.nearest_centroid(cents, emb)
 }
 
 /** Public entry points for the sketch expressions (bloom build/probe,

@@ -169,8 +169,11 @@ object SimilarityOps {
         .as("pm"))
       .select(col("cl"), expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
 
-  private[operators] def ivfCentroids(e: DataFrame): DataFrame = {
-    val init = meansOf(e.select((col("vec_id") % IvfK).cast("int").as("cl"),
+  private[operators] def ivfCentroids(e: DataFrame): DataFrame =
+    ivfCentroidsK(e, IvfK)
+
+  private[operators] def ivfCentroidsK(e: DataFrame, k: Int): DataFrame = {
+    val init = meansOf(e.select((col("vec_id") % k).cast("int").as("cl"),
       col("embedding")))
     // one Lloyd refinement: reassign by max cosine, recompute means
     val reassigned = assign(e, init)
@@ -181,23 +184,27 @@ object SimilarityOps {
   /** Assign each vector to its nearest centroid (max cosine; ties to the
     * lowest cluster id) — SHUFFLE-FREE. The K centroids are collapsed into
     * ONE array-of-structs row and broadcast; the argmax over the K cosines
-    * is then an `array_min(transform(...))` computed map-side while the
-    * corpus streams through. (The round-1 form joined each corpus row
-    * against all K centroids and re-grouped by vec_id — a ×K row blow-up
-    * plus a full-corpus Exchange, taken three times per annIvf call; at
-    * 100 TB those were the dominant avoidable shuffles.)
-    * `array_min` over struct(negsim, cl) is the same lexicographic rule the
-    * old min(struct) aggregation used — NaN cosines order last, ties break
-    * to the lowest cluster id, independent of centroid array order. */
+    * runs map-side while the corpus streams through. (The round-1 form
+    * joined each corpus row against all K centroids and re-grouped by
+    * vec_id — a ×K row blow-up plus a full-corpus Exchange, taken three
+    * times per annIvf call; at 100 TB those were the dominant avoidable
+    * shuffles.)
+    *
+    * The argmax itself is the native codegen'd [[NearestCentroid]]
+    * expression — bit-identical to the previous
+    * `array_min(transform(cents, c -> struct(-cosine, cl)))` formulation
+    * (same double arithmetic, same NaN-last / ties-to-lowest-cl struct
+    * ordering; equivalence spec-pinned in VectorExprSpec), but ~K× faster:
+    * higher-order lambdas never enter codegen, which made K≈400
+    * corpus-scaled quantizers spend ~6× the whole query's time
+    * interpreting per-element closures. */
   private[operators] def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val packed = centroids
       .agg(collect_list(struct(col("cl"), col("centroid"))).as("cents"))
-    val best = array_min(transform(col("cents"), c =>
-      struct(
-        (-VectorOps.cosine(col("embedding"), c.getField("centroid"))).as("negsim"),
-        c.getField("cl").as("cl"))))
     e.join(broadcast(packed))
-      .select(col("vec_id"), col("embedding"), best.getField("cl").as("cl"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions
+          .nearest_centroid(col("cents"), col("embedding")).as("cl"))
   }
 
   /** IVF ANN: coarse-quantize the corpus into K inverted lists, probe the
@@ -504,9 +511,17 @@ object SimilarityOps {
     * Driver-oracle-checked ([[SemDedupSql]] shares the replayed quantizer
     * chain); planted-dup + canonical-property specs carry the semantic
     * claims. */
-  def semDeDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val clustered = assign(e, ivfCentroids(e))
+  def semDeDup(spark: SparkSession, dir: String): DataFrame =
+    semDeDupWithK(Tables.embeddings(spark, dir), IvfK)
+
+  private[operators] def semDeDupWithK(e: DataFrame, k: Int): DataFrame =
+    clusterScopedDedup(assign(e, ivfCentroidsK(e, k)))
+
+  /** The SemDeDup tail shared by every quantizer: within-cluster >τ pairs
+    * drop the higher id; kept rows are the min-id canonicals. `clustered`
+    * must carry (vec_id, embedding, cl). */
+  private def clusterScopedDedup(assigned: DataFrame): DataFrame = {
+    val clustered = assigned
       .withColumn("nrm", VectorOps.norm(col("embedding")))
       .cache() // both join sides + the final anti-join read it
     val a = clustered.select(col("cl"), col("vec_id").as("vec_a"),
@@ -521,6 +536,79 @@ object SimilarityOps {
     clustered.join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cl"))
       .orderBy("vec_id")
+  }
+
+  /** TWO-LEVEL quantizer assignment for large K — the IMI/coarse-fine
+    * shape every at-scale IVF system uses (FAISS IVF_HNSW, IMI): a flat
+    * argmax over K = n/occupancy centroids is itself O(n·K) = O(n²/occ),
+    * which merely moves the quadratic from the pair join into the
+    * assignment. Instead: train √K coarse cells, assign each vector to
+    * its cell (O(n·√K)), then train K/√K children WITHIN each cell
+    * (composite id cl1·k2 + j — `meansOf` is reused unchanged on the
+    * flat id) and argmax only over the OWN cell's children via an
+    * equi-join on cl1 (O(n·√K) again). Total O(n·√K) = O(n^1.5/√occ)
+    * vs the flat O(n²/occ); at a real 100 TB K (millions) the same
+    * recursion nests once more.
+    *
+    * Identical vectors take identical argmax decisions at both levels,
+    * so exact duplicates still land in one leaf cluster for ANY centroid
+    * set — the recall property the dedup depends on (spec-pinned). */
+  private[operators] def assignTwoLevel(e: DataFrame, k: Int): DataFrame = {
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(2, math.ceil(k.toDouble / k1).toInt)
+    val coarse = assign(e, ivfCentroidsK(e, k1))
+      .select(col("vec_id"), col("embedding"), col("cl").as("cl1"))
+    // children per cell on the composite flat id; one Lloyd refinement
+    // scoped to the cell (reassign against own children, re-mean)
+    def cellAssign(cents: DataFrame, rows: DataFrame): DataFrame = {
+      val packed = cents.withColumn("cl1", expr(s"cl div $k2").cast("int"))
+        .groupBy("cl1")
+        .agg(collect_list(struct(col("cl"), col("centroid"))).as("cents"))
+      rows.join(broadcast(packed), Seq("cl1"))
+        .select(col("vec_id"), col("embedding"), col("cl1"),
+          graft.functions.VectorFunctions
+            .nearest_centroid(col("cents"), col("embedding")).as("cl"))
+    }
+    val init = meansOf(coarse.select(
+      (col("cl1") * k2 + pmod(col("vec_id"), lit(k2))).cast("int").as("cl"),
+      col("embedding")))
+    val refined = meansOf(cellAssign(init, coarse).select(col("cl"), col("embedding")))
+    cellAssign(refined, coarse).select(col("vec_id"), col("embedding"), col("cl"))
+  }
+
+  /** Target mean cluster occupancy for the scale-path SemDeDup — the
+    * knob that keeps the within-cluster self-join O(n·occupancy) instead
+    * of O(n²/K) with a K that stops matching the corpus. */
+  private[operators] val SemDedupOccupancy = 128
+
+  /** PRODUCTION SCALE PATH of [[semDeDup]]: K grows with the corpus
+    * (K ≈ n / [[SemDedupOccupancy]], floor [[IvfK]]) so the per-cluster
+    * pair cost stays bounded as the corpus grows — the registered
+    * q_semdedup keeps K=16 because its DuckDB oracle replays a FIXED
+    * unrolled centroid chain (a data-dependent K cannot be expressed in
+    * static SQL). The `count()` is index-build-time sizing (one
+    * columnless scan), not a dataflow collect — the same role AQE's
+    * runtime statistics play for join strategy.
+    *
+    * Semantics at scale: coarser K splits some >τ pairs across clusters
+    * (cluster-scoped dedup is SemDeDup's definition — Abbas et al. 2023
+    * accept exactly this), but EXACT duplicates are immune: identical
+    * embeddings share norms and cosines, so the argmax assignment puts
+    * them in the same cluster for ANY centroid set — planted-replica
+    * recall is spec-pinned, and when n ≤ K·occupancy the result is
+    * row-identical to [[semDeDup]] (also spec-pinned). Bench-only alias
+    * `x_semdedup_scaled`. */
+  /** Past this K a flat argmax costs more than it saves — switch to the
+    * two-level quantizer ([[assignTwoLevel]]). 64 ≈ where n·K assignment
+    * work overtakes the n·occupancy pair work it displaces. */
+  private[operators] val TwoLevelK = 64
+
+  def semDeDupScaled(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val k = math.max(IvfK,
+      math.ceil(e.count() / SemDedupOccupancy.toDouble).toInt)
+    if (k <= TwoLevelK) semDeDupWithK(e, k)
+    else clusterScopedDedup(assignTwoLevel(e, k))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -34,15 +34,16 @@ class PlanLintSpec extends SparkTestBase {
   //  - q_copurchase_lift: 1-row total-order count (the lift denominator N)
   //  - q_surprisal: 1-row total-token count (the log2 N term)
   //  - q_rfm / q_wau: 1-row max-date aggregate (recency anchor / window clip)
-  //  - q_semdedup: the same packed single-row centroid broadcast as
-  //    q_ann_ivf (map-side cluster assignment)
+  //  - q_semdedup / x_semdedup_scaled: the same packed single-row
+  //    centroid broadcast as q_ann_ivf (map-side cluster assignment)
   //  - q_perceptron / q_threshold_sweep: the 1-row weight frame broadcast
   //    into each unrolled gradient iteration (the in-engine trainer's
   //    scalar attach); the sweep adds a 1-row total-positives attach
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_rfm", "q_wau",
-    "q_semdedup", "q_perceptron", "q_threshold_sweep", "q_dataset_card")
+    "q_semdedup", "x_semdedup_scaled", "q_perceptron", "q_threshold_sweep",
+    "q_dataset_card")
 
   // bench-only fast-path aliases (x_*) are linted alongside the registry:
   // they are the shapes a 100 TB run deploys, so a scale-hostile join or

@@ -108,6 +108,58 @@ class SimilaritySpec extends SparkTestBase {
     assert(kept.count() > 0)
   }
 
+  test("scaled semdedup equals the fixed-K form on a small corpus") {
+    // n ≤ K·occupancy → semDeDupScaled resolves to k=16 and must be
+    // row-identical to the registered (oracle-checked) q_semdedup
+    val fixed = SimilarityOps.semDeDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val scaled = SimilarityOps.semDeDupScaled(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(scaled == fixed)
+  }
+
+  test("scaled semdedup: corpus-scaled K still drops every exact replica") {
+    // The scale path grows K with n (k=ceil(2400/128)=19 here, past the
+    // fixed 16). Exact duplicates share every cosine, so the argmax
+    // assignment lands all copies in ONE cluster for ANY centroid set —
+    // replica recall must not depend on K. 24 pseudo-random bases
+    // (pairwise cosine ~N(0,1/64), far from tau) × 100 offset-id copies:
+    // kept must be exactly the 24 min-id canonicals.
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 1
+      Seq.fill(64) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val rows = for (j <- 0L until 24L; c <- 0 until 100)
+      yield (j + 1000L * c, vec(j.toInt), 0)
+    val dir = embeddingsFixture(rows)
+    val kept = SimilarityOps.semDeDupScaled(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 24L).toSet,
+      s"expected the 24 min-id canonicals, got ${kept.size}: " +
+        s"${kept.toSeq.sorted.take(30)}")
+  }
+
+  test("scaled semdedup: the two-level quantizer path keeps replica recall") {
+    // n=9600 → k=75 > TwoLevelK → coarse-fine assignment. Identical
+    // vectors take identical argmax decisions at BOTH levels, so every
+    // replica group still collapses to one leaf cluster — the recall
+    // property must not depend on which quantizer shape ran.
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 1
+      Seq.fill(64) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val rows = for (j <- 0L until 24L; c <- 0 until 400)
+      yield (j + 1000L * c, vec(j.toInt), 0)
+    val dir = embeddingsFixture(rows)
+    val kept = SimilarityOps.semDeDupScaled(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 24L).toSet,
+      s"expected the 24 min-id canonicals, got ${kept.size}: " +
+        s"${kept.toSeq.sorted.take(30)}")
+  }
+
   test("IVF ANN recall vs brute force on real data") {
     val bf = SimilarityOps.annBruteForce(spark, sf0001)
       .select("query_id", "neighbor_id")

@@ -78,4 +78,94 @@ class VectorExprSpec extends SparkTestBase {
     assert(got(1).isNullAt(0), "null element: native must be null")
     assert(got(1).isNullAt(1), "null element: HOF is null")
   }
+
+  test("native nearest_centroid matches the array_min(transform(...)) formulation") {
+    import graft.functions.VectorFunctions.nearest_centroid
+    import spark.implicits._
+    // pseudo-random 8-dim vectors + adversarial rows: an exact duplicate
+    // of a centroid (cosine clamps to 1.0), a zero vector (all cosines
+    // NaN → ties → lowest cl), a negated centroid (cosine -1.0)
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 99
+      Seq.fill(8) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val cents = (0 until 7).map(c => (c, vec(c + 100)))
+    val rows = (0L until 50L).map(i => (i, vec(i.toInt))) ++ Seq(
+      (50L, cents(3)._2),                 // exact centroid copy
+      (51L, Seq.fill(8)(0.0f)),           // zero vector: NaN cosines
+      (52L, cents(5)._2.map(-_)))         // antipode
+    val e = rows.toDF("vec_id", "embedding")
+    val packed = cents.toDF("cl", "centroid")
+      .agg(collect_list(struct(col("cl"), col("centroid"))).as("cents"))
+    val hofBest = array_min(transform(col("cents"), c =>
+      struct(
+        (-VectorOps.cosine(col("embedding"), c.getField("centroid"))).as("negsim"),
+        c.getField("cl").as("cl"))))
+    // ANSI (the Spark 4 default) makes the HOF cosine RAISE on the
+    // zero-norm row (0.0/0.0 → DIVIDE_BY_ZERO); the native expression
+    // keeps IEEE semantics (NaN → orders last, all-NaN → lowest cl), so
+    // the bit-parity claim is against the non-ANSI HOF behavior — on any
+    // corpus without zero vectors the two agree under either setting.
+    val ansi = "spark.sql.ansi.enabled"
+    val ansi0 = spark.conf.get(ansi)
+    val both = try {
+      spark.conf.set(ansi, "false")
+      e.join(broadcast(packed))
+        .select(col("vec_id"),
+          nearest_centroid(col("cents"), col("embedding")).as("native"),
+          hofBest.getField("cl").as("hof"))
+        .collect()
+    } finally spark.conf.set(ansi, ansi0)
+    both.foreach { r =>
+      assert(!r.isNullAt(1) && r.getInt(1) == r.getInt(2),
+        s"vec ${r.getLong(0)}: native=${r.get(1)} hof=${r.get(2)}")
+    }
+    // under default ANSI the native expr must not throw on the zero
+    // vector: all cosines NaN → deterministic lowest-cl assignment
+    val zeroCl = e.where(col("vec_id") === 51L).join(broadcast(packed))
+      .select(nearest_centroid(col("cents"), col("embedding"))).collect()
+    assert(zeroCl(0).getInt(0) == 0, "zero vector: lowest cl, no ANSI error")
+    // empty centroid array → null, like array_min over an empty array
+    val empty = e.limit(1)
+      .withColumn("cents", expr(
+        "cast(array() as array<struct<cl:int,centroid:array<float>>>)"))
+      .select(nearest_centroid(col("cents"), col("embedding"))).collect()
+    assert(empty(0).isNullAt(0))
+  }
+
+  test("nearest_centroid agrees between codegen and interpreted eval") {
+    // Janino can decline any generated method (size limits) and Spark
+    // silently falls back to eval() — the two paths must return the same
+    // cluster, including on the adversarial rows (duplicate centroid,
+    // zero vector, antipode).
+    import graft.functions.VectorFunctions.nearest_centroid
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 40503L + 7
+      Seq.fill(8) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val cents = (0 until 5).map(c => (c, vec(c)))
+    val rows = (0L until 20L).map(i => (i, vec(i.toInt + 1000))) ++ Seq(
+      (20L, cents(2)._2), (21L, Seq.fill(8)(0.0f)), (22L, cents(4)._2.map(-_)))
+    val e = rows.toDF("vec_id", "embedding")
+    val packed = cents.toDF("cl", "centroid")
+      .agg(collect_list(struct(col("cl"), col("centroid"))).as("cents"))
+    def run(): Map[Long, Int] = e.join(broadcast(packed))
+      .select(col("vec_id"), nearest_centroid(col("cents"), col("embedding")).as("cl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val codegen = run()
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val wholeStage = "spark.sql.codegen.wholeStage"
+    val (fm0, ws0) = (spark.conf.get(factoryMode), spark.conf.get(wholeStage))
+    try {
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      spark.conf.set(wholeStage, "false")
+      assert(run() == codegen, "interpreted eval diverged from codegen")
+    } finally {
+      spark.conf.set(factoryMode, fm0)
+      spark.conf.set(wholeStage, ws0)
+    }
+  }
 }
