@@ -21,6 +21,12 @@ object VectorFunctions {
     * contract with the array_min(transform(...)) formulation). */
   def nearest_centroid(cents: Column, emb: Column): Column =
     org.apache.spark.sql.graftext.CentroidColumns.nearest_centroid(cents, emb)
+
+  /** ADC nearest-code id over one subspace's packed codewords
+    * array<struct<code:int,cent:array<float>,nc2:double>> (native
+    * codegen'd; see graftext.NearestCode for the bit-parity contract). */
+  def nearest_code(cands: Column, sub: Column, na2: Column): Column =
+    org.apache.spark.sql.graftext.CodeColumns.nearest_code(cands, sub, na2)
 }
 
 /** Public entry points for the sketch expressions (bloom build/probe,

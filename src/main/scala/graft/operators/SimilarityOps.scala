@@ -289,24 +289,27 @@ object SimilarityOps {
         expr("transform(pm, x -> cast(x.mv as float))").as("cent"))
       .withColumn("nc2", VectorOps.dot(col("cent"), col("cent")))
 
-  /** Encode every subvector with its nearest code — SHUFFLE-FREE, same
-    * broadcast-packed-argmin trick as the IVF assign: the whole codebook
-    * (M·K rows) collapses to one row; the argmin over a subspace's K
-    * centroids runs map-side while the corpus streams. Ties break to the
-    * lowest code id; L2 in each subspace (the PQ standard). */
+  /** Encode every subvector with its nearest code — SHUFFLE-FREE: the
+    * codebook packs to one row PER SUBSPACE (M rows), broadcast-equi-joins
+    * on m, and the argmin over that subspace's K codewords is the native
+    * codegen'd [[NearestCode]] expression, map-side while the corpus
+    * streams. Bit-identical to the previous interpreted
+    * `filter(cb, c.m==m)` + `array_min(transform(...))` form (same
+    * `na2 − 2a·c + |c|²` double arithmetic, same ties-to-lowest-code
+    * ordering; equivalence spec-pinned in VectorExprSpec, and the
+    * q_ann_pq driver oracle hash-checks the whole trained pipeline) —
+    * but the per-row cost drops from M·K interpreted lambda calls to K
+    * codegen'd loop iterations, which is what lets the toy K=16 grow to
+    * the production K=256 without the encode becoming the bottleneck.
+    * L2 in each subspace (the PQ standard). */
   private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame = {
     val packed = codebook
-      .agg(collect_list(struct(col("m"), col("code"), col("cent"), col("nc2")))
-        .as("cb"))
-    val mine = filter(col("cb"), c => c.getField("m") === col("m"))
-    val best = array_min(transform(mine, c =>
-      struct(
-        (col("na2") - lit(2.0) * VectorOps.dot(col("sub"), c.getField("cent"))
-          + c.getField("nc2")).as("d2"),
-        c.getField("code").as("code"))))
-    subs.join(broadcast(packed))
+      .groupBy(col("m"))
+      .agg(collect_list(struct(col("code"), col("cent"), col("nc2"))).as("cb"))
+    subs.join(broadcast(packed), Seq("m"))
       .select(col("vec_id"), col("m"), col("sub"), col("na2"),
-        best.getField("code").as("code"))
+        graft.functions.VectorFunctions
+          .nearest_code(col("cb"), col("sub"), col("na2")).as("code"))
   }
 
   /** Per-subspace codebooks trained fully in DataFrames: deterministic

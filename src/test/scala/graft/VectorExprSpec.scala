@@ -134,6 +134,44 @@ class VectorExprSpec extends SparkTestBase {
     assert(empty(0).isNullAt(0))
   }
 
+  test("native nearest_code matches the array_min(transform(...)) ADC formulation") {
+    import graft.functions.VectorFunctions.nearest_code
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 17
+      Seq.fill(16) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    // 16 codewords with precomputed |c|², plus an exact-duplicate codeword
+    // pair (codes 7 and 12 identical → d2 ties exactly → lowest code wins)
+    val cw = (0 until 16).map(c => (c, vec(if (c == 12) 7 else c)))
+    val codebook = cw.toDF("code", "cent")
+      .withColumn("nc2", VectorOps.dot(col("cent"), col("cent")))
+    val packed = codebook
+      .agg(collect_list(struct(col("code"), col("cent"), col("nc2"))).as("cb"))
+    val subs = ((0L until 30L).map(i => (i, vec(i.toInt + 500))) :+
+      (30L, cw(7)._2)) // exact codeword copy: d2 = 0 against both 7 and 12
+      .toDF("vec_id", "sub")
+      .withColumn("na2", VectorOps.dot(col("sub"), col("sub")))
+    val hofBest = array_min(transform(col("cb"), c =>
+      struct(
+        (col("na2") - lit(2.0) * VectorOps.dot(col("sub"), c.getField("cent"))
+          + c.getField("nc2")).as("d2"),
+        c.getField("code").as("code"))))
+    val both = subs.join(broadcast(packed))
+      .select(col("vec_id"),
+        nearest_code(col("cb"), col("sub"), col("na2")).as("native"),
+        hofBest.getField("code").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(!r.isNullAt(1) && r.getInt(1) == r.getInt(2),
+        s"vec ${r.getLong(0)}: native=${r.get(1)} hof=${r.get(2)}")
+    }
+    // the duplicate-codeword tie must resolve to the LOWER code
+    val dup = both.find(_.getLong(0) == 30L).get
+    assert(dup.getInt(1) == 7, s"tie must break to code 7, got ${dup.getInt(1)}")
+  }
+
   test("nearest_centroid agrees between codegen and interpreted eval") {
     // Janino can decline any generated method (size limits) and Spark
     // silently falls back to eval() — the two paths must return the same
