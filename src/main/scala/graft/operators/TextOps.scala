@@ -596,6 +596,42 @@ object TextOps {
   }
 
   // ------------------------------------------------------------ registry
+  // ---------------------------------------------------------------- PII
+  /** PII pattern constants, shared verbatim between the Spark queries and
+    * the generated DuckDB oracles so the two sides cannot drift. The
+    * dialect-intersection rules: character classes + bounded repetition +
+    * non-capturing groups + `\b` only — identical semantics in Java regex
+    * (Spark) and RE2 (DuckDB); no lookaround, no backreferences (RE2 has
+    * neither), no capture-group replacements. */
+  private[operators] val EmailPat =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PhonePat =
+    "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  private[operators] val Ipv4Pat =
+    "\\b(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)" +
+      "(?:\\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\\b"
+
+  /** Per-doc PII profile: independent non-overlapping match counts per
+    * category (counted on the ORIGINAL text — the categories are not
+    * sequential). The detection/quantification side of the PII story —
+    * the numbers a curation gate thresholds on; the redaction side is
+    * `PipelineOps.piiRedact` (q_pii_redact). Pure map-side scan work —
+    * the 100 TB shape is one narrow projection, linear in corpus bytes,
+    * embarrassingly parallel. Counts cast to long on both sides (DuckDB
+    * len() is BIGINT). The driver corpus is digit-free, so the oracle's
+    * value check is trivially-zero there — TextMultimodalSpec plants
+    * emails/phones/IPs (incl. the 999.x invalid-octet and dotted-phone
+    * traps) and pins the per-category counts. */
+  def piiProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(Ipv4Pat)).cast("long").as("n_ipv4"))
+      .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ipv4"))
+      .withColumn("has_pii", col("n_pii") > 0)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_surprisal" -> (surprisal _),
     "q_zscore" -> (lengthZscore _),
@@ -613,6 +649,7 @@ object TextOps {
     "q_heavy_hitters_cms" -> (heavyHittersCms _),
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_pii_profile" -> (piiProfile _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -770,5 +807,21 @@ object TextOps {
                     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
                   (h, c) -> (h * 31 + c) % 1000000007) AS fp_rolling
          FROM documents ORDER BY doc_id""",
+    // The PII patterns interpolate from the SAME Scala constants the Spark
+    // query uses (dialect-intersection regex: char classes, bounded reps,
+    // non-capturing groups, \b — identical in Java regex and RE2);
+    // len(regexp_extract_all) = Spark's regexp_count (both count
+    // non-overlapping, leftmost-first matches).
+    "q_pii_profile" ->
+      s"""WITH c AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT) AS n_ipv4
+           FROM documents)
+         SELECT doc_id, n_emails, n_phones, n_ipv4,
+                n_emails + n_phones + n_ipv4 AS n_pii,
+                (n_emails + n_phones + n_ipv4) > 0 AS has_pii
+         FROM c ORDER BY doc_id""",
   )
 }

@@ -164,4 +164,28 @@ class TextMultimodalSpec extends SparkTestBase {
       .where(col("byte_len") =!= col("n_chars"))
     assert(meta.count() == 0)
   }
+
+  test("pii profile: planted emails/phones/IPs counted per category, traps excluded") {
+    // the driver corpus is digit-free (oracle values trivially zero
+    // there), so THIS fixture carries the operator's semantics — the
+    // same rows were cross-checked against DuckDB's regexp_extract_all
+    // during development (dialect-intersection patterns; MATCH)
+    val dir = documentsFixture(Seq(
+      (0L, "contact john.doe@example.com or jane@sub.example.org today", "en", "src0"),
+      (1L, "call 555-123-4567 or 555.987.6543 now", "en", "src0"),
+      // 999.1.1.1 must NOT count: 999 is no octet, and no \b-anchored
+      // 4-quad suffix survives inside it
+      (2L, "server 192.168.0.1 and 10.0.0.255 plus bogus 999.1.1.1", "en", "src1"),
+      (3L, "mixed a@b.co at 1.2.3.4 phone 111 222 3333 end", "en", "src1"),
+      (4L, "clean text with no pii at all", "en", "src1")))
+    val got = TextOps.piiProfile(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 0L, 0L, 2L, true),
+      (1L, 0L, 2L, 0L, 2L, true),
+      (2L, 0L, 0L, 2L, 2L, true),
+      (3L, 1L, 1L, 1L, 3L, true),
+      (4L, 0L, 0L, 0L, 0L, false)))
+  }
 }
