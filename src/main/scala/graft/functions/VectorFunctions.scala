@@ -27,6 +27,12 @@ object VectorFunctions {
     * codegen'd; see graftext.NearestCode for the bit-parity contract). */
   def nearest_code(cands: Column, sub: Column, na2: Column): Column =
     org.apache.spark.sql.graftext.CodeColumns.nearest_code(cands, sub, na2)
+
+  /** 31-base rolling polynomial fingerprint mod 1e9+7 (native codegen'd
+    * char loop; see graftext.RollingHash31 for the parity contract with
+    * the split+aggregate HOF formulation). */
+  def rolling_hash31(text: Column): Column =
+    org.apache.spark.sql.graftext.HashColumns.rolling_hash31(text)
 }
 
 /** Public entry points for the sketch expressions (bloom build/probe,

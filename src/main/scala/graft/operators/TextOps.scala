@@ -135,16 +135,18 @@ object TextOps {
   // ---------------------------------------------------------------- fingerprint
   /** Document fingerprinting: 31-base rolling polynomial hash over the
     * character codepoints, mod 1e9+7 — the classic Rabin-Karp-style
-    * fingerprint, expressed with higher-order array functions so DuckDB can
-    * oracle it exactly. (For pure-Spark scale use, `xxhash64(text)` is the
-    * cheaper codegen'd fingerprint; exposed alongside.) */
+    * fingerprint. Runs as the native codegen'd `RollingHash31` expression:
+    * the HOF formulation (split into a one-string-per-char array +
+    * interpreted fold — kept in VectorExprSpec as the parity reference)
+    * measured ~2× a pure map scan at the 25× corpus, all of it allocation
+    * and lambda overhead on a byte-stream fold. Arithmetic unchanged, so
+    * the DuckDB oracle replays it exactly. (For pure-Spark scale use,
+    * `xxhash64(text)` is the even cheaper non-portable fingerprint.) */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        aggregate(
-          transform(split(col("text"), ""), c => ascii(c).cast("long")),
-          lit(0L),
-          (h, c) => (h * 31 + c) % 1000000007L).as("fp_rolling"))
+        graft.functions.VectorFunctions.rolling_hash31(col("text"))
+          .as("fp_rolling"))
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- boilerplate

@@ -172,6 +172,35 @@ class VectorExprSpec extends SparkTestBase {
     assert(dup.getInt(1) == 7, s"tie must break to code 7, got ${dup.getInt(1)}")
   }
 
+  test("native rolling_hash31 matches the split+aggregate HOF formulation") {
+    import graft.functions.VectorFunctions.rolling_hash31
+    import spark.implicits._
+    // ASCII, BMP accents, CJK, a surrogate-pair emoji (Spark's UTF8String
+    // split("") yields CODE POINTS — the astral emoji stays ONE element,
+    // which caught the first charAt-based native loop), empty, and null
+    val df = Seq(
+      Some("key agg row scan slow fast"),
+      Some("héllo wörld"),
+      Some("中文 分词 测试"),
+      Some("emoji 😀 pair"),
+      Some(""),
+      None).toDF("text")
+    val hof = aggregate(
+      transform(split(col("text"), ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31 + c) % 1000000007L)
+    val both = df.select(rolling_hash31(col("text")).as("native"), hof.as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null disagreement: $r")
+      if (!r.isNullAt(0))
+        assert(r.getLong(0) == r.getLong(1), s"native vs hof: $r")
+    }
+    assert(both(4).getLong(0) == 0L, "empty text folds to the seed 0")
+    assert(both(5).isNullAt(0), "null text stays null")
+  }
+
   test("nearest_centroid agrees between codegen and interpreted eval") {
     // Janino can decline any generated method (size limits) and Spark
     // silently falls back to eval() — the two paths must return the same
