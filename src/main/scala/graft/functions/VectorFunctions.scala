@@ -33,6 +33,12 @@ object VectorFunctions {
     * the split+aggregate HOF formulation). */
   def rolling_hash31(text: Column): Column =
     org.apache.spark.sql.graftext.HashColumns.rolling_hash31(text)
+
+  /** Word n-gram (shingle) array — native byte-level gram builder (see
+    * graftext.WordNGrams for the parity contract with the
+    * transform+slice+concat_ws HOF formulation). */
+  def word_ngrams(tokens: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftext.GramColumns.word_ngrams(tokens, n)
 }
 
 /** Public entry points for the sketch expressions (bloom build/probe,

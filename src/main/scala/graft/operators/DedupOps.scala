@@ -45,8 +45,13 @@ object DedupOps {
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 3)
       .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("shingle"))
+        // native gram builder (byte-level concat, one loop, one output
+        // allocation) — the interpreted transform+slice form paid a
+        // lambda call and an O(n) slice copy PER GRAM, a real tax on the
+        // operator family that feeds every near-dup pipeline. Identical
+        // strings (spec-pinned vs the HOF form in VectorExprSpec).
+        explode(graft.functions.VectorFunctions.word_ngrams(col("t"), 3))
+          .as("shingle"))
 
   /** Distinct shingle SET per doc (the Jaccard/MinHash input). */
   private[operators] def shingles(docs: DataFrame): DataFrame =

@@ -66,9 +66,10 @@ object TextOps {
         size(col("t")).cast("long").as("n_tokens"),
         size(array_distinct(col("t"))).cast("long").as("n_distinct_tokens"),
         stopwordCount(col("t")).cast("long").as("n_stopwords"),
+        // the when() keeps the short-doc NULL (word_ngrams alone would
+        // give an empty array; the oracle's CASE WHEN mirrors the null)
         when(size(col("t")) >= 3,
-          transform(sequence(lit(1), size(col("t")) - 2),
-            i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("grams"))
+          graft.functions.VectorFunctions.word_ngrams(col("t"), 3)).as("grams"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
         col("n_stopwords"),
         size(col("grams")).cast("long").as("n_grams"),

@@ -201,6 +201,36 @@ class VectorExprSpec extends SparkTestBase {
     assert(both(5).isNullAt(0), "null text stays null")
   }
 
+  test("native word_ngrams matches the transform+slice+concat_ws formulation") {
+    import graft.functions.VectorFunctions.word_ngrams
+    import spark.implicits._
+    val df = Seq(
+      "key agg row scan slow fast table value",
+      "a b c",        // exactly one trigram
+      "héllo wörld 中文 分词",
+      "two words",    // below n: HOF guarded externally; native → empty
+      "one").toDF("text")
+      .select(col("text"), split(col("text"), " ").as("t"))
+    val hof = transform(sequence(lit(1), size(col("t")) - 2),
+      i => concat_ws(" ", slice(col("t"), i, lit(3))))
+    val guarded = df.where(size(col("t")) >= 3)
+      .select(word_ngrams(col("t"), 3).as("native"), hof.as("hof"))
+      .collect()
+    assert(guarded.length == 3)
+    guarded.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"native vs hof: $r")
+    }
+    // below n the native form is EMPTY (DuckDB generate_series behavior),
+    // never the descending-sequence garbage the raw HOF produces unguarded
+    val short = df.where(size(col("t")) < 3)
+      .select(word_ngrams(col("t"), 3)).collect()
+    short.foreach(r => assert(r.getSeq[String](0).isEmpty))
+    // bigram flavor: adjacent pairs
+    val bi = Seq("a b c d").toDF("text").select(split(col("text"), " ").as("t"))
+      .select(word_ngrams(col("t"), 2)).head().getSeq[String](0)
+    assert(bi == Seq("a b", "b c", "c d"))
+  }
+
   test("nearest_centroid agrees between codegen and interpreted eval") {
     // Janino can decline any generated method (size limits) and Spark
     // silently falls back to eval() — the two paths must return the same
