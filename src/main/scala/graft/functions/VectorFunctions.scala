@@ -37,8 +37,8 @@ object VectorFunctions {
   /** Word n-gram (shingle) array — native byte-level gram builder (see
     * graftext.WordNGrams for the parity contract with the
     * transform+slice+concat_ws HOF formulation). */
-  def word_ngrams(tokens: Column, n: Int = 3): Column =
-    org.apache.spark.sql.graftext.GramColumns.word_ngrams(tokens, n)
+  def word_ngrams(tokens: Column, n: Int = 3, sep: String = " "): Column =
+    org.apache.spark.sql.graftext.GramColumns.word_ngrams(tokens, n, sep)
 }
 
 /** Public entry points for the sketch expressions (bloom build/probe,

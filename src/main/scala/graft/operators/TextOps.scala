@@ -244,9 +244,11 @@ object TextOps {
     * training loop, each round this same shape. Top 20 pairs with
     * deterministic (count desc, pair asc) ranking. */
   def bpePairs(spark: SparkSession, dir: String): DataFrame = {
-    val chars = split(col("w"), "")
-    val pairs = transform(sequence(lit(1), size(chars) - 1),
-      i => concat_ws("", slice(chars, i, lit(2))))
+    // native char-bigram build (word_ngrams with "" separator over the
+    // char split) — the interpreted transform+slice form paid ~19M lambda
+    // calls at the 25× corpus for what is a per-word char walk
+    val pairs = graft.functions.VectorFunctions
+      .word_ngrams(split(col("w"), ""), 2, "")
     Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .where(length(col("w")) >= 2)

@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * caller's guard enforced anyway) — callers keep their guards for
   * plan-shape parity with the oracles, but a missing guard can no
   * longer produce descending-index garbage. Null input array → null. */
-case class WordNGrams(child: Expression, n: Int)
+case class WordNGrams(child: Expression, n: Int, sep: String = " ")
     extends UnaryExpression {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
@@ -45,24 +45,26 @@ case class WordNGrams(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    WordNGrams.build(input.asInstanceOf[ArrayData], n)
+    WordNGrams.build(input.asInstanceOf[ArrayData], n, sepUtf8)
+
+  @transient private lazy val sepUtf8: UTF8String = UTF8String.fromString(sep)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, input =>
-      s"${ev.value} = org.apache.spark.sql.graftext.WordNGrams.build($input, $n);")
+    nullSafeCodeGen(ctx, ev, input => {
+      val sepRef = ctx.addReferenceObj("ngramSep", sepUtf8, classOf[UTF8String].getName)
+      s"${ev.value} = org.apache.spark.sql.graftext.WordNGrams.build($input, $n, $sepRef);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
     copy(child = newChild)
 }
 
 object WordNGrams {
-  private val Space = UTF8String.fromString(" ")
-
   /** One compiled loop shared by eval and codegen (the generated code
     * calls this directly — the per-gram work is real enough that a
     * static call costs nothing against it, and one implementation can't
     * drift from itself). */
-  def build(t: ArrayData, n: Int): ArrayData = {
+  def build(t: ArrayData, n: Int, sep: UTF8String): ArrayData = {
     val numTokens = t.numElements()
     val count = numTokens - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
@@ -75,7 +77,7 @@ object WordNGrams {
         window(j) = if (t.isNullAt(i + j)) null else t.getUTF8String(i + j)
         j += 1
       }
-      out(i) = UTF8String.concatWs(Space, window: _*)
+      out(i) = UTF8String.concatWs(sep, window: _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -83,7 +85,9 @@ object WordNGrams {
 }
 
 object GramColumns {
-  /** Column API: word n-gram array (default trigram shingles). */
-  def word_ngrams(tokens: Column, n: Int = 3): Column =
-    ExpressionUtils.column(WordNGrams(ExpressionUtils.expression(tokens), n))
+  /** Column API: word n-gram array (default trigram shingles; `sep`
+    * between the joined tokens — "" gives char-pair grams from a
+    * char-split array). */
+  def word_ngrams(tokens: Column, n: Int = 3, sep: String = " "): Column =
+    ExpressionUtils.column(WordNGrams(ExpressionUtils.expression(tokens), n, sep))
 }
