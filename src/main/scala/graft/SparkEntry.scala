@@ -49,7 +49,8 @@ object SparkEntry {
     "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf",
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)
-    "x_minhash_lsh_fast", "x_simhash_fast", "x_semdedup_scaled")
+    "x_minhash_lsh_fast", "x_simhash_fast", "x_semdedup_scaled",
+    "x_ann_pq256")
 
   /** BENCH-ONLY aliases: the xxhash64 production fast paths of the
     * near-dup operators. The registered `q_minhash_lsh` / `q_simhash`
@@ -68,7 +69,10 @@ object SparkEntry {
     // corpus-scaled-K SemDeDup: K ≈ n/128 keeps the within-cluster join
     // linear in the corpus (the registered q_semdedup pins K=16 for its
     // static-SQL oracle, which goes quadratic under corpus replication)
-    "x_semdedup_scaled" -> ((s, d) => SimilarityOps.semDeDupScaled(s, d)))
+    "x_semdedup_scaled" -> ((s, d) => SimilarityOps.semDeDupScaled(s, d)),
+    // production K=256 PQ codebook (registered q_ann_pq pins K=16 for its
+    // unrolled DuckDB training CTE) — the NearestCode headroom, measured
+    "x_ann_pq256" -> ((s, d) => SimilarityOps.annPqProduction(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -316,10 +316,13 @@ object SimilarityOps {
     * init (code = vec_id mod K) refined by one Lloyd iteration — identical
     * training recipe to the IVF coarse quantizer, run in each of the M
     * subspaces at once (m is just another grouping key). */
-  private[operators] def pqCodebook(e: DataFrame): DataFrame = {
+  private[operators] def pqCodebook(e: DataFrame): DataFrame =
+    pqCodebookK(e, PqK)
+
+  private[operators] def pqCodebookK(e: DataFrame, k: Int): DataFrame = {
     val subs = subvectors(e)
     val init = pqMeans(subs.withColumn("code",
-      (col("vec_id") % PqK).cast("int")))
+      (col("vec_id") % k).cast("int")))
     pqMeans(pqAssign(subs, init))
   }
 
@@ -346,9 +349,22 @@ object SimilarityOps {
     * ([[AnnPqSql]] — order-free codebook training + fixed-order ADC sums
     * make the trained index replayable); SimilaritySpec additionally pins
     * planted-duplicate retrieval and recall vs exact-L2 brute force. */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val codebook = pqCodebook(e).cache()
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqWith(Tables.embeddings(spark, dir), PqK)
+
+  /** PRODUCTION-CODEBOOK bench alias (`x_ann_pq256`): the same trained
+    * PQ+ADC+refine pipeline with the K=256 codes-per-subspace every real
+    * PQ deployment uses (16 here is the oracle-replayable toy size — the
+    * unrolled DuckDB training CTE grows with K, so the registered query
+    * keeps K=16). Feasible precisely because the encode argmin is the
+    * native [[NearestCode]] loop: at K=256 the interpreted HOF form
+    * would pay 16× its K=16 lambda cost per subvector. The ADC table
+    * stays broadcast-sized at any corpus (queries × M × K rows). */
+  def annPqProduction(spark: SparkSession, dir: String): DataFrame =
+    annPqWith(Tables.embeddings(spark, dir), 256)
+
+  private def annPqWith(e: DataFrame, k: Int): DataFrame = {
+    val codebook = pqCodebookK(e, k).cache()
     val codes = pqAssign(subvectors(e), codebook)
       .select(col("vec_id"), col("m"), col("code"))
     val q = e.where(col("vec_id") < NumQueries)

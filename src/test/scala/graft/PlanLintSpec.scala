@@ -29,7 +29,8 @@ class PlanLintSpec extends SparkTestBase {
   //    corpus streams map-side — the stated O(n·q) exact baseline
   //  - q_ann_ivf: the K centroids collapse to ONE array-of-structs row
   //    broadcast for map-side assignment (the round-1 shuffle fix)
-  //  - q_ann_pq: same packed-codebook single-row broadcast (encode side)
+  //  - q_ann_pq / x_ann_pq256: the per-subspace packed-codebook broadcast
+  //    (encode side; K=16 toy and K=256 production shapes)
   //  - q_skew_profile: 1-row total-count aggregate cross-joined to compute
   //    each key's share
   //  - q_copurchase_lift: 1-row total-order count (the lift denominator N)
@@ -42,6 +43,7 @@ class PlanLintSpec extends SparkTestBase {
   //    scalar attach); the sweep adds a 1-row total-positives attach
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
+    "x_ann_pq256",
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_rfm", "q_wau",
     "q_semdedup", "x_semdedup_scaled", "q_perceptron", "q_threshold_sweep",
     "q_dataset_card")

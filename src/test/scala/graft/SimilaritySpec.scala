@@ -192,6 +192,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.toSeq == Seq(20L), s"planted dup must be top-1, got ${got.toSeq}")
   }
 
+  test("PQ ANN production K=256 codebook: planted duplicate still top-1") {
+    // the bench-only x_ann_pq256 path: identical subvectors take the same
+    // argmin in every subspace for ANY codebook size, so the exact
+    // duplicate retrieves top-1 at K=256 just as at the toy K=16
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 1
+      Seq.fill(64) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val rows = (0L until 40L).map(i =>
+      (i, if (i == 20L) vec(0) else vec(i.toInt), (i % 3).toInt))
+    val dir = embeddingsFixture(rows)
+    val got = SimilarityOps.annPqProduction(spark, dir)
+      .where(col("query_id") === 0L && col("rank") === 1L)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(20L), s"planted dup must be top-1, got ${got.toSeq}")
+  }
+
   test("PQ ANN recall vs exact-L2 brute force on real data") {
     // PQ ranks by L2 in the original space (the PQ standard), so the
     // reference is exact-L2 top-5, not the cosine brute force.
