@@ -35,13 +35,13 @@ object TextOps {
 
   // -------- shared criteria: ONE definition each for the standalone
   // operators AND the curation gate, so the bitmask can't drift from them
-  private[operators] def stopwordCount(toks: Column): Column =
+  private[graft] def stopwordCount(toks: Column): Column =
     markerCount(toks, Stopwords)
   private[operators] val QualityMinTokens = 10
   private[operators] val MaxStopwordRatio = 0.3
   private[operators] val MinTypeTokenRatio = 0.2
   /** The qualityScore keep criterion from integer component columns. */
-  private[operators] def qualityOk(nTokens: Column, nDistinct: Column,
+  private[graft] def qualityOk(nTokens: Column, nDistinct: Column,
       nStopwords: Column): Column =
     nTokens >= QualityMinTokens &&
       nStopwords.cast("double") / nTokens < MaxStopwordRatio &&
@@ -51,7 +51,7 @@ object TextOps {
   private[operators] val RepeatMaxGramFrac = 0.2
   /** The repetition verdict from its integer component columns (null
     * gram counts — docs under 3 tokens — are not repetitive). */
-  private[operators] def isRepetitive(nGrams: Column, nDistinctGrams: Column): Column =
+  private[graft] def isRepetitive(nGrams: Column, nDistinctGrams: Column): Column =
     coalesce((nGrams - nDistinctGrams).cast("double") / nGrams, lit(0.0)) >
       RepeatMaxGramFrac
   /** Per-doc token/3-gram duplication counts, staged so each expensive

@@ -348,4 +348,54 @@ object StreamingOps {
   def enrichStream(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String): DataFrame =
     fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left")
+
+  /** LLM-PIPELINE STREAMING INTAKE: the ONLINE half of the curation gate —
+    * new crawl/ingest shards arrive as a documents stream, and each doc is
+    * accepted or dropped as it lands. The lambda split every production
+    * pipeline uses:
+    *
+    *  - INLINE (this operator, all map-side + one dedup state): the
+    *    quality and repetition bits via the SAME shared predicates the
+    *    batch gate uses (`TextOps.qualityOk` / `isRepetitive` — one
+    *    definition, so online and offline verdicts cannot drift), over
+    *    stats built with the native `word_ngrams`; the exact-dup bit as
+    *    cross-batch first-seen state on the native `rolling_hash31`
+    *    content fingerprint — the streaming twin of batch curation's
+    *    min-doc_id-per-md5 window (one survivor per content group either
+    *    way; which id survives follows arrival order here vs min-id
+    *    there, identical on an id-ordered replay — spec-asserted).
+    *  - DOWNSTREAM (batch over the accepted shards): the corpus-sized
+    *    signals — boilerplate share, contamination vs the eval set,
+    *    near-dup vs the persisted band index ([[graft.operators.DedupOps.snapshotNearDupProbe]])
+    *    — exactly the snapshot operators the engine already ships.
+    *
+    * State: `dropDuplicates("fp")` keeps one fingerprint per corpus
+    * FOREVER (intake dedup is against all history by definition). At
+    * 100 TB that state is one long per distinct doc in the state store —
+    * RocksDB-backed it is the smallest state in the pipeline; a
+    * TTL-bounded variant is `dropDuplicatesWithinWatermark` on an
+    * ingest-time column when history can be windowed. */
+  def curationIntakeStream(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{rolling_hash31, word_ngrams}
+    val t = split(col("text"), " ")
+    val grams = word_ngrams(t, 3)
+    val stats = docs.select(
+      col("doc_id"), col("source"),
+      rolling_hash31(col("text")).as("fp"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      graft.operators.TextOps.stopwordCount(t).cast("long").as("n_stopwords"),
+      // short docs have NULL gram counts (isRepetitive treats null as
+      // not-repetitive) — same convention as the batch repetitionStats
+      when(size(t) >= 3, size(grams).cast("long")).as("n_grams"),
+      when(size(t) >= 3, size(array_distinct(grams)).cast("long"))
+        .as("n_distinct_grams"))
+    stats
+      .where(graft.operators.TextOps.qualityOk(
+        col("n_tokens"), col("n_distinct_tokens"), col("n_stopwords")))
+      .where(!graft.operators.TextOps.isRepetitive(
+        col("n_grams"), col("n_distinct_grams")))
+      .dropDuplicates("fp")
+      .select("doc_id", "source", "fp", "n_tokens")
+  }
 }

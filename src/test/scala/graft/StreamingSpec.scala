@@ -463,4 +463,58 @@ class StreamingSpec extends SparkTestBase {
     assert(back.count() == 3)
     assert(back.where(col("op") === "delete").count() == 0)
   }
+
+  test("curation intake stream: quality/repetition gate + cross-batch content dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val goodB = "one two three four five six seven eight nine ten eleven twelve"
+    val repetitive = "x y z x y z x y z x y z"  // quality passes, gram-dup 0.7
+    val lowQuality = "the the the the the the the the the the the the"
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "source", "text")
+    val q = StreamingOps.curationIntakeStream(docs)
+      .writeStream.outputMode("append").format("memory").queryName("intake").start()
+    in.addData((1L, "s0", good))
+    q.processAllAvailable()
+    assert(spark.table("intake").select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L), "first batch: the good doc is accepted")
+    // batch 2: an exact content dup of doc 1 (different id), a new good
+    // doc, a repetitive doc, a low-quality doc
+    in.addData((2L, "s0", good), (3L, "s1", goodB),
+      (4L, "s1", repetitive), (5L, "s1", lowQuality))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("intake").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L, 3L),
+      s"cross-batch dedup + gate: expected docs 1 and 3, got ${out.keySet}")
+    // the fingerprint state is content-keyed: doc 2 shares doc 1's fp
+    assert(out.size == 2 && out.values.toSet.size == 2)
+  }
+
+  test("curation intake: streaming and batch agree on the kept fingerprint set") {
+    // the operator is DataFrame→DataFrame, so the SAME code runs in batch;
+    // whichever doc survives a content group is arrival/partition-order
+    // dependent, but the kept FP SET and per-fp count are deterministic
+    implicit val sqlCtx = spark.sqlContext
+    val schema = spark.read
+      .option("pathGlobFilter", "documents.parquet").parquet(sf0001).schema
+    val streamed = {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sf0001)
+      val q = StreamingOps.curationIntakeStream(raw)
+        .writeStream.outputMode("append").format("memory").queryName("intakef").start()
+      q.processAllAvailable(); q.stop()
+      spark.table("intakef").select("fp").collect().map(_.getLong(0)).toSeq
+    }
+    val batch = StreamingOps
+      .curationIntakeStream(Tables.documents(spark, sf0001))
+      .select("fp").collect().map(_.getLong(0)).toSeq
+    assert(streamed.toSet == batch.toSet,
+      s"fp sets must agree; diff=${(streamed.toSet diff batch.toSet) ++ (batch.toSet diff streamed.toSet)}")
+    assert(streamed.size == streamed.toSet.size, "stream emits one doc per fp")
+    assert(batch.size == batch.toSet.size, "batch keeps one doc per fp")
+    assert(batch.nonEmpty, "the gate must accept a nonempty corpus subset")
+  }
 }
