@@ -46,11 +46,11 @@ object SparkEntry {
     "q_contrastive_pairs",
     "q_snap_neardup", "q_ann_bruteforce",
     "q_pagerank", "q_bpe_train", "q_bpe_encode", "q_ann_lsh", "q_dup_components",
-    "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf",
+    "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf", "q_ann_ivfpq",
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)
     "x_minhash_lsh_fast", "x_simhash_fast", "x_semdedup_scaled",
-    "x_ann_pq256")
+    "x_ann_pq256", "x_ann_ivfpq256")
 
   /** BENCH-ONLY aliases: the xxhash64 production fast paths of the
     * near-dup operators. The registered `q_minhash_lsh` / `q_simhash`
@@ -72,7 +72,10 @@ object SparkEntry {
     "x_semdedup_scaled" -> ((s, d) => SimilarityOps.semDeDupScaled(s, d)),
     // production K=256 PQ codebook (registered q_ann_pq pins K=16 for its
     // unrolled DuckDB training CTE) — the NearestCode headroom, measured
-    "x_ann_pq256" -> ((s, d) => SimilarityOps.annPqProduction(s, d)))
+    "x_ann_pq256" -> ((s, d) => SimilarityOps.annPqProduction(s, d)),
+    // production K=256 residual codebook for the IVFADC index (registered
+    // q_ann_ivfpq pins K=16 for the same unrolled-CTE reason)
+    "x_ann_ivfpq256" -> ((s, d) => SimilarityOps.annIvfPqProduction(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -10,6 +10,11 @@ object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column = VectorColumns.vec_dot(a, b)
   def vec_norm(a: Column): Column = VectorColumns.vec_norm(a)
 
+  /** Elementwise a − b over array<float> — the IVF-PQ residual step
+    * (double subtraction, float cast; see graftext.FloatVectorSub for
+    * the DuckDB-parity contract). */
+  def vec_sub(a: Column, b: Column): Column = VectorColumns.vec_sub(a, b)
+
   /** All i<j pairs of an array as array<struct<a,b>> (native single-pass
     * expansion; see graftext.PairCombos). */
   def pair_combos(x: Column): Column =

@@ -263,8 +263,12 @@ object SimilarityOps {
       struct(lit(m).as("m"),
         slice(col("embedding"), m * SubDim + 1, SubDim).as("sub"))
     }
-    e.select(col("vec_id"), explode(array(subs: _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    // carry any non-embedding columns through (the IVF-PQ path keeps the
+    // coarse list id `cl` alongside each subvector; plain PQ passes just
+    // vec_id and is unchanged)
+    val keep = e.columns.filterNot(_ == "embedding").map(col).toSeq
+    e.select(keep :+ explode(array(subs: _*)).as("s"): _*)
+      .select(keep ++ Seq(col("s.m").as("m"), col("s.sub").as("sub")): _*)
       .withColumn("na2", VectorOps.dot(col("sub"), col("sub")))
   }
 
@@ -307,9 +311,9 @@ object SimilarityOps {
       .groupBy(col("m"))
       .agg(collect_list(struct(col("code"), col("cent"), col("nc2"))).as("cb"))
     subs.join(broadcast(packed), Seq("m"))
-      .select(col("vec_id"), col("m"), col("sub"), col("na2"),
+      .select(subs.columns.map(col).toSeq :+
         graft.functions.VectorFunctions
-          .nearest_code(col("cb"), col("sub"), col("na2")).as("code"))
+          .nearest_code(col("cb"), col("sub"), col("na2")).as("code"): _*)
   }
 
   /** Per-subspace codebooks trained fully in DataFrames: deterministic
@@ -396,6 +400,119 @@ object SimilarityOps {
       .where(col("arank") <= PqShortlist)
       .select(col("query_id"), col("neighbor_id"))
     // exact refinement over the shortlist: |x−q|² with full vectors
+    val nbr = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"))
+    val exact = VectorOps.dot(col("ne"), col("ne")) -
+      lit(2.0) * VectorOps.dot(col("ne"), col("qe")) +
+      VectorOps.dot(col("qe"), col("qe"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist2").asc, col("neighbor_id").asc)
+    shortlist
+      .join(nbr, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), exact.as("l2_dist2"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("l2_dist2"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------ IVF-PQ (IVFADC)
+  /** IVF-PQ residual index — the IVFADC architecture (Jégou et al. 2011;
+    * FAISS `IVFx,PQy`) every at-scale ANN deployment actually runs: the
+    * coarse IVF quantizer decides WHERE a query looks (nprobe of K
+    * inverted lists), and PQ codebooks trained on the RESIDUALS r = x −
+    * c[assign(x)] decide what the scan READS (M small codes per vector
+    * instead of the float array). Training PQ on residuals instead of raw
+    * vectors is the whole point of the combination: residuals concentrate
+    * near 0 with far smaller spread than the raw corpus, so the same
+    * codebook budget quantizes them with much less error.
+    *
+    * Composition of the two trained pipelines this engine already
+    * verifies end-to-end: the coarse side IS [[ivfCentroids]]/[[assign]]
+    * (cosine argmax, order-free integer-moment means — the q_ann_ivf
+    * chain), the fine side IS [[pqCodebookK]]/[[pqAssign]] run on the
+    * residual frame (L2, native NearestCode ADC — the q_ann_pq chain),
+    * and the residual step itself is the native [[graft.functions
+    * .VectorFunctions.vec_sub]] (one IEEE double subtraction + float
+    * cast per element — corpus-grain, so the interpreted zip_with form
+    * is banned; DuckDB replays it exactly, which is what lets the WHOLE
+    * trained index carry a driver oracle).
+    *
+    * Scale shape: every corpus-grain step is map-side against a bounded
+    * broadcast (K centroids for assignment/residuals, M packed codebooks
+    * for the encode, the queries×nprobe×M×K ADC table for the scan); the
+    * candidate scan reads CODES ONLY and touches nprobe/K of the corpus
+    * (the dtable join keys on `cl` — a list no query probed contributes
+    * zero rows); only the 10·k-row shortlist ever joins back to the full
+    * vectors for the exact re-rank. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqWith(Tables.embeddings(spark, dir), PqK)
+
+  /** PRODUCTION-CODEBOOK bench alias (`x_ann_ivfpq256`): K=256 codes per
+    * subspace over the residuals (the registered q_ann_ivfpq pins K=16
+    * because its unrolled DuckDB training CTE grows with K — same split
+    * as q_ann_pq / x_ann_pq256). */
+  def annIvfPqProduction(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqWith(Tables.embeddings(spark, dir), 256)
+
+  private def annIvfPqWith(e: DataFrame, k: Int): DataFrame = {
+    val centroids = ivfCentroids(e).cache()
+    // corpus residuals vs the OWN list's centroid — map-side (bounded
+    // K-row centroid broadcast); cached: codebook training reads it
+    // twice, the encode once
+    val resid = assign(e, centroids)
+      .join(broadcast(centroids), Seq("cl"))
+      .select(col("vec_id"), col("cl"),
+        graft.functions.VectorFunctions
+          .vec_sub(col("embedding"), col("centroid")).as("embedding"))
+      .cache()
+    val codebook = pqCodebookK(resid.select("vec_id", "embedding"), k).cache()
+    // (vec_id, cl, m, code): the stored index — codes partitioned by list
+    val codes = pqAssign(subvectors(resid), codebook)
+      .select(col("vec_id"), col("cl"), col("m"), col("code"))
+    // queries probe the IvfProbes nearest coarse centroids (same cosine
+    // ranking as annIvf), then quantize THEIR residual against each
+    // probed centroid — ADC distances are residual-to-residual per list
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cl").asc)
+    val probes = q.join(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("cl"), col("centroid"),
+        VectorOps.cosine(col("qe"), col("centroid")).as("csim"))
+      .withColumn("prank", row_number().over(wq))
+      .where(col("prank") <= IvfProbes)
+      .select(col("query_id"), col("qe"), col("cl"), col("centroid"))
+    val qsubs = subvectors(probes
+        .select(col("query_id"), col("cl"),
+          graft.functions.VectorFunctions
+            .vec_sub(col("qe"), col("centroid")).as("embedding")))
+      .select(col("query_id"), col("cl"), col("m"),
+        col("sub").as("qsub"), col("na2").as("nq2"))
+    // ADC table per probed list: queries × nprobe × M × K rows, broadcast
+    val dtable = qsubs.join(codebook, Seq("m"))
+      .select(col("query_id"), col("cl"), col("m"), col("code"),
+        (col("nq2") - lit(2.0) * VectorOps.dot(col("qsub"), col("cent"))
+          + col("nc2")).as("d2"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    // fixed-order pivoted ADC sum (see annPqWith — keeps the shortlist
+    // deterministic and engine-replayable); keying the join on cl is the
+    // IVF pruning: unprobed lists contribute zero rows
+    val perM = (0 until PqM).map(m =>
+      sum(when(col("m") === m, col("d2"))).as(s"d$m"))
+    val adcSum = (0 until PqM).map(m => col(s"d$m")).reduce(_ + _)
+    val shortlist = codes.join(broadcast(dtable), Seq("cl", "m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(perM.head, perM.tail: _*)
+      .select(col("query_id"), col("neighbor_id"), adcSum.as("approx_d2"))
+      .withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= PqShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact refinement over the shortlist — identical tail to annPqWith
     val nbr = e.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ne"))
     val exact = VectorOps.dot(col("ne"), col("ne")) -
@@ -639,6 +756,7 @@ object SimilarityOps {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_pq" -> (annPq _),
+    "q_ann_ivfpq" -> (annIvfPq _),
     "q_ann_topk_agg" -> (annTopKAgg _),
   )
 
@@ -855,6 +973,150 @@ object SimilarityOps {
          WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replay of [[annIvfPq]] — the full trained IVFADC pipeline:
+    * the shared coarse-quantizer chain ([[IvfChainCtes]]: integer-moment
+    * centroids, cosine-argmax assignment), the residual step (IEEE
+    * double subtraction + float cast, exactly FloatVectorSub's
+    * arithmetic), the order-free residual codebook training (the
+    * [[AnnPqSql]] recipe over `resid`), per-probe query residuals, the
+    * list-scoped fixed-order pivoted ADC shortlist, and the exact-L2
+    * refinement. NaN ordering mirrors AnnIvfSql/AnnPqSql: `isnan ASC`
+    * guards only on the array_min-backed ASSIGN argmins; plain sorts on
+    * the probe/shortlist/refine windows. */
+  private val AnnIvfPqSql: String = {
+    val sc = CentroidScale
+    val ms = (0 until PqM).mkString("[", ", ", "]")
+    def means(assignJoin: String, out: String): String =
+      s"""${out}m AS (
+           SELECT s.m, a.code, s.pos,
+                  CAST(sum(s.qv) AS DOUBLE) / count(*) / $sc AS mv
+           FROM rsq s JOIN $assignJoin GROUP BY 1, 2, 3),
+         ${out}l AS (
+           SELECT m, code, list(CAST(mv AS FLOAT) ORDER BY pos) AS cent
+           FROM ${out}m GROUP BY m, code),
+         $out AS (
+           SELECT m, code, cent,
+                  list_dot_product(CAST(cent AS DOUBLE[]),
+                                   CAST(cent AS DOUBLE[])) AS nc2
+           FROM ${out}l)"""
+    def assignTo(cb: String, out: String): String =
+      s"""${out}s AS (
+           SELECT s.vec_id, s.m, c.code,
+                  s.na2 - 2.0 * list_dot_product(CAST(s.sub AS DOUBLE[]),
+                                                 CAST(c.cent AS DOUBLE[]))
+                    + c.nc2 AS d2
+           FROM rsubs s JOIN $cb c ON c.m = s.m),
+         $out AS (
+           SELECT vec_id, m, code FROM (
+             SELECT vec_id, m, code, row_number() OVER (
+               PARTITION BY vec_id, m
+               ORDER BY isnan(d2) ASC, d2 ASC, code ASC) AS rn
+             FROM ${out}s) WHERE rn = 1)"""
+    val adcPivot = (0 until PqM)
+      .map(m => s"sum(CASE WHEN d.m = $m THEN d.d2 END) AS d$m")
+      .mkString(",\n                  ")
+    val adcSum = (0 until PqM).map(m => s"d$m").mkString(" + ")
+    s"""WITH $IvfChainCtes,
+         resid0 AS (
+           SELECT l.vec_id, l.cl, u.i,
+                  CAST(CAST(ee.embedding[u.i] AS DOUBLE)
+                       - CAST(c.centroid[u.i] AS DOUBLE) AS FLOAT) AS rv
+           FROM lists l
+           JOIN e ee USING (vec_id)
+           JOIN c1 c USING (cl),
+                unnest(generate_series(1, len(ee.embedding))) AS u(i)),
+         resid AS (
+           SELECT vec_id, cl, list(rv ORDER BY i) AS rvec
+           FROM resid0 GROUP BY 1, 2),
+         rsub0 AS (
+           SELECT vec_id, m,
+                  rvec[m*$SubDim+1 : m*$SubDim+$SubDim] AS sub
+           FROM resid, unnest($ms) AS mm(m)),
+         rsubs AS (
+           SELECT vec_id, m, sub,
+                  list_dot_product(CAST(sub AS DOUBLE[]),
+                                   CAST(sub AS DOUBLE[])) AS na2
+           FROM rsub0),
+         rsq AS (
+           SELECT vec_id, m, CAST(i - 1 AS INT) AS pos,
+                  CAST(round(CAST(sub[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
+           FROM rsub0, unnest(generate_series(1, len(sub))) AS u(i)),
+         ra0 AS (SELECT vec_id, CAST(vec_id % $PqK AS INT) AS code FROM resid),
+         ${means("ra0 a USING (vec_id)", "rcb0")},
+         ${assignTo("rcb0", "ra1")},
+         ${means("ra1 a ON a.vec_id = s.vec_id AND a.m = s.m", "rcb1")},
+         ${assignTo("rcb1", "rcodes")},
+         codesl AS (
+           SELECT rc.vec_id, r.cl, rc.m, rc.code
+           FROM rcodes rc JOIN resid r USING (vec_id)),
+         qv2 AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM e WHERE vec_id < $NumQueries),
+         ps2 AS (
+           SELECT q.query_id, q.qe, c.cl, c.centroid,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) AS csim
+           FROM qv2 q, c1 c),
+         probes AS (
+           SELECT query_id, qe, cl, centroid FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS prank
+             FROM ps2) WHERE prank <= $IvfProbes),
+         qres0 AS (
+           SELECT p.query_id, p.cl, u.i,
+                  CAST(CAST(p.qe[u.i] AS DOUBLE)
+                       - CAST(p.centroid[u.i] AS DOUBLE) AS FLOAT) AS rv
+           FROM probes p,
+                unnest(generate_series(1, len(p.qe))) AS u(i)),
+         qres AS (
+           SELECT query_id, cl, list(rv ORDER BY i) AS rvec
+           FROM qres0 GROUP BY 1, 2),
+         qsub0 AS (
+           SELECT query_id, cl, m,
+                  rvec[m*$SubDim+1 : m*$SubDim+$SubDim] AS qsub
+           FROM qres, unnest($ms) AS mm(m)),
+         qsubs AS (
+           SELECT query_id, cl, m, qsub,
+                  list_dot_product(CAST(qsub AS DOUBLE[]),
+                                   CAST(qsub AS DOUBLE[])) AS nq2
+           FROM qsub0),
+         dtable AS (
+           SELECT q.query_id, q.cl, c.m, c.code,
+                  q.nq2 - 2.0 * list_dot_product(CAST(q.qsub AS DOUBLE[]),
+                                                 CAST(c.cent AS DOUBLE[]))
+                    + c.nc2 AS d2
+           FROM qsubs q JOIN rcb1 c ON c.m = q.m),
+         adc AS (
+           SELECT d.query_id, k.vec_id AS neighbor_id,
+                  $adcPivot
+           FROM codesl k
+           JOIN dtable d ON d.cl = k.cl AND d.m = k.m AND d.code = k.code
+           WHERE k.vec_id != d.query_id
+           GROUP BY 1, 2),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ($adcSum) ASC, neighbor_id ASC) AS arank
+             FROM adc) WHERE arank <= $PqShortlist),
+         ex AS (
+           SELECT s.query_id, s.neighbor_id,
+                  list_dot_product(CAST(ne.embedding AS DOUBLE[]),
+                                   CAST(ne.embedding AS DOUBLE[]))
+                  - 2.0 * list_dot_product(CAST(ne.embedding AS DOUBLE[]),
+                                           CAST(q.qe AS DOUBLE[]))
+                  + list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                     CAST(q.qe AS DOUBLE[])) AS l2_dist2
+           FROM short s
+           JOIN e ne ON ne.vec_id = s.neighbor_id
+           JOIN qv2 q USING (query_id))
+         SELECT query_id, rank, neighbor_id, l2_dist2 FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY l2_dist2 ASC, neighbor_id ASC) AS rank
+           FROM ex)
+         WHERE rank <= $TopK ORDER BY query_id, rank"""
+  }
+
   /** DuckDB replay of [[annLsh]] — GENERATED from the same `planes`
     * constants. Each plane component is emitted as the DOUBLE value of the
     * Float (`toDouble.toString` is the shortest decimal that round-trips
@@ -905,6 +1167,7 @@ object SimilarityOps {
     "q_ann_lsh" -> AnnLshSql,
     "q_ann_ivf" -> AnnIvfSql,
     "q_ann_pq" -> AnnPqSql,
+    "q_ann_ivfpq" -> AnnIvfPqSql,
     "q_semdedup" -> SemDedupSql,
     // division shapes mirror the Spark expressions exactly (s1/n/scale,
     // s2/n - (s1/n)^2) so the doubles are bit-identical

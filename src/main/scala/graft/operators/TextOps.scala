@@ -600,6 +600,102 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- bigram LM
+  /** The "clean reference" training partition for [[bigramLm]] — the role
+    * Wikipedia plays in CCNet: the LM is trained on a trusted slice and
+    * scores the whole corpus against it. Shared between the Spark query
+    * and the generated oracle so the two can't drift. */
+  private[operators] val LmRef = "src0"
+
+  /** Reference-corpus bigram language-model scoring — the CCNet-style
+    * perplexity quality filter (Wenzek et al. 2020): train a bigram model
+    * on one clean reference partition (source = [[LmRef]]), then score
+    * EVERY document by its mean conditional surprisal −log₂ p(w₂|w₁)
+    * under that model. Low mean bits ≈ reference-like text (keep bucket);
+    * high ≈ out-of-domain or noise (the head/tail split CCNet thresholds
+    * on). Unlike [[surprisal]] (self-trained unigram novelty), this is a
+    * CROSS-domain score: the model and the scored docs are different
+    * partitions, so unseen bigrams exist and need smoothing.
+    *
+    * Add-one smoothing in EXACT integer arithmetic: p = (c+1)/(c_ctx+V)
+    * with V = the reference vocabulary size, quantized to integer bits as
+    * floor(log₂(c_ctx+V)) − floor(log₂(c+1)) via binary digit length —
+    * never a floating log (libm rounding differs across engines; digit
+    * length is exact, so the oracle hash-matches — the q_surprisal
+    * recipe). Unseen context ⇒ c_ctx = c = 0 ⇒ the uniform-prior
+    * floor(log₂ V) bits.
+    *
+    * Scale shape: bigrams come from the native [[WordNGrams]] builder
+    * (corpus-grain — the interpreted transform+slice form is banned);
+    * model counts are two aggregations over the REFERENCE slice only;
+    * scoring is two joins of the exploded bigram stream against
+    * vocabulary-sized count tables — deliberately UNHINTED (the q_tfidf
+    * lesson: a reference-vocabulary frame broadcasts fine for a curated
+    * reference, but AQE gets to decide from runtime sizes, not us); V is
+    * the one genuine 1-row scalar attach. The bigram stream is cached:
+    * both model aggregations and the scoring join consume it. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.word_ngrams
+    val d = Tables.documents(spark, dir)
+    val bg = d.select(col("doc_id"), col("source"),
+        explode(word_ngrams(tokens(col("text")), 2)).as("bg"))
+      .withColumn("ctx", element_at(split(col("bg"), " "), 1))
+      .cache()
+    val ref = bg.where(col("source") === LmRef)
+    val bgc = ref.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val cc = ref.groupBy("ctx").agg(count(lit(1)).as("cctx"))
+    val vocab = d.where(col("source") === LmRef)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    def fl2(c: Column): Column = length(bin(c)) - 1
+    bg.join(bgc, Seq("bg"), "left")
+      .join(cc, Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (fl2(coalesce(col("cctx"), lit(0L)) + col("v"))
+          - fl2(coalesce(col("cb"), lit(0L)) + lit(1L))).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[bigramLm]]: bigram strings built as
+    * `t[i] || ' ' || t[i+1]` (byte-identical to WordNGrams' concat_ws —
+    * tokens are space-split so they contain no separator), ctx taken
+    * directly as t[i] (identical to the Spark side's re-split first
+    * element for space-free tokens), same add-one integer-bits formula
+    * via to_base digit length. */
+  private def bigramLmSql: String =
+    s"""WITH d AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT doc_id, source, t[i] AS ctx, t[i] || ' ' || t[i+1] AS bg
+           FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         bgc AS (
+           SELECT bg, count(*) AS cb FROM bg
+           WHERE source = '$LmRef' GROUP BY 1),
+         cc AS (
+           SELECT ctx, count(*) AS cctx FROM bg
+           WHERE source = '$LmRef' GROUP BY 1),
+         v AS (
+           SELECT count(DISTINCT tok) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE source = '$LmRef')),
+         s AS (
+           SELECT b.doc_id,
+                  (length(to_base(COALESCE(c.cctx, 0) + v.v, 2)) - 1)
+                    - (length(to_base(COALESCE(g.cb, 0) + 1, 2)) - 1) AS bits
+           FROM bg b
+           LEFT JOIN bgc g USING (bg)
+           LEFT JOIN cc c USING (ctx)
+           CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(bits) AS BIGINT) AS sum_bits,
+                CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+         FROM s GROUP BY doc_id ORDER BY doc_id"""
+
   // ------------------------------------------------------------ registry
   // ---------------------------------------------------------------- PII
   /** PII pattern constants, shared verbatim between the Spark queries and
@@ -655,6 +751,7 @@ object TextOps {
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_pii_profile" -> (piiProfile _),
+    "q_bigram_lm" -> (bigramLm _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -682,6 +779,7 @@ object TextOps {
          GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
+    "q_bigram_lm" -> bigramLmSql,
     "q_zscore" ->
       """WITH s AS (
            SELECT source, count(*) AS n, sum(n_chars) AS s1,

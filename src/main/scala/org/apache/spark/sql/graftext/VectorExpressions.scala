@@ -96,6 +96,60 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Elementwise difference of two `array<float>` columns as one native
+  * loop: out_i = float(double(a_i) − double(b_i)).
+  *
+  * This is the RESIDUAL step of the IVF-PQ index (r = x − c[assign(x)]):
+  * corpus-grain work, so the zip_with higher-order form is banned from it
+  * (interpreted lambdas never enter codegen — the round-8 lesson). The
+  * arithmetic is one IEEE double subtraction and one round-to-nearest
+  * float cast per element — both exactly reproduced by DuckDB's
+  * `CAST(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE) AS FLOAT)`, which is
+  * what lets the trained residual index carry a full driver oracle.
+  * Null semantics match [[FloatVectorDot]]: length mismatch → null, any
+  * null element → null (a dimension bug stays loud). */
+case class FloatVectorSub(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FloatVectorSub.build(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftext.FloatVectorSub.build($a, $b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorSub =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVectorSub {
+  /** One compiled loop shared by eval and codegen (same pattern as
+    * WordNGrams.build — one implementation can't drift from itself).
+    * Returns null on length mismatch or a null element. */
+  def build(x: ArrayData, y: ArrayData): ArrayData = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      out(i) = (x.getFloat(i).toDouble - y.getFloat(i).toDouble).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorColumns {
   /** Column API for the native dot product. */
   def vec_dot(a: Column, b: Column): Column =
@@ -105,4 +159,9 @@ object VectorColumns {
   /** L2 norm via the same native loop (dot(a,a) in array order). */
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+
+  /** Elementwise a − b over array<float> (the PQ residual step). */
+  def vec_sub(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVectorSub(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -31,10 +31,16 @@ class PlanLintSpec extends SparkTestBase {
   //    broadcast for map-side assignment (the round-1 shuffle fix)
   //  - q_ann_pq / x_ann_pq256: the per-subspace packed-codebook broadcast
   //    (encode side; K=16 toy and K=256 production shapes)
+  //  - q_ann_ivfpq / x_ann_ivfpq256: both of the above — the single-row
+  //    packed-centroid broadcast (assignment + residuals + query probes)
+  //    and the per-subspace packed residual codebook
+  //    (all bounded: K centroids / M codebook rows at any corpus size)
   //  - q_skew_profile: 1-row total-count aggregate cross-joined to compute
   //    each key's share
   //  - q_copurchase_lift: 1-row total-order count (the lift denominator N)
   //  - q_surprisal: 1-row total-token count (the log2 N term)
+  //  - q_bigram_lm: 1-row reference-vocabulary count (the add-one
+  //    smoothing denominator V)
   //  - q_rfm / q_wau: 1-row max-date aggregate (recency anchor / window clip)
   //  - q_semdedup / x_semdedup_scaled: the same packed single-row
   //    centroid broadcast as q_ann_ivf (map-side cluster assignment)
@@ -43,8 +49,9 @@ class PlanLintSpec extends SparkTestBase {
   //    scalar attach); the sweep adds a 1-row total-positives attach
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
-    "x_ann_pq256",
-    "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_rfm", "q_wau",
+    "x_ann_pq256", "q_ann_ivfpq", "x_ann_ivfpq256",
+    "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_bigram_lm",
+    "q_rfm", "q_wau",
     "q_semdedup", "x_semdedup_scaled", "q_perceptron", "q_threshold_sweep",
     "q_dataset_card")
 

@@ -210,6 +210,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.toSeq == Seq(20L), s"planted dup must be top-1, got ${got.toSeq}")
   }
 
+  test("IVF-PQ ANN: planted duplicate shares list and codes, retrieved top-1") {
+    // identical vectors take the same coarse argmax (same cl), hence the
+    // SAME residual, hence identical codes in every subspace — the
+    // planted dup's ADC distance is the query residual's own
+    // reconstruction error and its exact refine distance is 0, so it
+    // must rank first. This is the recall property residual quantization
+    // must not break.
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 1
+      Seq.fill(64) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val rows = (0L until 40L).map(i =>
+      (i, if (i == 20L) vec(0) else vec(i.toInt), (i % 3).toInt))
+    val dir = embeddingsFixture(rows)
+    val got = SimilarityOps.annIvfPq(spark, dir)
+      .where(col("query_id") === 0L && col("rank") === 1L)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(20L), s"planted dup must be top-1, got ${got.toSeq}")
+  }
+
+  test("IVF-PQ production K=256 residual codebook: planted duplicate still top-1") {
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 1
+      Seq.fill(64) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val rows = (0L until 40L).map(i =>
+      (i, if (i == 20L) vec(0) else vec(i.toInt), (i % 3).toInt))
+    val dir = embeddingsFixture(rows)
+    val got = SimilarityOps.annIvfPqProduction(spark, dir)
+      .where(col("query_id") === 0L && col("rank") === 1L)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(20L), s"planted dup must be top-1, got ${got.toSeq}")
+  }
+
   test("PQ ANN recall vs exact-L2 brute force on real data") {
     // PQ ranks by L2 in the original space (the PQ standard), so the
     // reference is exact-L2 top-5, not the cosine brute force.
@@ -232,6 +268,32 @@ class SimilaritySpec extends SparkTestBase {
     val recall = (bf intersect pq).size.toDouble / bf.size
     assert(recall >= 0.2, s"recall was $recall")
     assert(pq.map(_._1).size == 10, "every query must return results")
+  }
+
+  test("IVF-PQ recall vs exact-L2 brute force on real data") {
+    // two-stage approximation (nprobe=2 of 16 lists, then residual-PQ
+    // codes): recall is bounded by how many true L2 top-5 neighbors live
+    // in the two probed lists — near-random embeddings make coarse
+    // pruning aggressive, so require clearly-better-than-floor, not high
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val d2 = VectorOps.dot(col("embedding"), col("embedding")) -
+      lit(2.0) * VectorOps.dot(col("embedding"), col("qe")) +
+      VectorOps.dot(col("qe"), col("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id").asc)
+    val bf = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = SimilarityOps.annIvfPq(spark, sf0001)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivfpq).size.toDouble / bf.size
+    assert(recall >= 0.05, s"recall was $recall")
+    assert(ivfpq.map(_._1).size == 10, "every query must return results")
   }
 
   test("LSH ANN recall vs brute force is meaningful on real data") {

@@ -17,6 +17,36 @@ class VectorExprSpec extends SparkTestBase {
     assert(diff.count() == 0, "native and HOF dot must agree bitwise")
   }
 
+  test("native vec_sub is bit-identical to the zip_with formulation") {
+    import graft.functions.VectorFunctions.vec_sub
+    val e = Tables.embeddings(spark, sf0001).limit(200)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib") && col("ib") < col("ia") + 3)
+    val hof = zip_with(col("ea"), col("eb"),
+      (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+    val diff = pairs.select(
+        vec_sub(col("ea"), col("eb")).as("native"), hof.as("hof"))
+      .where(col("native") =!= col("hof")) // exact array comparison
+    assert(diff.count() == 0, "native and HOF residual must agree bitwise")
+  }
+
+  test("native vec_sub null semantics: dimension mismatch and null element → null") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_sub
+    val df = Seq(
+      (Some(Seq(1.5f, 2.0f)), Some(Seq(0.5f, 1.0f))),
+      (Some(Seq(1.0f)), Some(Seq(1.0f, 2.0f))), // length mismatch
+      (None, Some(Seq(1.0f))),                  // null side
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])),
+    ).toDF("a", "b")
+    val got = df.select(vec_sub(col("a"), col("b"))).collect()
+    assert(got(0).getSeq[Float](0) == Seq(1.0f, 1.0f))
+    assert(got(1).isNullAt(0), "length mismatch must be null, not a partial diff")
+    assert(got(2).isNullAt(0))
+    assert(got(3).getSeq[Float](0).isEmpty)
+  }
+
   test("native dot handles nulls and empty arrays") {
     import spark.implicits._
     val df = Seq(
