@@ -418,6 +418,61 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ----------------------------------------------------- persisted IVF index
+  /** Persist the trained IVF index for ONLINE probing: the K centroids
+    * plus the inverted lists written PARTITIONED BY LIST (`cl`) — a probe
+    * that joins on a handful of probed cl values scans only those
+    * partitions' files (partition pruning), which is the persisted-index
+    * analogue of q_snap_neardup's band index: index-build cost is paid
+    * once, each query batch pays only its probed share of the corpus.
+    * Mirrors buildSnapNearDupIndex's lifecycle (unpersist once both
+    * writes complete — no reliance on the harnesses' clearCache loop). */
+  def buildAnnIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e).cache()
+    try {
+      centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/centroids")
+      assign(e, centroids)
+        .withColumn("nrm", VectorOps.norm(col("embedding")))
+        .write.mode("overwrite").partitionBy("cl")
+        .parquet(s"$indexDir/lists")
+    } finally centroids.unpersist()
+  }
+
+  /** Probe a [[buildAnnIndex]] index with an arbitrary query frame
+    * (query_id, qe) — the SAME probe+rank tail as [[annIvf]], minus the
+    * self-exclusion (online queries are not corpus rows; an intake that
+    * probes with a corpus vector WANTS the exact match back, cos ≈ 1).
+    * Batch-shaped on purpose: the streaming intake calls it per
+    * micro-batch via foreachBatch (StreamingOps.annIntakeStream), where
+    * each batch is a plain DataFrame and the rank window is legal. */
+  def annIndexProbe(spark: SparkSession, indexDir: String,
+      queries: DataFrame): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val lists = spark.read.parquet(s"$indexDir/lists")
+    val q = queries.select(col("query_id"), col("qe"),
+      VectorOps.norm(col("qe")).as("nq"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cl").asc)
+    val probes = q.join(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("nq"), col("cl"),
+        VectorOps.cosine(col("qe"), col("centroid")).as("csim"))
+      .withColumn("prank", row_number().over(wq))
+      .where(col("prank") <= IvfProbes)
+      .select(col("query_id"), col("qe"), col("nq"), col("cl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(probes).join(lists, Seq("cl"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.cosinePrenorm(col("qe"), col("embedding"),
+          col("nq"), col("nrm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+  }
+
   // ------------------------------------------------------------ IVF-PQ (IVFADC)
   /** IVF-PQ residual index — the IVFADC architecture (Jégou et al. 2011;
     * FAISS `IVFx,PQy`) every at-scale ANN deployment actually runs: the

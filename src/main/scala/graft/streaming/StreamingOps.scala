@@ -375,6 +375,33 @@ object StreamingOps {
     * RocksDB-backed it is the smallest state in the pipeline; a
     * TTL-bounded variant is `dropDuplicatesWithinWatermark` on an
     * ingest-time column when history can be windowed. */
+  /** ONLINE ANN retrieval — the streaming half of the similarity family:
+    * query vectors arrive as a stream, each micro-batch probes the
+    * PERSISTED trained IVF index (SimilarityOps.buildAnnIndex — centroids
+    * + cl-partitioned inverted lists) and appends its top-k to `outPath`.
+    *
+    * foreachBatch, not a stream-static join + window: per-query top-k
+    * needs a rank over the candidate set, which streaming plans forbid —
+    * inside foreachBatch each batch is a plain DataFrame, so the probe is
+    * the SAME batch operator (annIndexProbe) the offline path uses; batch
+    * and stream literally cannot disagree. Per batch the work is the
+    * online-serving shape: the query set broadcasts, only the probed
+    * list partitions are scanned (partition pruning on cl), nothing
+    * corpus-sized shuffles. Checkpointing makes the intake restartable;
+    * parquet append is idempotent per epoch like the other sinks. */
+  def annIntakeStream(queryStream: DataFrame, indexDir: String,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.SimilarityOps
+          .annIndexProbe(batch.sparkSession, indexDir, batch)
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   def curationIntakeStream(docs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.{rolling_hash31, word_ngrams}
     val t = split(col("text"), " ")

@@ -10,6 +10,7 @@ import graft.streaming.StreamingOps
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
+case class QVec(query_id: Long, qe: Seq[Float])
 case class OInfo(o_orderkey: Long, o_ts: Timestamp, o_totalprice: Double)
 case class ODet(l_orderkey: Long, l_ts: Timestamp, l_extendedprice: Double)
 
@@ -516,5 +517,40 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.size == streamed.toSet.size, "stream emits one doc per fp")
     assert(batch.size == batch.toSet.size, "batch keeps one doc per fp")
     assert(batch.nonEmpty, "the gate must accept a nonempty corpus subset")
+  }
+
+  test("online ANN intake: streamed probes of the persisted IVF index equal the batch probe; exact match returns itself") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_").toString
+    SimilarityOps.buildAnnIndex(spark, sf0001, s"$tmp/index")
+    def corpusVec(id: Long): Seq[Float] = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") === id).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val (v3, v7, v11) = (corpusVec(3), corpusVec(7), corpusVec(11))
+    val in = MemoryStream[QVec]
+    val q = StreamingOps.annIntakeStream(in.toDF(), s"$tmp/index",
+      s"$tmp/out", s"$tmp/ckpt")
+    in.addData(QVec(1001L, v3))                       // batch 1
+    q.processAllAvailable()
+    in.addData(QVec(1002L, v7), QVec(1003L, v11))     // batch 2
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+    // a probe WITH a corpus vector must get that vector back at cos ≈ 1
+    // (this is what an online intake dedup thresholds on)
+    val top1 = got.where(col("query_id") === 1001L && col("rank") === 1L)
+      .select("neighbor_id", "cos_sim").collect()(0)
+    assert(top1.getLong(0) == 3L, s"exact match must be top-1, got $top1")
+    assert(top1.getDouble(1) > 0.999999)
+    // stream and batch share annIndexProbe — results must be identical
+    val batchQ = Seq((1001L, v3), (1002L, v7), (1003L, v11)).toDF("query_id", "qe")
+    val batch = SimilarityOps.annIndexProbe(spark, s"$tmp/index", batchQ)
+    assert(rowsOf(got.orderBy("query_id", "rank")) ==
+      rowsOf(batch.orderBy("query_id", "rank")),
+      "per-micro-batch probe must equal the batch probe")
+    assert(got.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L), "top-5 per query")
   }
 }
