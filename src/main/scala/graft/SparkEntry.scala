@@ -45,7 +45,8 @@ object SparkEntry {
     "q_retention", "q_semdedup", "q_minhash_lsh", "q_simhash",
     "q_contrastive_pairs",
     "q_snap_neardup", "q_ann_bruteforce",
-    "q_pagerank", "q_bpe_train", "q_bpe_encode", "q_ann_lsh", "q_dup_components",
+    "q_pagerank", "q_bpe_train", "q_bpe_encode", "q_bpe_fertility",
+    "q_ann_lsh", "q_dup_components",
     "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf", "q_ann_ivfpq",
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)

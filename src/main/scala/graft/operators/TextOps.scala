@@ -600,6 +600,82 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------- BPE fertility
+  /** Tokenizer-fertility audit: per (source, lang), how efficiently the
+    * learned BPE vocabulary encodes that slice — words, characters,
+    * emitted tokens, tokens-per-word (fertility) and chars-per-token
+    * (compression). The number a tokenizer team watches per language:
+    * high fertility on a language means its text pays more sequence
+    * length per word than the training mix intended (the multilingual
+    * fairness metric), and a source whose compression suddenly drops is
+    * a data-quality signal (encoding junk, wrong language, markup).
+    *
+    * Same encode chain as [[bpeEncode]] (merge table folded into the
+    * plan as literal chained replaces — map-side over words), aggregated
+    * at the bounded (source, lang) grain instead of per-doc: one
+    * corpus-grain scan, one bounded-key aggregation. The ratios are
+    * single double divisions of exact longs — deterministic and
+    * oracle-replayable. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = learnBpeMerges(spark, dir)
+    val enc0 = concat(lit("/"), array_join(split(col("w"), ""), "//"), lit("/"))
+    val encFinal = merges.sortBy(_._1).foldLeft(enc0) { case (e, (_, a, b, _)) =>
+      call_function("replace", e, lit(s"/$a//$b/"), lit(s"/$a$b/"))
+    }
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), explode(tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2 && !col("w").contains("/"))
+      .select(col("source"), col("lang"),
+        length(col("w")).cast("long").as("wc"), encFinal.as("enc"))
+      .select(col("source"), col("lang"), col("wc"),
+        split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("wc")).as("sum_chars"),
+        sum(size(col("s")).cast("long")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words"))
+      .withColumn("chars_per_token",
+        col("sum_chars").cast("double") / col("n_tokens"))
+      .orderBy("source", "lang")
+  }
+
+  /** DuckDB replay of [[bpeFertility]] — the shared trainer CTE chain,
+    * an encode chain carrying (source, lang, word chars), and the same
+    * exact-long aggregates + double divisions. */
+  private def bpeFertilitySql: String = {
+    val encChain = (1 to BpeTrainSteps).map { i =>
+      s"""f$i AS (
+           SELECT source, lang, wc,
+                  CASE WHEN a IS NULL THEN enc
+                       ELSE replace(enc, '/'||a||'//'||b||'/', '/'||a||b||'/')
+                  END AS enc
+           FROM f${i - 1} LEFT JOIN b$i ON TRUE)"""
+    }.mkString(",\n         ")
+    s"""WITH $bpeChainCtes,
+         f0 AS (
+           SELECT source, lang, length(w) AS wc,
+                  '/' || array_to_string(string_split(w, ''), '//') || '/' AS enc
+           FROM (SELECT source, lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE length(w) >= 2 AND w NOT LIKE '%/%'),
+         $encChain,
+         fsyms AS (
+           SELECT source, lang, wc,
+                  string_split(substr(enc, 2, length(enc) - 2), '//') AS s
+           FROM f$BpeTrainSteps),
+         agg AS (
+           SELECT source, lang,
+                  CAST(count(*) AS BIGINT) AS n_words,
+                  CAST(sum(wc) AS BIGINT) AS sum_chars,
+                  CAST(sum(len(s)) AS BIGINT) AS n_tokens
+           FROM fsyms GROUP BY source, lang)
+         SELECT source, lang, n_words, sum_chars, n_tokens,
+                CAST(n_tokens AS DOUBLE) / n_words AS fertility,
+                CAST(sum_chars AS DOUBLE) / n_tokens AS chars_per_token
+         FROM agg ORDER BY source, lang"""
+  }
+
   // --------------------------------------------------------------- bigram LM
   /** The "clean reference" training partition for [[bigramLm]] — the role
     * Wikipedia plays in CCNet: the LM is trained on a trusted slice and
@@ -752,6 +828,7 @@ object TextOps {
     "q_bpe_encode" -> (bpeEncode _),
     "q_pii_profile" -> (piiProfile _),
     "q_bigram_lm" -> (bigramLm _),
+    "q_bpe_fertility" -> (bpeFertility _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -780,6 +857,7 @@ object TextOps {
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_bigram_lm" -> bigramLmSql,
+    "q_bpe_fertility" -> bpeFertilitySql,
     "q_zscore" ->
       """WITH s AS (
            SELECT source, count(*) AS n, sum(n_chars) AS s1,
