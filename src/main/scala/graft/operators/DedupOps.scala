@@ -538,10 +538,19 @@ object DedupOps {
     * (spec-asserted): the probe join on the string band key matches
     * exactly the raw-tuple band equality. */
   def snapshotNearDupProbe(spark: SparkSession, dir: String,
+      indexTable: String, sigTable: String): DataFrame =
+    snapNearDupProbeOf(spark,
+      Tables.documents(spark, dir).where(pmod(col("doc_id"), lit(10)) >= 8),
+      indexTable, sigTable)
+
+  /** [[snapshotNearDupProbe]] for an ARBITRARY batch frame (doc_id, text,
+    * source) — the entry point the streaming intake probes through
+    * (StreamingOps.nearDupIntakeStream): per-doc results depend only on
+    * (doc, persisted index), so any partition of the batch stream probes
+    * to exactly the rows the one-shot batch probe would produce. */
+  def snapNearDupProbeOf(spark: SparkSession, batch: DataFrame,
       indexTable: String, sigTable: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val batch = Tables.documents(spark, dir)
-      .where(pmod(col("doc_id"), lit(10)) >= 8)
     val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
     val bsig = minhashSignaturesWith(shingles(batch), base)
       .drop("source").cache() // probe keys + the batch scoring side

@@ -418,6 +418,67 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------------------ recall audit
+  /** RECALL@k AUDIT of the LSH index against the exact baseline — the
+    * per-build quality gate a production ANN deployment runs before
+    * switching traffic to a new index: per query, how many of the true
+    * top-k survive in the approximate top-k. Self-measuring (both sides
+    * are this engine's own registered operators), deterministic (both
+    * sides are), and the oracle replays BOTH chains — so the driver
+    * hash-checks not just each index but the measurement itself. The
+    * corpus-grain cost is one exact pass + one LSH pass; the join/agg
+    * run at the queries×k grain. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    bf.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .orderBy("query_id")
+  }
+
+  // ------------------------------------------------------------- IVF health
+  /** Quantization grid for the [[ivfStats]] cosine moments (2^20 ticks —
+    * same grid as the centroid training; a raw double mean would be
+    * partition-order-dependent and unverifiable). */
+  private val CosScale = 1048576.0
+
+  /** INDEX-HEALTH AUDIT of the trained IVF quantizer: per inverted list,
+    * its occupancy and how well the centroid represents it (mean and
+    * worst cosine of members to their centroid). The numbers an ANN
+    * operations team monitors per index build: skewed occupancy means
+    * probe cost varies wildly by query (hot lists), a low mean cosine
+    * means the coarse quantizer under-fits (K too small / training
+    * drifted), and the min flags outlier members whose residuals the PQ
+    * codebook will quantize badly. Mean via EXACT integer moments
+    * (cosines quantized to the 2^20 grid, long sums — order-free,
+    * replayable); min is exact without accumulation. One assignment pass
+    * (bounded centroid broadcast) + one bounded-key aggregation. */
+  def ivfStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e).cache()
+    val q = round(
+      VectorOps.cosine(col("embedding"), col("centroid")).cast("double")
+        * lit(CosScale)).cast("long")
+    assign(e, centroids)
+      .join(broadcast(centroids), Seq("cl"))
+      .select(col("cl"), q.as("qc"))
+      .groupBy("cl")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qc")).as("s1"),
+        min(col("qc")).as("qmin"))
+      .select(col("cl"), col("n_vecs"),
+        (col("s1").cast("double") / col("n_vecs") / lit(CosScale))
+          .as("mean_cos"),
+        (col("qmin").cast("double") / lit(CosScale)).as("min_cos"))
+      .orderBy("cl")
+  }
+
   // ----------------------------------------------------- persisted IVF index
   /** Persist the trained IVF index for ONLINE probing: the K centroids
     * plus the inverted lists written PARTITIONED BY LIST (`cl`) — a probe
@@ -813,6 +874,8 @@ object SimilarityOps {
     "q_ann_pq" -> (annPq _),
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_ann_topk_agg" -> (annTopKAgg _),
+    "q_ivf_stats" -> (ivfStats _),
+    "q_ann_recall" -> (annRecall _),
   )
 
   /** GENERATED from ScoreWeights so the literal can't drift. The weights
@@ -1028,6 +1091,26 @@ object SimilarityOps {
          WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replay of [[ivfStats]] off the shared quantizer chain:
+    * members' cosines to their OWN final centroid, quantized to the same
+    * 2^20 grid, long-summed (order-free), one division shape-identical
+    * to the Spark side. */
+  private val IvfStatsSql: String =
+    s"""WITH $IvfChainCtes,
+         mc AS (
+           SELECT l.cl,
+                  CAST(round(list_cosine_similarity(
+                         CAST(ee.embedding AS DOUBLE[]),
+                         CAST(c.centroid AS DOUBLE[])) * $CosScale)
+                       AS BIGINT) AS qc
+           FROM lists l
+           JOIN e ee USING (vec_id)
+           JOIN c1 c USING (cl))
+         SELECT cl, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(sum(qc) AS DOUBLE) / count(*) / $CosScale AS mean_cos,
+                CAST(min(qc) AS DOUBLE) / $CosScale AS min_cos
+         FROM mc GROUP BY cl ORDER BY cl"""
+
   /** DuckDB replay of [[annIvfPq]] — the full trained IVFADC pipeline:
     * the shared coarse-quantizer chain ([[IvfChainCtes]]: integer-moment
     * centroids, cosine-argmax assignment), the residual step (IEEE
@@ -1218,11 +1301,47 @@ object SimilarityOps {
          WHERE rank <= $TopK ORDER BY query_id, rank"""
   }
 
+  /** Shared by q_ann_bruteforce, q_ann_topk_agg (same rows by design)
+    * and the q_ann_recall reference side. */
+  private val AnnBruteForceSql: String =
+    """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+         s AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])) AS cos_sim
+           FROM q, embeddings e WHERE e.vec_id != q.query_id)
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM s)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** DuckDB replay of [[annRecall]]: both chains as CTEs (a CTE body may
+    * carry its own WITH), then the same left-join hit count. */
+  private val AnnRecallSql: String =
+    s"""WITH bf AS ($AnnBruteForceSql),
+         lsh AS ($AnnLshSql)
+         SELECT b.query_id,
+                CAST(count(*) AS BIGINT) AS n_true,
+                CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                  AS recall
+         FROM bf b
+         LEFT JOIN lsh l
+           ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY b.query_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> AnnLshSql,
+    "q_ann_recall" -> AnnRecallSql,
     "q_ann_ivf" -> AnnIvfSql,
     "q_ann_pq" -> AnnPqSql,
     "q_ann_ivfpq" -> AnnIvfPqSql,
+    "q_ivf_stats" -> IvfStatsSql,
     "q_semdedup" -> SemDedupSql,
     // division shapes mirror the Spark expressions exactly (s1/n/scale,
     // s2/n - (s1/n)^2) so the doubles are bit-identical
@@ -1269,36 +1388,10 @@ object SimilarityOps {
                 CAST(list_aggregate(qs, 'min') AS BIGINT) AS q_min,
                 CAST(list_aggregate(qs, 'max') AS BIGINT) AS q_max
          FROM q ORDER BY vec_id""",
-    "q_ann_bruteforce" ->
-      """WITH q AS (
-           SELECT vec_id AS query_id, embedding AS qe
-           FROM embeddings WHERE vec_id < 10),
-         s AS (
-           SELECT q.query_id, e.vec_id AS neighbor_id,
-                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
-                                         CAST(e.embedding AS DOUBLE[])) AS cos_sim
-           FROM q, embeddings e WHERE e.vec_id != q.query_id)
-         SELECT query_id, rank, neighbor_id, cos_sim FROM (
-           SELECT *, row_number() OVER (
-             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-           FROM s)
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_ann_bruteforce" -> AnnBruteForceSql,
     // the aggregate formulation must produce exactly the window
     // formulation's rows — same oracle text
-    "q_ann_topk_agg" ->
-      """WITH q AS (
-           SELECT vec_id AS query_id, embedding AS qe
-           FROM embeddings WHERE vec_id < 10),
-         s AS (
-           SELECT q.query_id, e.vec_id AS neighbor_id,
-                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
-                                         CAST(e.embedding AS DOUBLE[])) AS cos_sim
-           FROM q, embeddings e WHERE e.vec_id != q.query_id)
-         SELECT query_id, rank, neighbor_id, cos_sim FROM (
-           SELECT *, row_number() OVER (
-             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-           FROM s)
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_ann_topk_agg" -> AnnBruteForceSql,
     // every SimilarityOps query now carries a full DuckDB twin — the
     // trained indexes became replayable once centroid/codebook means went
     // order-free (integer moments) and the ADC sum got a fixed order.

@@ -375,6 +375,33 @@ object StreamingOps {
     * RocksDB-backed it is the smallest state in the pipeline; a
     * TTL-bounded variant is `dropDuplicatesWithinWatermark` on an
     * ingest-time column when history can be windowed. */
+  /** ONLINE NEAR-DUP intake — the streaming half of the snapshot dedup:
+    * documents arrive as a stream; each micro-batch derives ITS OWN
+    * MinHash signatures (batch-proportional work) and probes the
+    * PERSISTED corpus band index (DedupOps.buildSnapNearDupIndex — the
+    * plan-asserted shuffle-free-on-persisted-sides probe), appending
+    * each doc's best corpus partner to `outPath`. This is the signal the
+    * curation intake (curationIntakeStream) declared downstream: exact
+    * dedup runs in-stream on the content fingerprint, corpus-grain
+    * NEAR-dup runs here against the index. foreachBatch for the same
+    * reason as annIntakeStream: the per-doc best-partner rank needs a
+    * window, and sharing the batch operator makes stream≡batch a
+    * property, not a test hope. Per-doc results depend only on
+    * (doc, index), so any micro-batch partitioning of the stream yields
+    * exactly the one-shot batch probe's rows. */
+  def nearDupIntakeStream(docStream: DataFrame, indexTable: String,
+      sigTable: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.DedupOps
+          .snapNearDupProbeOf(batch.sparkSession, batch, indexTable, sigTable)
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** ONLINE ANN retrieval — the streaming half of the similarity family:
     * query vectors arrive as a stream, each micro-batch probes the
     * PERSISTED trained IVF index (SimilarityOps.buildAnnIndex — centroids

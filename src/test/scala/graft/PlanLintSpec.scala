@@ -42,17 +42,22 @@ class PlanLintSpec extends SparkTestBase {
   //  - q_bigram_lm: 1-row reference-vocabulary count (the add-one
   //    smoothing denominator V)
   //  - q_rfm / q_wau: 1-row max-date aggregate (recency anchor / window clip)
-  //  - q_semdedup / x_semdedup_scaled: the same packed single-row
-  //    centroid broadcast as q_ann_ivf (map-side cluster assignment)
+  //  - q_semdedup / x_semdedup_scaled / q_ivf_stats: the same packed
+  //    single-row centroid broadcast as q_ann_ivf (map-side cluster
+  //    assignment; the stats op audits that same trained quantizer)
   //  - q_perceptron / q_threshold_sweep: the 1-row weight frame broadcast
   //    into each unrolled gradient iteration (the in-engine trainer's
   //    scalar attach); the sweep adds a 1-row total-positives attach
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
     "x_ann_pq256", "q_ann_ivfpq", "x_ann_ivfpq256",
+    // q_ann_recall composes q_ann_bruteforce + q_ann_lsh, so it carries
+    // their whitelisted broadcast-query-set shapes
+    "q_ann_recall",
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_bigram_lm",
     "q_rfm", "q_wau",
-    "q_semdedup", "x_semdedup_scaled", "q_perceptron", "q_threshold_sweep",
+    "q_semdedup", "x_semdedup_scaled", "q_ivf_stats",
+    "q_perceptron", "q_threshold_sweep",
     "q_dataset_card")
 
   // bench-only fast-path aliases (x_*) are linted alongside the registry:

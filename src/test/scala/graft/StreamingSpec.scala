@@ -553,4 +553,48 @@ class StreamingSpec extends SparkTestBase {
     assert(got.groupBy("query_id").count().collect()
       .forall(_.getLong(1) == 5L), "top-5 per query")
   }
+
+  test("online near-dup intake: streamed micro-batches probing the persisted band index equal the one-shot batch probe") {
+    import graft.operators.DedupOps
+    // persisted corpus index (same build as SnapIndexSpec, fresh tables)
+    spark.sql("DROP TABLE IF EXISTS intake_band_idx")
+    spark.sql("DROP TABLE IF EXISTS intake_sig")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("intake_band_idx", "intake_sig").foreach { t =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) rm(loc)
+    }
+    DedupOps.buildSnapNearDupIndex(spark, sf0001, "intake_band_idx", "intake_sig")
+    spark.catalog.clearCache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndintake_").toString
+    // play the batch slice (doc_id%10 >= 8) as a 2-micro-batch stream:
+    // route the file stream through a pass-through so rows arrive in two
+    // maxFilesPerTrigger batches
+    val batchDocs = Tables.documents(spark, sf0001)
+      .where(pmod(col("doc_id"), lit(10)) >= 8)
+    batchDocs.where(col("doc_id") % 2 === 0)
+      .write.parquet(s"$tmp/in/part_a.parquet")
+    batchDocs.where(col("doc_id") % 2 === 1)
+      .write.parquet(s"$tmp/in/part_b.parquet")
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/in/*")
+    val q = StreamingOps.nearDupIntakeStream(stream,
+      "intake_band_idx", "intake_sig", s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.toSeq).toSet
+    val oneShot = DedupOps.snapshotNearDupProbe(
+        spark, sf0001, "intake_band_idx", "intake_sig")
+      .collect().map(_.toSeq).toSet
+    assert(oneShot.nonEmpty, "fixture corpus must produce near-dup probes")
+    assert(streamed == oneShot,
+      "micro-batch partitioning must not change any doc's best partner")
+  }
 }
