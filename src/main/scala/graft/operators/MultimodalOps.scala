@@ -135,6 +135,58 @@ object MultimodalOps {
   /** Target shard payload bytes (WebDataset-style tar shards would use
     * ~100 MB–1 GB; small here so the verify SFs produce multiple shards). */
   val ShardBytes = 65536L
+  /** Resize target: longest side after resize (the CLIP/ViT-style
+    * preprocessing budget). Never upscale. */
+  val ResizeMaxSide = 224L
+
+  /** RESIZE PLAN for image assets: the output geometry each image gets
+    * under an aspect-preserving max-side-224 policy — the planning half
+    * of the resize stage (the pixel work is the stub decoder's job; WHAT
+    * to decode into is this). Integer arithmetic only (scaled dims are
+    * `(side·224) DIV max_side`, floored, clamped to ≥1), so the plan is
+    * engine-replayable and deterministic; pure map-side over the asset
+    * scan — the 100 TB shape is a narrow projection that never touches
+    * payload bytes. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir).where(col("modality") === "image")
+      .select(col("asset_id"), col("width"), col("height"),
+        greatest(col("width"), col("height")).as("max_side"))
+      .withColumn("out_w",
+        when(col("max_side") <= ResizeMaxSide, col("width"))
+          .otherwise(greatest(lit(1L),
+            expr(s"(width * $ResizeMaxSide) DIV max_side"))))
+      .withColumn("out_h",
+        when(col("max_side") <= ResizeMaxSide, col("height"))
+          .otherwise(greatest(lit(1L),
+            expr(s"(height * $ResizeMaxSide) DIV max_side"))))
+      .withColumn("scaled", col("max_side") > ResizeMaxSide)
+      .orderBy("asset_id")
+
+  /** Frame-sampling budget: at most this many frames per video. */
+  val MaxFrames = 16L
+
+  /** FRAME-SAMPLE PLAN for video assets: which timestamps to sample
+    * (uniform, ≤[[MaxFrames]], at least one) and WHICH BYTE OFFSET of
+    * the payload each maps to — at 100 TB frame sampling is first an
+    * I/O plan (which byte ranges to fetch from object storage) before it
+    * is a decode. All integer arithmetic (`(idx·duration) DIV n`,
+    * proportional byte offset with a zero-duration guard), replayable;
+    * the explode fans out ≤16 rows per asset — bounded, map-side. */
+  def framePlan(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir).where(col("modality") === "video")
+      .select(col("asset_id"), col("duration_ms"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .withColumn("n_frames",
+        expr(s"least($MaxFrames, duration_ms DIV 1000 + 1)"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1)))
+      .withColumn("t_ms", expr("(frame_idx * duration_ms) DIV n_frames"))
+      .withColumn("byte_offset",
+        expr("(t_ms * byte_len) DIV greatest(duration_ms, 1)"))
+      .select(col("asset_id"), col("n_frames"), col("frame_idx"),
+        col("t_ms"), col("byte_offset"))
+      .orderBy("asset_id", "frame_idx")
+
   /** Manifest volume width: shards are scoped per (modality, volume =
     * asset_id DIV width), so the packing window never sorts more than one
     * volume on one task — the same per-scope parallelization as
@@ -171,6 +223,8 @@ object MultimodalOps {
     "q_mm_features" -> (featureStats _),
     "q_mm_feature_ann" -> (featureAnn _),
     "q_mm_shards" -> (shardManifest _),
+    "q_mm_resize" -> (resizePlan _),
+    "q_mm_frames" -> (framePlan _),
   )
 
   /** DuckDB replay of [[featureAnn]] — GENERATED over the FeatureDim bins
@@ -218,6 +272,42 @@ object MultimodalOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_mm_feature_ann" -> FeatureAnnSql,
+    // integer resize plan: same DIV/greatest/CASE arithmetic both engines
+    "q_mm_resize" ->
+      s"""WITH i AS (
+           SELECT doc_id AS asset_id,
+                  n_chars % 640 + 1 AS width,
+                  n_chars % 480 + 1 AS height
+           FROM documents WHERE doc_id % 3 = 0),
+         m AS (SELECT *, greatest(width, height) AS max_side FROM i)
+         SELECT asset_id, width, height, max_side,
+                CASE WHEN max_side <= $ResizeMaxSide THEN width
+                     ELSE greatest(1, (width * $ResizeMaxSide) // max_side)
+                END AS out_w,
+                CASE WHEN max_side <= $ResizeMaxSide THEN height
+                     ELSE greatest(1, (height * $ResizeMaxSide) // max_side)
+                END AS out_h,
+                max_side > $ResizeMaxSide AS scaled
+         FROM m ORDER BY asset_id""",
+    // integer frame plan: uniform timestamps + proportional byte offsets
+    "q_mm_frames" ->
+      s"""WITH v AS (
+           SELECT doc_id AS asset_id,
+                  n_chars * 40 AS duration_ms,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+           FROM documents WHERE doc_id % 3 = 2),
+         f AS (
+           SELECT asset_id, duration_ms, byte_len,
+                  least($MaxFrames, duration_ms // 1000 + 1) AS n_frames
+           FROM v),
+         g AS (
+           SELECT asset_id, n_frames, CAST(u.i AS BIGINT) AS frame_idx,
+                  (u.i * duration_ms) // n_frames AS t_ms,
+                  duration_ms, byte_len
+           FROM f, unnest(generate_series(0, n_frames - 1)) AS u(i))
+         SELECT asset_id, n_frames, frame_idx, t_ms,
+                (t_ms * byte_len) // greatest(duration_ms, 1) AS byte_offset
+         FROM g ORDER BY asset_id, frame_idx""",
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id,
                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
