@@ -14,6 +14,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Hook FIRST — before the SparkSession even starts building: a kill
+    // during JVM/Spark BOOT (which stretches to tens of seconds on a
+    // loaded host — a round-9 kill drill at t=25 s under a concurrent
+    // gate produced silence) must still emit a parseable contract line.
+    // The fallback deliberately references no session state; Spark's own
+    // logs go to stderr, so the stdout contract line stays clean.
+    // installEmitter swaps in the real state-reading emitter once the
+    // loop state exists.
+    emit = () => if (emitted.compareAndSet(false, true)) {
+      println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"failures":0,"failed":[],"skipped":${SparkEntry.queries.size + SparkEntry.benchExtras.size},"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(), "bench-emit"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -25,15 +38,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Hook FIRST, fallback emitter: a kill during warm-up (pre-loop) must
-    // still produce a parseable contract line, not silence. installEmitter
-    // swaps in the real state-reading emitter once the loop state exists.
-    emit = () => if (emitted.compareAndSet(false, true)) {
-      try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
-      println(s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"failures":0,"failed":[],"skipped":${SparkEntry.queries.size + SparkEntry.benchExtras.size},"sf":"$sfDir"}""")
-      System.out.flush()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(), "bench-emit"))
     // Warm-up against the benched dataset: touch every table's footers
     // (metadata count) so no query pays first-touch IO for a table the
     // others didn't, plus one real query for JIT/codegen warm-up.

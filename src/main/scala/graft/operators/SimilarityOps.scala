@@ -501,6 +501,25 @@ object SimilarityOps {
     } finally centroids.unpersist()
   }
 
+  /** INCREMENTAL index maintenance: append a batch of new vectors to a
+    * [[buildAnnIndex]] index WITHOUT retraining — assign them against the
+    * PERSISTED centroids (the quantizer stays fixed between retrains,
+    * the standard production pattern: new data joins existing lists;
+    * retrain when [[ivfStats]] says the coarse fit drifted). Per batch
+    * the work is batch-proportional: one map-side assignment against the
+    * K-row persisted centroid frame, one partitioned append — the
+    * corpus-sized lists are never read or rewritten, and dynamic
+    * partition append only touches the lists the batch lands in.
+    * `batch` must carry (vec_id, embedding). */
+  def appendToAnnIndex(spark: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    assign(batch.select(col("vec_id"), col("embedding")), centroids)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .write.mode("append").partitionBy("cl")
+      .parquet(s"$indexDir/lists")
+  }
+
   /** Probe a [[buildAnnIndex]] index with an arbitrary query frame
     * (query_id, qe) — the SAME probe+rank tail as [[annIvf]], minus the
     * self-exclusion (online queries are not corpus rows; an intake that

@@ -270,6 +270,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(pq.map(_._1).size == 10, "every query must return results")
   }
 
+  test("incremental ANN index append: new vectors join the right lists and are retrieved") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 1
+      Seq.fill(64) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annappend_").toString
+    val dir = embeddingsFixture((0L until 30L).map(i => (i, vec(i.toInt), 0)))
+    SimilarityOps.buildAnnIndex(spark, dir, s"$tmp/index")
+    // append a batch WITHOUT retraining; 105 is an exact dup of corpus vec 3
+    val batch = (100L until 110L)
+      .map(i => (i, if (i == 105L) vec(3) else vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.appendToAnnIndex(spark, s"$tmp/index", batch)
+    // identical vectors argmax to the same persisted centroid → same list
+    val lists = spark.read.parquet(s"$tmp/index/lists")
+      .select("vec_id", "cl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lists.size == 40, "append must extend, not rewrite, the lists")
+    assert(lists(105L) == lists(3L), "dup must land in its twin's list")
+    // a probe with the duplicated vector retrieves BOTH copies at cos ≈ 1
+    val got = SimilarityOps
+      .annIndexProbe(spark, s"$tmp/index", Seq((9003L, vec(3))).toDF("query_id", "qe"))
+      .where(col("rank") <= 2).collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSet == Set(3L, 105L),
+      s"top-2 must be the twin pair, got ${got.mkString(",")}")
+    assert(got.forall(_.getAs[Double]("cos_sim") > 0.999999))
+  }
+
   test("IVF-PQ recall vs exact-L2 brute force on real data") {
     // two-stage approximation (nprobe=2 of 16 lists, then residual-PQ
     // codes): recall is bounded by how many true L2 top-5 neighbors live
