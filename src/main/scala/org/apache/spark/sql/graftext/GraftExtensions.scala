@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDot)
+    e.injectFunction(GraftExtensions.vecSub)
     e.injectFunction(GraftExtensions.topkBy)
     e.injectFunction(GraftExtensions.pairCombos)
     e.injectOptimizerRule(_ => RewriteRankOneWindow)
@@ -28,6 +29,11 @@ object GraftExtensions {
     FunctionIdentifier("vec_dot"),
     info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
     (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1)))
+
+  private[graftext] val vecSub = (
+    FunctionIdentifier("vec_sub"),
+    info("vec_sub", "vec_sub(a, b) - elementwise difference of two float arrays (the PQ residual step)"),
+    (exprs: Seq[Expression]) => FloatVectorSub(exprs(0), exprs(1)))
 
   private[graftext] val topkBy = (
     FunctionIdentifier("topk_by"),
@@ -54,6 +60,7 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDot._3, "scala_udf")
+    registry.createOrReplaceTempFunction("vec_sub", vecSub._3, "scala_udf")
     registry.createOrReplaceTempFunction("topk_by", topkBy._3, "scala_udf")
     registry.createOrReplaceTempFunction("pair_combos", pairCombos._3, "scala_udf")
   }

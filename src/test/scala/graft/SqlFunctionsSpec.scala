@@ -23,6 +23,15 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(top(2L) == Seq((0.1, 13L)))
   }
 
+  test("vec_sub is callable from SQL text") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_sub(array(cast(3.5 AS FLOAT), cast(2.0 AS FLOAT)), " +
+        "array(cast(1.0 AS FLOAT), cast(0.5 AS FLOAT))) AS r")
+      .head().getSeq[Float](0)
+    assert(got == Seq(2.5f, 1.5f))
+  }
+
   test("pair_combos is callable from SQL text") {
     GraftExtensions.register(spark)
     val got = spark.sql(
@@ -51,6 +60,7 @@ class SqlFunctionsSpec extends SparkTestBase {
     val reg = spark.sessionState.functionRegistry
     GraftExtensions.register(spark)
     assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+    assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_sub")))
     assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by")))
   }
 }
