@@ -52,7 +52,7 @@ object SparkEntry {
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)
     "x_minhash_lsh_fast", "x_simhash_fast", "x_semdedup_scaled",
-    "x_ann_pq256", "x_ann_ivfpq256")
+    "x_ann_pq256", "x_ann_ivfpq256", "x_bigram_lm_fixedref")
 
   /** BENCH-ONLY aliases: the xxhash64 production fast paths of the
     * near-dup operators. The registered `q_minhash_lsh` / `q_simhash`
@@ -77,7 +77,13 @@ object SparkEntry {
     "x_ann_pq256" -> ((s, d) => SimilarityOps.annPqProduction(s, d)),
     // production K=256 residual codebook for the IVFADC index (registered
     // q_ann_ivfpq pins K=16 for the same unrolled-CTE reason)
-    "x_ann_ivfpq256" -> ((s, d) => SimilarityOps.annIvfPqProduction(s, d)))
+    "x_ann_ivfpq256" -> ((s, d) => SimilarityOps.annIvfPqProduction(s, d)),
+    // fixed-reference bigram LM: trains on the UNREPLICATED reference
+    // slice — the production shape (fixed reference, growing corpus) the
+    // registered query's N× slope can't show because make_scaled
+    // replicates the reference too; row-identical to q_bigram_lm on any
+    // unreplicated corpus (spec-pinned)
+    "x_bigram_lm_fixedref" -> ((s, d) => TextOps.bigramLmFixedRef(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -710,17 +710,43 @@ object TextOps {
     * reference, but AQE gets to decide from runtime sizes, not us); V is
     * the one genuine 1-row scalar attach. The bigram stream is cached:
     * both model aggregations and the scoring join consume it. */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmWith(spark, dir, col("source") === LmRef)
+
+  /** Replica-key ceiling of the scaled corpora (tools/make_scaled.py
+    * offsets copy i's keys by i·10^12): `doc_id < ReplicaOffset` selects
+    * the ORIGINAL rows inside any replicated corpus, and everything at
+    * an unreplicated SF. */
+  private val ReplicaOffset = 1000000000000L
+
+  /** BENCH-ONLY production shape of [[bigramLm]] (`x_bigram_lm_fixedref`):
+    * train the model on the UNREPLICATED reference slice only. On a real
+    * pipeline the reference corpus (the Wikipedia role) is fixed-size
+    * while the scored corpus grows — the registered query's N× slope
+    * conflates the two because make_scaled replicates the reference
+    * along with everything else. Row-identical to [[bigramLm]] on any
+    * unreplicated corpus (spec-pinned), so it needs no oracle of its
+    * own; at N× it measures the shape production actually runs. */
+  def bigramLmFixedRef(spark: SparkSession, dir: String): DataFrame =
+    bigramLmWith(spark, dir,
+      col("source") === LmRef && col("doc_id") < ReplicaOffset)
+
+  /** `isRef` may reference only `source` and `doc_id` (the columns the
+    * shared bigram frame carries). */
+  private def bigramLmWith(spark: SparkSession, dir: String,
+      isRef: Column): DataFrame = {
     import graft.functions.VectorFunctions.word_ngrams
     val d = Tables.documents(spark, dir)
     val bg = d.select(col("doc_id"), col("source"),
         explode(word_ngrams(tokens(col("text")), 2)).as("bg"))
       .withColumn("ctx", element_at(split(col("bg"), " "), 1))
       .cache()
-    val ref = bg.where(col("source") === LmRef)
+    // isRef references only (source, doc_id) — both ride the bg frame, so
+    // the model side is a FILTER on the shared cached scan, never a join
+    val ref = bg.where(isRef)
     val bgc = ref.groupBy("bg").agg(count(lit(1)).as("cb"))
     val cc = ref.groupBy("ctx").agg(count(lit(1)).as("cctx"))
-    val vocab = d.where(col("source") === LmRef)
+    val vocab = d.where(isRef)
       .select(explode(tokens(col("text"))).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
     def fl2(c: Column): Column = length(bin(c)) - 1

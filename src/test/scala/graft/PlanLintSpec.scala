@@ -39,8 +39,8 @@ class PlanLintSpec extends SparkTestBase {
   //    each key's share
   //  - q_copurchase_lift: 1-row total-order count (the lift denominator N)
   //  - q_surprisal: 1-row total-token count (the log2 N term)
-  //  - q_bigram_lm: 1-row reference-vocabulary count (the add-one
-  //    smoothing denominator V)
+  //  - q_bigram_lm / x_bigram_lm_fixedref: 1-row reference-vocabulary
+  //    count (the add-one smoothing denominator V)
   //  - q_rfm / q_wau: 1-row max-date aggregate (recency anchor / window clip)
   //  - q_semdedup / x_semdedup_scaled / q_ivf_stats: the same packed
   //    single-row centroid broadcast as q_ann_ivf (map-side cluster
@@ -55,7 +55,7 @@ class PlanLintSpec extends SparkTestBase {
     // their whitelisted broadcast-query-set shapes
     "q_ann_recall",
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_bigram_lm",
-    "q_rfm", "q_wau",
+    "x_bigram_lm_fixedref", "q_rfm", "q_wau",
     "q_semdedup", "x_semdedup_scaled", "q_ivf_stats",
     "q_perceptron", "q_threshold_sweep",
     "q_dataset_card")

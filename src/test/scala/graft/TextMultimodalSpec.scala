@@ -188,4 +188,14 @@ class TextMultimodalSpec extends SparkTestBase {
       (3L, 1L, 1L, 1L, 3L, true),
       (4L, 0L, 0L, 0L, 0L, false)))
   }
+
+  test("fixed-ref bigram LM equals the registered form on an unreplicated corpus") {
+    // every doc_id at a plain SF sits below the replica offset, so the
+    // fixed-reference filter is a no-op there — the bench alias may
+    // diverge ONLY on replicated corpora (where it trains on the
+    // original reference slice alone, the production shape)
+    val a = TextOps.bigramLm(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = TextOps.bigramLmFixedRef(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }
