@@ -172,6 +172,32 @@ object PipelineOps {
         md5(concat_ws(" ", col("c"))).as("chunk_fp"))
   }
 
+  /** INTRA-document repetition dedup report — the within-doc half of the
+    * substring-duplication story (q_chunk_shared is the cross-doc half):
+    * per document, how many 50-token chunks repeat a chunk seen EARLIER
+    * in the same document, and how many tokens that repetition covers —
+    * the "remove repeated spans inside a document" step of substring
+    * dedup (Lee et al. 2022 apply it within documents as well as
+    * across). Keep-first semantics via a rank over (doc, fp): occurrence
+    * 1 is the canonical, later ones are removable. One shuffle at the
+    * (doc_id, chunk_fp) grain — chunk fingerprints never pair-join. The
+    * driver corpus has few natural intra-doc repeats (dup columns are
+    * honest zeros there); the semantics are carried by a planted
+    * repeated-span spec. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "chunk_fp").orderBy("chunk_idx")
+    docChunks(spark, dir)
+      .withColumn("occ", row_number().over(w))
+      .withColumn("is_dup", col("occ") > 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("is_dup"), col("n_chunk_tokens")).otherwise(0L))
+          .as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Source-mixture rebalancing by sqrt temperature scaling — the
     * multilingual-corpus trick (keep probability ∝ sqrt(n_min/n_s)) that
     * upweights small sources without discarding most of the big ones.
@@ -669,6 +695,7 @@ object PipelineOps {
     "q_curation" -> (curation _),
     "q_mixture_resample" -> (mixtureResample _),
     "q_chunk_docs" -> (chunkDocs _),
+    "q_chunk_dedup" -> (chunkDedup _),
     "q_split_assign" -> (splitAssign _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_importance_sample" -> (importanceSample _),
@@ -774,6 +801,34 @@ object PipelineOps {
                 len(chunk) AS n_chunk_tokens,
                 md5(array_to_string(chunk, ' ')) AS chunk_fp
          FROM c ORDER BY doc_id, chunk_idx""",
+    // same chunk CTE, then keep-first rank per (doc, fp)
+    "q_chunk_dedup" ->
+      """WITH s AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (
+           SELECT doc_id, t, start_tok FROM (
+             SELECT doc_id, t, unnest(generate_series(1, len(t), 40)) AS start_tok
+             FROM s)
+           WHERE start_tok = 1 OR start_tok + 10 <= len(t)),
+         c AS (
+           SELECT doc_id,
+                  CAST((start_tok - 1) // 40 AS BIGINT) AS chunk_idx,
+                  len(t[start_tok : start_tok + 49]) AS n_chunk_tokens,
+                  md5(array_to_string(t[start_tok : start_tok + 49], ' '))
+                    AS chunk_fp
+           FROM st),
+         d AS (
+           SELECT doc_id, n_chunk_tokens,
+                  row_number() OVER (
+                    PARTITION BY doc_id, chunk_fp ORDER BY chunk_idx) AS occ
+           FROM c)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_chunks,
+                CAST(sum(CASE WHEN occ > 1 THEN n_chunk_tokens ELSE 0 END)
+                     AS BIGINT) AS dup_tokens
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
     "q_mixture_resample" ->
       """WITH counts AS (
            SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

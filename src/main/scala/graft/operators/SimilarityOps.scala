@@ -585,14 +585,29 @@ object SimilarityOps {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
     annIvfPqWith(Tables.embeddings(spark, dir), PqK)
 
+  /** Deterministic training-subset modulus for the production codebook:
+    * codebooks train on vec_id ≡ 0 (mod 4) — 1/4 of the corpus — and
+    * encode EVERYTHING. This is how production PQ actually trains
+    * (FAISS recommends ~10k-100k training points per codebook
+    * regardless of corpus size: Lloyd iterations converge on a sample;
+    * the full pass is only the encode). The modulus keeps the sample
+    * deterministic and partition-independent — no RNG, replayable. */
+  private val PqTrainSampleMod = 4
+
   /** PRODUCTION-CODEBOOK bench alias (`x_ann_ivfpq256`): K=256 codes per
     * subspace over the residuals (the registered q_ann_ivfpq pins K=16
     * because its unrolled DuckDB training CTE grows with K — same split
-    * as q_ann_pq / x_ann_pq256). */
+    * as q_ann_pq / x_ann_pq256), trained on the deterministic 1/4
+    * subset ([[PqTrainSampleMod]]) — at corpus scale the K-proportional
+    * training term is the index-build bottleneck and a sample-trained
+    * codebook is the standard remedy. Exact duplicates still encode
+    * identically (the encode is over the FULL corpus with one shared
+    * codebook), so planted-dup retrieval is unaffected — spec-pinned. */
   def annIvfPqProduction(spark: SparkSession, dir: String): DataFrame =
-    annIvfPqWith(Tables.embeddings(spark, dir), 256)
+    annIvfPqWith(Tables.embeddings(spark, dir), 256, PqTrainSampleMod)
 
-  private def annIvfPqWith(e: DataFrame, k: Int): DataFrame = {
+  private def annIvfPqWith(e: DataFrame, k: Int,
+      trainSampleMod: Int = 1): DataFrame = {
     val centroids = ivfCentroids(e).cache()
     // corpus residuals vs the OWN list's centroid — map-side (bounded
     // K-row centroid broadcast); cached: codebook training reads it
@@ -603,7 +618,16 @@ object SimilarityOps {
         graft.functions.VectorFunctions
           .vec_sub(col("embedding"), col("centroid")).as("embedding"))
       .cache()
-    val codebook = pqCodebookK(resid.select("vec_id", "embedding"), k).cache()
+    // codebooks train on the (possibly sampled) subset; the ENCODE below
+    // always covers the full corpus with the one shared codebook. The
+    // sampled ids are divided back down so the deterministic mod-K init
+    // still seeds EVERY code (multiples of the modulus alone would only
+    // ever init gcd(mod,K)-spaced codes).
+    val trainSet =
+      if (trainSampleMod <= 1) resid
+      else resid.where(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
+        .withColumn("vec_id", (col("vec_id") / trainSampleMod).cast("long"))
+    val codebook = pqCodebookK(trainSet.select("vec_id", "embedding"), k).cache()
     // (vec_id, cl, m, code): the stored index — codes partitioned by list
     val codes = pqAssign(subvectors(resid), codebook)
       .select(col("vec_id"), col("cl"), col("m"), col("code"))

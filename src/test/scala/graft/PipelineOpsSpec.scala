@@ -152,4 +152,16 @@ class PipelineOpsSpec extends SparkTestBase {
       .where(col("props_scrubbed").rlike("[0-9]"))
     assert(bad.count() == 0)
   }
+
+  test("chunk dedup: planted repeated span counted keep-first; distinct doc untouched") {
+    // doc 1: one token repeated 130× → chunks at 1/41/81 share one fp —
+    // first is canonical, the later two are removable (2 dups, 100 toks);
+    // doc 2: 130 distinct tokens → same chunk count, zero dups
+    val dir = documentsFixture(Seq(
+      (1L, Seq.fill(130)("w").mkString(" "), "en", "s0"),
+      (2L, (1 to 130).map("t" + _).mkString(" "), "en", "s0")))
+    val got = PipelineOps.chunkDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 2L, 100L), (2L, 3L, 0L, 0L)))
+  }
 }
