@@ -48,7 +48,7 @@ object SparkEntry {
     "q_pagerank", "q_bpe_train", "q_bpe_encode", "q_bpe_fertility",
     "q_ann_lsh", "q_dup_components",
     "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf", "q_ann_ivfpq",
-    "q_ivf_stats", "q_ann_recall",
+    "q_ivf_stats", "q_ann_recall", "q_ivfpq_recall",
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)
     "x_minhash_lsh_fast", "x_simhash_fast", "x_semdedup_scaled",

@@ -442,6 +442,39 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** RECALL@k AUDIT of the IVFADC index ([[annIvfPq]]) against the
+    * exact-L2 baseline — same shape as [[annRecall]] but for the
+    * production two-stage index, whose losses come from two separate
+    * approximations (coarse pruning: a true neighbor in an unprobed
+    * list; ADC: quantization error pushing it off the shortlist). The
+    * oracle replays the exact baseline AND the whole trained IVFADC
+    * chain, so the quality number for the flagship index is itself
+    * driver-hash-checked. */
+  def annIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val d2 = VectorOps.dot(col("embedding"), col("embedding")) -
+      lit(2.0) * VectorOps.dot(col("embedding"), col("qe")) +
+      VectorOps.dot(col("qe"), col("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val bf = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annIvfPq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    bf.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .orderBy("query_id")
+  }
+
   // ------------------------------------------------------------- IVF health
   /** Quantization grid for the [[ivfStats]] cosine moments (2^20 ticks —
     * same grid as the centroid training; a raw double mean would be
@@ -919,6 +952,7 @@ object SimilarityOps {
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_ivf_stats" -> (ivfStats _),
     "q_ann_recall" -> (annRecall _),
+    "q_ivfpq_recall" -> (annIvfPqRecall _),
   )
 
   /** GENERATED from ScoreWeights so the literal can't drift. The weights
@@ -1378,9 +1412,44 @@ object SimilarityOps {
            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
          GROUP BY b.query_id ORDER BY b.query_id"""
 
+  /** DuckDB replay of [[annIvfPqRecall]]: the exact-L2 top-k baseline
+    * and the ENTIRE trained IVFADC chain as CTEs, then the left-join hit
+    * count. */
+  private val AnnIvfPqRecallSql: String =
+    s"""WITH bf AS (
+           WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                      FROM embeddings WHERE vec_id < $NumQueries),
+             s AS (
+               SELECT q.query_id, e.vec_id AS neighbor_id,
+                      list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))
+                      - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(q.qe AS DOUBLE[]))
+                      + list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                         CAST(q.qe AS DOUBLE[])) AS d2
+               FROM q, embeddings e WHERE e.vec_id != q.query_id)
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank
+             FROM s)
+           WHERE rank <= $TopK),
+         ap AS ($AnnIvfPqSql)
+         SELECT b.query_id,
+                CAST(count(*) AS BIGINT) AS n_true,
+                CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                  AS recall
+         FROM bf b
+         LEFT JOIN ap a
+           ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id ORDER BY b.query_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> AnnLshSql,
     "q_ann_recall" -> AnnRecallSql,
+    "q_ivfpq_recall" -> AnnIvfPqRecallSql,
     "q_ann_ivf" -> AnnIvfSql,
     "q_ann_pq" -> AnnPqSql,
     "q_ann_ivfpq" -> AnnIvfPqSql,

@@ -51,9 +51,10 @@ class PlanLintSpec extends SparkTestBase {
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
     "x_ann_pq256", "q_ann_ivfpq", "x_ann_ivfpq256",
-    // q_ann_recall composes q_ann_bruteforce + q_ann_lsh, so it carries
-    // their whitelisted broadcast-query-set shapes
-    "q_ann_recall",
+    // q_ann_recall / q_ivfpq_recall compose the exact baseline with the
+    // LSH / IVFADC chains, so they carry those whitelisted
+    // broadcast-query-set and packed-centroid/codebook shapes
+    "q_ann_recall", "q_ivfpq_recall",
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_bigram_lm",
     "x_bigram_lm_fixedref", "q_rfm", "q_wau",
     "q_semdedup", "x_semdedup_scaled", "q_ivf_stats",
