@@ -543,7 +543,12 @@ object SimilarityOps {
     * K-row persisted centroid frame, one partitioned append — the
     * corpus-sized lists are never read or rewritten, and dynamic
     * partition append only touches the lists the batch lands in.
-    * `batch` must carry (vec_id, embedding). */
+    * `batch` must carry (vec_id, embedding).
+    *
+    * Replay caveat: a plain parquet append is NOT idempotent — a caller
+    * that may retry a batch must wrap this in the same epoch discipline
+    * the streaming sinks use (foreachBatch with a checkpoint, or a
+    * per-batch subdirectory committed atomically). */
   def appendToAnnIndex(spark: SparkSession, indexDir: String,
       batch: DataFrame): Unit = {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
