@@ -600,6 +600,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------- feature hashing
+  /** Hashed-vector dimensionality for [[hashEmbed]]. */
+  private val HashDim = 64
+
+  /** Feature-hashing document vectors (the hashing trick, Weinberger et
+    * al. 2009): each token maps to a bucket by a portable content hash
+    * and the document's vector is the bucket-count histogram — the
+    * deterministic, vocabulary-free featurization that turns raw text
+    * into the `embeddings`-style vectors the similarity family consumes
+    * (no trained vocabulary to ship, collisions absorbed by dimension
+    * count). Output is LONG-FORM (doc_id, dim, tf) — the sparse
+    * representation a 100 TB pipeline stores (zero buckets carry no
+    * rows), and the gate needs no array comparisons. One explode + one
+    * (doc, dim)-grain aggregation; the md5-prefix bucket is the same
+    * portable hash the split/shard assignments use, so DuckDB replays it
+    * byte-for-byte. */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % HashDim).as("dim"))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "dim")
+
   // ----------------------------------------------------------- BPE fertility
   /** Tokenizer-fertility audit: per (source, lang), how efficiently the
     * learned BPE vocabulary encodes that slice — words, characters,
@@ -855,6 +881,7 @@ object TextOps {
     "q_pii_profile" -> (piiProfile _),
     "q_bigram_lm" -> (bigramLm _),
     "q_bpe_fertility" -> (bpeFertility _),
+    "q_hash_embed" -> (hashEmbed _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -884,6 +911,13 @@ object TextOps {
     "q_bpe_encode" -> bpeEncodeSql,
     "q_bigram_lm" -> bigramLmSql,
     "q_bpe_fertility" -> bpeFertilitySql,
+    "q_hash_embed" ->
+      """SELECT doc_id,
+                ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+                count(*) AS tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY 1, 2 ORDER BY doc_id, dim""",
     "q_zscore" ->
       """WITH s AS (
            SELECT source, count(*) AS n, sum(n_chars) AS s1,
