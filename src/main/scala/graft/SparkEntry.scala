@@ -44,6 +44,11 @@ object SparkEntry {
     // multi-stage shape that balloons first when the host degrades
     "q_retention", "q_semdedup", "q_minhash_lsh", "q_simhash",
     "q_contrastive_pairs",
+    // not intrinsically slow, but their in-run/standalone ratio exceeded
+    // 3x twice across rounds (host-degradation magnets: many-exchange
+    // broadcast-join pipelines) — run them in the slow tail so a sys-CPU
+    // storm lands on one measurement, not the middle of the fast sweep
+    "q_order_wide_full", "q_cdc_route",
     "q_snap_neardup", "q_ann_bruteforce",
     "q_pagerank", "q_bpe_train", "q_bpe_encode", "q_bpe_fertility",
     "q_ann_lsh", "q_dup_components",

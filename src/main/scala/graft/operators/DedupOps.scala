@@ -549,7 +549,28 @@ object DedupOps {
     * (doc, persisted index), so any partition of the batch stream probes
     * to exactly the rows the one-shot batch probe would produce. */
   def snapNearDupProbeOf(spark: SparkSession, batch: DataFrame,
-      indexTable: String, sigTable: String): DataFrame = {
+      indexTable: String, sigTable: String): DataFrame =
+    snapNearDupProbeFrames(spark, batch, indexTable, sigTable)._2
+
+  /** [[snapNearDupProbeOf]] driven through a terminal `write`, with the
+    * per-batch signature cache released once the write completes — the
+    * entry point long-running STREAMING callers must use
+    * (StreamingOps.nearDupIntakeStream): the batch/harness path is swept
+    * by the harnesses' clearCache loop, but a stream invoking the probe
+    * per micro-batch has no such sweep, so per-batch cached signature
+    * frames would accumulate for the stream's lifetime. */
+  def snapNearDupProbeWrite(spark: SparkSession, batch: DataFrame,
+      indexTable: String, sigTable: String)(write: DataFrame => Unit): Unit = {
+    val (bsig, out) = snapNearDupProbeFrames(spark, batch, indexTable, sigTable)
+    try write(out) finally bsig.unpersist()
+  }
+
+  /** The probe dataflow plus the cached batch-signature frame backing it,
+    * so callers can choose the cache lifecycle ([[snapNearDupProbeOf]]
+    * leaves it to the harness sweep; [[snapNearDupProbeWrite]] unpersists
+    * after its terminal write). */
+  private def snapNearDupProbeFrames(spark: SparkSession, batch: DataFrame,
+      indexTable: String, sigTable: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
     val bsig = minhashSignaturesWith(shingles(batch), base)
@@ -567,7 +588,7 @@ object DedupOps {
       .reduce(_ + _)
     val w = Window.partitionBy("batch_id")
       .orderBy(col("n_matching").desc, col("corpus_id"))
-    cand
+    val out = cand
       .join(sigA, col("batch_id") === col("sa"))
       .join(sigB, col("corpus_id") === col("sb"))
       .select(col("batch_id"), col("corpus_id"), nMatch.as("n_matching"))
@@ -577,6 +598,7 @@ object DedupOps {
       .select(col("batch_id"), col("corpus_id"), col("n_matching"),
         (col("n_matching").cast("double") / NumPerm).as("est_jaccard"))
       .orderBy("batch_id")
+    (bsig, out)
   }
 
   /** DuckDB replay of [[snapshotNearDup]] — generated from the same

@@ -912,8 +912,8 @@ object TextOps {
     "q_bigram_lm" -> bigramLmSql,
     "q_bpe_fertility" -> bpeFertilitySql,
     "q_hash_embed" ->
-      """SELECT doc_id,
-                ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+      s"""SELECT doc_id,
+                ('0x' || substr(md5(tok), 1, 8))::BIGINT % $HashDim AS dim,
                 count(*) AS tf
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                FROM documents)

@@ -388,15 +388,26 @@ object StreamingOps {
     * window, and sharing the batch operator makes stream≡batch a
     * property, not a test hope. Per-doc results depend only on
     * (doc, index), so any micro-batch partitioning of the stream yields
-    * exactly the one-shot batch probe's rows. */
+    * exactly the one-shot batch probe's rows.
+    *
+    * Sink discipline: each epoch lands in its own `epoch=<batchId>`
+    * partition via dynamic partition overwrite — a replayed micro-batch
+    * (checkpoint rollback, at-least-once recovery) REWRITES its own
+    * partition instead of appending duplicate rows (plain parquet append
+    * is not idempotent; same rule as upsertByPartitionSink). The probe
+    * runs through [[graft.operators.DedupOps.snapNearDupProbeWrite]] so
+    * the per-batch signature cache is released after each epoch — a
+    * long-running stream has no harness clearCache loop to lean on. */
   def nearDupIntakeStream(docStream: DataFrame, indexTable: String,
       sigTable: String, outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.DedupOps
-          .snapNearDupProbeOf(batch.sparkSession, batch, indexTable, sigTable)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.DedupOps.snapNearDupProbeWrite(
+          batch.sparkSession, batch, indexTable, sigTable) { out =>
+            graft.operators.ScaleOps.overwriteByPartition(
+              out.withColumn("epoch", lit(batchId)), "epoch", outPath)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -414,16 +425,21 @@ object StreamingOps {
     * and stream literally cannot disagree. Per batch the work is the
     * online-serving shape: the query set broadcasts, only the probed
     * list partitions are scanned (partition pruning on cl), nothing
-    * corpus-sized shuffles. Checkpointing makes the intake restartable;
-    * parquet append is idempotent per epoch like the other sinks. */
+    * corpus-sized shuffles. Checkpointing makes the intake restartable,
+    * and each epoch lands in its own `epoch=<batchId>` partition via
+    * dynamic partition overwrite — a replayed micro-batch rewrites its
+    * partition instead of appending duplicates (plain parquet append is
+    * NOT idempotent; same discipline as upsertByPartitionSink). */
   def annIntakeStream(queryStream: DataFrame, indexDir: String,
       outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.SimilarityOps
-          .annIndexProbe(batch.sparkSession, indexDir, batch)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.ScaleOps.overwriteByPartition(
+          graft.operators.SimilarityOps
+            .annIndexProbe(batch.sparkSession, indexDir, batch)
+            .withColumn("epoch", lit(batchId)),
+          "epoch", outPath)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

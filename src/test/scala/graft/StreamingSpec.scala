@@ -537,7 +537,9 @@ class StreamingSpec extends SparkTestBase {
     in.addData(QVec(1002L, v7), QVec(1003L, v11))     // batch 2
     q.processAllAvailable()
     q.stop()
-    val got = spark.read.parquet(s"$tmp/out")
+    // epoch=<batchId> is the sink's idempotence partition (a replayed
+    // micro-batch rewrites its own partition) — not probe output
+    val got = spark.read.parquet(s"$tmp/out").drop("epoch")
     // a probe WITH a corpus vector must get that vector back at cos ≈ 1
     // (this is what an online intake dedup thresholds on)
     val top1 = got.where(col("query_id") === 1001L && col("rank") === 1L)
@@ -588,7 +590,7 @@ class StreamingSpec extends SparkTestBase {
       "intake_band_idx", "intake_sig", s"$tmp/out", s"$tmp/ckpt")
     q.processAllAvailable()
     q.stop()
-    val streamed = spark.read.parquet(s"$tmp/out")
+    val streamed = spark.read.parquet(s"$tmp/out").drop("epoch")
       .collect().map(_.toSeq).toSet
     val oneShot = DedupOps.snapshotNearDupProbe(
         spark, sf0001, "intake_band_idx", "intake_sig")
