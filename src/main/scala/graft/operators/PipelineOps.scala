@@ -148,28 +148,89 @@ object PipelineOps {
   def chunkDocs(spark: SparkSession, dir: String): DataFrame =
     docChunks(spark, dir).orderBy("doc_id", "chunk_idx")
 
-  /** The unordered chunk frame behind [[chunkDocs]] — also the input to
-    * the cross-document repeated-chunk detection in [[DedupOps]]. */
-  private[operators] def docChunks(spark: SparkSession, dir: String): DataFrame = {
-    val ChunkTokens = 50
-    val Stride = 40 // = ChunkTokens - 10 overlap
+  /** Chunk geometry shared by [[docChunks]] and [[chunkScrub]]. */
+  private val ChunkTokens = 50
+  private val ChunkStride = 40 // = ChunkTokens - 10 overlap
+
+  /** The filtered (doc_id, t, start_tok) start frame every chunk view
+    * derives from — one definition, so the fingerprint chain and the
+    * scrub apply-step can't disagree on what a chunk is. */
+  private def chunkStarts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), size(col("t")), lit(Stride))).as("start_tok"))
+        explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("start_tok"))
       // a trailing start whose chunk would add <= overlap new tokens is
       // fully contained in the previous chunk — emitting it injects pure
       // duplicate content into the chunk stream, so drop it (the previous
       // chunk already covers through start+overlap-1 >= n)
       .where(col("start_tok") === 1 ||
-        col("start_tok") + (ChunkTokens - Stride) <= size(col("t")))
+        col("start_tok") + (ChunkTokens - ChunkStride) <= size(col("t")))
+
+  /** The unordered chunk frame behind [[chunkDocs]] — also the input to
+    * the cross-document repeated-chunk detection in [[DedupOps]]. */
+  private[operators] def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkStarts(spark, dir)
       .select(col("doc_id"),
-        ((col("start_tok") - 1) / Stride).cast("long").as("chunk_idx"),
+        ((col("start_tok") - 1) / ChunkStride).cast("long").as("chunk_idx"),
         col("start_tok").cast("long").as("start_tok"),
         slice(col("t"), col("start_tok"), lit(ChunkTokens)).as("c"))
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         size(col("c")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("c"))).as("chunk_fp"))
+
+  /** SUBSTRING-DEDUP APPLY STEP — the action MassiveText/RefinedWeb take
+    * after detection: rewrite each document with its repeated ≥50-token
+    * spans REMOVED, keeping the globally-first occurrence ([[chunkDocs]]
+    * detects; q_chunk_shared/q_chunk_dedup report; this one produces the
+    * scrubbed corpus). An occurrence is a duplicate iff some occurrence
+    * of the same chunk fingerprint exists at a strictly smaller
+    * (doc_id, chunk_idx) — the same keep-first convention as every other
+    * dedup apply in the engine (min-id canonicals), covering both the
+    * cross-document case (doc B repeats doc A's passage) and the
+    * intra-document case (a passage repeated later in the same doc).
+    *
+    * Reconstruction: overlapping chunks partition each document into
+    * OWNED spans (a chunk owns its first stride's tokens; the last chunk
+    * owns through end-of-doc — the trailing-start filter guarantees the
+    * spans tile the token array exactly), so the scrubbed text is the
+    * ordered concatenation of the kept chunks' owned spans. All native
+    * exprs: array_sort(collect_list(struct))·getField·flatten — no
+    * interpreted lambdas at corpus grain.
+    *
+    * Scale shape: canonical-per-fingerprint via groupBy-min (map-side
+    * partial combine — a boilerplate chunk shared by 10⁶ docs is one
+    * aggregate row, never a window partition), one fp-keyed join back
+    * (1:1 row-preserving), one doc-grain aggregation to reassemble.
+    * Output is corpus-sized by definition — it IS the scrubbed corpus. */
+  def chunkScrub(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkStarts(spark, dir)
+      .select(col("doc_id"),
+        ((col("start_tok") - 1) / ChunkStride).cast("long").as("chunk_idx"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("start_tok"), lit(ChunkTokens)))).as("chunk_fp"),
+        // owned span: my stride's tokens; as the last kept chunk (nothing
+        // starts after me iff start+ChunkTokens > n), through end-of-doc
+        slice(col("t"), col("start_tok"),
+          when(col("start_tok") + ChunkTokens > size(col("t")),
+            size(col("t")) - col("start_tok") + 1)
+            .otherwise(lit(ChunkStride))).as("owned"))
+    val canon = chunks.groupBy("chunk_fp")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("canon"))
+    val marked = chunks.join(canon, Seq("chunk_fp"))
+      .withColumn("is_dup",
+        struct(col("doc_id"), col("chunk_idx")) =!= col("canon"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(size(col("owned")).cast("long")).as("n_tokens"),
+        sum(when(!col("is_dup"), size(col("owned")).cast("long"))
+          .otherwise(0L)).as("n_kept_tokens"),
+        concat_ws(" ", flatten(
+          array_sort(collect_list(when(!col("is_dup"),
+            struct(col("chunk_idx"), col("owned")))))
+            .getField("owned"))).as("scrub_text"))
+      .orderBy("doc_id")
   }
 
   /** INTRA-document repetition dedup report — the within-doc half of the
@@ -696,6 +757,7 @@ object PipelineOps {
     "q_mixture_resample" -> (mixtureResample _),
     "q_chunk_docs" -> (chunkDocs _),
     "q_chunk_dedup" -> (chunkDedup _),
+    "q_chunk_scrub" -> (chunkScrub _),
     "q_split_assign" -> (splitAssign _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_importance_sample" -> (importanceSample _),
@@ -828,6 +890,42 @@ object PipelineOps {
                   AS n_dup_chunks,
                 CAST(sum(CASE WHEN occ > 1 THEN n_chunk_tokens ELSE 0 END)
                      AS BIGINT) AS dup_tokens
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
+    // same chunk CTE; keep-first = rank 1 over (doc_id, chunk_idx) per fp
+    // (identical to Spark's min-struct canonical — the order is total);
+    // owned spans tile each doc, scrubbed text = ordered kept-span concat
+    "q_chunk_scrub" ->
+      """WITH s AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (
+           SELECT doc_id, t, start_tok FROM (
+             SELECT doc_id, t, unnest(generate_series(1, len(t), 40)) AS start_tok
+             FROM s)
+           WHERE start_tok = 1 OR start_tok + 10 <= len(t)),
+         c AS (
+           SELECT doc_id,
+                  CAST((start_tok - 1) // 40 AS BIGINT) AS chunk_idx,
+                  md5(array_to_string(t[start_tok : start_tok + 49], ' '))
+                    AS chunk_fp,
+                  CASE WHEN start_tok + 50 > len(t)
+                       THEN t[start_tok : len(t)]
+                       ELSE t[start_tok : start_tok + 39] END AS owned
+           FROM st),
+         d AS (
+           SELECT doc_id, chunk_idx, owned,
+                  row_number() OVER (
+                    PARTITION BY chunk_fp ORDER BY doc_id, chunk_idx) AS rn
+           FROM c)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_chunks,
+                CAST(sum(len(owned)) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN rn = 1 THEN len(owned) ELSE 0 END) AS BIGINT)
+                  AS n_kept_tokens,
+                COALESCE(string_agg(
+                  CASE WHEN rn = 1 THEN array_to_string(owned, ' ') END,
+                  ' ' ORDER BY chunk_idx), '') AS scrub_text
          FROM d GROUP BY doc_id ORDER BY doc_id""",
     "q_mixture_resample" ->
       """WITH counts AS (

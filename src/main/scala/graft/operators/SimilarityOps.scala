@@ -938,14 +938,46 @@ object SimilarityOps {
 
   def semDeDupScaled(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val k = math.max(IvfK,
-      math.ceil(e.count() / SemDedupOccupancy.toDouble).toInt)
+    val k = scaledSemDedupK(e)
     if (k <= TwoLevelK) semDeDupWithK(e, k)
     else clusterScopedDedup(assignTwoLevel(e, k))
   }
 
+  /** The corpus-scaled cluster count every scale-path SemDeDup derives
+    * from: K = max([[IvfK]], ⌈n / [[SemDedupOccupancy]]⌉). The count is
+    * index-build-time sizing (one columnless scan), not a dataflow
+    * collect — the same role AQE's runtime statistics play. */
+  private[operators] def scaledSemDedupK(e: DataFrame): Int =
+    math.max(IvfK, math.ceil(e.count() / SemDedupOccupancy.toDouble).toInt)
+
+  /** REGISTERED production-scale SemDeDup (round-9 verdict item #1):
+    * corpus-scaled K through the TWO-LEVEL quantizer, INSIDE the driver
+    * oracle gate. Always the coarse-fine shape — the same algorithm at
+    * every corpus size — so ONE oracle replays it everywhere: the
+    * blocker that kept the scaled shape bench-only was thought to be
+    * the data-dependent K, but only the LLOYD STEPS need static
+    * unrolling; K itself is just arithmetic in the init assignment, so
+    * DuckDB computes n, K, K1, K2 in scalar CTEs (count/ceil/sqrt are
+    * IEEE-exact in both engines) and unrolls the same two training
+    * chains (coarse at K1; K2 children within each cell, argmax scoped
+    * to the own cell by integer division on the composite id).
+    *
+    * vs [[semDeDup]] (K=16 flat — kept registered as the
+    * small-K reference shape): the within-cluster pair join here stays
+    * O(n·occupancy) as the corpus grows, and the assignment stays
+    * O(n·√K) — the measured 100× behavior in SCALING.md. Cluster-scoped
+    * dedup at a coarser K splits some >τ pairs across clusters (Abbas
+    * et al. 2023 accept exactly this); exact replicas are immune for
+    * ANY centroid set (identical vectors take identical argmax
+    * decisions at both levels — spec-pinned). */
+  def semDeDupScaledChecked(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    clusterScopedDedup(assignTwoLevel(e, scaledSemDedupK(e)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semdedup" -> (semDeDup _),
+    "q_semdedup_scaled" -> (semDeDupScaledChecked _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_label_centroids" -> (labelCentroids _),
     "q_embed_score" -> (embedScore _),
@@ -1071,6 +1103,95 @@ object SimilarityOps {
          SELECT l.vec_id, l.cl FROM lists l
          WHERE l.vec_id NOT IN (SELECT vec_id FROM drops)
          ORDER BY vec_id"""
+
+  /** DuckDB replay of [[semDeDupScaledChecked]] — the WHOLE two-level
+    * corpus-scaled quantizer, with n/K/K1/K2 computed by the oracle
+    * itself (scalar `kq` CTE; count/ceil/sqrt are engine-exact): the
+    * coarse chain trains K1 centroids exactly like [[IvfChainCtes]],
+    * children init on the composite id cl1·K2 + vec_id mod K2, and the
+    * cell-scoped argmax restricts candidates to the own cell's children
+    * via integer division (`c.cl // k2 = r.cl1` — DuckDB `//` == Spark
+    * `div` on the non-negative ids). Means are the order-free
+    * integer-moment replay; argmax NaN/tie order mirrors the native
+    * NearestCentroid (isnan ASC, csim DESC, cl ASC). Tail = the same
+    * within-cluster >τ drop as [[SemDedupSql]]. */
+  private def semDedupScaledSql: String = {
+    val sc = CentroidScale
+    def means(assignCte: String, out: String): String =
+      s"""${out}m AS (
+           SELECT a.cl, q0.pos,
+                  CAST(sum(q0.qv) AS DOUBLE) / count(*) / $sc AS m
+           FROM q0 JOIN $assignCte a USING (vec_id) GROUP BY 1, 2),
+         $out AS (
+           SELECT cl, list(CAST(m AS FLOAT) ORDER BY pos) AS centroid
+           FROM ${out}m GROUP BY cl)"""
+    def argmax(out: String): String =
+      s"""$out AS (
+           SELECT vec_id, cl FROM (
+             SELECT vec_id, cl, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY isnan(csim) ASC, csim DESC, cl ASC) AS rn
+             FROM ${out}s) WHERE rn = 1)"""
+    def assignTo(centCte: String, out: String): String =
+      s"""${out}s AS (
+           SELECT e.vec_id, c.cl,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) AS csim
+           FROM e, $centCte c),
+         ${argmax(out)}"""
+    def cellAssign(centCte: String, out: String): String =
+      s"""${out}s AS (
+           SELECT r.vec_id, c.cl,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) AS csim
+           FROM coarse r
+           CROSS JOIN kq
+           JOIN e ON e.vec_id = r.vec_id
+           JOIN $centCte c ON c.cl // kq.k2 = r.cl1),
+         ${argmax(out)}"""
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         kq AS (
+           SELECT k, k1,
+                  GREATEST(2, CAST(ceil(CAST(k AS DOUBLE) / k1) AS INT)) AS k2
+           FROM (
+             SELECT k,
+                    GREATEST(2, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS INT)) AS k1
+             FROM (
+               SELECT GREATEST($IvfK,
+                        CAST(ceil(CAST(count(*) AS DOUBLE)
+                                  / $SemDedupOccupancy) AS INT)) AS k
+               FROM e))),
+         q0 AS (
+           SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
+           FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
+         a0 AS (SELECT vec_id, CAST(vec_id % kq.k1 AS INT) AS cl FROM e, kq),
+         ${means("a0", "c0")},
+         ${assignTo("c0", "a1")},
+         ${means("a1", "c1")},
+         ${assignTo("c1", "a2")},
+         coarse AS (SELECT vec_id, cl AS cl1 FROM a2),
+         ci AS (
+           SELECT vec_id,
+                  CAST(cl1 * kq.k2 + (vec_id % kq.k2) AS INT) AS cl
+           FROM coarse, kq),
+         ${means("ci", "cm0")},
+         ${cellAssign("cm0", "ca1")},
+         ${means("ca1", "cm1")},
+         ${cellAssign("cm1", "lists")},
+         drops AS (
+           SELECT DISTINCT lb.vec_id
+           FROM lists la
+           JOIN lists lb ON la.cl = lb.cl AND la.vec_id < lb.vec_id
+           JOIN e a ON a.vec_id = la.vec_id
+           JOIN e b ON b.vec_id = lb.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                   > $SemDedupTau)
+         SELECT l.vec_id, l.cl FROM lists l
+         WHERE l.vec_id NOT IN (SELECT vec_id FROM drops)
+         ORDER BY vec_id"""
+  }
 
   /** DuckDB replay of [[annPq]] — the full trained pipeline: subvector
     * views, order-free integer-moment codebook training (init mod-K, one
@@ -1460,6 +1581,7 @@ object SimilarityOps {
     "q_ann_ivfpq" -> AnnIvfPqSql,
     "q_ivf_stats" -> IvfStatsSql,
     "q_semdedup" -> SemDedupSql,
+    "q_semdedup_scaled" -> semDedupScaledSql,
     // division shapes mirror the Spark expressions exactly (s1/n/scale,
     // s2/n - (s1/n)^2) so the doubles are bit-identical
     "q_label_centroids" ->

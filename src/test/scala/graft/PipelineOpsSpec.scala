@@ -164,4 +164,25 @@ class PipelineOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((1L, 3L, 2L, 100L), (2L, 3L, 0L, 0L)))
   }
+
+  test("chunk scrub: repeated spans removed keep-first; clean docs reconstruct byte-identically") {
+    val span = (1 to 50).map("a" + _).mkString(" ")     // one exact chunk
+    val clean = (1 to 130).map("t" + _).mkString(" ")   // 130 distinct tokens
+    val selfRep = Seq.fill(130)("w").mkString(" ")      // all 3 chunks same fp
+    val dir = documentsFixture(Seq(
+      (1L, span, "en", "s0"),     // canonical owner of the span
+      (2L, span, "en", "s0"),     // cross-doc dup: fully scrubbed
+      (3L, selfRep, "en", "s0"),  // intra-doc dup: keeps first chunk's stride
+      (4L, clean, "en", "s0")))   // no dups: reconstructs the original
+    val got = PipelineOps.chunkScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 50L, 50L, span),
+      (2L, 1L, 1L, 50L, 0L, ""),
+      // chunks at 1/41/81 share one fp; the canonical (idx 0) owns its
+      // 40-token stride, the two dups' spans (toks 41..130) are removed
+      (3L, 3L, 2L, 130L, 40L, Seq.fill(40)("w").mkString(" ")),
+      (4L, 3L, 0L, 130L, 130L, clean)))
+  }
 }

@@ -57,7 +57,7 @@ class PlanLintSpec extends SparkTestBase {
     "q_ann_recall", "q_ivfpq_recall",
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_bigram_lm",
     "x_bigram_lm_fixedref", "q_rfm", "q_wau",
-    "q_semdedup", "x_semdedup_scaled", "q_ivf_stats",
+    "q_semdedup", "q_semdedup_scaled", "x_semdedup_scaled", "q_ivf_stats",
     "q_perceptron", "q_threshold_sweep",
     "q_dataset_card")
 

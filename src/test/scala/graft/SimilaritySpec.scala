@@ -140,6 +140,25 @@ class SimilaritySpec extends SparkTestBase {
         s"${kept.toSeq.sorted.take(30)}")
   }
 
+  test("registered scaled semdedup: two-level at ANY size, replicas collapse, kept min-id canonicals") {
+    // the oracle-gated form runs the coarse-fine quantizer even when
+    // k=IvfK (one algorithm at every corpus size = one dynamic-K oracle);
+    // replica recall and the keep-rule must hold on a planted corpus
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 1
+      Seq.fill(64) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val rows = for (j <- 0L until 24L; c <- 0 until 100)
+      yield (j + 1000L * c, vec(j.toInt), 0)
+    val dir = embeddingsFixture(rows)
+    val kept = SimilarityOps.semDeDupScaledChecked(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 24L).toSet,
+      s"expected the 24 min-id canonicals, got ${kept.size}: " +
+        s"${kept.toSeq.sorted.take(30)}")
+  }
+
   test("scaled semdedup: the two-level quantizer path keeps replica recall") {
     // n=9600 → k=75 > TwoLevelK → coarse-fine assignment. Identical
     // vectors take identical argmax decisions at BOTH levels, so every
