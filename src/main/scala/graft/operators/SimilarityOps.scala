@@ -591,6 +591,109 @@ object SimilarityOps {
         col("neighbor_id"), col("cos_sim"))
   }
 
+  // ------------------------------------------------- index lifecycle audit
+  /** INDEX-LIFECYCLE DRIFT AUDIT — the check an ANN operations team runs
+    * after [[appendToAnnIndex]] grows a [[buildAnnIndex]] index WITHOUT
+    * retraining: did the frozen coarse quantizer absorb the new data, or
+    * has it drifted enough to warrant a rebuild? The audit replays the
+    * whole lifecycle as one deterministic dataflow (base corpus =
+    * vec_id%10<8, appended batch = the rest — the q_snap_dedup snapshot
+    * convention): centroids train on the BASE only and stay FIXED across
+    * the append (exactly what appendToAnnIndex does against the
+    * persisted centroid frame), and the output reports, per inverted
+    * list, occupancy before/after the append (hot-list skew growth —
+    * probe cost variance) and the mean member cosine to the centroid
+    * before/after (coarse-fit drift: falling means the quantizer
+    * under-fits the grown corpus), plus two scalar columns: probe
+    * recall@k against the exact baseline BEFORE and AFTER (did
+    * unretrained growth actually hurt retrieval?). recall_after <<
+    * recall_before is the retrain trigger.
+    *
+    * Scale shape: every corpus-grain step is one map-side pass — the
+    * assignment argmax against the packed single-row centroid broadcast
+    * ([[assign]]) and the exact baseline against the broadcast query set
+    * (the stated O(n·q) audit cost, same as q_ann_recall); aggregations
+    * key on cl (K-bounded) or query_id (query-bounded). The two recall
+    * scalars attach via the whitelisted 1-row crossJoin(broadcast)
+    * pattern. Mean cosines use the same 2^20 integer-moment grid as
+    * [[ivfStats]] — order-free, partition-independent, DuckDB-replayable
+    * (the oracle replays training, append, both indexes, both baselines,
+    * and both recall measurements). */
+  def indexDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val base = e.where(col("vec_id") % 10 < 8)
+    val batch = e.where(col("vec_id") % 10 >= 8)
+    val centroids = ivfCentroidsK(base, IvfK).cache()
+    val before = assign(base, centroids)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val after = before.unionByName(
+      assign(batch, centroids)
+        .withColumn("nrm", VectorOps.norm(col("embedding"))))
+    val qc = round(VectorOps.cosine(col("embedding"), col("centroid"))
+      .cast("double") * lit(CosScale)).cast("long")
+    def listStats(lists: DataFrame, suffix: String): DataFrame =
+      lists.join(broadcast(centroids), Seq("cl"))
+        .select(col("cl"), qc.as("qc"))
+        .groupBy("cl")
+        .agg(count(lit(1)).as(s"n_$suffix"), sum(col("qc")).as("s1"))
+        .select(col("cl"), col(s"n_$suffix"),
+          (col("s1").cast("double") / col(s"n_$suffix") / lit(CosScale))
+            .as(s"mean_cos_$suffix"))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.norm(col("embedding")).as("nq"))
+    def bruteTopK(corpus: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VectorOps.cosinePrenorm(col("qe"), col("embedding"),
+            col("nq"), col("nrm")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    def probeTopK(lists: DataFrame): DataFrame = {
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("csim").desc, col("cl").asc)
+      val probes = q.join(broadcast(centroids))
+        .select(col("query_id"), col("qe"), col("nq"), col("cl"),
+          VectorOps.cosine(col("qe"), col("centroid")).as("csim"))
+        .withColumn("prank", row_number().over(wq))
+        .where(col("prank") <= IvfProbes)
+        .select(col("query_id"), col("qe"), col("nq"), col("cl"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      probes.join(lists, Seq("cl"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VectorOps.cosinePrenorm(col("qe"), col("embedding"),
+            col("nq"), col("nrm")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    def recallOf(bf: DataFrame, ap: DataFrame, name: String): DataFrame =
+      bf.join(ap.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as(name))
+    centroids.select(col("cl"))
+      .join(listStats(before, "before"), Seq("cl"), "left")
+      .join(listStats(after, "after"), Seq("cl"), "left")
+      .select(col("cl"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (coalesce(col("n_after"), lit(0L)) -
+          coalesce(col("n_before"), lit(0L))).as("n_appended"),
+        col("mean_cos_before"), col("mean_cos_after"))
+      .crossJoin(broadcast(recallOf(bruteTopK(before), probeTopK(before),
+        "recall_before")))
+      .crossJoin(broadcast(recallOf(bruteTopK(after), probeTopK(after),
+        "recall_after")))
+      .orderBy("cl")
+  }
+
   // ------------------------------------------------------------ IVF-PQ (IVFADC)
   /** IVF-PQ residual index — the IVFADC architecture (Jégou et al. 2011;
     * FAISS `IVFx,PQy`) every at-scale ANN deployment actually runs: the
@@ -990,6 +1093,7 @@ object SimilarityOps {
     "q_ivf_stats" -> (ivfStats _),
     "q_ann_recall" -> (annRecall _),
     "q_ivfpq_recall" -> (annIvfPqRecall _),
+    "q_index_drift" -> (indexDrift _),
   )
 
   /** GENERATED from ScoreWeights so the literal can't drift. The weights
@@ -1314,6 +1418,140 @@ object SimilarityOps {
                 CAST(min(qc) AS DOUBLE) / $CosScale AS min_cos
          FROM mc GROUP BY cl ORDER BY cl"""
 
+  /** DuckDB replay of [[indexDrift]] — the whole lifecycle: centroids
+    * train on the base split only (same integer-moment chain as
+    * [[IvfChainCtes]] but with every training CTE scoped to `b`), the
+    * batch assigns against the FROZEN final centroids (the append), and
+    * the audit replays both per-list stats blocks (the [[IvfStatsSql]]
+    * quantized-cosine recipe) and both recall measurements (brute-force
+    * exact baseline vs the probe chain of [[AnnIvfSql]], over the
+    * before- and after-append corpora). NaN ordering as elsewhere:
+    * isnan guard on ASSIGN argmaxes only; plain windows on
+    * probe/rank. */
+  private val IndexDriftSql: String = {
+    val sc = CentroidScale
+    def means(assignCte: String, out: String): String =
+      s"""${out}m AS (
+           SELECT a.cl, q0.pos,
+                  CAST(sum(q0.qv) AS DOUBLE) / count(*) / $sc AS m
+           FROM q0 JOIN $assignCte a USING (vec_id) GROUP BY 1, 2),
+         $out AS (
+           SELECT cl, list(CAST(m AS FLOAT) ORDER BY pos) AS centroid
+           FROM ${out}m GROUP BY cl)"""
+    def assignTo(corpus: String, centCte: String, out: String): String =
+      s"""${out}s AS (
+           SELECT e.vec_id, c.cl,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) AS csim
+           FROM $corpus e, $centCte c),
+         $out AS (
+           SELECT vec_id, cl FROM (
+             SELECT vec_id, cl, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY isnan(csim) ASC, csim DESC, cl ASC) AS rn
+             FROM ${out}s) WHERE rn = 1)"""
+    def stats(listsCte: String, suffix: String): String =
+      s"""mc_$suffix AS (
+           SELECT l.cl,
+                  CAST(round(list_cosine_similarity(
+                         CAST(ee.embedding AS DOUBLE[]),
+                         CAST(c.centroid AS DOUBLE[])) * $CosScale)
+                       AS BIGINT) AS qc
+           FROM $listsCte l JOIN e ee USING (vec_id) JOIN c1 c USING (cl)),
+         st_$suffix AS (
+           SELECT cl, CAST(count(*) AS BIGINT) AS n_$suffix,
+                  CAST(sum(qc) AS DOUBLE) / count(*) / $CosScale
+                    AS mean_cos_$suffix
+           FROM mc_$suffix GROUP BY cl)"""
+    def bruteTopK(corpusCte: String, out: String): String =
+      s"""$out AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, l.vec_id AS neighbor_id,
+                    row_number() OVER (
+                      PARTITION BY q.query_id
+                      ORDER BY list_cosine_similarity(
+                                 CAST(q.qe AS DOUBLE[]),
+                                 CAST(l.embedding AS DOUBLE[])) DESC,
+                               l.vec_id ASC) AS rank
+             FROM qv q JOIN $corpusCte l ON l.vec_id != q.query_id)
+           WHERE rank <= $TopK)"""
+    def probeTopK(corpusCte: String, out: String): String =
+      s"""$out AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, l.vec_id AS neighbor_id,
+                    row_number() OVER (
+                      PARTITION BY p.query_id
+                      ORDER BY list_cosine_similarity(
+                                 CAST(q.qe AS DOUBLE[]),
+                                 CAST(l.embedding AS DOUBLE[])) DESC,
+                               l.vec_id ASC) AS rank
+             FROM probes p
+             JOIN $corpusCte l USING (cl)
+             JOIN qv q USING (query_id)
+             WHERE l.vec_id != p.query_id)
+           WHERE rank <= $TopK)"""
+    def recall(bfCte: String, apCte: String, name: String,
+        out: String): String =
+      s"""$out AS (
+           SELECT CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS $name
+           FROM $bfCte b
+           LEFT JOIN $apCte a
+             ON a.query_id = b.query_id
+            AND a.neighbor_id = b.neighbor_id)"""
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         b AS (SELECT * FROM e WHERE vec_id % 10 < 8),
+         nb AS (SELECT * FROM e WHERE vec_id % 10 >= 8),
+         q0 AS (
+           SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
+           FROM b, unnest(generate_series(1, len(embedding))) AS u(i)),
+         a0 AS (SELECT vec_id, CAST(vec_id % $IvfK AS INT) AS cl FROM b),
+         ${means("a0", "c0")},
+         ${assignTo("b", "c0", "a1")},
+         ${means("a1", "c1")},
+         ${assignTo("b", "c1", "lb")},
+         ${assignTo("nb", "c1", "ab")},
+         la AS (SELECT * FROM lb UNION ALL SELECT * FROM ab),
+         bc AS (SELECT l.vec_id, l.cl, ee.embedding
+                FROM lb l JOIN e ee USING (vec_id)),
+         ac AS (SELECT l.vec_id, l.cl, ee.embedding
+                FROM la l JOIN e ee USING (vec_id)),
+         ${stats("lb", "before")},
+         ${stats("la", "after")},
+         qv AS (SELECT vec_id AS query_id, embedding AS qe
+                FROM e WHERE vec_id < $NumQueries),
+         ps AS (
+           SELECT q.query_id, c.cl,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) AS csim
+           FROM qv q, c1 c),
+         probes AS (
+           SELECT query_id, cl FROM (
+             SELECT query_id, cl, row_number() OVER (
+               PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS prank
+             FROM ps) WHERE prank <= $IvfProbes),
+         ${bruteTopK("bc", "bfb")},
+         ${bruteTopK("ac", "bfa")},
+         ${probeTopK("bc", "apb")},
+         ${probeTopK("ac", "apa")},
+         ${recall("bfb", "apb", "recall_before", "rb")},
+         ${recall("bfa", "apa", "recall_after", "ra")}
+         SELECT c1.cl,
+                COALESCE(sb.n_before, CAST(0 AS BIGINT)) AS n_before,
+                COALESCE(sa.n_after, CAST(0 AS BIGINT)) AS n_after,
+                COALESCE(sa.n_after, CAST(0 AS BIGINT))
+                  - COALESCE(sb.n_before, CAST(0 AS BIGINT)) AS n_appended,
+                sb.mean_cos_before, sa.mean_cos_after,
+                rb.recall_before, ra.recall_after
+         FROM c1
+         LEFT JOIN st_before sb USING (cl)
+         LEFT JOIN st_after sa USING (cl)
+         CROSS JOIN rb CROSS JOIN ra
+         ORDER BY cl"""
+  }
+
   /** DuckDB replay of [[annIvfPq]] — the full trained IVFADC pipeline:
     * the shared coarse-quantizer chain ([[IvfChainCtes]]: integer-moment
     * centroids, cosine-argmax assignment), the residual step (IEEE
@@ -1580,6 +1818,7 @@ object SimilarityOps {
     "q_ann_pq" -> AnnPqSql,
     "q_ann_ivfpq" -> AnnIvfPqSql,
     "q_ivf_stats" -> IvfStatsSql,
+    "q_index_drift" -> IndexDriftSql,
     "q_semdedup" -> SemDedupSql,
     "q_semdedup_scaled" -> semDedupScaledSql,
     // division shapes mirror the Spark expressions exactly (s1/n/scale,

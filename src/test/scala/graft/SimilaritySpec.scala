@@ -159,6 +159,32 @@ class SimilaritySpec extends SparkTestBase {
         s"${kept.toSeq.sorted.take(30)}")
   }
 
+  test("index drift audit: occupancy conserved across the append; recall scalars bounded") {
+    // 200 vectors → base = 160 (vec_id%10<8), batch = 40. The audit must
+    // conserve mass (per-cl n_after = n_before + appended; totals = split
+    // sizes), report a K-row frame (one per surviving trained centroid),
+    // and attach recall scalars in [0,1] constant across rows.
+    def vec(seed: Int): Seq[Float] = {
+      var s = seed.toLong * 2654435761L + 7
+      Seq.fill(64) { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 1000) / 500.0f }
+    }
+    val rows = (0L until 200L).map(i => (i, vec(i.toInt), 0))
+    val dir = embeddingsFixture(rows)
+    val got = SimilarityOps.indexDrift(spark, dir).collect()
+    assert(got.nonEmpty && got.length <= 16)
+    assert(got.map(_.getLong(1)).sum == 160L, "sum n_before = |base|")
+    assert(got.map(_.getLong(2)).sum == 200L, "sum n_after = |corpus|")
+    got.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1), "delta consistent")
+      assert(r.getLong(3) >= 0L, "append never shrinks a list")
+    }
+    val rb = got.map(_.getDouble(6)).distinct
+    val ra = got.map(_.getDouble(7)).distinct
+    assert(rb.length == 1 && ra.length == 1, "recall scalars constant")
+    assert(rb.head >= 0.0 && rb.head <= 1.0 && ra.head >= 0.0 && ra.head <= 1.0)
+  }
+
   test("scaled semdedup: the two-level quantizer path keeps replica recall") {
     // n=9600 → k=75 > TwoLevelK → coarse-fine assignment. Identical
     // vectors take identical argmax decisions at BOTH levels, so every
