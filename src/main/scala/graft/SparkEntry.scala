@@ -58,7 +58,8 @@ object SparkEntry {
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)
     "x_minhash_lsh_fast", "x_simhash_fast", "x_semdedup_scaled",
-    "x_ann_pq256", "x_ann_ivfpq256", "x_bigram_lm_fixedref")
+    "x_ann_pq256", "x_ann_ivfpq256", "x_bigram_lm_fixedref",
+    "x_bpe_encode_big")
 
   /** BENCH-ONLY aliases: the xxhash64 production fast paths of the
     * near-dup operators. The registered `q_minhash_lsh` / `q_simhash`
@@ -89,7 +90,11 @@ object SparkEntry {
     // registered query's N× slope can't show because make_scaled
     // replicates the reference too; row-identical to q_bigram_lm on any
     // unreplicated corpus (spec-pinned)
-    "x_bigram_lm_fixedref" -> ((s, d) => TextOps.bigramLmFixedRef(s, d)))
+    "x_bigram_lm_fixedref" -> ((s, d) => TextOps.bigramLmFixedRef(s, d)),
+    // production-depth tokenizer round-trip: 48 learned merges applied as
+    // a codegen'd chained-replace encode (registered q_bpe_encode pins 3
+    // merges for the unrolled DuckDB training CTE)
+    "x_bpe_encode_big" -> ((s, d) => TextOps.bpeEncodeBig(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

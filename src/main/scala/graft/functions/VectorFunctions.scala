@@ -44,6 +44,13 @@ object VectorFunctions {
     * transform+slice+concat_ws HOF formulation). */
   def word_ngrams(tokens: Column, n: Int = 3, sep: String = " "): Column =
     org.apache.spark.sql.graftext.GramColumns.word_ngrams(tokens, n, sep)
+
+  /** Ordered literal replace chain in ONE bounded-tree node (see
+    * graftext.ChainReplace for the parity contract with the nested
+    * `replace(replace(...))` formulation and why nesting is structurally
+    * dead at production vocabulary depth). */
+  def chain_replace(s: Column, pairs: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftext.ChainReplaceColumns.chain_replace(s, pairs)
 }
 
 /** Public entry points for the sketch expressions (bloom build/probe,

@@ -295,7 +295,8 @@ object TextOps {
     * and [[bpeEncode]] (which applies it to the corpus). Returns the learned
     * (step, left, right, pair-count) merges in step order. */
   private[operators] def learnBpeMerges(
-      spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+      spark: SparkSession, dir: String,
+      steps: Int = BpeTrainSteps): Seq[(Int, String, String, Long)] = {
     // The one corpus-sized pass: collapse word OCCURRENCES to a WEIGHTED
     // VOCABULARY (distinct encoded word → occurrence count) — the standard
     // BPE-trainer representation. Zipf's law makes the vocab orders of
@@ -308,17 +309,25 @@ object TextOps {
       .select(concat(lit("/"), array_join(split(col("w"), ""), "//"), lit("/"))
         .as("enc"))
       .groupBy("enc").agg(count(lit(1)).as("wn"))
-      .cache()
+      .localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
-    // The parent vocabulary stays cached ONE extra step: each step's argmax
-    // job materializes the freshly-built child cache (the full-scan
-    // aggregation touches every partition) while reading the still-cached
-    // parent, so no separate count() materialization job is needed — one
-    // job per merge step instead of two. The parent unpersists only after
-    // the argmax that consumed it.
-    var prevVocab: Option[org.apache.spark.sql.DataFrame] = None
-    for (step <- 1 to BpeTrainSteps if !exhausted) {
+    // LAZY localCheckpoint per step, not cache(): an iterative trainer's
+    // lineage must be TRUNCATED, not just memoized. With cache() each
+    // step's logical plan still nests the whole previous plan, and once
+    // cache substitution wraps every level in InMemoryRelation the plan
+    // PRINTER recurses into each level's innerChildren — plan-string
+    // work compounds per level, and at 48 merges AQE's routine
+    // explainString logging OOM'd a 4 GiB heap (measured; 3 merges never
+    // showed it). localCheckpoint rebases each step on a LogicalRDD
+    // leaf: bounded plans at ANY merge depth — the same reason every
+    // production iterative-ML loop on Spark checkpoints. Lazy (eager =
+    // false) keeps the one-job-per-step schedule: the step's argmax job
+    // is what materializes the fresh checkpoint, reading the parent's
+    // already-materialized blocks. Block cleanup: checkpointed vocab
+    // frames are vocab-sized (Zipf: orders below the corpus) and the
+    // ContextCleaner frees them as the loop drops each reference.
+    for (step <- 1 to steps if !exhausted) {
       val best = vocab
         .select(split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"),
           col("wn"))
@@ -330,27 +339,22 @@ object TextOps {
         .agg(sum(col("wn")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).take(1)
-      prevVocab.foreach(_.unpersist())
-      prevVocab = None
       if (best.isEmpty) exhausted = true // every word fully merged — the
       // oracle's empty b<i> CTE contributes no row either
       else {
         val (a, b, n) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, a, b, n))
-        if (step < BpeTrainSteps) {
+        if (step < steps) {
           // merged words can collide with existing vocab entries — re-group
-          val next = vocab
+          vocab = vocab
             .groupBy(call_function("replace", col("enc"),
               lit(s"/$a//$b/"), lit(s"/$a$b/")).as("enc"))
             .agg(sum(col("wn")).as("wn"))
-            .cache()
-          prevVocab = Some(vocab)
-          vocab = next
+            .localCheckpoint(false)
         }
       }
     }
-    prevVocab.foreach(_.unpersist())
     merges.result()
   }
 
@@ -369,13 +373,41 @@ object TextOps {
     * only the (doc_id-keyed, uniform) aggregation exchanges data. Same
     * word-filter as the trainer (length >= 2, no '/'), so the oracle's
     * unrolled-CTE replay sees the identical corpus. */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val merges = learnBpeMerges(spark, dir)
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeWith(spark, dir, BpeTrainSteps)
+
+  /** Merge count for the PRODUCTION-VOCAB bench alias. 48 is far past the
+    * 3-step unrolled-CTE oracle but still trains in bounded driver loops
+    * (one vocab-sized argmax job per merge — a real 50k-merge trainer runs
+    * this identical shape, just longer); the point benched here is the
+    * ENCODE: a 48-deep chained-`replace` column compiled into whole-stage
+    * codegen, streaming the corpus map-side — the cost profile of
+    * "tokenize the corpus with a learned vocabulary" at production depth. */
+  private[operators] val BpeBigSteps = 48
+
+  /** PRODUCTION-VOCAB bench alias (`x_bpe_encode_big`): the same
+    * train-then-encode round-trip as [[bpeEncode]] with [[BpeBigSteps]]
+    * merges instead of the 3 the unrolled DuckDB CTE pins (same pattern
+    * as x_ann_pq256: the registered query keeps the oracle-replayable toy
+    * size; the alias benches the shape that ships). No DuckDB twin by
+    * construction; TextSpec pins monotonicity (more merges never increase
+    * a doc's token count, never change its word count). */
+  def bpeEncodeBig(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeWith(spark, dir, BpeBigSteps)
+
+  private def bpeEncodeWith(spark: SparkSession, dir: String,
+      steps: Int): DataFrame = {
+    val merges = learnBpeMerges(spark, dir, steps)
     val enc0 = concat(lit("/"), array_join(split(col("w"), ""), "//"), lit("/"))
-    // apply merges in learned order — BPE's merge precedence IS train order
-    val encFinal = merges.sortBy(_._1).foldLeft(enc0) { case (e, (_, a, b, _)) =>
-      call_function("replace", e, lit(s"/$a//$b/"), lit(s"/$a$b/"))
-    }
+    // apply merges in learned order — BPE's merge precedence IS train
+    // order. ONE native ChainReplace node, not a foldLeft of nested
+    // `replace`s: nesting makes plan strings quadratic in vocab depth
+    // (48 merges OOM'd the heap in AQE's plan logging; a production
+    // vocabulary is thousands of merges). Per-step semantics are
+    // UTF8String.replace — exactly what the nested form evaluated, so
+    // the q_bpe_encode driver oracle pins the node every round.
+    val encFinal = graft.functions.VectorFunctions.chain_replace(enc0,
+      merges.sortBy(_._1).map { case (_, a, b, _) => (s"/$a//$b/", s"/$a$b/") })
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .where(length(col("w")) >= 2 && !col("w").contains("/"))

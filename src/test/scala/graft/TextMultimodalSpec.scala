@@ -37,6 +37,26 @@ class TextMultimodalSpec extends SparkTestBase {
       (2L, 1L, 2L, 0L)))  // "cd" alone: [c, d], nothing merged
   }
 
+  test("bpeEncodeBig: deeper merge chains only ever shrink token counts; word counts fixed") {
+    // against the sf0.001 corpus: 48 merges vs 3. The encode applies the
+    // merge table in train order, and a merge can only join symbols, so
+    // per doc n_tokens(big) <= n_tokens(3) while n_words is untouched by
+    // vocabulary depth. Also: the big run must actually merge MORE in
+    // aggregate (a 48-merge vocab that buys nothing would mean the
+    // trainer or the chained-replace encode is broken).
+    val small = TextOps.bpeEncode(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val big = TextOps.bpeEncodeBig(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(big.keySet == small.keySet)
+    big.foreach { case (id, (nw, nt)) =>
+      assert(nw == small(id)._1, s"doc $id word count changed")
+      assert(nt <= small(id)._2, s"doc $id token count grew")
+    }
+    assert(big.values.map(_._2).sum < small.values.map(_._2).sum,
+      "48 merges must compress more than 3 in aggregate")
+  }
+
   test("fingerprint matches a driver-side reference implementation") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .limit(20).collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -295,4 +295,29 @@ class VectorExprSpec extends SparkTestBase {
       spark.conf.set(wholeStage, ws0)
     }
   }
+
+  test("native chain_replace is bit-identical to the nested replace formulation") {
+    import graft.functions.VectorFunctions.chain_replace
+    import spark.implicits._
+    // the BPE encode chain's exact patterns plus adversarial cases:
+    // left-to-right non-overlap ("aaa" under a->b), a replacement that
+    // CREATES the next step's pattern (order sensitivity), empties, nulls
+    val pairs = Seq("/a//a/" -> "/aa/", "/aa//a/" -> "/aaa/",
+      "aaa" -> "b", "bb" -> "c", "" -> "", "x" -> "xx")
+    val rows = Seq(Some("/a//a//a/"), Some("aaaaa"), Some("abab"),
+      Some(""), Some("xx"), Some("日本aaa語"), None)
+    val df = rows.toDF("s")
+    def run(native: Boolean): Seq[Option[String]] = {
+      val c = if (native) chain_replace(col("s"), pairs)
+        else pairs.foldLeft(col("s")) { case (e, (f, t)) =>
+          call_function("replace", e, lit(f), lit(t)) }
+      df.select(c.as("r")).collect()
+        .map(r => Option(r.getString(0))).toSeq
+    }
+    assert(run(native = true) == run(native = false))
+    // and the node's tree/toString stays bounded at production depth
+    val big = (1 to 50000).map(i => s"p$i" -> s"q$i")
+    val s = chain_replace(col("s"), big).toString
+    assert(s.length < 200, s"toString must elide the vocab, got ${s.length}")
+  }
 }
