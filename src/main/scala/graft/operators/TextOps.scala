@@ -133,6 +133,119 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- Gopher rule audit
+  /** The Gopher stop-word list (Rae et al. 2021, Appendix A) — the rule
+    * is "contains at least [[GopherMinStops]] of these", counted as
+    * DISTINCT list hits. */
+  private[operators] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private[operators] val GopherMinWords = 50L
+  private[operators] val GopherMaxWords = 100000L
+  private[operators] val GopherMinMeanLen = 3.0
+  private[operators] val GopherMaxMeanLen = 10.0
+  private[operators] val GopherMaxSymbolRatio = 0.1
+  private[operators] val GopherMinAlphaFrac = 0.8
+  private[operators] val GopherMinStops = 2L
+
+  /** GOPHER QUALITY-RULE AUDIT — the word-level half of the MassiveText
+    * filter stack (Rae et al. 2021 App. A; reused by many corpora since):
+    * per document, each rule's STATISTIC, each rule's VERDICT, and the
+    * conjunction keep — auditable per rule, which is the point (a
+    * curation team tunes thresholds by seeing which rule fires, not just
+    * that a doc died). The repetition/line-grain rules of the same
+    * appendix live with q_repetition / q_boilerplate.
+    *
+    * Rules: word count in [50, 100k]; mean word length in [3, 10];
+    * symbol-to-word ratio (`#` + `...`) < 0.1; >80% of words contain an
+    * alphabetic character; ≥2 distinct hits on the 8-word stop list.
+    *
+    * Parity shape: every statistic is integer-derived — word lengths sum
+    * as `length(replace(text,' ',''))` (one string op, no per-word
+    * aggregate), symbol counts as replace-length deltas (`...` count is
+    * the delta over the left-to-right non-overlapping replace both
+    * engines implement, exactly divisible by 3), stop hits as a sum of 8
+    * `array_contains` indicators — so every ratio is an exact long/long
+    * double division. One map-side pass, zero shuffles (the orderBy is
+    * presentation). */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val repl = (what: String) =>
+      length(col("text")) -
+        length(call_function("replace", col("text"), lit(what), lit("")))
+    val stats = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_words"),
+        length(call_function("replace", col("text"), lit(" "), lit("")))
+          .cast("long").as("sum_len"),
+        repl("#").cast("long").as("hash_n"),
+        (repl("...").cast("long") / lit(3L)).cast("long").as("ell_n"),
+        size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+        GopherStops.map(w => array_contains(t, w).cast("long"))
+          .reduce(_ + _).as("n_stop_hits"))
+    stats
+      .select(col("doc_id"), col("n_words"),
+        (col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+        ((col("hash_n") + col("ell_n")).cast("double") / col("n_words"))
+          .as("symbol_ratio"),
+        (col("n_alpha").cast("double") / col("n_words"))
+          .as("frac_alpha_words"),
+        col("n_stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("frac_alpha_words"), col("n_stop_hits"),
+        (col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords).as("ok_word_count"),
+        (col("mean_word_len") >= GopherMinMeanLen &&
+          col("mean_word_len") <= GopherMaxMeanLen).as("ok_word_len"),
+        (col("symbol_ratio") < GopherMaxSymbolRatio).as("ok_symbol"),
+        (col("frac_alpha_words") > GopherMinAlphaFrac).as("ok_alpha"),
+        (col("n_stop_hits") >= GopherMinStops).as("ok_stop"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_word_len") && col("ok_symbol") &&
+          col("ok_alpha") && col("ok_stop"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[gopherRules]] — generated from the same
+    * constants so thresholds can't drift. */
+  private def gopherRulesSql: String = {
+    val stopSum = GopherStops
+      .map(w => s"(CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH s AS (
+           SELECT doc_id, string_split(text, ' ') AS t,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+                  CAST(length(text) - length(replace(text, '#', ''))
+                       AS BIGINT) AS hash_n,
+                  CAST((length(text) - length(replace(text, '...', ''))) // 3
+                       AS BIGINT) AS ell_n
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_words,
+                  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+                  CAST(hash_n + ell_n AS DOUBLE) / n_words AS symbol_ratio,
+                  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+                       AS DOUBLE) / n_words AS frac_alpha_words,
+                  CAST($stopSum AS BIGINT) AS n_stop_hits
+           FROM s),
+         v AS (
+           SELECT *,
+                  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+                    AS ok_word_count,
+                  (mean_word_len >= $GopherMinMeanLen
+                   AND mean_word_len <= $GopherMaxMeanLen) AS ok_word_len,
+                  (symbol_ratio < $GopherMaxSymbolRatio) AS ok_symbol,
+                  (frac_alpha_words > $GopherMinAlphaFrac) AS ok_alpha,
+                  (n_stop_hits >= $GopherMinStops) AS ok_stop
+           FROM r)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                frac_alpha_words, n_stop_hits, ok_word_count, ok_word_len,
+                ok_symbol, ok_alpha, ok_stop,
+                (ok_word_count AND ok_word_len AND ok_symbol AND ok_alpha
+                 AND ok_stop) AS keep
+         FROM v ORDER BY doc_id"""
+  }
+
   // ---------------------------------------------------------------- fingerprint
   /** Document fingerprinting: 31-base rolling polynomial hash over the
     * character codepoints, mod 1e9+7 — the classic Rabin-Karp-style
@@ -900,6 +1013,7 @@ object TextOps {
     "q_token_count" -> (tokenCount _),
     "q_lang_id" -> (langId _),
     "q_text_quality" -> (qualityScore _),
+    "q_gopher_rules" -> (gopherRules _),
     "q_fingerprint" -> (fingerprint _),
     "q_boilerplate" -> (boilerplate _),
     "q_source_quality" -> (sourceQuality _),
@@ -1002,6 +1116,7 @@ object TextOps {
                 (n_tokens >= 10 AND CAST(n_stopwords AS DOUBLE)/n_tokens < 0.3
                  AND CAST(n_distinct AS DOUBLE)/n_tokens > 0.2) AS quality_ok
          FROM m ORDER BY doc_id""",
+    "q_gopher_rules" -> gopherRulesSql,
     "q_boilerplate" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),

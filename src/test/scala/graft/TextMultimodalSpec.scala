@@ -57,6 +57,35 @@ class TextMultimodalSpec extends SparkTestBase {
       "48 merges must compress more than 3 in aggregate")
   }
 
+  test("gopher rules: each rule fires on its planted violator, statistics hand-computed") {
+    import graft.operators.TextOps
+    val pass = ((1 to 48).map(i => s"word$i") ++ Seq("the", "of")).mkString(" ")
+    val short = "the of tiny doc"                          // 4 words < 50
+    val longw = ((1 to 48).map(_ => "abcdefghijklmnop")    // mean len > 10
+      ++ Seq("the", "of")).mkString(" ")
+    val symb  = ((1 to 42).map(i => s"word$i") ++ Seq("the", "of")
+      ++ (1 to 6).map(_ => "#")).mkString(" ")             // 6/50 = 0.12 > 0.1
+    val nums  = ((1 to 24).map(i => s"word$i") ++ (1 to 24).map(_ => "123")
+      ++ Seq("the", "of")).mkString(" ")                   // 26/50 alpha = 0.52
+    val nostp = (1 to 50).map(i => s"word$i").mkString(" ") // zero stop hits
+    val dir = documentsFixture(Seq(
+      (1L, pass, "en", "s"), (2L, short, "en", "s"), (3L, longw, "en", "s"),
+      (4L, symb, "en", "s"), (5L, nums, "en", "s"), (6L, nostp, "en", "s")))
+    val got = TextOps.gopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), (6 to 10).map(r.getBoolean),
+        r.getBoolean(11))).toMap
+    assert(got(1L) == ((50L, Seq(true, true, true, true, true), true)))
+    assert(got(2L)._2(0) == false && got(2L)._3 == false)  // word count
+    assert(got(3L)._2(1) == false && got(3L)._2.patch(1, Nil, 1).forall(identity))
+    assert(got(4L)._2(2) == false && got(4L)._2.patch(2, Nil, 1).forall(identity))
+    assert(got(5L)._2(3) == false && got(5L)._2.patch(3, Nil, 1).forall(identity))
+    assert(got(6L)._2(4) == false && got(6L)._2.patch(4, Nil, 1).forall(identity))
+    // the statistics themselves: doc 4 symbol ratio exactly 6/50
+    val r4 = TextOps.gopherRules(spark, dir)
+      .where(col("doc_id") === 4L).collect().head
+    assert(r4.getDouble(3) == 0.12)
+  }
+
   test("fingerprint matches a driver-side reference implementation") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .limit(20).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
