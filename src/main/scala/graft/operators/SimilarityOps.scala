@@ -864,6 +864,148 @@ object SimilarityOps {
   /** Quantization grid for [[labelCentroids]]: 2^20 ticks per unit. */
   private val CentroidScale = 1048576.0
 
+  // ------------------------------------------------------------------- PCA
+  /** Power-iteration steps for [[embedPca]] — unrolled in the oracle. */
+  private val PcaIters = 3
+
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus by deterministic
+    * power iteration — the PCA/whitening front-end real embedding
+    * pipelines run before dedup/ANN (SemDeDup whitens; mean-centering
+    * alone routinely buys recall): per dimension the corpus mean and the
+    * first principal direction, plus the Rayleigh-quotient eigenvalue
+    * (the variance that component explains) as a scalar attach.
+    *
+    * Fully in DataFrames, fully order-free, so the whole trained chain
+    * replays in DuckDB:
+    *  - second moments Σ qᵢₚqᵢ_q from the 2^20-quantized components via
+    *    DOUBLE-posexplode (explode the quantized array, carry it, explode
+    *    again): n·d² narrow rows, ONE shuffle of d² keys with map-side
+    *    partial long sums — no self-join, no float accumulation. The
+    *    covariance then derives per (p,q) as s2/n/S² − μₚμ_q in exact
+    *    double arithmetic.
+    *  - each iteration's matrix-vector product quantizes its d per-term
+    *    products to the grid and LONG-sums them (order-free; a double
+    *    sum over even 64 terms would be partition-order-dependent), and
+    *    normalizes by the IEEE-exact sqrt of the exact Σw̃². Bounds: |c| ≤
+    *    max|x|² ≈ 4, so |w̃ₚ| ≤ d·4·2^20 < 2^29 and Σw̃² < 2^63 — no
+    *    overflow, and both engines compute identical longs.
+    *  - v₀ = e₀; [[PcaIters]] fixed iterations (the oracle unrolls them —
+    *    the registered-toy-size convention of every trained chain here).
+    *
+    * Scale: the corpus-grain work is the one d²-key moment aggregation
+    * (map-side combine ⇒ the shuffle moves ~d² rows per partition, not
+    * per vector); the iteration frames are d and d² rows — driver-free,
+    * broadcast-joined. At 100 TB d²·n explode rows dominate: production
+    * would fold the Gram accumulation into a custom aggregate over the
+    * array column (one pass, d² longs of state) — the same shape, fewer
+    * rows; the d²-key shuffle is already the floor. */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qarr = transform(col("embedding"),
+      x => round(x.cast("double") * lit(CentroidScale)).cast("long"))
+    val base = e.select(col("vec_id"), qarr.as("qa"))
+    val comp = base.select(col("vec_id"),
+      posexplode(col("qa")).as(Seq("p", "qp")))
+    val mu = comp.groupBy("p")
+      .agg(sum(col("qp")).as("s1"), count(lit(1)).as("n"))
+      .select(col("p"),
+        (col("s1").cast("double") / col("n") / lit(CentroidScale)).as("mu"),
+        col("n"))
+    val m2 = base
+      .select(col("qa"), posexplode(col("qa")).as(Seq("p", "qp")))
+      .select(col("p"), col("qp"), posexplode(col("qa")).as(Seq("q", "qq")))
+      .groupBy("p", "q")
+      .agg(sum(col("qp") * col("qq")).as("s2"))
+    val cov = m2
+      .join(mu.select(col("p"), col("mu").as("mup"), col("n")), Seq("p"))
+      .join(mu.select(col("p").as("q"), col("mu").as("muq")), Seq("q"))
+      .select(col("p"), col("q"),
+        (col("s2").cast("double") / col("n")
+          / lit(CentroidScale) / lit(CentroidScale)
+          - col("mup") * col("muq")).as("c"))
+    var v = mu.select(col("p").as("q"),
+      when(col("p") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+    for (_ <- 1 to PcaIters) {
+      val w = cov.join(v, Seq("q"))
+        .select(col("p"),
+          round(col("c") * col("v") * lit(CentroidScale)).cast("long").as("t"))
+        .groupBy("p").agg(sum(col("t")).as("wq"))
+      val nrm = w.agg(sum(col("wq") * col("wq")).as("n2"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("p").as("q"),
+          (col("wq").cast("double") / sqrt(col("n2").cast("double"))).as("v"))
+    }
+    val pc = v.select(col("q").as("p"), col("v").as("pc1"))
+    // Rayleigh quotient λ = vᵀCv (v is unit): quantized per-term products,
+    // one order-free long sum over the d² terms
+    val eig = cov
+      .join(pc.select(col("p"), col("pc1").as("vp")), Seq("p"))
+      .join(pc.select(col("p").as("q"), col("pc1").as("vq")), Seq("q"))
+      .select(round(col("vp") * col("c") * col("vq")
+        * lit(CentroidScale) * lit(CentroidScale)).cast("long").as("t"))
+      .agg((sum(col("t")).cast("double")
+        / lit(CentroidScale) / lit(CentroidScale)).as("eigval"))
+    mu.select(col("p"), col("mu"))
+      .join(pc, Seq("p"))
+      .crossJoin(broadcast(eig))
+      .select(col("p").cast("long").as("pos"), col("mu"), col("pc1"),
+        col("eigval"))
+      .orderBy("pos")
+  }
+
+  /** DuckDB replay of [[embedPca]] — quantized moments, covariance,
+    * [[PcaIters]] unrolled power iterations with grid-quantized
+    * matrix-vector products, Rayleigh eigenvalue. */
+  private def embedPcaSql: String = {
+    val sc = CentroidScale
+    def iter(vIn: String, k: Int): String =
+      s"""w$k AS (
+           SELECT c.p,
+                  CAST(sum(CAST(round(c.c * v.v * $sc) AS BIGINT)) AS BIGINT)
+                    AS wq
+           FROM cov c JOIN $vIn v USING (q) GROUP BY c.p),
+         n$k AS (SELECT CAST(sum(wq * wq) AS BIGINT) AS n2 FROM w$k),
+         v$k AS (
+           SELECT w.p AS q,
+                  CAST(w.wq AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) AS v
+           FROM w$k w CROSS JOIN n$k n)"""
+    val iters = (1 to PcaIters)
+      .map(k => iter(if (k == 1) "v0" else s"v${k - 1}", k))
+      .mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         q0 AS (
+           SELECT vec_id, CAST(i - 1 AS INT) AS p,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qp
+           FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
+         mu AS (
+           SELECT p, CAST(sum(qp) AS DOUBLE) / count(*) / $sc AS mu,
+                  count(*) AS n
+           FROM q0 GROUP BY p),
+         m2 AS (
+           SELECT a.p, b.p AS q, CAST(sum(a.qp * b.qp) AS BIGINT) AS s2
+           FROM q0 a JOIN q0 b USING (vec_id) GROUP BY 1, 2),
+         cov AS (
+           SELECT m2.p, m2.q,
+                  CAST(m2.s2 AS DOUBLE) / mp.n / $sc / $sc - mp.mu * mq.mu AS c
+           FROM m2
+           JOIN mu mp ON mp.p = m2.p
+           JOIN mu mq ON mq.p = m2.q),
+         v0 AS (
+           SELECT p AS q, CASE WHEN p = 0 THEN 1.0 ELSE 0.0 END AS v
+           FROM mu),
+         $iters,
+         pc AS (SELECT q AS p, v AS pc1 FROM v$PcaIters),
+         eig AS (
+           SELECT CAST(sum(CAST(round(vp.pc1 * c.c * vq.pc1 * $sc * $sc)
+                                AS BIGINT)) AS DOUBLE) / $sc / $sc AS eigval
+           FROM cov c
+           JOIN pc vp ON vp.p = c.p
+           JOIN pc vq ON vq.p = c.q)
+         SELECT CAST(mu.p AS BIGINT) AS pos, mu.mu, pc.pc1, eig.eigval
+         FROM mu JOIN pc USING (p) CROSS JOIN eig
+         ORDER BY pos"""
+  }
+
   /** PER-CLASS EMBEDDING STATISTICS: the centroid and spread of each
     * label's vectors, per dimension — the embedding-QA pass that catches
     * collapsed classes (near-zero variance), dead dimensions, and label
@@ -1082,6 +1224,7 @@ object SimilarityOps {
     "q_semdedup" -> (semDeDup _),
     "q_semdedup_scaled" -> (semDeDupScaledChecked _),
     "q_embed_quantize" -> (embedQuantize _),
+    "q_embed_pca" -> (embedPca _),
     "q_label_centroids" -> (labelCentroids _),
     "q_embed_score" -> (embedScore _),
     "q_ann_bruteforce" -> (annBruteForce _),
@@ -1819,6 +1962,7 @@ object SimilarityOps {
     "q_ann_ivfpq" -> AnnIvfPqSql,
     "q_ivf_stats" -> IvfStatsSql,
     "q_index_drift" -> IndexDriftSql,
+    "q_embed_pca" -> embedPcaSql,
     "q_semdedup" -> SemDedupSql,
     "q_semdedup_scaled" -> semDedupScaledSql,
     // division shapes mirror the Spark expressions exactly (s1/n/scale,

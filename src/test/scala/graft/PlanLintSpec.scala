@@ -48,6 +48,8 @@ class PlanLintSpec extends SparkTestBase {
   //  - q_index_drift: the packed-centroid broadcast (assignment of both
   //    splits), the broadcast query set (the exact baselines), and TWO
   //    1-row recall aggregates cross-joined as scalar columns
+  //  - q_embed_pca: per power iteration a 1-row norm aggregate (and the
+  //    final 1-row Rayleigh eigenvalue) cross-joined into d-row frames
   //  - q_perceptron / q_threshold_sweep: the 1-row weight frame broadcast
   //    into each unrolled gradient iteration (the in-engine trainer's
   //    scalar attach); the sweep adds a 1-row total-positives attach
@@ -61,7 +63,7 @@ class PlanLintSpec extends SparkTestBase {
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_bigram_lm",
     "x_bigram_lm_fixedref", "q_rfm", "q_wau",
     "q_semdedup", "q_semdedup_scaled", "x_semdedup_scaled", "q_ivf_stats",
-    "q_index_drift",
+    "q_index_drift", "q_embed_pca",
     "q_perceptron", "q_threshold_sweep",
     "q_dataset_card")
 

@@ -185,6 +185,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(rb.head >= 0.0 && rb.head <= 1.0 && ra.head >= 0.0 && ra.head <= 1.0)
   }
 
+  test("embed pca: power iteration finds a planted dominant axis; eigenvalue positive") {
+    // vectors = a·e5 + tiny deterministic jitter elsewhere, a spread wide
+    // → the top principal direction must concentrate on pos 5 and the
+    // Rayleigh eigenvalue must be positive (≈ Var(a))
+    val rows = (0L until 200L).map { i =>
+      val a = ((i % 21).toInt - 10) * 0.15f              // [-1.5, 1.5]
+      val v = Array.fill(64)(0.0f)
+      v(5) = a
+      v(((i * 7) % 64).toInt) += 0.01f * ((i % 3).toInt - 1)
+      (i, v.toSeq, 0)
+    }
+    val dir = embeddingsFixture(rows)
+    val got = SimilarityOps.embedPca(spark, dir).collect()
+    assert(got.length == 64)
+    val loadings = got.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val top = loadings.maxBy { case (_, l) => math.abs(l) }
+    assert(top._1 == 5L, s"dominant axis should be pos 5, got $top")
+    assert(math.abs(top._2) > 0.99, s"loading should concentrate, got $top")
+    val eig = got.head.getDouble(3)
+    assert(eig > 0.5 && eig < 1.2, s"eigenvalue ~Var(a)≈0.825, got $eig")
+    assert(got.forall(_.getDouble(3) == eig), "eigval is a scalar attach")
+  }
+
   test("scaled semdedup: the two-level quantizer path keeps replica recall") {
     // n=9600 → k=75 > TwoLevelK → coarse-fine assignment. Identical
     // vectors take identical argmax decisions at BOTH levels, so every
