@@ -899,8 +899,10 @@ object SimilarityOps {
     * would fold the Gram accumulation into a custom aggregate over the
     * array column (one pass, d² longs of state) — the same shape, fewer
     * rows; the d²-key shuffle is already the floor. */
-  def embedPca(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  /** The trained chain shared by [[embedPca]] (which reports it) and
+    * [[embedProject]] (which applies it): (mu(p,mu,n), cov(p,q,c),
+    * pc(p,pc1)). */
+  private def pcaMuCovPc(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val qarr = transform(col("embedding"),
       x => round(x.cast("double") * lit(CentroidScale)).cast("long"))
     val base = e.select(col("vec_id"), qarr.as("qa"))
@@ -935,7 +937,12 @@ object SimilarityOps {
         .select(col("p").as("q"),
           (col("wq").cast("double") / sqrt(col("n2").cast("double"))).as("v"))
     }
-    val pc = v.select(col("q").as("p"), col("v").as("pc1"))
+    (mu, cov, v.select(col("q").as("p"), col("v").as("pc1")))
+  }
+
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (mu, cov, pc) = pcaMuCovPc(e)
     // Rayleigh quotient λ = vᵀCv (v is unit): quantized per-term products,
     // one order-free long sum over the d² terms
     val eig = cov
@@ -953,10 +960,47 @@ object SimilarityOps {
       .orderBy("pos")
   }
 
-  /** DuckDB replay of [[embedPca]] — quantized moments, covariance,
-    * [[PcaIters]] unrolled power iterations with grid-quantized
-    * matrix-vector products, Rayleigh eigenvalue. */
-  private def embedPcaSql: String = {
+  /** PCA APPLY step — project every vector on the [[embedPca]]-trained
+    * first component: per vec_id the CENTERED projection ⟨x−μ, v⟩ and
+    * the residual energy ‖x−μ‖² − proj² (what pc1 does NOT explain).
+    * The two numbers an embedding-QA pass thresholds: |proj| outliers
+    * are the dominant-axis extremes (often batch/source artifacts — the
+    * axis SemDeDup-style pipelines remove), near-zero residual says the
+    * corpus collapsed onto one direction (a broken encoder).
+    *
+    * Parity/scale shape: μ and v collapse to TWO single-row float-array
+    * broadcasts (the packed-centroid pattern); every per-vector number
+    * is then a composition of FIXED-ORDER array dots (FloatVectorDot:
+    * double accumulation in array order — per-row, so no partition-order
+    * dependence; `⟨x−μ,v⟩ = ⟨x,v⟩ − ⟨μ,v⟩`, `‖x−μ‖² = ⟨x,x⟩ − 2⟨x,μ⟩ +
+    * ⟨μ,μ⟩`), map-side while the corpus streams. DuckDB replays the dots
+    * as `list_dot_product` over DOUBLE casts — the proven pattern of
+    * every ANN chain here. */
+  def embedProject(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (mu, _, pc) = pcaMuCovPc(e)
+    def packed(df: DataFrame, valCol: String, out: String): DataFrame =
+      df.agg(array_sort(collect_list(struct(col("p"), col(valCol))))
+          .as("pm"))
+        .select(expr(s"transform(pm, x -> cast(x.$valCol as float))")
+          .as(out))
+    val proj = VectorOps.dot(col("embedding"), col("pc_arr")) -
+      VectorOps.dot(col("mu_arr"), col("pc_arr"))
+    val cen2 = VectorOps.dot(col("embedding"), col("embedding")) -
+      lit(2.0) * VectorOps.dot(col("embedding"), col("mu_arr")) +
+      VectorOps.dot(col("mu_arr"), col("mu_arr"))
+    e.crossJoin(broadcast(packed(mu.select(col("p"), col("mu")), "mu", "mu_arr")))
+      .crossJoin(broadcast(packed(pc, "pc1", "pc_arr")))
+      .select(col("vec_id"), proj.as("proj"),
+        (cen2 - proj * proj).as("resid2"))
+      .orderBy("vec_id")
+  }
+
+  /** Shared CTE body replaying [[pcaMuCovPc]] — quantized moments,
+    * covariance, [[PcaIters]] unrolled power iterations with
+    * grid-quantized matrix-vector products; ends with `mu`, `cov`,
+    * `pc`. */
+  private def pcaChainCtes: String = {
     val sc = CentroidScale
     def iter(vIn: String, k: Int): String =
       s"""w$k AS (
@@ -972,7 +1016,7 @@ object SimilarityOps {
     val iters = (1 to PcaIters)
       .map(k => iter(if (k == 1) "v0" else s"v${k - 1}", k))
       .mkString(",\n         ")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
          q0 AS (
            SELECT vec_id, CAST(i - 1 AS INT) AS p,
                   CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qp
@@ -994,7 +1038,14 @@ object SimilarityOps {
            SELECT p AS q, CASE WHEN p = 0 THEN 1.0 ELSE 0.0 END AS v
            FROM mu),
          $iters,
-         pc AS (SELECT q AS p, v AS pc1 FROM v$PcaIters),
+         pc AS (SELECT q AS p, v AS pc1 FROM v$PcaIters)"""
+  }
+
+  /** DuckDB replay of [[embedPca]] — the shared chain + the Rayleigh
+    * eigenvalue. */
+  private def embedPcaSql: String = {
+    val sc = CentroidScale
+    s"""WITH $pcaChainCtes,
          eig AS (
            SELECT CAST(sum(CAST(round(vp.pc1 * c.c * vq.pc1 * $sc * $sc)
                                 AS BIGINT)) AS DOUBLE) / $sc / $sc AS eigval
@@ -1005,6 +1056,28 @@ object SimilarityOps {
          FROM mu JOIN pc USING (p) CROSS JOIN eig
          ORDER BY pos"""
   }
+
+  /** DuckDB replay of [[embedProject]] — the shared chain, μ/v packed to
+    * float lists, per-vector fixed-order dots. */
+  private def embedProjectSql: String =
+    s"""WITH $pcaChainCtes,
+         mua AS (SELECT list(CAST(mu AS FLOAT) ORDER BY p) AS mu_arr FROM mu),
+         pca AS (SELECT list(CAST(pc1 AS FLOAT) ORDER BY p) AS pc_arr FROM pc),
+         s AS (
+           SELECT e.vec_id,
+                  list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(p.pc_arr AS DOUBLE[]))
+                  - list_dot_product(CAST(m.mu_arr AS DOUBLE[]),
+                                     CAST(p.pc_arr AS DOUBLE[])) AS proj,
+                  list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[]))
+                  - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(m.mu_arr AS DOUBLE[]))
+                  + list_dot_product(CAST(m.mu_arr AS DOUBLE[]),
+                                     CAST(m.mu_arr AS DOUBLE[])) AS cen2
+           FROM e CROSS JOIN mua m CROSS JOIN pca p)
+         SELECT vec_id, proj, cen2 - proj * proj AS resid2
+         FROM s ORDER BY vec_id"""
 
   /** PER-CLASS EMBEDDING STATISTICS: the centroid and spread of each
     * label's vectors, per dimension — the embedding-QA pass that catches
@@ -1225,6 +1298,7 @@ object SimilarityOps {
     "q_semdedup_scaled" -> (semDeDupScaledChecked _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_embed_pca" -> (embedPca _),
+    "q_embed_project" -> (embedProject _),
     "q_label_centroids" -> (labelCentroids _),
     "q_embed_score" -> (embedScore _),
     "q_ann_bruteforce" -> (annBruteForce _),
@@ -1963,6 +2037,7 @@ object SimilarityOps {
     "q_ivf_stats" -> IvfStatsSql,
     "q_index_drift" -> IndexDriftSql,
     "q_embed_pca" -> embedPcaSql,
+    "q_embed_project" -> embedProjectSql,
     "q_semdedup" -> SemDedupSql,
     "q_semdedup_scaled" -> semDedupScaledSql,
     // division shapes mirror the Spark expressions exactly (s1/n/scale,

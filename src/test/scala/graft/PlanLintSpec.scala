@@ -50,6 +50,8 @@ class PlanLintSpec extends SparkTestBase {
   //    1-row recall aggregates cross-joined as scalar columns
   //  - q_embed_pca: per power iteration a 1-row norm aggregate (and the
   //    final 1-row Rayleigh eigenvalue) cross-joined into d-row frames
+  //  - q_embed_project: the same iteration attaches, plus μ and v packed
+  //    to two single-row float-array broadcasts for the map-side apply
   //  - q_perceptron / q_threshold_sweep: the 1-row weight frame broadcast
   //    into each unrolled gradient iteration (the in-engine trainer's
   //    scalar attach); the sweep adds a 1-row total-positives attach
@@ -63,7 +65,7 @@ class PlanLintSpec extends SparkTestBase {
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_bigram_lm",
     "x_bigram_lm_fixedref", "q_rfm", "q_wau",
     "q_semdedup", "q_semdedup_scaled", "x_semdedup_scaled", "q_ivf_stats",
-    "q_index_drift", "q_embed_pca",
+    "q_index_drift", "q_embed_pca", "q_embed_project",
     "q_perceptron", "q_threshold_sweep",
     "q_dataset_card")
 

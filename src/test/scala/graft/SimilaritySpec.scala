@@ -208,6 +208,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.forall(_.getDouble(3) == eig), "eigval is a scalar attach")
   }
 
+  test("embed project: planted-axis corpus projects to the axis coordinates, tiny residual") {
+    // same planted corpus as the pca spec: x = a·e5 + 0.01 jitter. The
+    // centered projection must span the a-range (max−min ≈ 3.0) and the
+    // residual energy must be only the jitter (≪ the axis variance).
+    val rows = (0L until 200L).map { i =>
+      val a = ((i % 21).toInt - 10) * 0.15f
+      val v = Array.fill(64)(0.0f)
+      v(5) = a
+      v(((i * 7) % 64).toInt) += 0.01f * ((i % 3).toInt - 1)
+      (i, v.toSeq, 0)
+    }
+    val dir = embeddingsFixture(rows)
+    val got = SimilarityOps.embedProject(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 200)
+    val projs = got.map(_._2)
+    assert(math.abs((projs.max - projs.min) - 3.0) < 0.05,
+      s"proj span should be the a-range, got ${projs.max - projs.min}")
+    got.foreach { case (id, _, r2) =>
+      assert(r2 > -1e-9 && r2 < 0.001, s"vec $id residual $r2")
+    }
+  }
+
   test("scaled semdedup: the two-level quantizer path keeps replica recall") {
     // n=9600 → k=75 > TwoLevelK → coarse-fine assignment. Identical
     // vectors take identical argmax decisions at BOTH levels, so every
