@@ -509,6 +509,57 @@ object PipelineOps {
     * distinct sources+langs) and the md5 dup profile (groupBy fp → docs in
     * >1-copy groups), attached via the 1-row broadcast cross join. All
     * integers except the final exact long/long division. */
+  // ---------------------------------------------------------- token budgeting
+  /** Total token budget for the mixture plan (interpolated into the
+    * oracle) and the data-reuse ceiling past which a source is flagged
+    * (≈4 epochs — the point diminishing returns from repeating data are
+    * commonly drawn). */
+  private[operators] val BudgetTokens = 10000000L
+  private[operators] val BudgetMaxEpochs = 4.0
+  /** 2^20 grid for the order-free temperature-weight normalization. */
+  private val BudgetScale = 1048576.0
+
+  /** MIXTURE TOKEN-BUDGET PLAN — the planning table every pretraining
+    * run starts from: given the per-source token inventory and a total
+    * budget, temperature-sampled mixture weights (τ = 1/2: w_s ∝
+    * √tokens_s — the standard upweight-the-tail compromise between
+    * proportional τ=1 and uniform τ=0, and the one temperature whose
+    * exponent is IEEE-exact `sqrt`, no libm pow), each source's token
+    * target, the epoch count that target implies, and the over-reuse
+    * flag (> [[BudgetMaxEpochs]] epochs means the budget wants more of
+    * the source than repeating it ~4× can healthily supply).
+    *
+    * Order-free parity: the normalizer Σ√n is a sum of DOUBLES over
+    * sources — order-dependent even at 20 sources — so each √n
+    * quantizes to the 2^20 grid first and the normalizer is one exact
+    * long sum; every downstream number is long/long division or an
+    * exact double product + floor. One corpus pass (source-keyed count/
+    * sum with map-side partials), then source-bounded arithmetic. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("qs",
+        round(sqrt(col("n_tokens").cast("double")) * lit(BudgetScale))
+          .cast("long"))
+    val tot = counts.agg(sum(col("n_tokens")).as("total_tokens"),
+      sum(col("qs")).as("z"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("weight", col("qs").cast("double") / col("z"))
+      .withColumn("target_tokens",
+        floor(lit(BudgetTokens.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs",
+        col("target_tokens").cast("double") / col("n_tokens"))
+      .withColumn("oversampled", col("epochs") > BudgetMaxEpochs)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        col("weight"), col("target_tokens"), col("epochs"),
+        col("oversampled"))
+      .orderBy("source")
+  }
+
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val dups = docs.groupBy(md5(col("text")).as("fp"))
@@ -755,6 +806,7 @@ object PipelineOps {
     "q_len_quantiles_approx" -> (lengthQuantilesApprox _),
     "q_curation" -> (curation _),
     "q_mixture_resample" -> (mixtureResample _),
+    "q_token_budget" -> (tokenBudget _),
     "q_chunk_docs" -> (chunkDocs _),
     "q_chunk_dedup" -> (chunkDedup _),
     "q_chunk_scrub" -> (chunkScrub _),
@@ -947,6 +999,33 @@ object PipelineOps {
          FROM k JOIN rated r ON k.source = r.source
          GROUP BY r.source, r.n_docs, r.rate
          ORDER BY r.source""",
+    // τ=1/2 temperature weights: √n per source quantized to the 2^20
+    // grid, ONE long-sum normalizer (a double Σ√n would be
+    // order-dependent); every ratio long/long, budget product + floor
+    "q_token_budget" ->
+      s"""WITH c AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         q AS (
+           SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * $BudgetScale)
+                          AS BIGINT) AS qs
+           FROM c),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                      CAST(sum(qs) AS BIGINT) AS z FROM q),
+         w AS (
+           SELECT source, n_docs, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / t.total_tokens AS share,
+                  CAST(qs AS DOUBLE) / t.z AS weight,
+                  CAST(floor(${BudgetTokens.toDouble}
+                             * (CAST(qs AS DOUBLE) / t.z)) AS BIGINT)
+                    AS target_tokens
+           FROM q CROSS JOIN t)
+         SELECT source, n_docs, n_tokens, share, weight, target_tokens,
+                CAST(target_tokens AS DOUBLE) / n_tokens AS epochs,
+                (CAST(target_tokens AS DOUBLE) / n_tokens) > $BudgetMaxEpochs
+                  AS oversampled
+         FROM w ORDER BY source""",
     "q_curation" ->
       """WITH s AS (
            SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),

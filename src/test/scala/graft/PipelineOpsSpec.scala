@@ -165,6 +165,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 2L, 100L), (2L, 3L, 0L, 0L)))
   }
 
+  test("token budget: τ=1/2 weights, targets and epochs hand-computed on exact squares") {
+    // sources with 100 and 400 tokens: √ are exact (10, 20) → weights
+    // exactly 1/3 and 2/3 of the 10M budget; every number checkable
+    val doc10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val doc40 = (1 to 40).map(i => s"t$i").mkString(" ")
+    val rows = (0 until 10).map(i => (i.toLong, doc10, "en", "sA")) ++
+      (10 until 20).map(i => (i.toLong, doc40, "en", "sB"))
+    val dir = documentsFixture(rows)
+    val got = PipelineOps.tokenBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getBoolean(7))).toMap
+    assert(got("sA") == ((10L, 100L, 0.2, 1.0 / 3.0, 3333333L,
+      33333.33, true)))
+    assert(got("sB") == ((10L, 400L, 0.8, 2.0 / 3.0, 6666666L,
+      16666.665, true)))
+  }
+
   test("chunk scrub: repeated spans removed keep-first; clean docs reconstruct byte-identically") {
     val span = (1 to 50).map("a" + _).mkString(" ")     // one exact chunk
     val clean = (1 to 130).map("t" + _).mkString(" ")   // 130 distinct tokens

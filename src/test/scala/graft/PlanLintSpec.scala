@@ -25,6 +25,8 @@ class PlanLintSpec extends SparkTestBase {
   // each has a BOUNDED broadcast side by construction:
   //  - q_tfidf / q_mixture_resample: 1-row aggregate (corpus count / min
   //    source size) cross-joined into the stream
+  //  - q_token_budget: 1-row total-tokens + weight-normalizer aggregate
+  //    cross-joined into the source-bounded plan frame
   //  - q_ann_bruteforce / q_ann_topk_agg: the query set broadcasts and the
   //    corpus streams map-side — the stated O(n·q) exact baseline
   //  - q_ann_ivf: the K centroids collapse to ONE array-of-structs row
@@ -56,6 +58,7 @@ class PlanLintSpec extends SparkTestBase {
   //    into each unrolled gradient iteration (the in-engine trainer's
   //    scalar attach); the sweep adds a 1-row total-positives attach
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
+    "q_token_budget",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
     "x_ann_pq256", "q_ann_ivfpq", "x_ann_ivfpq256",
     // q_ann_recall / q_ivfpq_recall compose the exact baseline with the
