@@ -77,7 +77,15 @@ object PipelineOps {
     * shingle-sized. The flags compose in ONE pass over the corpus rather
     * than five separate filter jobs — the point of an engine, not a
     * script pile. */
-  def curation(spark: SparkSession, dir: String): DataFrame = {
+  def curation(spark: SparkSession, dir: String): DataFrame =
+    curationFlags(spark, dir)
+      .withColumn("keep", col("flags") === 0L)
+      .orderBy("doc_id")
+
+  /** The per-doc (doc_id, source, flags) frame shared by [[curation]]
+    * (which reports it) and [[curationFunnel]] (which waterfall-orders
+    * it). */
+  private def curationFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // map-side flags from TextOps' shared stats + criteria — ONE
     // definition each with q_text_quality / q_repetition, so the bits
@@ -117,8 +125,50 @@ object PipelineOps {
       .join(contam, col("doc_id") === col("c_id"), "left")
       .join(dup, col("doc_id") === col("d_id"))
       .select(col("doc_id"), col("source"), flags.as("flags"))
-      .withColumn("keep", col("flags") === 0L)
-      .orderBy("doc_id")
+  }
+
+  /** CURATION FUNNEL — the "data removal rates" waterfall every dataset
+    * paper publishes (RefinedWeb Fig. 2, Gopher Table A1, ...): the
+    * [[curation]] gates applied in PIPELINE ORDER (exact dedup first —
+    * cheapest and largest — then quality, repetition, boilerplate,
+    * contamination), each stage reporting how many docs it saw, how many
+    * it dropped (a doc charges the FIRST stage that fires on it, exactly
+    * like a sequential pipeline), survivors, and the per-stage drop
+    * rate. Same flag bits as q_curation — ONE definition, so the funnel
+    * cannot disagree with the gate.
+    *
+    * Scale shape: all corpus-grain work is the shared flags frame; the
+    * funnel itself is a first-firing-stage projection + a 5-key count
+    * (map-side partials) + window arithmetic on the 5-row stage frame
+    * (single-partition window on a BOUNDED literal frame — not a corpus
+    * window). Total attaches as the 1-row broadcast scalar. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flagged = curationFlags(spark, dir)
+    val first = when(col("flags").bitwiseAND(16L) =!= 0L, "1_exact_dup")
+      .when(col("flags").bitwiseAND(1L) =!= 0L, "2_quality")
+      .when(col("flags").bitwiseAND(2L) =!= 0L, "3_repetition")
+      .when(col("flags").bitwiseAND(4L) =!= 0L, "4_boilerplate")
+      .when(col("flags").bitwiseAND(8L) =!= 0L, "5_contamination")
+    val drops = flagged.select(first.as("stage"))
+      .where(col("stage").isNotNull)
+      .groupBy("stage").agg(count(lit(1)).as("dropped"))
+    val total = flagged.agg(count(lit(1)).as("n_total"))
+    val stages = Seq("1_exact_dup", "2_quality", "3_repetition",
+      "4_boilerplate", "5_contamination").toDF("stage")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    stages.join(drops, Seq("stage"), "left")
+      .select(col("stage"), coalesce(col("dropped"), lit(0L)).as("n_dropped"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .select(col("stage"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"),
+        when(col("n_in") > 0L,
+          col("n_dropped").cast("double") / col("n_in"))
+          .otherwise(lit(0.0)).as("drop_frac"))
+      .orderBy("stage")
   }
 
   /** The 100 TB form of lengthQuantiles: `percentile_approx` (KLL-style
@@ -805,6 +855,7 @@ object PipelineOps {
     "q_len_quantiles" -> (lengthQuantiles _),
     "q_len_quantiles_approx" -> (lengthQuantilesApprox _),
     "q_curation" -> (curation _),
+    "q_curation_funnel" -> (curationFunnel _),
     "q_mixture_resample" -> (mixtureResample _),
     "q_token_budget" -> (tokenBudget _),
     "q_chunk_docs" -> (chunkDocs _),
@@ -816,6 +867,71 @@ object PipelineOps {
     "q_shard_stats" -> (shardStats _),
     "q_pack_sequences" -> (packSequences _),
   )
+
+  /** Shared CTE body replaying [[curationFlags]] — per-doc quality/
+    * repetition/boilerplate/contamination/exact-dup flag bits; ends with
+    * `fl(doc_id, source, flags)`. Used by the q_curation and
+    * q_curation_funnel oracles. */
+  private val curationChainCtes: String =
+    """s AS (
+           SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
+         q AS (
+           SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+                  len(list_filter(t, x -> x IN ('the', 'a'))) AS n_stop,
+                  CASE WHEN len(t) >= 3 THEN
+                    list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))
+                  END AS grams
+           FROM s),
+         qf AS (
+           SELECT doc_id,
+                  NOT (n_tokens >= 10
+                       AND CAST(n_stop AS DOUBLE) / n_tokens < 0.3
+                       AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.2) AS f_quality,
+                  COALESCE(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams), 0.0) > 0.2 AS f_repeat
+           FROM q),
+         shm AS (
+           SELECT doc_id, source, shingle FROM (
+             SELECT doc_id, source,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM s WHERE len(t) >= 3)),
+         bo AS (
+           SELECT doc_id, max(c) AS max_rep, CAST(sum(c) AS BIGINT) AS n_sh FROM (
+             SELECT doc_id, shingle, count(*) AS c FROM shm GROUP BY 1, 2)
+           GROUP BY doc_id),
+         bof AS (
+           SELECT doc_id,
+                  (CAST(max_rep AS DOUBLE) / n_sh > 0.2 AND max_rep >= 3) AS f_boiler
+           FROM bo),
+         shd AS (SELECT DISTINCT doc_id, source, shingle FROM shm),
+         evs AS (SELECT DISTINCT shingle FROM shd WHERE source = 'src0'),
+         tr AS (SELECT doc_id, shingle FROM shd WHERE source <> 'src0'),
+         card AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+         hits AS (
+           SELECT doc_id, count(*) AS n_shared
+           FROM tr JOIN evs USING (shingle) GROUP BY doc_id),
+         cf AS (
+           SELECT c.doc_id,
+                  CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / c.n_shingles > 0.1 AS f_contam
+           FROM card c LEFT JOIN hits h ON c.doc_id = h.doc_id),
+         dup AS (
+           SELECT doc_id,
+                  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS f_dup
+           FROM documents),
+         fl AS (
+           SELECT d.doc_id, d.source,
+                  CAST(  (CASE WHEN qf.f_quality THEN 1 ELSE 0 END)
+                       + (CASE WHEN qf.f_repeat THEN 2 ELSE 0 END)
+                       + (CASE WHEN COALESCE(bof.f_boiler, FALSE) THEN 4 ELSE 0 END)
+                       + (CASE WHEN COALESCE(cf.f_contam, FALSE) THEN 8 ELSE 0 END)
+                       + (CASE WHEN dup.f_dup THEN 16 ELSE 0 END) AS BIGINT) AS flags
+           FROM documents d
+           JOIN qf ON qf.doc_id = d.doc_id
+           LEFT JOIN bof ON bof.doc_id = d.doc_id
+           LEFT JOIN cf ON cf.doc_id = d.doc_id
+           JOIN dup ON dup.doc_id = d.doc_id)"""
 
   val oracleSql: Map[String, String] = Map(
     "q_corpus_shuffle" ->
@@ -1027,67 +1143,42 @@ object PipelineOps {
                   AS oversampled
          FROM w ORDER BY source""",
     "q_curation" ->
-      """WITH s AS (
-           SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
-         q AS (
-           SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
-                  len(list_filter(t, x -> x IN ('the', 'a'))) AS n_stop,
-                  CASE WHEN len(t) >= 3 THEN
-                    list_transform(generate_series(1, len(t) - 2),
-                      i -> array_to_string(t[i:i+2], ' '))
-                  END AS grams
-           FROM s),
-         qf AS (
-           SELECT doc_id,
-                  NOT (n_tokens >= 10
-                       AND CAST(n_stop AS DOUBLE) / n_tokens < 0.3
-                       AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.2) AS f_quality,
-                  COALESCE(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-                           / len(grams), 0.0) > 0.2 AS f_repeat
-           FROM q),
-         shm AS (
-           SELECT doc_id, source, shingle FROM (
-             SELECT doc_id, source,
-                    unnest(list_transform(generate_series(1, len(t) - 2),
-                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
-             FROM s WHERE len(t) >= 3)),
-         bo AS (
-           SELECT doc_id, max(c) AS max_rep, CAST(sum(c) AS BIGINT) AS n_sh FROM (
-             SELECT doc_id, shingle, count(*) AS c FROM shm GROUP BY 1, 2)
-           GROUP BY doc_id),
-         bof AS (
-           SELECT doc_id,
-                  (CAST(max_rep AS DOUBLE) / n_sh > 0.2 AND max_rep >= 3) AS f_boiler
-           FROM bo),
-         shd AS (SELECT DISTINCT doc_id, source, shingle FROM shm),
-         ev AS (SELECT DISTINCT shingle FROM shd WHERE source = 'src0'),
-         tr AS (SELECT doc_id, shingle FROM shd WHERE source <> 'src0'),
-         card AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
-         hits AS (
-           SELECT doc_id, count(*) AS n_shared
-           FROM tr JOIN ev USING (shingle) GROUP BY doc_id),
-         cf AS (
-           SELECT c.doc_id,
-                  CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / c.n_shingles > 0.1 AS f_contam
-           FROM card c LEFT JOIN hits h ON c.doc_id = h.doc_id),
-         dup AS (
-           SELECT doc_id,
-                  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS f_dup
-           FROM documents),
-         fl AS (
-           SELECT d.doc_id, d.source,
-                  CAST(  (CASE WHEN qf.f_quality THEN 1 ELSE 0 END)
-                       + (CASE WHEN qf.f_repeat THEN 2 ELSE 0 END)
-                       + (CASE WHEN COALESCE(bof.f_boiler, FALSE) THEN 4 ELSE 0 END)
-                       + (CASE WHEN COALESCE(cf.f_contam, FALSE) THEN 8 ELSE 0 END)
-                       + (CASE WHEN dup.f_dup THEN 16 ELSE 0 END) AS BIGINT) AS flags
-           FROM documents d
-           JOIN qf ON qf.doc_id = d.doc_id
-           LEFT JOIN bof ON bof.doc_id = d.doc_id
-           LEFT JOIN cf ON cf.doc_id = d.doc_id
-           JOIN dup ON dup.doc_id = d.doc_id)
+      s"""WITH $curationChainCtes
          SELECT doc_id, source, flags, flags = 0 AS keep
          FROM fl ORDER BY doc_id""",
+    // first-firing-stage waterfall off the same flags chain; the stage
+    // list is literal so zero-drop stages still report
+    "q_curation_funnel" ->
+      s"""WITH $curationChainCtes,
+         fs AS (
+           SELECT CASE WHEN flags & 16 <> 0 THEN '1_exact_dup'
+                       WHEN flags & 1 <> 0 THEN '2_quality'
+                       WHEN flags & 2 <> 0 THEN '3_repetition'
+                       WHEN flags & 4 <> 0 THEN '4_boilerplate'
+                       WHEN flags & 8 <> 0 THEN '5_contamination' END AS stage
+           FROM fl),
+         dr AS (
+           SELECT stage, CAST(count(*) AS BIGINT) AS n_dropped
+           FROM fs WHERE stage IS NOT NULL GROUP BY stage),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM fl),
+         st AS (
+           SELECT unnest(['1_exact_dup', '2_quality', '3_repetition',
+                          '4_boilerplate', '5_contamination']) AS stage),
+         j AS (
+           SELECT s.stage, COALESCE(d.n_dropped, CAST(0 AS BIGINT))
+                    AS n_dropped
+           FROM st s LEFT JOIN dr d USING (stage)),
+         c AS (
+           SELECT stage, n_dropped,
+                  t.n_total - CAST(COALESCE(sum(n_dropped) OVER (
+                    ORDER BY stage
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_in
+           FROM j CROSS JOIN tot t)
+         SELECT stage, n_in, n_dropped, n_in - n_dropped AS n_out,
+                CASE WHEN n_in > 0 THEN CAST(n_dropped AS DOUBLE) / n_in
+                     ELSE 0.0 END AS drop_frac
+         FROM c ORDER BY stage""",
     "q_sessionize" ->
       """WITH ev AS (
            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec

@@ -165,6 +165,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 2L, 100L), (2L, 3L, 0L, 0L)))
   }
 
+  test("curation funnel telescopes and reconciles exactly with the curation gate") {
+    // against sf0.001: n_in chains (out_k == in_{k+1}), the first stage
+    // sees the whole corpus, Σ dropped == flagged docs, final survivors
+    // == q_curation keep==true — the funnel cannot disagree with the gate
+    val gate = PipelineOps.curation(spark, sf0001).collect()
+    val funnel = PipelineOps.curationFunnel(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(funnel.map(_._1).toSeq == Seq("1_exact_dup", "2_quality",
+      "3_repetition", "4_boilerplate", "5_contamination"))
+    assert(funnel.head._2 == gate.length, "stage 1 sees the whole corpus")
+    funnel.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 == b._2, s"telescope broken between ${a._1} and ${b._1}")
+    }
+    funnel.foreach { case (st, in, drop, out) =>
+      assert(in - drop == out, s"$st arithmetic")
+    }
+    assert(funnel.map(_._3).sum == gate.count(_.getLong(2) != 0L),
+      "total dropped == flagged docs")
+    assert(funnel.last._4 == gate.count(_.getBoolean(3)),
+      "survivors == gate keep count")
+  }
+
   test("token budget: τ=1/2 weights, targets and epochs hand-computed on exact squares") {
     // sources with 100 and 400 tokens: √ are exact (10, 20) → weights
     // exactly 1/3 and 2/3 of the 10M budget; every number checkable

@@ -59,6 +59,9 @@ class PlanLintSpec extends SparkTestBase {
   //    scalar attach); the sweep adds a 1-row total-positives attach
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_token_budget",
+    // q_curation_funnel: the 1-row corpus-total aggregate cross-joined
+    // into the 5-row literal stage frame
+    "q_curation_funnel",
     "q_ann_bruteforce", "q_ann_topk_agg", "q_ann_ivf", "q_ann_pq",
     "x_ann_pq256", "q_ann_ivfpq", "x_ann_ivfpq256",
     // q_ann_recall / q_ivfpq_recall compose the exact baseline with the
@@ -158,7 +161,7 @@ class PlanLintSpec extends SparkTestBase {
   // Any NEW name added here needs the same written justification.
   private val contractBoundedBroadcasts = Set(
     "q_contamination", "q_contamination_pairs", "q_contamination_bloom",
-    "q_curation", "q_dedup_report")
+    "q_curation", "q_curation_funnel", "q_dedup_report")
 
   test("no explicit broadcast hint on an SF-proportional table") {
     val offenders = lintedQueries.toSeq.sortBy(_._1).flatMap {
