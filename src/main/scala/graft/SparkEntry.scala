@@ -94,7 +94,10 @@ object SparkEntry {
     // production-depth tokenizer round-trip: 48 learned merges applied as
     // a codegen'd chained-replace encode (registered q_bpe_encode pins 3
     // merges for the unrolled DuckDB training CTE)
-    "x_bpe_encode_big" -> ((s, d) => TextOps.bpeEncodeBig(s, d)))
+    "x_bpe_encode_big" -> ((s, d) => TextOps.bpeEncodeBig(s, d)),
+    // xxhash64 chunk fingerprints for the substring-dedup apply step
+    // (registered q_chunk_scrub keeps md5 for the DuckDB replay)
+    "x_chunk_scrub_fast" -> ((s, d) => PipelineOps.chunkScrubFast(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -253,11 +253,25 @@ object PipelineOps {
     * aggregate row, never a window partition), one fp-keyed join back
     * (1:1 row-preserving), one doc-grain aggregation to reassemble.
     * Output is corpus-sized by definition — it IS the scrubbed corpus. */
-  def chunkScrub(spark: SparkSession, dir: String): DataFrame = {
+  def chunkScrub(spark: SparkSession, dir: String): DataFrame =
+    chunkScrubWith(spark, dir, c => md5(c))
+
+  /** PRODUCTION-HASH bench alias (`x_chunk_scrub_fast`): the same scrub
+    * with xxhash64 chunk fingerprints — the engine-native hash a 100 TB
+    * run deploys (the registered query keeps md5 so DuckDB can replay
+    * the fingerprints; same trade as x_minhash_lsh_fast /
+    * x_simhash_fast). Row-identical to [[chunkScrub]] on any
+    * collision-free corpus (spec-pinned). */
+  def chunkScrubFast(spark: SparkSession, dir: String): DataFrame =
+    chunkScrubWith(spark, dir, c => xxhash64(c))
+
+  private def chunkScrubWith(spark: SparkSession, dir: String,
+      fp: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val chunks = chunkStarts(spark, dir)
       .select(col("doc_id"),
         ((col("start_tok") - 1) / ChunkStride).cast("long").as("chunk_idx"),
-        md5(concat_ws(" ",
+        fp(concat_ws(" ",
           slice(col("t"), col("start_tok"), lit(ChunkTokens)))).as("chunk_fp"),
         // owned span: my stride's tokens; as the last kept chunk (nothing
         // starts after me iff start+ChunkTokens > n), through end-of-doc

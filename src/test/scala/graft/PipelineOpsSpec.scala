@@ -165,6 +165,12 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 2L, 100L), (2L, 3L, 0L, 0L)))
   }
 
+  test("fast chunk scrub is row-identical to the registered md5 form") {
+    val a = PipelineOps.chunkScrub(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = PipelineOps.chunkScrubFast(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("curation funnel telescopes and reconciles exactly with the curation gate") {
     // against sf0.001: n_in chains (out_k == in_{k+1}), the first stage
     // sees the whole corpus, Σ dropped == flagged docs, final survivors
