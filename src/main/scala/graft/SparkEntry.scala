@@ -55,11 +55,15 @@ object SparkEntry {
     "q_ann_lsh", "q_dup_components",
     "q_curation", "q_ann_pq", "q_dup_canon", "q_ann_ivf", "q_ann_ivfpq",
     "q_ivf_stats", "q_ann_recall", "q_ivfpq_recall",
+    // round-10 iterative / multi-stage additions: the PCA power loop,
+    // the two-index drift audit, the shared-flags funnel, and the
+    // 48-merge trainer (the biggest driver-loop host-degradation magnet)
+    "q_embed_pca", "q_embed_project", "q_index_drift", "q_curation_funnel",
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)
     "x_minhash_lsh_fast", "x_simhash_fast", "x_semdedup_scaled",
     "x_ann_pq256", "x_ann_ivfpq256", "x_bigram_lm_fixedref",
-    "x_bpe_encode_big")
+    "x_bpe_encode_big", "x_chunk_scrub_fast")
 
   /** BENCH-ONLY aliases: the xxhash64 production fast paths of the
     * near-dup operators. The registered `q_minhash_lsh` / `q_simhash`
