@@ -15,8 +15,20 @@ object Verify {
   /** Slow queries scheduled last — see [[SparkEntry.knownSlow]]. */
   private val knownSlow = SparkEntry.knownSlow
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // a TERM-kill mid-write must not leave .tmp_* dirs for the gate's
+    // dir enumeration to trip over (SIGKILL can; check.py also skips
+    // dot-prefixed names as defense in depth)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith(".tmp_")) deleteRecursively(f)
+      })))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // 1 preserves strictly sequential behavior (plus per-query clearCache)
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
@@ -83,8 +95,17 @@ object Verify {
           if (expired) { System.err.println(s"[verify] $name skipped (deadline)"); return }
           val q0 = System.nanoTime()
           try {
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
+            // write to a dot-prefixed temp dir, rename on success: an
+            // external kill mid-write then leaves the query MISSING from
+            // the partial gate rather than present-but-empty (a torn dir
+            // reads as a FAILED query to check.py — the t=35 s kill drill
+            // showed 2 such false fails). rename(2) on one filesystem is
+            // atomic; check.py ignores dot-prefixed names.
+            val tmp = s"$outDir/.tmp_$name"
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+            deleteRecursively(new java.io.File(s"$outDir/$name"))
+            Files.move(Paths.get(tmp), Paths.get(s"$outDir/$name"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             // per-query wall time (under concurrency it includes slot
             // contention — a triage signal, not a benchmark; Bench owns
             // the real numbers)

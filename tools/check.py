@@ -25,7 +25,8 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
-names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+names = sorted(d for d in os.listdir(out)
+               if os.path.isdir(f"{out}/{d}") and not d.startswith("."))
 
 def canon(tbl):
     """Arrow table -> (sorted DataFrame with per-column null-mask companions,
