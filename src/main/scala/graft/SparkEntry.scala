@@ -61,7 +61,7 @@ object SparkEntry {
     "q_embed_pca", "q_embed_project", "q_index_drift", "q_curation_funnel",
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)
-    "x_minhash_lsh_fast", "x_simhash_fast", "x_semdedup_scaled",
+    "x_minhash_lsh_fast", "x_simhash_fast",
     "x_ann_pq256", "x_ann_ivfpq256", "x_bigram_lm_fixedref",
     "x_bpe_encode_big", "x_chunk_scrub_fast")
 
@@ -79,10 +79,11 @@ object SparkEntry {
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_minhash_lsh_fast" -> ((s, d) => DedupOps.minhashLshFast(s, d)),
     "x_simhash_fast" -> ((s, d) => DedupOps.simhashPairsFast(s, d)),
-    // corpus-scaled-K SemDeDup: K ≈ n/128 keeps the within-cluster join
-    // linear in the corpus (the registered q_semdedup pins K=16 for its
-    // static-SQL oracle, which goes quadratic under corpus replication)
-    "x_semdedup_scaled" -> ((s, d) => SimilarityOps.semDeDupScaled(s, d)),
+    // x_semdedup_scaled RETIRED in round 10: the corpus-scaled shape is
+    // now the REGISTERED q_semdedup_scaled (dynamic-K oracle), and at
+    // bench scale (n=9600 > the TwoLevelK switch) the alias ran the
+    // byte-identical two-level dataflow — timing the same heavy query
+    // twice in the slow tail for zero extra signal.
     // production K=256 PQ codebook (registered q_ann_pq pins K=16 for its
     // unrolled DuckDB training CTE) — the NearestCode headroom, measured
     "x_ann_pq256" -> ((s, d) => SimilarityOps.annPqProduction(s, d)),

@@ -20,15 +20,29 @@ object Verify {
     f.delete(): Unit
   }
 
+  /** Serializes result PUBLICATION (delete-old + atomic rename) against
+    * the shutdown sweep: the hook flips [[closing]] under this lock, so
+    * an in-flight publish completes before the sweep and no publish
+    * starts after it — without it a TERM landing between a finished tmp
+    * write and its rename let the sweep delete part-files out from
+    * under the rename (publishing a TORN dir: the exact false-FAIL this
+    * machinery exists to prevent), and a kill inside delete-then-move
+    * could erase a previous good result. */
+  private val publishLock = new Object
+  @volatile private var closing = false
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     // a TERM-kill mid-write must not leave .tmp_* dirs for the gate's
     // dir enumeration to trip over (SIGKILL can; check.py also skips
     // dot-prefixed names as defense in depth)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
-        if (f.getName.startsWith(".tmp_")) deleteRecursively(f)
-      })))
+      publishLock.synchronized {
+        closing = true
+        Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+          if (f.getName.startsWith(".tmp_")) deleteRecursively(f)
+        })
+      }))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // 1 preserves strictly sequential behavior (plus per-query clearCache)
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
@@ -103,9 +117,13 @@ object Verify {
             // atomic; check.py ignores dot-prefixed names.
             val tmp = s"$outDir/.tmp_$name"
             fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
-            deleteRecursively(new java.io.File(s"$outDir/$name"))
-            Files.move(Paths.get(tmp), Paths.get(s"$outDir/$name"),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            publishLock.synchronized {
+              if (!closing) {
+                deleteRecursively(new java.io.File(s"$outDir/$name"))
+                Files.move(Paths.get(tmp), Paths.get(s"$outDir/$name"),
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              }
+            }
             // per-query wall time (under concurrency it includes slot
             // contention — a triage signal, not a benchmark; Bench owns
             // the real numbers)

@@ -624,11 +624,17 @@ object SimilarityOps {
     val base = e.where(col("vec_id") % 10 < 8)
     val batch = e.where(col("vec_id") % 10 >= 8)
     val centroids = ivfCentroidsK(base, IvfK).cache()
+    // both assignment frames feed ~4 consumers each (list stats, the
+    // union, the exact baseline, the probe scan) — cache them or the
+    // corpus-wide argmax recomputes per consumer (the clusterScopedDedup
+    // convention; harness clearCache sweeps them)
     val before = assign(base, centroids)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .cache()
     val after = before.unionByName(
       assign(batch, centroids)
         .withColumn("nrm", VectorOps.norm(col("embedding"))))
+      .cache()
     val qc = round(VectorOps.cosine(col("embedding"), col("centroid"))
       .cast("double") * lit(CosScale)).cast("long")
     def listStats(lists: DataFrame, suffix: String): DataFrame =
@@ -1234,12 +1240,11 @@ object SimilarityOps {
 
   /** PRODUCTION SCALE PATH of [[semDeDup]]: K grows with the corpus
     * (K ≈ n / [[SemDedupOccupancy]], floor [[IvfK]]) so the per-cluster
-    * pair cost stays bounded as the corpus grows — the registered
-    * q_semdedup keeps K=16 because its DuckDB oracle replays a FIXED
-    * unrolled centroid chain (a data-dependent K cannot be expressed in
-    * static SQL). The `count()` is index-build-time sizing (one
-    * columnless scan), not a dataflow collect — the same role AQE's
-    * runtime statistics play for join strategy.
+    * pair cost stays bounded as the corpus grows — q_semdedup keeps
+    * K=16 as the small-K reference shape. The `count()` is
+    * index-build-time sizing (one columnless scan), not a dataflow
+    * collect — the same role AQE's runtime statistics play for join
+    * strategy.
     *
     * Semantics at scale: coarser K splits some >τ pairs across clusters
     * (cluster-scoped dedup is SemDeDup's definition — Abbas et al. 2023
@@ -1247,8 +1252,11 @@ object SimilarityOps {
     * embeddings share norms and cosines, so the argmax assignment puts
     * them in the same cluster for ANY centroid set — planted-replica
     * recall is spec-pinned, and when n ≤ K·occupancy the result is
-    * row-identical to [[semDeDup]] (also spec-pinned). Bench-only alias
-    * `x_semdedup_scaled`. */
+    * row-identical to [[semDeDup]] (also spec-pinned). The registered,
+    * oracle-gated production form is [[semDeDupScaledChecked]]
+    * (q_semdedup_scaled — always coarse-fine, dynamic-K oracle); this
+    * flat/two-level-switch variant remains as the spec reference for
+    * the small-K equivalence. */
   /** Past this K a flat argmax costs more than it saves — switch to the
     * two-level quantizer ([[assignTwoLevel]]). 64 ≈ where n·K assignment
     * work overtakes the n·occupancy pair work it displaces. */

@@ -163,10 +163,15 @@ object TextOps {
     * as `length(replace(text,' ',''))` (one string op, no per-word
     * aggregate), symbol counts as replace-length deltas (`...` count is
     * the delta over the left-to-right non-overlapping replace both
-    * engines implement, exactly divisible by 3), stop hits as a sum of 8
-    * `array_contains` indicators — so every ratio is an exact long/long
-    * double division. One map-side pass, zero shuffles (the orderBy is
-    * presentation). */
+    * engines implement, exactly divisible by 3), alphabetic words as the
+    * native [[org.apache.spark.sql.graftext.AlphaTokenCount]] byte walk
+    * (the filter()-HOF form is the banned interpreted corpus-grain
+    * shape; the regexp_count form measured ~2× slower than even the HOF
+    * — see the expression's scaladoc; the oracle replays it as
+    * regexp_extract_all with a token-boundary-anchored pattern), stop
+    * hits as a sum of 8 `array_contains` indicators — so every ratio is an exact
+    * long/long double division. One map-side pass, zero shuffles (the
+    * orderBy is presentation). */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val repl = (what: String) =>
@@ -179,7 +184,8 @@ object TextOps {
           .cast("long").as("sum_len"),
         repl("#").cast("long").as("hash_n"),
         (repl("...").cast("long") / lit(3L)).cast("long").as("ell_n"),
-        size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+        org.apache.spark.sql.graftext.AlphaTokenCount
+          .alpha_token_count(col("text")).as("n_alpha"),
         GopherStops.map(w => array_contains(t, w).cast("long"))
           .reduce(_ + _).as("n_stop_hits"))
     stats
@@ -212,7 +218,7 @@ object TextOps {
       .map(w => s"(CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""WITH s AS (
-           SELECT doc_id, string_split(text, ' ') AS t,
+           SELECT doc_id, text, string_split(text, ' ') AS t,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
                   CAST(length(text) - length(replace(text, '#', ''))
@@ -224,7 +230,7 @@ object TextOps {
            SELECT doc_id, n_words,
                   CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
                   CAST(hash_n + ell_n AS DOUBLE) / n_words AS symbol_ratio,
-                  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+                  CAST(len(regexp_extract_all(text, '(?:^| )[^ ]*[a-zA-Z][^ ]*'))
                        AS DOUBLE) / n_words AS frac_alpha_words,
                   CAST($stopSum AS BIGINT) AS n_stop_hits
            FROM s),
@@ -437,9 +443,20 @@ object TextOps {
     // production iterative-ML loop on Spark checkpoints. Lazy (eager =
     // false) keeps the one-job-per-step schedule: the step's argmax job
     // is what materializes the fresh checkpoint, reading the parent's
-    // already-materialized blocks. Block cleanup: checkpointed vocab
-    // frames are vocab-sized (Zipf: orders below the corpus) and the
-    // ContextCleaner frees them as the loop drops each reference.
+    // already-materialized blocks.
+    //
+    // Block cleanup is EXPLICIT (the cache() era's parent-unpersist
+    // discipline, kept): checkpoint blocks are invisible to
+    // spark.catalog.clearCache(), so relying on the ContextCleaner
+    // would leak ~steps vocab copies past the harness sweep into the
+    // next query's measurement. The parent unpersists right after the
+    // argmax that consumed it.
+    var prevVocab: Option[org.apache.spark.sql.DataFrame] = None
+    def retire(): Unit = {
+      prevVocab.foreach(
+        org.apache.spark.sql.graftext.CheckpointUtils.unpersistLocalCheckpoint)
+      prevVocab = None
+    }
     for (step <- 1 to steps if !exhausted) {
       val best = vocab
         .select(split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"),
@@ -452,6 +469,7 @@ object TextOps {
         .agg(sum(col("wn")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).take(1)
+      retire()
       if (best.isEmpty) exhausted = true // every word fully merged — the
       // oracle's empty b<i> CTE contributes no row either
       else {
@@ -460,14 +478,19 @@ object TextOps {
         merges += ((step, a, b, n))
         if (step < steps) {
           // merged words can collide with existing vocab entries — re-group
-          vocab = vocab
+          val next = vocab
             .groupBy(call_function("replace", col("enc"),
               lit(s"/$a//$b/"), lit(s"/$a$b/")).as("enc"))
             .agg(sum(col("wn")).as("wn"))
             .localCheckpoint(false)
+          prevVocab = Some(vocab)
+          vocab = next
         }
       }
     }
+    retire()
+    // the final vocab is consumed by nothing after the last argmax
+    org.apache.spark.sql.graftext.CheckpointUtils.unpersistLocalCheckpoint(vocab)
     merges.result()
   }
 

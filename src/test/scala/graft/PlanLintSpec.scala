@@ -44,7 +44,7 @@ class PlanLintSpec extends SparkTestBase {
   //  - q_bigram_lm / x_bigram_lm_fixedref: 1-row reference-vocabulary
   //    count (the add-one smoothing denominator V)
   //  - q_rfm / q_wau: 1-row max-date aggregate (recency anchor / window clip)
-  //  - q_semdedup / x_semdedup_scaled / q_ivf_stats: the same packed
+  //  - q_semdedup / q_semdedup_scaled / q_ivf_stats: the same packed
   //    single-row centroid broadcast as q_ann_ivf (map-side cluster
   //    assignment; the stats op audits that same trained quantizer)
   //  - q_index_drift: the packed-centroid broadcast (assignment of both
@@ -70,7 +70,7 @@ class PlanLintSpec extends SparkTestBase {
     "q_ann_recall", "q_ivfpq_recall",
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_bigram_lm",
     "x_bigram_lm_fixedref", "q_rfm", "q_wau",
-    "q_semdedup", "q_semdedup_scaled", "x_semdedup_scaled", "q_ivf_stats",
+    "q_semdedup", "q_semdedup_scaled", "q_ivf_stats",
     "q_index_drift", "q_embed_pca", "q_embed_project",
     "q_perceptron", "q_threshold_sweep",
     "q_dataset_card")

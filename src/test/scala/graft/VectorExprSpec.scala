@@ -296,6 +296,25 @@ class VectorExprSpec extends SparkTestBase {
     }
   }
 
+  test("native alpha_token_count matches both the filter-HOF and regexp_count forms") {
+    import org.apache.spark.sql.graftext.AlphaTokenCount.alpha_token_count
+    import spark.implicits._
+    val rows = Seq(Some("ab cd"), Some("123 456"), Some("a1b 2#3 x"),
+      Some(""), Some("   "), Some("日本語 abc 語a語"), Some("# ... #a"),
+      Some("end space "), Some(" lead"), None)
+    val df = rows.toDF("s")
+    def run(c: org.apache.spark.sql.Column): Seq[Option[Long]] =
+      df.select(c.cast("long").as("n")).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    val native = run(alpha_token_count(col("s")))
+    val hof = run(size(filter(split(col("s"), " "),
+      x => x.rlike("[a-zA-Z]"))).cast("long"))
+    val re = run(regexp_count(col("s"), lit("(?:^| )[^ ]*[a-zA-Z][^ ]*"))
+      .cast("long"))
+    assert(native == hof, s"native $native vs hof $hof")
+    assert(native == re, s"native $native vs regexp $re")
+  }
+
   test("native chain_replace is bit-identical to the nested replace formulation") {
     import graft.functions.VectorFunctions.chain_replace
     import spark.implicits._
