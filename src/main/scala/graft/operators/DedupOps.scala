@@ -1077,22 +1077,41 @@ object DedupOps {
   }
 
   // ---------------------------------------------------------------- embedding near-dup
-  /** Embedding-cosine near-duplicates: pairs with cosine > 0.4, blocked by
-    * `label` (the cluster id plays the ANN-bucket role at scale). Dot and
-    * norms computed in double precision in array order — bit-identical to
-    * DuckDB's list_cosine_similarity on the same floats. */
+  /** Cosine threshold for the near-dup PAIR report (looser than
+    * SemDeDup's 0.9 drop threshold — a report wants the gray zone). */
+  private val EmbedNearDupTau = 0.4
+
+  /** Embedding-cosine near-duplicate PAIRS: (a, b) with cosine >
+    * [[EmbedNearDupTau]], blocked by the CORPUS-SCALED two-level
+    * quantizer — the same trained blocking as q_semdedup_scaled, so
+    * cluster population stays ~[[SimilarityOps.SemDedupOccupancy]] and
+    * the within-block pair join is O(n·occupancy) at any corpus size.
+    * (The round-10 100× sweep cap-killed the previous label-blocked
+    * form: labels are a BOUNDED set, so label blocks grow linearly with
+    * the corpus and the join is O(n²/L) — blocking keys must scale with
+    * n, which is exactly what the dynamic-K quantizer provides. Blocked
+    * near-dup semantics per Abbas et al. 2023: >τ pairs split across
+    * clusters are accepted misses; exact replicas always share a
+    * cluster.) Emits pairs where [[SimilarityOps.semDeDup]]-family ops
+    * emit survivors — the attribution view. Dots in double precision in
+    * array order — bit-identical to DuckDB's list_cosine_similarity;
+    * the oracle replays the WHOLE dynamic-K quantizer chain. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    val assigned = SimilarityOps
+      .assignTwoLevel(e, SimilarityOps.scaledSemDedupK(e))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .cache()
     // norms computed ONCE per vector before the join: each pair then costs
     // a single native dot instead of three array traversals
-    val a = e.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("emb_a"), VectorOps.norm(col("embedding")).as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("embedding").as("emb_b"), VectorOps.norm(col("embedding")).as("nb"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cl"),
+      col("embedding").as("emb_a"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cl").as("cl_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nb"))
     val cos = VectorOps.cosinePrenorm(col("emb_a"), col("emb_b"), col("na"), col("nb"))
-    a.join(b, a("label") === b("label_b") && a("vec_a") < b("vec_b"))
+    a.join(b, a("cl") === b("cl_b") && a("vec_a") < b("vec_b"))
       .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
-      .where(col("cos_sim") > 0.4)
+      .where(col("cos_sim") > EmbedNearDupTau)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
@@ -1601,12 +1620,19 @@ object DedupOps {
          SELECT deg.doc_id, d.source, deg.degree
          FROM deg JOIN documents d USING (doc_id)
          ORDER BY doc_id""",
+    // replays the SAME dynamic-K two-level quantizer chain as
+    // q_semdedup_scaled (shared CTE body), then the within-cluster >τ
+    // pair report
     "q_embed_neardup" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         FROM embeddings a JOIN embeddings b
-           ON a.label = b.label AND a.vec_id < b.vec_id
+      s"""WITH ${SimilarityOps.scaledQuantizerCtes}
+         SELECT la.vec_id AS vec_a, lb.vec_id AS vec_b
+         FROM lists la
+         JOIN lists lb ON la.cl = lb.cl AND la.vec_id < lb.vec_id
+         JOIN e a ON a.vec_id = la.vec_id
+         JOIN e b ON b.vec_id = lb.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) > 0.4
+                                      CAST(b.embedding AS DOUBLE[]))
+                 > $EmbedNearDupTau
          ORDER BY vec_a, vec_b""",
     // q_minhash_lsh / q_simhash intentionally omitted: xxhash64/murmur have
     // no DuckDB twin; they are verified in ScalaTest against the exact

@@ -1444,7 +1444,26 @@ object SimilarityOps {
     * integer-moment replay; argmax NaN/tie order mirrors the native
     * NearestCentroid (isnan ASC, csim DESC, cl ASC). Tail = the same
     * within-cluster >τ drop as [[SemDedupSql]]. */
-  private def semDedupScaledSql: String = {
+  private def semDedupScaledSql: String =
+    s"""WITH $scaledQuantizerCtes,
+         drops AS (
+           SELECT DISTINCT lb.vec_id
+           FROM lists la
+           JOIN lists lb ON la.cl = lb.cl AND la.vec_id < lb.vec_id
+           JOIN e a ON a.vec_id = la.vec_id
+           JOIN e b ON b.vec_id = lb.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                   > $SemDedupTau)
+         SELECT l.vec_id, l.cl FROM lists l
+         WHERE l.vec_id NOT IN (SELECT vec_id FROM drops)
+         ORDER BY vec_id"""
+
+  /** Shared CTE body for the dynamic-K two-level quantizer (ends with
+    * `lists(vec_id, cl)` over `e`) — the chain behind
+    * [[semDeDupScaledChecked]] and the cluster-blocked
+    * [[DedupOps.embedNearDup]] oracle. */
+  private[operators] def scaledQuantizerCtes: String = {
     val sc = CentroidScale
     def means(assignCte: String, out: String): String =
       s"""${out}m AS (
@@ -1478,7 +1497,7 @@ object SimilarityOps {
            JOIN e ON e.vec_id = r.vec_id
            JOIN $centCte c ON c.cl // kq.k2 = r.cl1),
          ${argmax(out)}"""
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
          kq AS (
            SELECT k, k1,
                   GREATEST(2, CAST(ceil(CAST(k AS DOUBLE) / k1) AS INT)) AS k2
@@ -1507,19 +1526,7 @@ object SimilarityOps {
          ${means("ci", "cm0")},
          ${cellAssign("cm0", "ca1")},
          ${means("ca1", "cm1")},
-         ${cellAssign("cm1", "lists")},
-         drops AS (
-           SELECT DISTINCT lb.vec_id
-           FROM lists la
-           JOIN lists lb ON la.cl = lb.cl AND la.vec_id < lb.vec_id
-           JOIN e a ON a.vec_id = la.vec_id
-           JOIN e b ON b.vec_id = lb.vec_id
-           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[]))
-                   > $SemDedupTau)
-         SELECT l.vec_id, l.cl FROM lists l
-         WHERE l.vec_id NOT IN (SELECT vec_id FROM drops)
-         ORDER BY vec_id"""
+         ${cellAssign("cm1", "lists")}"""
   }
 
   /** DuckDB replay of [[annPq]] — the full trained pipeline: subvector

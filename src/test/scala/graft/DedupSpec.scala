@@ -208,16 +208,34 @@ class DedupSpec extends SparkTestBase {
       s"got $got")
   }
 
-  test("embedding near-dup finds planted duplicate vector") {
-    val v = (0 until 64).map(i => math.sin(i * 0.37).toFloat)
-    val v2 = v.updated(0, v(0) + 1e-4f) // nearly identical
-    val w = (0 until 64).map(i => math.cos(i * 1.13).toFloat) // unrelated
-    val dir = embeddingsFixture(Seq(
-      (0L, v, 1), (1L, v2, 1), (2L, w, 1), (3L, v, 2) /* other block */))
+  test("embedding near-dup: quantizer-blocked pairs catch every replica clique, labels irrelevant") {
+    // round 10 re-blocked this op on the corpus-scaled quantizer (label
+    // blocks grow linearly with the corpus — the 100× sweep cap-killed
+    // the old form). Exact replicas take identical argmax decisions at
+    // both quantizer levels, so EVERY within-clique pair must appear —
+    // across different labels (labels no longer block). Low-cosine pairs
+    // never appear regardless of clustering (the τ=0.4 filter).
+    def vec(seed: Int): Seq[Float] = {
+      // SIGNED components — an all-positive generator gives any two
+      // random vectors cos ≈ 0.75 > τ, which is real similarity, not a
+      // filter bug (first draft of this spec tripped exactly that)
+      var s = seed.toLong * 2654435761L + 11
+      Seq.fill(64) { s = s * 6364136223846793005L + 1442695040888963407L
+        (((s >>> 40).toInt % 1000) - 500) / 500.0f }
+    }
+    val rows = for (j <- 0 until 8; c <- 0 until 5)
+      yield (j + 100L * c, vec(j), c % 3) // 8 bases × 5 replicas, mixed labels
+    val dir = embeddingsFixture(rows)
     val pairs = DedupOps.embedNearDup(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 1L)))
-    assert(!pairs.contains((0L, 2L)))
-    assert(!pairs.contains((0L, 3L)), "label-blocking must exclude cross-block pairs")
+    val cliquePairs = for {
+      j <- 0 until 8
+      a <- 0 until 5; b <- (a + 1) until 5
+    } yield (j + 100L * a, j + 100L * b)
+    cliquePairs.foreach(p => assert(pairs.contains(p), s"missing replica pair $p"))
+    // distinct pseudo-random bases have pairwise |cos| ~ N(0, 1/64) ≪ 0.4:
+    // any cross-base pair in the output would mean the τ filter broke
+    val sameBase = (p: (Long, Long)) => p._1 % 100 == p._2 % 100
+    assert(pairs.forall(sameBase), s"cross-base pair leaked: ${pairs.filterNot(sameBase)}")
   }
 }
