@@ -63,7 +63,8 @@ object SparkEntry {
     // q_ twins (Verify never sees these names; only Bench ordering does)
     "x_minhash_lsh_fast", "x_simhash_fast",
     "x_ann_pq256", "x_ann_ivfpq256", "x_bigram_lm_fixedref",
-    "x_bpe_encode_big", "x_chunk_scrub_fast")
+    "x_bpe_encode_big", "x_chunk_scrub_fast",
+    "x_contamination_pairs_fixedeval")
 
   /** BENCH-ONLY aliases: the xxhash64 production fast paths of the
     * near-dup operators. The registered `q_minhash_lsh` / `q_simhash`
@@ -102,7 +103,12 @@ object SparkEntry {
     "x_bpe_encode_big" -> ((s, d) => TextOps.bpeEncodeBig(s, d)),
     // xxhash64 chunk fingerprints for the substring-dedup apply step
     // (registered q_chunk_scrub keeps md5 for the DuckDB replay)
-    "x_chunk_scrub_fast" -> ((s, d) => PipelineOps.chunkScrubFast(s, d)))
+    "x_chunk_scrub_fast" -> ((s, d) => PipelineOps.chunkScrubFast(s, d)),
+    // fixed-eval contamination attribution: eval = the unreplicated base
+    // slice — the production shape (MB eval, growing train) that the
+    // replicate-everything scaled corpora can't show on the q_ name
+    "x_contamination_pairs_fixedeval" ->
+      ((s, d) => DedupOps.contaminationPairsFixedEval(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

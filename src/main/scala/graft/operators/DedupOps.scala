@@ -1062,10 +1062,28 @@ object DedupOps {
     * shape as the fraction query (eval side is benchmark-sized); the
     * output grain is true (train, eval) overlaps of ≥ 3 shingles —
     * bounded by real contamination, never a pair space. */
-  def contaminationPairs(spark: SparkSession, dir: String): DataFrame = {
+  def contaminationPairs(spark: SparkSession, dir: String): DataFrame =
+    contaminationPairsWith(spark, dir, col("source") === "src0")
+
+  /** FIXED-EVAL bench alias (`x_contamination_pairs_fixedeval`): the
+    * eval side restricted to the UNREPLICATED base slice (doc_id <
+    * [[TextOps.ReplicaOffset]] — make_scaled offsets replica keys by
+    * 10¹²) — the production shape: eval benchmarks stay MB-sized while
+    * the train side grows, which is the whole basis of the broadcast
+    * design. The registered query's N× slope can't show it because
+    * make_scaled replicates the eval suite too (the 100× sweep
+    * cap-killed it on 100× the eval shingles × 100× the train side —
+    * same story as x_bigram_lm_fixedref). Row-identical to the
+    * registered query on any unreplicated corpus (spec-pinned). */
+  def contaminationPairsFixedEval(spark: SparkSession, dir: String): DataFrame =
+    contaminationPairsWith(spark, dir,
+      col("source") === "src0" && col("doc_id") < TextOps.ReplicaOffset)
+
+  private def contaminationPairsWith(spark: SparkSession, dir: String,
+      isEval: org.apache.spark.sql.Column): DataFrame = {
     // each side is a pushed-filter scan of its own slice — no shared cache
     val docs = Tables.documents(spark, dir)
-    val ev = shingles(docs.where(col("source") === "src0"))
+    val ev = shingles(docs.where(isEval))
       .select(col("doc_id").as("eval_id"), col("shingle"))
     val tr = shingles(docs.where(col("source") =!= "src0"))
       .select(col("doc_id").as("train_id"), col("shingle"))

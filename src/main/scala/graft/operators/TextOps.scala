@@ -911,7 +911,7 @@ object TextOps {
     * offsets copy i's keys by i·10^12): `doc_id < ReplicaOffset` selects
     * the ORIGINAL rows inside any replicated corpus, and everything at
     * an unreplicated SF. */
-  private val ReplicaOffset = 1000000000000L
+  private[operators] val ReplicaOffset = 1000000000000L
 
   /** BENCH-ONLY production shape of [[bigramLm]] (`x_bigram_lm_fixedref`):
     * train the model on the UNREPLICATED reference slice only. On a real

@@ -208,6 +208,16 @@ class DedupSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("fixed-eval contamination pairs equal the registered form on an unreplicated corpus") {
+    // sf0.001 ids are all < the make_scaled replica offset, so the
+    // fixed-eval filter is a no-op there — any divergence means the
+    // alias drifted from the registered semantics
+    val a = DedupOps.contaminationPairs(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = DedupOps.contaminationPairsFixedEval(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("embedding near-dup: quantizer-blocked pairs catch every replica clique, labels irrelevant") {
     // round 10 re-blocked this op on the corpus-scaled quantizer (label
     // blocks grow linearly with the corpus — the 100× sweep cap-killed

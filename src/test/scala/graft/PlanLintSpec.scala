@@ -164,6 +164,7 @@ class PlanLintSpec extends SparkTestBase {
   // Any NEW name added here needs the same written justification.
   private val contractBoundedBroadcasts = Set(
     "q_contamination", "q_contamination_pairs", "q_contamination_bloom",
+    "x_contamination_pairs_fixedeval",
     "q_curation", "q_curation_funnel", "q_dedup_report")
 
   test("no explicit broadcast hint on an SF-proportional table") {
