@@ -706,6 +706,66 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** PRODUCTION-BLOCKING variant of [[hammingPairs]] — the Manku et al.
+    * 2007 (Google simhash dedup) table construction: 6 blocks of
+    * 11/11/11/11/10/10 bits, candidate keys = every C(6,3)=20 THREE-BLOCK
+    * combination (~32-bit keys). Any ≤3 flipped bits touch ≤3 blocks, so
+    * ≥3 blocks stay intact and at least one 3-block combo matches —
+    * recall for Hamming ≤ 3 is COMPLETE, exactly like the 4×16-bit
+    * pigeonhole, so the verified pair set is IDENTICAL (spec-pinned).
+    * What changes is the SCALE CEILING: 16-bit chunk keys are a 65k
+    * key space — a bounded blocking key, O(n²/65k) once the corpus
+    * outgrows it (the round-10 100× sweep measured exactly that
+    * regime) — while ~32-bit combined keys keep expected bucket size
+    * n/2³²: the candidate generation costs a constant 20× explode
+    * instead of 4× and stays linear to ~10⁹ documents. The classic
+    * blocking-key-must-scale-with-n trade, paid in tables. */
+  private[operators] def hammingPairsScaled(sig: DataFrame): DataFrame = {
+    val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+    def block(i: Int): org.apache.spark.sql.Column = {
+      val (off, w) = blocks(i)
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+    }
+    val keys = blocks.indices.combinations(3).toSeq.zipWithIndex.map {
+      case (c, t) =>
+        // pack the 3 block values (each < 2^11) into one ≤33-bit key
+        val k = c.map(block).reduce((a, b) => shiftleft(a, 11) + b)
+        struct(lit(t).as("tbl"), k.as("v"))
+    }
+    val blocked = sig.select(col("doc_id"), col("simhash"),
+      explode(array(keys: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.tbl").as("tbl"),
+        col("bk.v").as("v"))
+    val l = blocked.select(col("tbl"), col("v"), col("doc_id").as("doc_a"),
+      col("simhash").as("sig_a"))
+    val r = blocked.select(col("tbl").as("tbl_r"), col("v").as("v_r"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(r, l("tbl") === r("tbl_r") && l("v") === r("v_r") &&
+        l("doc_a") < r("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Bench alias (`x_hamming_scaled`): [[hammingNearDup]]'s signatures
+    * through the Manku 20-table blocking — row-identical output,
+    * production scale ceiling. */
+  def hammingNearDupScaled(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id DIV 4")
+    val base = Seq((3, 17), (5, 29), (7, 43), (11, 59), (13, 71), (17, 89),
+      (19, 101), (23, 113)).zipWithIndex.map { case ((a, b), j) =>
+        shiftleft(pmod(g * a + b, lit(128)), 8 * j)
+      }.reduce(_ + _)
+    val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
+      .cache()
+    hammingPairsScaled(sig)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Production fast path of [[simhashPairs]]: xxhash64 token hashes (no
     * DuckDB twin) through the same pigeonhole-blocked Hamming pipeline.
     * Spec-tested on planted fixtures; the blocking/verify pipeline itself

@@ -208,6 +208,17 @@ class DedupSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("Manku-blocked hamming near-dup emits the exact pair set of the pigeonhole form") {
+    // both blockings are COMPLETE for hamming<=3 and share the exact
+    // verify, so the outputs must be row-identical — on the planted
+    // fixture AND the real corpus
+    for (d <- Seq(fixtureDir, sf0001)) {
+      val a = DedupOps.hammingNearDup(spark, d).collect().map(_.toSeq).toSeq
+      val b = DedupOps.hammingNearDupScaled(spark, d).collect().map(_.toSeq).toSeq
+      assert(a == b && a.nonEmpty, s"mismatch at $d")
+    }
+  }
+
   test("fixed-eval contamination pairs equal the registered form on an unreplicated corpus") {
     // sf0.001 ids are all < the make_scaled replica offset, so the
     // fixed-eval filter is a no-op there — any divergence means the
