@@ -160,8 +160,11 @@ object Bench {
     // the worst min once at the very end — typically a calmer window, and
     // after every other query's memory pressure has been cleared — lets
     // min-of-3 discard the storm. Costs at most one query's time and only
-    // runs if the deadline still has room.
-    if (!deadlineHit && (deadlineSec <= 0 || elapsed < deadlineSec)) {
+    // runs if the deadline still has room. Gated on full-registry runs:
+    // under SPARK_GRAFT_BENCH_ONLY single-query iteration the re-run
+    // would silently turn a reps=1 loop into min-of-2 for that query
+    // while every other invocation stays min-of-1 (ADVICE r10).
+    if (only.isEmpty && !deadlineHit && (deadlineSec <= 0 || elapsed < deadlineSec)) {
       times.toSeq.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
         .sortBy(-_._2).headOption
         .foreach { case (worst, _) =>

@@ -63,6 +63,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // startup sweep of STALE .tmp_* dirs from a previous run: a SIGKILL
+    // (shutdown hook never runs) or a Spark write completing after the
+    // TERM sweep can leave one behind; check.py skips dot-prefixed names
+    // so the gate is safe, but the torn parquet data would persist on
+    // disk until that query happens to overwrite it (ADVICE r10)
+    Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(".tmp_")) deleteRecursively(f)
+    })
     // iteration aid, mirroring Bench's SPARK_GRAFT_BENCH_ONLY: run a comma
     // list of query names only (unknown names are a hard error so a typo
     // can't silently verify nothing)

@@ -676,14 +676,17 @@ object DedupOps {
       .select(col("doc_id"), col("source"), sig.as("simhash"))
   }
 
-  /** Pigeonhole-blocked Hamming-pair pipeline, shared by simhashPairs and
-    * hammingNearDup. Input: (doc_id, simhash: long). Any pair within
-    * Hamming distance 3 agrees on at least one of the four 16-bit chunks
-    * (4 chunks can't all absorb ≤3 differing bits), so candidates come
-    * only from chunk-equality buckets — never an all-pairs join — and the
-    * blocking is LOSSLESS for distance ≤ 3, which is what lets the
-    * arithmetic-signature twin be oracle-checked against a plain all-pairs
-    * SQL formulation. */
+  /** Pigeonhole-blocked Hamming-pair pipeline — the SMALL-CORPUS form
+    * (bench alias `x_hamming_pigeonhole`; the registered queries run
+    * [[hammingPairsScaled]] since round 11). Input: (doc_id, simhash:
+    * long). Any pair within Hamming distance 3 agrees on at least one of
+    * the four 16-bit chunks (4 chunks can't all absorb ≤3 differing
+    * bits), so candidates come only from chunk-equality buckets — never
+    * an all-pairs join — and the blocking is LOSSLESS for distance ≤ 3.
+    * Cheaper than the 20-table Manku blocking below (4× explode vs 20×)
+    * but its 65k-value chunk keys are a BOUNDED key space: buckets grow
+    * ∝ n, so candidate generation is O(n²/65k) past ~10⁷ docs — fine for
+    * a one-off small corpus, wrong as the production default. */
   private[operators] def hammingPairs(sig: DataFrame): DataFrame = {
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
@@ -706,20 +709,23 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** PRODUCTION-BLOCKING variant of [[hammingPairs]] — the Manku et al.
-    * 2007 (Google simhash dedup) table construction: 6 blocks of
+  /** The REGISTERED Hamming-pair pipeline since round 11 — the Manku et
+    * al. 2007 (Google simhash dedup) table construction: 6 blocks of
     * 11/11/11/11/10/10 bits, candidate keys = every C(6,3)=20 THREE-BLOCK
     * combination (~32-bit keys). Any ≤3 flipped bits touch ≤3 blocks, so
     * ≥3 blocks stay intact and at least one 3-block combo matches —
     * recall for Hamming ≤ 3 is COMPLETE, exactly like the 4×16-bit
-    * pigeonhole, so the verified pair set is IDENTICAL (spec-pinned).
-    * What changes is the SCALE CEILING: 16-bit chunk keys are a 65k
-    * key space — a bounded blocking key, O(n²/65k) once the corpus
-    * outgrows it (the round-10 100× sweep measured exactly that
-    * regime) — while ~32-bit combined keys keep expected bucket size
-    * n/2³²: the candidate generation costs a constant 20× explode
-    * instead of 4× and stays linear to ~10⁹ documents. The classic
-    * blocking-key-must-scale-with-n trade, paid in tables. */
+    * pigeonhole, so the verified pair set is IDENTICAL (spec-pinned),
+    * and both DuckDB oracles (hamming: all-pairs bit_count(xor) ≤ 3;
+    * simhash: vote/sign/pair replay) are blocking-agnostic — the swap
+    * cannot change either result set. What changes is the SCALE
+    * CEILING: 16-bit chunk keys are a 65k key space — a bounded
+    * blocking key, O(n²/65k) once the corpus outgrows it (the round-10
+    * 100× sweep measured exactly that regime) — while ~32-bit combined
+    * keys keep expected bucket size n/2³²: the candidate generation
+    * costs a constant 20× explode instead of 4× and stays linear to
+    * ~10⁹ documents. The classic blocking-key-must-scale-with-n trade,
+    * paid in tables. */
   private[operators] def hammingPairsScaled(sig: DataFrame): DataFrame = {
     val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
     def block(i: Int): org.apache.spark.sql.Column = {
@@ -749,10 +755,13 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Bench alias (`x_hamming_scaled`): [[hammingNearDup]]'s signatures
-    * through the Manku 20-table blocking — row-identical output,
-    * production scale ceiling. */
-  def hammingNearDupScaled(spark: SparkSession, dir: String): DataFrame = {
+  /** Bench alias (`x_hamming_pigeonhole`): [[hammingNearDup]]'s
+    * signatures through the small-corpus 4×16-bit pigeonhole blocking —
+    * row-identical output (both blockings are complete for Hamming ≤ 3,
+    * spec-pinned), 4× explode instead of 20×. Kept as the cheap
+    * one-off-corpus variant now that the registered form runs the Manku
+    * 20-table blocking. */
+  def hammingNearDupPigeonhole(spark: SparkSession, dir: String): DataFrame = {
     val g = expr("doc_id DIV 4")
     val base = Seq((3, 17), (5, 29), (7, 43), (11, 59), (13, 71), (17, 89),
       (19, 101), (23, 113)).zipWithIndex.map { case ((a, b), j) =>
@@ -762,31 +771,33 @@ object DedupOps {
     val sig = Tables.documents(spark, dir)
       .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
       .cache()
-    hammingPairsScaled(sig)
+    hammingPairs(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
   /** Production fast path of [[simhashPairs]]: xxhash64 token hashes (no
-    * DuckDB twin) through the same pigeonhole-blocked Hamming pipeline.
+    * DuckDB twin) through the same Manku-blocked Hamming pipeline.
     * Spec-tested on planted fixtures; the blocking/verify pipeline itself
     * is hash-checked through hammingNearDup's oracle and the registered
     * portable form. */
   def simhashPairsFast(spark: SparkSession, dir: String): DataFrame =
-    // cached: hammingPairs self-joins the signature frame, and the two
-    // join sides do NOT collapse into one exchange (AQE broadcasts one),
-    // so an uncached sig would run the 64-sum aggregation twice
-    hammingPairs(simhashSignatures(Tables.documents(spark, dir)).cache())
+    // cached: hammingPairsScaled self-joins the signature frame, and the
+    // two join sides do NOT collapse into one exchange (AQE broadcasts
+    // one), so an uncached sig would run the 64-sum aggregation twice
+    hammingPairsScaled(simhashSignatures(Tables.documents(spark, dir)).cache())
 
-  /** SimHash near-dup pairs with Hamming distance ≤ 3 over the 4-chunk
-    * pigeonhole blocking — the REGISTERED (driver-oracle-checked) form:
+  /** SimHash near-dup pairs with Hamming distance ≤ 3 over the Manku
+    * 20-table blocking — the REGISTERED (driver-oracle-checked) form:
     * identical bit-vote signature construction as simhashSignatures, with
     * the base hash md5-derived (two 32-bit halves combined into a 63-bit
     * value — DuckDB errors on 1<<63, and 63 bits changes nothing about
-    * the pigeonhole property) so DuckDB can replay the votes, the sign
-    * bits, and the final Hamming ≤ 3 filter exactly. Together with
-    * q_hamming_neardup (which pins the blocked candidate generation ==
-    * all-pairs), this hash-checks everything about [[simhashPairsFast]]
-    * except the xxhash64 swap. */
+    * the blocking-completeness property) so DuckDB can replay the votes,
+    * the sign bits, and the final Hamming ≤ 3 filter exactly — the oracle
+    * filters candidate-free ALL pairs, so it is blocking-agnostic and the
+    * round-11 pigeonhole→Manku graduation could not change its result.
+    * Together with q_hamming_neardup (which pins the blocked candidate
+    * generation == all-pairs), this hash-checks everything about
+    * [[simhashPairsFast]] except the xxhash64 swap. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val hi = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
     val lo = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")
@@ -805,21 +816,22 @@ object DedupOps {
     }.reduce(_ + _)
     val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sigExpr.as("simhash"))
-      .cache() // self-joined by hammingPairs; see simhashPairsFast
-    hammingPairs(sig)
+      .cache() // self-joined by hammingPairsScaled; see simhashPairsFast
+    hammingPairsScaled(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
   /** Oracle twin for the Hamming blocking: a deterministic 63-bit ARITHMETIC
     * signature (expressible in ANSI SQL, unlike xxhash64) pushed through the
-    * exact same hammingPairs pipeline. Signature = 8 bytes derived from
-    * doc_id DIV 4 (each byte kept < 128 so the signed-long sum never
+    * exact same hammingPairsScaled pipeline. Signature = 8 bytes derived
+    * from doc_id DIV 4 (each byte kept < 128 so the signed-long sum never
     * overflows under ANSI mode), XOR one noise bit at a doc-dependent
     * position — docs sharing a DIV-4 group differ by ≤ 2 bits, so planted
     * near-pairs exist at every scale. The DuckDB oracle computes the same
     * signatures and filters ALL pairs by bit_count(xor) ≤ 3: equality holds
-    * because the pigeonhole blocking is lossless at distance ≤ 3, which is
-    * exactly the property being verified. */
+    * because the Manku 20-table blocking is lossless at distance ≤ 3, which
+    * is exactly the property being verified (and why the round-11
+    * pigeonhole→Manku swap kept this oracle untouched). */
   def hammingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val g = expr("doc_id DIV 4")
     val base = Seq((3, 17), (5, 29), (7, 43), (11, 59), (13, 71), (17, 89),
@@ -829,8 +841,8 @@ object DedupOps {
     val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
     val sig = Tables.documents(spark, dir)
       .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
-      .cache() // self-joined by hammingPairs; avoids a second documents scan
-    hammingPairs(sig)
+      .cache() // self-joined by hammingPairsScaled; avoids a 2nd docs scan
+    hammingPairsScaled(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 

@@ -884,11 +884,13 @@ object SimilarityOps {
     * Fully in DataFrames, fully order-free, so the whole trained chain
     * replays in DuckDB:
     *  - second moments Σ qᵢₚqᵢ_q from the 2^20-quantized components via
-    *    DOUBLE-posexplode (explode the quantized array, carry it, explode
-    *    again): n·d² narrow rows, ONE shuffle of d² keys with map-side
-    *    partial long sums — no self-join, no float accumulation. The
-    *    covariance then derives per (p,q) as s2/n/S² − μₚμ_q in exact
-    *    double arithmetic.
+    *    DOUBLE-posexplode (explode the quantized array, then the q ≥ p
+    *    SUFFIX slice of it — Gram symmetry halves the dominant moment
+    *    work): ~n·d²/2 narrow rows, ONE shuffle of ~d²/2 keys with
+    *    map-side partial long sums — no self-join, no float
+    *    accumulation; the strict-upper half mirrors after aggregation
+    *    (exact long sums ⇒ bit-identical). The covariance then derives
+    *    per (p,q) as s2/n/S² − μₚμ_q in exact double arithmetic.
     *  - each iteration's matrix-vector product quantizes its d per-term
     *    products to the grid and LONG-sums them (order-free; a double
     *    sum over even 64 terms would be partition-order-dependent), and
@@ -919,11 +921,20 @@ object SimilarityOps {
       .select(col("p"),
         (col("s1").cast("double") / col("n") / lit(CentroidScale)).as("mu"),
         col("n"))
-    val m2 = base
+    // Gram symmetry (ADVICE r10): only the UPPER triangle q ≥ p is
+    // aggregated — the inner posexplode runs over slice(qa, p+1, d−p),
+    // so the dominant n·d² moment shuffle generates ~n·d²/2 rows — then
+    // the strict-upper half is mirrored (exact long sums ⇒ the mirrored
+    // value is bit-identical to what a full aggregation would produce).
+    val m2u = base
       .select(col("qa"), posexplode(col("qa")).as(Seq("p", "qp")))
-      .select(col("p"), col("qp"), posexplode(col("qa")).as(Seq("q", "qq")))
-      .groupBy("p", "q")
+      .select(col("p"), col("qp"),
+        posexplode(slice(col("qa"), col("p") + lit(1),
+          size(col("qa")) - col("p"))).as(Seq("j", "qq")))
+      .groupBy(col("p"), (col("p") + col("j")).as("q"))
       .agg(sum(col("qp") * col("qq")).as("s2"))
+    val m2 = m2u.unionAll(m2u.where(col("p") < col("q"))
+      .select(col("q").as("p"), col("p").as("q"), col("s2")))
     val cov = m2
       .join(mu.select(col("p"), col("mu").as("mup"), col("n")), Seq("p"))
       .join(mu.select(col("p").as("q"), col("mu").as("muq")), Seq("q"))
@@ -1031,9 +1042,14 @@ object SimilarityOps {
            SELECT p, CAST(sum(qp) AS DOUBLE) / count(*) / $sc AS mu,
                   count(*) AS n
            FROM q0 GROUP BY p),
-         m2 AS (
+         m2u AS (
            SELECT a.p, b.p AS q, CAST(sum(a.qp * b.qp) AS BIGINT) AS s2
-           FROM q0 a JOIN q0 b USING (vec_id) GROUP BY 1, 2),
+           FROM q0 a JOIN q0 b ON a.vec_id = b.vec_id AND a.p <= b.p
+           GROUP BY 1, 2),
+         m2 AS (
+           SELECT p, q, s2 FROM m2u
+           UNION ALL
+           SELECT q AS p, p AS q, s2 FROM m2u WHERE p < q),
          cov AS (
            SELECT m2.p, m2.q,
                   CAST(m2.s2 AS DOUBLE) / mp.n / $sc / $sc - mp.mu * mq.mu AS c

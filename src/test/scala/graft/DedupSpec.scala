@@ -208,13 +208,15 @@ class DedupSpec extends SparkTestBase {
       s"got $got")
   }
 
-  test("Manku-blocked hamming near-dup emits the exact pair set of the pigeonhole form") {
+  test("registered Manku-blocked hamming near-dup emits the exact pair set of the pigeonhole alias") {
     // both blockings are COMPLETE for hamming<=3 and share the exact
     // verify, so the outputs must be row-identical — on the planted
-    // fixture AND the real corpus
+    // fixture AND the real corpus. (Round 11 graduated the Manku form
+    // into the registered query; the pigeonhole lives on as the
+    // x_hamming_pigeonhole small-corpus alias.)
     for (d <- Seq(fixtureDir, sf0001)) {
       val a = DedupOps.hammingNearDup(spark, d).collect().map(_.toSeq).toSeq
-      val b = DedupOps.hammingNearDupScaled(spark, d).collect().map(_.toSeq).toSeq
+      val b = DedupOps.hammingNearDupPigeonhole(spark, d).collect().map(_.toSeq).toSeq
       assert(a == b && a.nonEmpty, s"mismatch at $d")
     }
   }
