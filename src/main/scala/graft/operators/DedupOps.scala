@@ -799,6 +799,16 @@ object DedupOps {
     * generation == all-pairs), this hash-checks everything about
     * [[simhashPairsFast]] except the xxhash64 swap. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashPortableSig(spark, dir)
+      .cache() // self-joined by hammingPairsScaled; see simhashPairsFast
+    hammingPairsScaled(sig)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** The md5-portable 63-bit bit-vote signature per document (doc_id,
+    * simhash) — the shared front-end of [[simhashPairs]] and
+    * [[simhashClusters]]. See [[simhashPairs]] for the parity story. */
+  private def simhashPortableSig(spark: SparkSession, dir: String): DataFrame = {
     val hi = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
     val lo = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")
     val toks = Tables.documents(spark, dir)
@@ -814,11 +824,55 @@ object DedupOps {
     val sigExpr = (0 until 63).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
-    val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sigExpr.as("simhash"))
-      .cache() // self-joined by hammingPairsScaled; see simhashPairsFast
-    hammingPairsScaled(sig)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Signature-grain neighbor rollup shared by [[simhashClusters]] and
+    * [[simDegree]]: for each DISTINCT signature, how many Hamming-1..3
+    * NEIGHBOR signatures exist and how many documents those neighbors
+    * carry. Input sigG = one row per distinct signature value with its
+    * document multiplicity (simhash, n_docs). Candidates come from the
+    * Manku blocking run over the DISTINCT-signature frame (the signature
+    * value doubles as the pair id, so identical-signature cliques never
+    * enter the join at all — the whole point), mirrored to both
+    * directions for the per-signature aggregate. */
+  private def sigNeighbors(sigG: DataFrame): DataFrame = {
+    val pairs = hammingPairsScaled(
+      sigG.select(col("simhash").as("doc_id"), col("simhash")))
+    val both = pairs.select(col("doc_a").as("simhash"), col("doc_b").as("nbr"))
+      .unionByName(pairs.select(col("doc_b").as("simhash"), col("doc_a").as("nbr")))
+    both
+      .join(sigG.select(col("simhash").as("nbr"), col("n_docs").as("nbr_docs")),
+        Seq("nbr"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_near_sigs"), sum(col("nbr_docs")).as("n_near_docs"))
+  }
+
+  /** BOUNDED-REPORT twin of [[simhashPairs]] — the cap-proof form for
+    * adversarial replica cliques (round-10 100× sweep: every base doc
+    * carried a 40-100-replica clique, so the pair LIST is C(replica, 2)
+    * per base — genuine output, but unreportable at scale). Rolls the
+    * near-dup graph up at SIGNATURE grain, the q_chunk_shared
+    * per-fingerprint-summary pattern: identical texts take identical
+    * bit-votes, so a c-replica clique collapses to ONE row (n_docs = c)
+    * BEFORE any pair join, and the blocked join runs over DISTINCT
+    * signatures only. Per distinct signature: its document count, the
+    * canonical (minimum) doc_id, and the count of Hamming-1..3 neighbor
+    * signatures / documents. Every per-doc quantity of the pair report
+    * derives arithmetically: degree(doc with sig s) = (n_docs_s − 1) +
+    * n_near_docs_s. Output is bounded by DISTINCT-signature count — a
+    * replica corpus grows it not at all. */
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sigG = simhashPortableSig(spark, dir)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon_id"))
+      .cache() // self-joined through the blocking + re-read for the report
+    sigG.join(sigNeighbors(sigG), Seq("simhash"), "left")
+      .select(col("simhash"), col("n_docs"), col("canon_id"),
+        coalesce(col("n_near_sigs"), lit(0L)).as("n_near_sigs"),
+        coalesce(col("n_near_docs"), lit(0L)).as("n_near_docs"))
+      .orderBy("canon_id") // unique: a doc has ONE signature
   }
 
   /** Oracle twin for the Hamming blocking: a deterministic 63-bit ARITHMETIC
@@ -905,14 +959,35 @@ object DedupOps {
     * graph, so the whole operator — including the blocking — has an
     * exact DuckDB twin). Degree is the first thing a dedup audit reads:
     * hubs are boilerplate/template families, degree-1 nodes are honest
-    * pair dups. One union + one groupBy over the PAIR set (≪ corpus),
-    * then a doc-grain join for source attribution. */
+    * pair dups.
+    *
+    * Round 11 moved the computation to SIGNATURE grain — the cap-proof
+    * shape: the pair frame is never materialized. Distinct signatures
+    * (with document multiplicity m) go through the Manku-blocked
+    * signature-pair join, and degree(doc with sig s) = (m_s − 1) +
+    * Σ m_s′ over Hamming-1..3 neighbor signatures s′ — an identical
+    * result to the old pair-grain rollup (the oracle still derives
+    * degrees from ALL pairs), but a c-replica identical-signature clique
+    * costs ONE aggregate row instead of C(c, 2) join rows. Docs with no
+    * partner (degree 0) stay absent, matching the pair-derived form. */
   def simDegree(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = hammingNearDup(spark, dir).select("doc_a", "doc_b")
-    val deg = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
-    deg.join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+    val g = expr("doc_id DIV 4")
+    val base = Seq((3, 17), (5, 29), (7, 43), (11, 59), (13, 71), (17, 89),
+      (19, 101), (23, 113)).zipWithIndex.map { case ((a, b), j) =>
+        shiftleft(pmod(g * a + b, lit(128)), 8 * j)
+      }.reduce(_ + _)
+    val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
+    val sigDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), base.bitwiseXOR(noise).as("simhash"))
+      .cache() // re-read at doc grain for the final attribution join
+    val sigG = sigDocs.groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"))
+      .cache() // self-joined through the blocking inside sigNeighbors
+    val degPerSig = sigG.join(sigNeighbors(sigG), Seq("simhash"), "left")
+      .select(col("simhash"),
+        (col("n_docs") - 1 + coalesce(col("n_near_docs"), lit(0L))).as("degree"))
+      .where(col("degree") > 0)
+    sigDocs.join(degPerSig, Seq("simhash"))
       .select(col("doc_id"), col("source"), col("degree"))
       .orderBy("doc_id")
   }
@@ -1166,6 +1241,52 @@ object DedupOps {
       .orderBy("train_id", "eval_id")
   }
 
+  /** BOUNDED-REPORT twin of [[contaminationPairs]] — the cap-proof form
+    * for replica corpora (round-10 100× sweep: every doc replicated
+    * 40-100×, so the (train, eval) pair grain is r_train × r_eval rows
+    * per real leak — genuine output, but unreportable at scale). Rolls
+    * the attribution up at CONTENT-FINGERPRINT grain: train and eval
+    * docs collapse to one row per distinct md5(text) BEFORE any shingle
+    * work (replicas share text, so each side shingles each distinct text
+    * ONCE), and the report grain is (train_fp, eval_fp) overlaps of ≥ 3
+    * shingles with the document multiplicities carried alongside — the
+    * per-doc pair count recovers as n_train_docs × n_eval_docs. Output
+    * is bounded by DISTINCT-content overlap; a replica corpus grows the
+    * multiplicity columns, not the row count.
+    *
+    * Scale shape: the fp collapse is one hash-groupBy per side (the
+    * dedupExact move); min(text) is exact because all texts in an fp
+    * group are identical. The eval side stays benchmark-sized →
+    * broadcast, same as the registered pair query. */
+  def contaminationGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def fpGrain(side: DataFrame, fpCol: String, nCol: String): DataFrame =
+      side.groupBy(md5(col("text")).as(fpCol))
+        .agg(count(lit(1)).as(nCol), min(col("text")).as("text"))
+    def fpShingles(grp: DataFrame, fpCol: String): DataFrame =
+      grp.select(col(fpCol), split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 3)
+        // one representative text per fp ⇒ array_distinct IS the distinct
+        // shingle set — no distinct() shuffle needed
+        .select(col(fpCol), explode(array_distinct(
+          graft.functions.VectorFunctions.word_ngrams(col("t"), 3))).as("shingle"))
+    val evG = fpGrain(docs.where(col("source") === "src0"), "eval_fp", "n_eval_docs")
+      .cache() // shingled AND re-joined for the multiplicity report
+    val trG = fpGrain(docs.where(col("source") =!= "src0"), "train_fp", "n_train_docs")
+      .cache()
+    val overlaps = fpShingles(trG, "train_fp")
+      .join(broadcast(fpShingles(evG, "eval_fp")), Seq("shingle"))
+      .groupBy("train_fp", "eval_fp")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+    overlaps
+      .join(trG.select("train_fp", "n_train_docs"), Seq("train_fp"))
+      .join(broadcast(evG.select("eval_fp", "n_eval_docs")), Seq("eval_fp"))
+      .select(col("train_fp"), col("eval_fp"), col("n_train_docs"),
+        col("n_eval_docs"), col("n_shared"))
+      .orderBy("train_fp", "eval_fp")
+  }
+
   // ---------------------------------------------------------------- embedding near-dup
   /** Cosine threshold for the near-dup PAIR report (looser than
     * SemDeDup's 0.9 drop threshold — a report wants the gray zone). */
@@ -1272,6 +1393,8 @@ object DedupOps {
     "q_contamination" -> (contamination _),
     "q_contamination_bloom" -> (contaminationBloom _),
     "q_contamination_pairs" -> (contaminationPairs _),
+    "q_contamination_groups" -> (contaminationGroups _),
+    "q_simhash_clusters" -> (simhashClusters _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_snap_dedup" -> (snapshotDedup _),
     "q_snap_neardup" -> (snapshotNearDup _),
@@ -1399,16 +1522,17 @@ object DedupOps {
          ORDER BY doc_a, doc_b"""
   }
 
-  /** DuckDB replay of simhashPairs — GENERATED so the 63 vote columns and
-    * bit weights can't drift from the Spark expressions. */
-  private val SimhashOracleSql: String = {
+  /** Shared CTE chain replaying [[simhashPortableSig]] — GENERATED so the
+    * 63 vote columns and bit weights can't drift from the Spark
+    * expressions; ends with `sig(doc_id, simhash)`. */
+  private val SimhashSigCte: String = {
     val votes = (0 until 63)
       .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
       .mkString(",\n                  ")
     val sig = (0 until 63)
       .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
            SELECT DISTINCT doc_id, tok FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
              FROM documents)),
@@ -1421,13 +1545,42 @@ object DedupOps {
            SELECT doc_id,
                   $votes
            FROM hsh GROUP BY doc_id),
-         sig AS (SELECT doc_id, $sig AS simhash FROM votes)
+         sig AS (SELECT doc_id, $sig AS simhash FROM votes)"""
+  }
+
+  /** DuckDB replay of simhashPairs — vote chain + candidate-free ALL-pairs
+    * Hamming ≤ 3 filter (blocking-agnostic by construction). */
+  private val SimhashOracleSql: String =
+    s"""WITH $SimhashSigCte
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY doc_a, doc_b"""
-  }
+
+  /** DuckDB replay of simhashClusters: the same vote chain, rolled up at
+    * signature grain, neighbors from an all-pairs Hamming 1..3 filter over
+    * DISTINCT signatures (the oracle needs no blocking — it verifies the
+    * Spark side's blocked candidate generation found every neighbor). */
+  private val SimhashClustersSql: String =
+    s"""WITH $SimhashSigCte,
+         sigg AS (
+           SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+                  min(doc_id) AS canon_id
+           FROM sig GROUP BY 1),
+         nbr AS (
+           SELECT a.simhash,
+                  CAST(count(*) AS BIGINT) AS n_near_sigs,
+                  CAST(sum(b.n_docs) AS BIGINT) AS n_near_docs
+           FROM sigg a JOIN sigg b
+             ON a.simhash <> b.simhash
+            AND bit_count(xor(a.simhash, b.simhash)) <= 3
+           GROUP BY 1)
+         SELECT s.simhash, s.n_docs, s.canon_id,
+                coalesce(n.n_near_sigs, CAST(0 AS BIGINT)) AS n_near_sigs,
+                coalesce(n.n_near_docs, CAST(0 AS BIGINT)) AS n_near_docs
+         FROM sigg s LEFT JOIN nbr n ON s.simhash = n.simhash
+         ORDER BY canon_id"""
 
   /** DuckDB replay of the FULL registered MinHash+LSH pipeline
     * (q_minhash_lsh): md5-derived base hash → 32 permutation mins → band
@@ -1532,6 +1685,7 @@ object DedupOps {
     "q_minhash_lsh" -> MinhashLshSql,
     "q_snap_neardup" -> snapNearDupSql,
     "q_simhash" -> SimhashOracleSql,
+    "q_simhash_clusters" -> SimhashClustersSql,
     "q_dedup_report" ->
       s"""WITH ek AS (
            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -1690,6 +1844,42 @@ object DedupOps {
          FROM tr JOIN ev USING (shingle)
          GROUP BY 1, 2 HAVING count(*) >= 3
          ORDER BY train_id, eval_id""",
+    // fp-grain rollup: one representative text per distinct md5(text)
+    // on each side (min(text) is exact — all texts in a group are
+    // identical), shingled once, overlaps reported with multiplicities
+    "q_contamination_groups" ->
+      """WITH tg AS (
+           SELECT md5(text) AS train_fp, count(*) AS n_train_docs,
+                  min(text) AS text
+           FROM documents WHERE source <> 'src0' GROUP BY 1),
+         eg AS (
+           SELECT md5(text) AS eval_fp, count(*) AS n_eval_docs,
+                  min(text) AS text
+           FROM documents WHERE source = 'src0' GROUP BY 1),
+         tt AS (SELECT train_fp, string_split(text, ' ') AS t FROM tg),
+         tsh AS (
+           SELECT DISTINCT train_fp, shingle FROM (
+             SELECT train_fp,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM tt WHERE len(t) >= 3)),
+         et AS (SELECT eval_fp, string_split(text, ' ') AS t FROM eg),
+         esh AS (
+           SELECT DISTINCT eval_fp, shingle FROM (
+             SELECT eval_fp,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM et WHERE len(t) >= 3)),
+         inter AS (
+           SELECT t.train_fp, e.eval_fp, count(*) AS n_shared
+           FROM tsh t JOIN esh e USING (shingle)
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT i.train_fp, i.eval_fp, tg.n_train_docs, eg.n_eval_docs,
+                i.n_shared
+         FROM inter i
+         JOIN tg ON i.train_fp = tg.train_fp
+         JOIN eg ON i.eval_fp = eg.eval_fp
+         ORDER BY 1, 2""",
     "q_snap_dedup" ->
       """WITH corpus AS (
            SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),

@@ -221,6 +221,51 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("simhash clusters: exact-copy clique collapses to one row; pair count derives exactly") {
+    // fixture: docs 0 and 1 share text → identical bit-vote signature →
+    // ONE cluster row with n_docs = 2, canonical id 0
+    val rows = DedupOps.simhashClusters(spark, fixtureDir).collect()
+    val byCanon = rows.map(r => r.getLong(2) ->
+      (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(byCanon(0L)._1 == 2L, s"docs 0+1 must share a cluster; got $byCanon")
+    assert(!byCanon.contains(1L), "doc 1 must be absorbed into doc 0's cluster")
+    // exact identity vs the pair report, on the fixture AND the real
+    // corpus: total pairs = Σ C(n_docs,2) (within-sig) + ½ Σ n_docs ·
+    // n_near_docs (cross-sig, each unordered pair counted from both ends)
+    for (d <- Seq(fixtureDir, sf0001)) {
+      val cl = DedupOps.simhashClusters(spark, d).collect()
+      val within = cl.map(r => { val m = r.getLong(1); m * (m - 1) / 2 }).sum
+      val cross2 = cl.map(r => r.getLong(1) * r.getLong(4)).sum
+      assert(cross2 % 2 == 0)
+      val expected = within + cross2 / 2
+      val pairs = DedupOps.simhashPairs(spark, d).count()
+      assert(pairs == expected, s"$d: pairs $pairs != derived $expected")
+    }
+  }
+
+  test("contamination groups: replica docs collapse to fp grain; pair grain derives exactly") {
+    val e = "alpha beta gamma delta epsilon zeta"
+    val dir = documentsFixture(Seq(
+      (0L, e, "en", "src0"),                         // eval
+      (100L, e, "en", "src0"),                       // eval replica
+      (1L, "intro " + e + " outro", "en", "src1"),   // contaminated train
+      (2L, "intro " + e + " outro", "en", "src1"),   // exact replica of it
+      (3L, "clean training text with different tokens", "en", "src1")))
+    val g = DedupOps.contaminationGroups(spark, dir).collect()
+    assert(g.length == 1, s"got ${g.toSeq}")
+    val r = g.head
+    assert(r.getAs[Long]("n_train_docs") == 2L &&
+      r.getAs[Long]("n_eval_docs") == 2L && r.getAs[Long]("n_shared") == 4L)
+    // the pair grain is exactly the multiplicity product of the fp grain
+    for (d <- Seq(dir, sf0001)) {
+      val groups = DedupOps.contaminationGroups(spark, d).collect()
+      val derived = groups.map(x =>
+        x.getAs[Long]("n_train_docs") * x.getAs[Long]("n_eval_docs")).sum
+      val pairs = DedupOps.contaminationPairs(spark, d).count()
+      assert(pairs == derived, s"$d: pairs $pairs != derived $derived")
+    }
+  }
+
   test("fixed-eval contamination pairs equal the registered form on an unreplicated corpus") {
     // sf0.001 ids are all < the make_scaled replica offset, so the
     // fixed-eval filter is a no-op there — any divergence means the
