@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-intake throughput bench — the rate evidence for the engine's
+  * streaming identity (the reference is a 5 s-micro-batch pipeline end to
+  * end; every functional property of the intakes is spec-verified, this
+  * main adds the rows/s + per-batch-latency numbers a user sizing an
+  * intake needs).
+  *
+  * Three production intakes run over SPARK_GRAFT_SF_DIR as file-source
+  * streams chopped into SPARK_GRAFT_STREAM_BATCHES micro-batches
+  * (maxFilesPerTrigger=1 over a repartition(n)-written input dir — the
+  * micro-batch boundary is the unit the 5 s trigger would deliver):
+  *
+  *  - curation_intake: in-stream quality/repetition gate + cross-batch
+  *    exact-dup state (curationIntakeStream) → noop sink. Pure
+  *    stream-transform shape: measures gate + state-store throughput.
+  *  - neardup_intake: per-batch MinHash signatures probing the PERSISTED
+  *    corpus band index (nearDupIntakeStream) → epoch-partitioned parquet.
+  *    Measures the batch-proportional-probe design end to end, sink I/O
+  *    included.
+  *  - ann_intake: per-batch query vectors probing the persisted IVF index
+  *    (annIntakeStream) → epoch-partitioned parquet. The online-serving
+  *    shape: query broadcast + pruned list scan + per-query top-k.
+  *
+  * Index builds (one-off corpus work) happen BEFORE the clock starts;
+  * rates come from the streaming engine's own progress events
+  * (numInputRows / triggerExecution ms summed over non-empty batches), so
+  * file-listing and trigger overhead are inside the measurement — the
+  * honest micro-batch number. Prints ONE JSON line:
+  * {"metric":"stream_intake", "streams":{name:{rows,batches,total_sec,
+  * rows_per_sec,p50_batch_ms,max_batch_ms}}, "sf":dir}.
+  */
+object StreamBench {
+  private case class Report(rows: Long, batches: Int, totalSec: Double,
+      rowsPerSec: Double, p50BatchMs: Long, maxBatchMs: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    val work = java.nio.file.Files.createTempDirectory("graft_streambench_")
+      .toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", s"$work/warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** Write `df` as `n` files so maxFilesPerTrigger=1 yields n
+      * micro-batches, and return a file-source stream over them. */
+    def asStream(df: DataFrame, name: String): DataFrame = {
+      df.repartition(nBatches).write.mode("overwrite").parquet(s"$work/$name")
+      spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/$name")
+    }
+
+    /** Drain a streaming query and report rates from its progress events
+      * (empty trailing triggers excluded — they carry no rows). */
+    def measure(start: => StreamingQuery): Report = {
+      val q = start
+      q.processAllAvailable()
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      q.stop()
+      val rows = prog.map(_.numInputRows).sum
+      val durs = prog.map(_.durationMs.get("triggerExecution").longValue)
+      val totalMs = durs.sum
+      val sorted = durs.sorted
+      Report(rows, prog.length, totalMs / 1e3,
+        if (totalMs > 0) rows / (totalMs / 1e3) else 0.0,
+        if (sorted.nonEmpty) sorted(sorted.length / 2) else 0L,
+        if (sorted.nonEmpty) sorted.last else 0L)
+    }
+
+    val docs = graft.Tables.documents(spark, sfDir)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Report]
+
+    // 1) curation intake: full documents table through the gate + fp state
+    results("curation_intake") = measure {
+      StreamingOps.curationIntakeStream(asStream(docs, "cur_in"))
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$work/cur_ckpt").start()
+    }
+
+    // 2) near-dup intake: corpus slice indexed offline, batch slice streamed
+    graft.operators.DedupOps.buildSnapNearDupIndex(
+      spark, sfDir, "sb_band_idx", "sb_sig")
+    spark.catalog.clearCache()
+    results("neardup_intake") = measure {
+      StreamingOps.nearDupIntakeStream(
+        asStream(docs.where(pmod(col("doc_id"), lit(10)) >= 8), "nd_in"),
+        "sb_band_idx", "sb_sig", s"$work/nd_out", s"$work/nd_ckpt")
+    }
+
+    // 3) ANN intake: IVF index built offline, query vectors streamed
+    graft.operators.SimilarityOps.buildAnnIndex(spark, sfDir, s"$work/annidx")
+    spark.catalog.clearCache()
+    val queries = graft.Tables.embeddings(spark, sfDir)
+      .where(pmod(col("vec_id"), lit(10)) >= 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    results("ann_intake") = measure {
+      StreamingOps.annIntakeStream(asStream(queries, "ann_in"),
+        s"$work/annidx", s"$work/ann_out", s"$work/ann_ckpt")
+    }
+
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val streams = results.map { case (n, r) =>
+      s""""$n":{"rows":${r.rows},"batches":${r.batches}""" +
+        s""","total_sec":${f(r.totalSec)},"rows_per_sec":${f(r.rowsPerSec)}""" +
+        s""","p50_batch_ms":${r.p50BatchMs},"max_batch_ms":${r.maxBatchMs}}"""
+    }.mkString("{", ",", "}")
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"""{"metric":"stream_intake","streams":$streams,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
