@@ -165,6 +165,11 @@ class PlanLintSpec extends SparkTestBase {
   private val contractBoundedBroadcasts = Set(
     "q_contamination", "q_contamination_pairs", "q_contamination_bloom",
     "x_contamination_pairs_fixedeval",
+    // the fp-grain rollup broadcasts the eval side TWICE (its distinct-fp
+    // shingles for the overlap join, its fp multiplicities for the
+    // report join) — both are eval-suite-bounded, same contract as the
+    // pair-grain query above
+    "q_contamination_groups",
     "q_curation", "q_curation_funnel", "q_dedup_report")
 
   test("no explicit broadcast hint on an SF-proportional table") {
