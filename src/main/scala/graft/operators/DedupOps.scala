@@ -726,7 +726,14 @@ object DedupOps {
     * costs a constant 20× explode instead of 4× and stays linear to
     * ~10⁹ documents. The classic blocking-key-must-scale-with-n trade,
     * paid in tables. */
-  private[operators] def hammingPairsScaled(sig: DataFrame): DataFrame = {
+  private[operators] def hammingPairsScaled(sig: DataFrame): DataFrame =
+    hammingPairsScaledUnsorted(sig).orderBy("doc_a", "doc_b")
+
+  /** [[hammingPairsScaled]] without the output-contract sort — for
+    * consumers that aggregate the pairs ([[sigNeighbors]]) rather than
+    * report them; a sort exchange on the pair frame would be pure waste
+    * there. */
+  private[operators] def hammingPairsScaledUnsorted(sig: DataFrame): DataFrame = {
     val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
     def block(i: Int): org.apache.spark.sql.Column = {
       val (off, w) = blocks(i)
@@ -752,7 +759,6 @@ object DedupOps {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= 3)
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Bench alias (`x_hamming_pigeonhole`): [[hammingNearDup]]'s
@@ -838,7 +844,7 @@ object DedupOps {
     * enter the join at all — the whole point), mirrored to both
     * directions for the per-signature aggregate. */
   private def sigNeighbors(sigG: DataFrame): DataFrame = {
-    val pairs = hammingPairsScaled(
+    val pairs = hammingPairsScaledUnsorted(
       sigG.select(col("simhash").as("doc_id"), col("simhash")))
     val both = pairs.select(col("doc_a").as("simhash"), col("doc_b").as("nbr"))
       .unionByName(pairs.select(col("doc_b").as("simhash"), col("doc_a").as("nbr")))
