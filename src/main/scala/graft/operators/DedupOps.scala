@@ -678,7 +678,7 @@ object DedupOps {
 
   /** Pigeonhole-blocked Hamming-pair pipeline — the SMALL-CORPUS form
     * (bench alias `x_hamming_pigeonhole`; the registered queries run
-    * [[hammingPairsScaled]] since round 11). Input: (doc_id, simhash:
+    * [[hammingPairsGrouped]] since round 11). Input: (doc_id, simhash:
     * long). Any pair within Hamming distance 3 agrees on at least one of
     * the four 16-bit chunks (4 chunks can't all absorb ≤3 differing
     * bits), so candidates come only from chunk-equality buckets — never
@@ -726,14 +726,58 @@ object DedupOps {
     * costs a constant 20× explode instead of 4× and stays linear to
     * ~10⁹ documents. The classic blocking-key-must-scale-with-n trade,
     * paid in tables. */
-  private[operators] def hammingPairsScaled(sig: DataFrame): DataFrame =
-    hammingPairsScaledUnsorted(sig).orderBy("doc_a", "doc_b")
+  /** Doc-grain Hamming ≤ 3 pair emission VIA SIGNATURE GRAIN — the
+    * output-proportional form the registered pair queries run since
+    * round 11. Same pair set as running the blocked join at doc grain
+    * (spec-pinned vs the pigeonhole on fixture + corpus), but the
+    * Manku-blocked candidate join runs over DISTINCT signatures only and
+    * doc pairs are produced by expansion joins afterwards:
+    *
+    *  - same-signature pairs (Hamming 0) come from a per-signature
+    *    doc-list self-join — pure output, C(m, 2) rows per m-doc
+    *    signature, no candidate generation at all;
+    *  - near-signature pairs come from the distinct-signature pair frame
+    *    joined back to the doc lists of each side.
+    *
+    * Why: on a replica-heavy corpus the doc-grain blocked join generates
+    * every c-doc identical-signature clique 20× (once per Manku table) —
+    * ~20·C(c, 2) candidate rows per clique that a corpus-pair-sized
+    * `.distinct()` then has to collapse (the round-10 100× sweep's
+    * ">700 s output-bound" reading was mostly THIS amplification, not the
+    * answer itself). At signature grain a clique is ONE blocked row, the
+    * distinct runs on the tiny signature-pair frame, and every doc-grain
+    * row produced is an output row: total cost = detection over distinct
+    * signatures + exactly |answer| expansion rows + the output sort.
+    * Each doc carries ONE signature, so the expansion cannot duplicate a
+    * pair and no doc-grain distinct is needed. */
+  private[graft] def hammingPairsGrouped(sigDocs: DataFrame): DataFrame = {
+    val sigG = sigDocs.select("simhash").distinct()
+      .cache() // self-joined through the 20-table blocking
+    val sp = hammingPairsScaledUnsorted(
+      sigG.select(col("simhash").as("doc_id"), col("simhash")))
+      .select(col("doc_a").as("sig_a"), col("doc_b").as("sig_b"),
+        col("hamming"))
+    val docs = sigDocs.select(col("simhash"), col("doc_id"))
+    val intra = docs.as("x").join(docs.as("y"),
+        col("x.simhash") === col("y.simhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    val cross = sp
+      .join(docs.select(col("simhash").as("sig_a"), col("doc_id").as("da")),
+        Seq("sig_a"))
+      .join(docs.select(col("simhash").as("sig_b"), col("doc_id").as("db")),
+        Seq("sig_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    intra.unionByName(cross).orderBy("doc_a", "doc_b")
+  }
 
-  /** [[hammingPairsScaled]] without the output-contract sort — for
-    * consumers that aggregate the pairs ([[sigNeighbors]]) rather than
-    * report them; a sort exchange on the pair frame would be pure waste
-    * there. */
-  private[operators] def hammingPairsScaledUnsorted(sig: DataFrame): DataFrame = {
+  /** The Manku-blocked candidate join itself, unsorted — the detection
+    * core consumed at SIGNATURE grain by [[sigNeighbors]] and
+    * [[hammingPairsGrouped]] (both aggregate or expand the pairs; a sort
+    * exchange on this frame would be pure waste). */
+  private[graft] def hammingPairsScaledUnsorted(sig: DataFrame): DataFrame = {
     val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
     def block(i: Int): org.apache.spark.sql.Column = {
       val (off, w) = blocks(i)
@@ -787,13 +831,14 @@ object DedupOps {
     * is hash-checked through hammingNearDup's oracle and the registered
     * portable form. */
   def simhashPairsFast(spark: SparkSession, dir: String): DataFrame =
-    // cached: hammingPairsScaled self-joins the signature frame, and the
-    // two join sides do NOT collapse into one exchange (AQE broadcasts
-    // one), so an uncached sig would run the 64-sum aggregation twice
-    hammingPairsScaled(simhashSignatures(Tables.documents(spark, dir)).cache())
+    // cached: hammingPairsGrouped reads the signature frame five ways
+    // (distinct + intra self-join + two expansions), so an uncached sig
+    // would run the 64-sum aggregation repeatedly
+    hammingPairsGrouped(simhashSignatures(Tables.documents(spark, dir)).cache())
 
   /** SimHash near-dup pairs with Hamming distance ≤ 3 over the Manku
-    * 20-table blocking — the REGISTERED (driver-oracle-checked) form:
+    * 20-table blocking at signature grain ([[hammingPairsGrouped]]) —
+    * the REGISTERED (driver-oracle-checked) form:
     * identical bit-vote signature construction as simhashSignatures, with
     * the base hash md5-derived (two 32-bit halves combined into a 63-bit
     * value — DuckDB errors on 1<<63, and 63 bits changes nothing about
@@ -806,15 +851,15 @@ object DedupOps {
     * [[simhashPairsFast]] except the xxhash64 swap. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashPortableSig(spark, dir)
-      .cache() // self-joined by hammingPairsScaled; see simhashPairsFast
-    hammingPairsScaled(sig)
+      .cache() // read five ways by hammingPairsGrouped; see simhashPairsFast
+    hammingPairsGrouped(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
   /** The md5-portable 63-bit bit-vote signature per document (doc_id,
     * simhash) — the shared front-end of [[simhashPairs]] and
     * [[simhashClusters]]. See [[simhashPairs]] for the parity story. */
-  private def simhashPortableSig(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashPortableSig(spark: SparkSession, dir: String): DataFrame = {
     val hi = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
     val lo = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")
     val toks = Tables.documents(spark, dir)
@@ -883,7 +928,7 @@ object DedupOps {
 
   /** Oracle twin for the Hamming blocking: a deterministic 63-bit ARITHMETIC
     * signature (expressible in ANSI SQL, unlike xxhash64) pushed through the
-    * exact same hammingPairsScaled pipeline. Signature = 8 bytes derived
+    * exact same hammingPairsGrouped pipeline. Signature = 8 bytes derived
     * from doc_id DIV 4 (each byte kept < 128 so the signed-long sum never
     * overflows under ANSI mode), XOR one noise bit at a doc-dependent
     * position — docs sharing a DIV-4 group differ by ≤ 2 bits, so planted
@@ -901,8 +946,8 @@ object DedupOps {
     val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
     val sig = Tables.documents(spark, dir)
       .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
-      .cache() // self-joined by hammingPairsScaled; avoids a 2nd docs scan
-    hammingPairsScaled(sig)
+      .cache() // read five ways by hammingPairsGrouped; avoids docs re-scans
+    hammingPairsGrouped(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
