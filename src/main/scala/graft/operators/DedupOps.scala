@@ -69,17 +69,6 @@ object DedupOps {
   private[operators] def pairCombos(arr: Column): Column =
     graft.functions.VectorFunctions.pair_combos(arr)
 
-  /** (source, shingle) → sorted distinct doc list, ONE shuffle off the raw
-    * shingle explosion: collect_set dedups at the partial-aggregate stage,
-    * subsuming the separate distinct() the old keptShingles/self-join
-    * pipeline paid, and the list size IS the shingle's document frequency
-    * (the df cap becomes a map-side size() filter instead of a second
-    * aggregation + anti-join). */
-  private[operators] def shingleDocLists(docs: DataFrame): DataFrame =
-    shingleExplode(docs)
-      .groupBy("source", "shingle")
-      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
-
   /** Max document frequency a shingle may have (within its join block,
     * i.e. per source) and still participate in exact-Jaccard candidate
     * generation. Real text is Zipfian: ONE boilerplate shingle shared by
@@ -89,17 +78,6 @@ object DedupOps {
     * generation and the Jaccard cardinalities, keeping Jaccard a true set
     * similarity over the kept-shingle universe. */
   private[operators] val MaxShingleDf = 100
-
-  /** `shingles` minus hot shingles: the df cap applied as a size() filter
-    * on the doc lists, then re-exploded to (doc_id, source, shingle) grain.
-    * One shuffle total — the old form (distinct + hot-count + anti-join)
-    * paid three. The df bound means no single hot boilerplate shingle can
-    * put more than MaxShingleDf docs in one group regardless of corpus
-    * skew. */
-  private[graft] def keptShingles(docs: DataFrame): DataFrame =
-    shingleDocLists(docs)
-      .where(size(col("doc_ids")) <= MaxShingleDf)
-      .select(explode(col("doc_ids")).as("doc_id"), col("source"), col("shingle"))
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup: group documents by content hash, keep the lowest doc_id.
@@ -131,28 +109,88 @@ object DedupOps {
 
   /** Shared candidate-pair frame behind [[ngramJaccard]] and
     * [[containment]]: (doc_a, doc_b, n_common, c_a, c_b) over the
-    * df-capped per-source shingle sets. */
+    * df-capped per-source shingle sets.
+    *
+    * Since round 11 the overlap arithmetic runs at CONTENT-FINGERPRINT
+    * grain and doc pairs are produced by expansion joins afterwards —
+    * the [[contaminationGroups]]/[[hammingPairsGrouped]] move. Identical
+    * texts take identical shingle sets, so each distinct (source, text)
+    * is shingled ONCE, shingle lists hold fingerprints with the document
+    * multiplicity summed alongside (the df cap keeps its doc-count
+    * meaning exactly), and:
+    *
+    *  - same-fingerprint pairs (full overlap: n_common = c_a = c_b = c)
+    *    come from a per-fingerprint doc self-join — pure output;
+    *  - cross-fingerprint overlaps aggregate once per fingerprint pair,
+    *    then expand by the two doc lists — every doc-grain row produced
+    *    is an output row.
+    *
+    * On a replica-heavy corpus the old doc-grain form paid C(df, 2)
+    * combos per shingle list (replicas re-counted every shared shingle:
+    * a 100-replica clique is ~5000 pair rows per shingle ACROSS every
+    * shingle of the text) and a corpus-pair-sized aggregation; at fp
+    * grain the clique contributes one list entry per shingle and the
+    * expansion emits exactly the answer. Result set is unchanged: every
+    * doc of a fingerprint shares its source block, shingle set, and
+    * cardinality c, so the per-pair (n_common, c_a, c_b) are
+    * fingerprint-pair constants — the oracle (doc-grain in DuckDB)
+    * stays green by construction. */
   private def shinglePairOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // df-capped doc lists feed BOTH the cardinalities and the pair
-    // generation — cache the one aggregated frame, not the exploded grain
-    val lists = shingleDocLists(Tables.documents(spark, dir))
-      .where(size(col("doc_ids")) <= MaxShingleDf)
-      .cache()
-    val card = lists.select(explode(col("doc_ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("c"))
-    // pairs are generated map-side from each (source, shingle) doc list —
-    // no self-join, no second exchange of the shingle set; the per-list
-    // fan-out is bounded by C(MaxShingleDf, 2) by the df cap above
-    val inter = lists.where(size(col("doc_ids")) >= 2)
-      .select(explode(pairCombos(col("doc_ids"))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val fpDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+        col("text"))
+      .cache() // doc↔fp map: read by reps + both expansions + intra
+    val reps = fpDocs.groupBy("source", "fp")
+      .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
+    // one representative text per (source, fp) ⇒ array_distinct IS the
+    // per-doc distinct shingle set — no collect_set dedup needed
+    val fpShingle = reps
+      .select(col("source"), col("fp"), col("m"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("source"), col("fp"), col("m"),
+        explode(array_distinct(
+          graft.functions.VectorFunctions.word_ngrams(col("t"), 3))).as("shingle"))
+    // df = Σ m keeps the cap's DOC-count semantics under replication
+    val lists = fpShingle.groupBy("source", "shingle")
+      .agg(sort_array(collect_list(struct(col("fp"), col("m")))).as("fps"),
+        sum(col("m")).as("df"))
+      .where(col("df") <= MaxShingleDf)
+      .cache() // feeds both the cardinalities and the pair generation
+    val card = lists.select(col("source"), explode(col("fps")).as("f"))
+      .groupBy(col("source"), col("f.fp").as("fp"))
+      .agg(count(lit(1)).as("c"))
+    // fingerprint-pair overlaps, generated map-side from each kept list —
+    // fan-out still bounded by C(MaxShingleDf, 2) via the df cap (each
+    // fp counts ≥ 1 toward df)
+    val inter = lists.where(size(col("fps")) >= 2)
+      .select(col("source"), explode(pairCombos(col("fps"))).as("p"))
+      .groupBy(col("source"), col("p.a.fp").as("fp_a"), col("p.b.fp").as("fp_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(card.select(col("doc_id").as("ka"), col("c").as("c_a")),
-        col("doc_a") === col("ka"))
-      .join(card.select(col("doc_id").as("kb"), col("c").as("c_b")),
-        col("doc_b") === col("kb"))
-      .select("doc_a", "doc_b", "n_common", "c_a", "c_b")
+    val qual = inter
+      .join(card.select(col("source"), col("fp").as("fp_a"), col("c").as("c_a")),
+        Seq("source", "fp_a"))
+      .join(card.select(col("source"), col("fp").as("fp_b"), col("c").as("c_b")),
+        Seq("source", "fp_b"))
+    val ids = fpDocs.select(col("source"), col("fp"), col("doc_id"))
+    val cross = qual
+      .join(ids.select(col("source"), col("fp").as("fp_a"),
+        col("doc_id").as("da")), Seq("source", "fp_a"))
+      .join(ids.select(col("source"), col("fp").as("fp_b"),
+        col("doc_id").as("db")), Seq("source", "fp_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("n_common"),
+        // cardinalities travel WITH their doc when least/greatest flips
+        // the fp order (c_a must be doc_a's kept-shingle count)
+        when(col("da") < col("db"), col("c_a")).otherwise(col("c_b")).as("c_a"),
+        when(col("da") < col("db"), col("c_b")).otherwise(col("c_a")).as("c_b"))
+    val intra = ids.as("x")
+      .join(ids.as("y"), col("x.source") === col("y.source") &&
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .join(card.as("cc"), col("x.source") === col("cc.source") &&
+        col("x.fp") === col("cc.fp"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("cc.c").as("n_common"), col("cc.c").as("c_a"), col("cc.c").as("c_b"))
+    cross.unionByName(intra)
   }
 
   /** Containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.9 over the same
@@ -1279,16 +1317,31 @@ object DedupOps {
 
   private def contaminationPairsWith(spark: SparkSession, dir: String,
       isEval: org.apache.spark.sql.Column): DataFrame = {
-    // each side is a pushed-filter scan of its own slice — no shared cache
+    // Since round 11 the overlap arithmetic runs at CONTENT-FINGERPRINT
+    // grain ([[contaminationGroups]]' frame) and the (train, eval) doc
+    // pairs are produced by expansion joins afterwards: replicas share
+    // text ⇒ share the distinct shingle set ⇒ n_shared is an fp-pair
+    // constant, so each distinct text is shingled and joined ONCE and
+    // every doc-grain row produced is an output row. On the replica
+    // corpus the old doc-grain shingle join amplified every shared
+    // shingle by r_train × r_eval before aggregating; output unchanged
+    // (one fp per doc — the expansion cannot duplicate a pair).
     val docs = Tables.documents(spark, dir)
-    val ev = shingles(docs.where(isEval))
-      .select(col("doc_id").as("eval_id"), col("shingle"))
-    val tr = shingles(docs.where(col("source") =!= "src0"))
-      .select(col("doc_id").as("train_id"), col("shingle"))
-    tr.join(broadcast(ev), Seq("shingle"))
-      .groupBy("train_id", "eval_id")
+    val evSide = docs.where(isEval)
+    val trSide = docs.where(col("source") =!= "src0")
+    val overlaps = fpShingles(fpGrain(trSide, "train_fp", "n_tr"), "train_fp")
+      .join(broadcast(
+        fpShingles(fpGrain(evSide, "eval_fp", "n_ev"), "eval_fp")),
+        Seq("shingle"))
+      .groupBy("train_fp", "eval_fp")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= 3)
+    overlaps
+      .join(trSide.select(md5(col("text")).as("train_fp"),
+        col("doc_id").as("train_id")), Seq("train_fp"))
+      .join(broadcast(evSide.select(md5(col("text")).as("eval_fp"),
+        col("doc_id").as("eval_id"))), Seq("eval_fp"))
+      .select("train_id", "eval_id", "n_shared")
       .orderBy("train_id", "eval_id")
   }
 
@@ -1309,18 +1362,25 @@ object DedupOps {
     * dedupExact move); min(text) is exact because all texts in an fp
     * group are identical. The eval side stays benchmark-sized →
     * broadcast, same as the registered pair query. */
+  /** One row per distinct text of `side`: (fpCol, nCol = doc count,
+    * text = the representative — min() is exact, every text in an fp
+    * group is identical). Shared by [[contaminationGroups]] and the
+    * fp-grain [[contaminationPairsWith]]. */
+  private def fpGrain(side: DataFrame, fpCol: String, nCol: String): DataFrame =
+    side.groupBy(md5(col("text")).as(fpCol))
+      .agg(count(lit(1)).as(nCol), min(col("text")).as("text"))
+
+  /** Distinct 3-gram shingles of each fp's representative text. One
+    * representative per fp ⇒ array_distinct IS the distinct shingle
+    * set — no distinct() shuffle needed. */
+  private def fpShingles(grp: DataFrame, fpCol: String): DataFrame =
+    grp.select(col(fpCol), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col(fpCol), explode(array_distinct(
+        graft.functions.VectorFunctions.word_ngrams(col("t"), 3))).as("shingle"))
+
   def contaminationGroups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def fpGrain(side: DataFrame, fpCol: String, nCol: String): DataFrame =
-      side.groupBy(md5(col("text")).as(fpCol))
-        .agg(count(lit(1)).as(nCol), min(col("text")).as("text"))
-    def fpShingles(grp: DataFrame, fpCol: String): DataFrame =
-      grp.select(col(fpCol), split(col("text"), " ").as("t"))
-        .where(size(col("t")) >= 3)
-        // one representative text per fp ⇒ array_distinct IS the distinct
-        // shingle set — no distinct() shuffle needed
-        .select(col(fpCol), explode(array_distinct(
-          graft.functions.VectorFunctions.word_ngrams(col("t"), 3))).as("shingle"))
     val evG = fpGrain(docs.where(col("source") === "src0"), "eval_fp", "n_eval_docs")
       .cache() // shingled AND re-joined for the multiplicity report
     val trG = fpGrain(docs.where(col("source") =!= "src0"), "train_fp", "n_train_docs")

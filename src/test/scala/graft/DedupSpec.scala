@@ -72,16 +72,55 @@ class DedupSpec extends SparkTestBase {
       (1000L, "the quick brown fox jumps over dogs", "en", "srcA"),
       (1001L, "the quick brown fox jumps over cats", "en", "srcA"))
     val dir = documentsFixture(docs)
-    val kept = DedupOps.keptShingles(Tables.documents(spark, dir))
-    assert(kept.where(col("shingle") === "click here now").count() == 0,
-      "df=300 shingle must be dropped (cap is 100)")
-    assert(kept.where(col("shingle") === "the quick brown").count() == 2,
-      "rare shingles must survive the cap")
     val pairs = DedupOps.ngramJaccard(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1000L, 1001L)), "true near-dup must still be found")
     assert(!pairs.exists(p => p._1 < 300L),
       s"boilerplate-only overlap must produce no pairs, got ${pairs.take(5)}")
+  }
+
+  test("jaccard pairs: replica clique expands to exact intra + cross pairs with fp-grain constants") {
+    // round 11 moved shinglePairOverlap to content-fingerprint grain;
+    // pin the expansion: 3 exact replicas + 1 near-dup + 1 unrelated.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 11).map(i => s"w$i") :+ "zz").mkString(" ")
+    val dir = documentsFixture(Seq(
+      (0L, base, "en", "srcA"), (1L, base, "en", "srcA"),
+      (2L, base, "en", "srcA"),                       // 3-replica clique
+      (5L, near, "en", "srcA"),                       // near-dup of the clique
+      (9L, "totally different other words here now", "en", "srcA")))
+    val got = DedupOps.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // intra: C(3,2) pairs at jaccard exactly 1.0, n_common = 10 (12
+    // tokens → 10 3-grams, all shared)
+    for (p <- Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+      assert(got(p) == ((10L, 1.0)), s"$p → ${got.get(p)}")
+    // cross: every replica pairs with the near doc at the same
+    // fp-grain-constant overlap (9 shared of 10+10 grams → 9/11)
+    for (p <- Seq((0L, 5L), (1L, 5L), (2L, 5L)))
+      assert(got(p)._1 == 9L && math.abs(got(p)._2 - 9.0 / 11) < 1e-15,
+        s"$p → ${got.get(p)}")
+    assert(got.size == 6, s"unrelated doc must pair with nothing: $got")
+  }
+
+  test("containment: c_a/c_b stay with their doc through the fp-grain expansion") {
+    // asymmetric cardinalities in BOTH id orders: whichever way the fp
+    // pair sorts, c_a must be doc_a's own kept-shingle count (the
+    // least/greatest flip in the round-11 expansion must swap the c's)
+    val small1 = (1 to 10).map(i => s"s$i").mkString(" ")            // 8 grams
+    val big1 = small1 + " " + (1 to 8).map(i => s"x$i").mkString(" ") // 16 grams
+    val small2 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val big2 = small2 + " " + (1 to 8).map(i => s"y$i").mkString(" ")
+    val dir = documentsFixture(Seq(
+      (10L, small1, "en", "srcA"), (11L, big1, "en", "srcA"),
+      (20L, big2, "en", "srcA"), (21L, small2, "en", "srcA")))
+    val got = DedupOps.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 10-token small doc → 8 3-grams, all inside the big doc (16 grams)
+    assert(got((10L, 11L)) == ((8L, 8L, 16L)), s"got ${got.get((10L, 11L))}")
+    assert(got((20L, 21L)) == ((8L, 16L, 8L)), s"got ${got.get((20L, 21L))}")
   }
 
   test("contrastive pairs: hardest positive per anchor, same-block ring negative, honest dup flag") {
