@@ -51,19 +51,12 @@ object SimhashDecompose {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    /** Per-document (doc_id, simhash) of q_hamming_neardup — the
-      * arithmetic fixture signature (DedupOps.hammingNearDup). */
-    def hammingSig: DataFrame = {
-      val g = expr("doc_id DIV 4")
-      val base = Seq((3, 17), (5, 29), (7, 43), (11, 59), (13, 71),
-        (17, 89), (19, 101), (23, 113)).zipWithIndex.map { case ((a, b), j) =>
-          shiftleft(pmod(g * a + b, lit(128)), 8 * j)
-        }.reduce(_ + _)
-      val noise =
-        expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
+    /** Per-document (doc_id, simhash) of q_hamming_neardup — the shared
+      * arithmetic fixture signature. */
+    def hammingSig: DataFrame =
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
-    }
+        .select(col("doc_id"),
+          operators.DedupOps.arithmeticSimhash.as("simhash"))
 
     def decompose(flavor: String, sigOf: => DataFrame): Unit = {
       // 1) signature build + rollup to signature grain

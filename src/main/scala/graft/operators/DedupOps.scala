@@ -849,15 +849,25 @@ object DedupOps {
     * spec-pinned), 4× explode instead of 20×. Kept as the cheap
     * one-off-corpus variant now that the registered form runs the Manku
     * 20-table blocking. */
-  def hammingNearDupPigeonhole(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic 63-bit ARITHMETIC signature (over `doc_id`) shared
+    * by [[hammingNearDup]] / [[simDegree]] / [[dupComponents]] and their
+    * DuckDB oracles: 8 bytes derived from doc_id DIV 4 (each byte < 128
+    * so the signed-long sum never overflows under ANSI mode), XOR one
+    * noise bit at a doc-dependent position — docs sharing a DIV-4 group
+    * differ by ≤ 2 bits, so planted near-pairs exist at every scale. */
+  private[graft] def arithmeticSimhash: org.apache.spark.sql.Column = {
     val g = expr("doc_id DIV 4")
     val base = Seq((3, 17), (5, 29), (7, 43), (11, 59), (13, 71), (17, 89),
       (19, 101), (23, 113)).zipWithIndex.map { case ((a, b), j) =>
         shiftleft(pmod(g * a + b, lit(128)), 8 * j)
       }.reduce(_ + _)
     val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
+    base.bitwiseXOR(noise)
+  }
+
+  def hammingNearDupPigeonhole(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(spark, dir)
-      .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
+      .select(col("doc_id"), arithmeticSimhash.as("simhash"))
       .cache()
     hammingPairs(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
@@ -976,14 +986,8 @@ object DedupOps {
     * is exactly the property being verified (and why the round-11
     * pigeonhole→Manku swap kept this oracle untouched). */
   def hammingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val g = expr("doc_id DIV 4")
-    val base = Seq((3, 17), (5, 29), (7, 43), (11, 59), (13, 71), (17, 89),
-      (19, 101), (23, 113)).zipWithIndex.map { case ((a, b), j) =>
-        shiftleft(pmod(g * a + b, lit(128)), 8 * j)
-      }.reduce(_ + _)
-    val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
     val sig = Tables.documents(spark, dir)
-      .select(col("doc_id"), base.bitwiseXOR(noise).as("simhash"))
+      .select(col("doc_id"), arithmeticSimhash.as("simhash"))
       .cache() // read five ways by hammingPairsGrouped; avoids docs re-scans
     hammingPairsGrouped(sig)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
@@ -1060,14 +1064,8 @@ object DedupOps {
     * costs ONE aggregate row instead of C(c, 2) join rows. Docs with no
     * partner (degree 0) stay absent, matching the pair-derived form. */
   def simDegree(spark: SparkSession, dir: String): DataFrame = {
-    val g = expr("doc_id DIV 4")
-    val base = Seq((3, 17), (5, 29), (7, 43), (11, 59), (13, 71), (17, 89),
-      (19, 101), (23, 113)).zipWithIndex.map { case ((a, b), j) =>
-        shiftleft(pmod(g * a + b, lit(128)), 8 * j)
-      }.reduce(_ + _)
-    val noise = expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7) % 56 AS INT))")
     val sigDocs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), base.bitwiseXOR(noise).as("simhash"))
+      .select(col("doc_id"), col("source"), arithmeticSimhash.as("simhash"))
       .cache() // re-read at doc grain for the final attribution join
     val sigG = sigDocs.groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"))
@@ -1094,9 +1092,10 @@ object DedupOps {
     * fixpoint, which arrives in O(component diameter) rounds — for
     * near-dup graphs that is single digits (components are tiny; the
     * pair generation itself caps them). Each round is one shuffle of the
-    * EDGE set, which is |pairs|-sized — orders of magnitude smaller than
-    * the corpus at any scale — and `localCheckpoint` truncates the plan
-    * so lineage doesn't grow with rounds. The per-round convergence probe
+    * EDGE set — since round 11 the SIGNATURE-pair set (see the method
+    * comment), bounded by distinct-content size, not the corpus — and
+    * `localCheckpoint` truncates the plan so lineage doesn't grow with
+    * rounds. The per-round convergence probe
     * is a scalar count (driver control flow, same pattern as the IVF
     * Lloyd step), not a data collect. For adversarial graphs with long
     * chains the standard escalation is large-star/small-star (Kiveris et
@@ -1105,9 +1104,37 @@ object DedupOps {
     * Pairs come from the deterministic arithmetic Hamming signature
     * (hammingNearDup) so the whole operator — graph included — has an
     * exact DuckDB twin via a recursive CTE. */
-  def dupComponents(spark: SparkSession, dir: String): DataFrame =
-    componentsOfPairs(hammingNearDup(spark, dir).select("doc_a", "doc_b"))
+  def dupComponents(spark: SparkSession, dir: String): DataFrame = {
+    // Label propagation at SIGNATURE grain, expanded to docs (round 11):
+    // docs sharing a signature are pairwise Hamming-0 duplicates, so the
+    // doc pair graph is exactly the signature graph with every
+    // signature's doc set fully connected internally — doc components =
+    // signature components expanded by the doc lists. The propagation
+    // loop's per-round joins therefore run over DISTINCT signatures
+    // (a replica corpus grows the node count not at all) instead of a
+    // corpus-pair edge list; multi-doc signatures enter as self-edges so
+    // their docs form a component even with no near signature. Labels
+    // and sizes re-derive at doc grain (comp = min doc_id, size = doc
+    // count) — identical to propagating at doc grain.
+    val sigDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), arithmeticSimhash.as("simhash"))
+      .cache() // re-read for the expansion + relabel joins
+    val sigG = sigDocs.groupBy("simhash").agg(count(lit(1)).as("m"))
+      .cache() // blocked self-join + the self-edge scan
+    val sigPairs = hammingPairsScaledUnsorted(
+      sigG.select(col("simhash").as("doc_id"), col("simhash")))
+      .select(col("doc_a"), col("doc_b"))
+    val selfEdges = sigG.where(col("m") >= 2)
+      .select(col("simhash").as("doc_a"), col("simhash").as("doc_b"))
+    val sigComp = componentsOfPairs(sigPairs.unionByName(selfEdges))
+      .select(col("doc_id").as("simhash"), col("comp").as("sig_comp"))
+    val docComp = sigDocs.join(sigComp, Seq("simhash"))
+    val byComp = docComp.groupBy("sig_comp")
+      .agg(min(col("doc_id")).as("comp"), count(lit(1)).as("comp_size"))
+    docComp.join(byComp, Seq("sig_comp"))
+      .select(col("doc_id"), col("comp"), col("comp_size"))
       .orderBy("doc_id")
+  }
 
   /** The propagation loop itself, over an arbitrary undirected pair list
     * (doc_a, doc_b) — separated from the pair source so the multi-round
