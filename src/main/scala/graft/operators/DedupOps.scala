@@ -331,19 +331,31 @@ object DedupOps {
 
   private def minhashLshImpl(spark: SparkSession, dir: String,
       base: Column, hashedBuckets: Boolean): DataFrame = {
+    // Since round 11 the signature/banding/verify pipeline runs at
+    // CONTENT-FINGERPRINT grain and doc pairs are produced by expansion
+    // joins afterwards (the shinglePairOverlap move): the minhash
+    // signature and shingle set are functions of the TEXT alone, so each
+    // distinct text is hashed, banded, and verified ONCE; qualifying
+    // fingerprint pairs expand by the doc lists, and same-fingerprint
+    // pairs (identical texts: every band co-buckets, Jaccard exactly
+    // 1.0) come from a per-fingerprint doc self-join — pure output. On
+    // a replica corpus the old doc-grain form paid C(replicas·others, 2)
+    // combos per band bucket and an array_intersect per expanded pair;
+    // output is unchanged (one fp per doc — no duplicate pairs).
     val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs)
-    // ONE per-doc aggregation carries BOTH pipeline inputs: the 32 minhash
-    // mins (signature pass) and the shingle set (exact-Jaccard verify) —
-    // the old shape ran two separate groupBys over a cached copy of the
-    // 100x-larger exploded shingle grain; this caches only the doc-grain
-    // result and pays one aggregation exchange instead of two
-    val hashed = sh.select(col("doc_id"), col("shingle"),
+    val fpDocs = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .cache() // intra self-join + both cross expansions
+    val grp = fpGrain(docs, "fp", "m")
+      .cache() // shingled once + re-read for the multi-doc intra gate
+    val sh = fpShingles(grp, "fp")
+    // ONE per-fp aggregation carries BOTH pipeline inputs: the 32 minhash
+    // mins (signature pass) and the shingle set (exact-Jaccard verify)
+    val hashed = sh.select(col("fp"), col("shingle"),
       pmod(base, lit(MersennePrime31)).as("h"))
     val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$i")
     }
-    val combined = hashed.groupBy("doc_id")
+    val combined = hashed.groupBy("fp")
       .agg(collect_set(col("shingle")).as("shset"), mins: _*)
       .cache() // feeds the band explode + both verification join sides
     // candidate pairs map-side from each band-bucket's doc list (one
@@ -359,8 +371,8 @@ object DedupOps {
           struct(lit(bnd).as("band"), hash(rows: _*).as("sig"))
         }
         (combined
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("bsig")),
+          .select(col("fp"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("fp"), col("bk.band").as("band"), col("bk.sig").as("bsig")),
           Seq("band", "bsig"))
       } else {
         val bandCols = (0 until NumBands).map { bnd =>
@@ -371,39 +383,56 @@ object DedupOps {
         }
         val rNames = (0 until RowsPerBand).map(j => s"r$j")
         (combined
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id") +: (col("bk.band").as("band") +:
+          .select(col("fp"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("fp") +: (col("bk.band").as("band") +:
             rNames.map(n => col(s"bk.$n").as(n))): _*),
           "band" +: rNames)
       }
     val candidates = buckets.groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_set(col("fp"))).as("ds"))
       .where(size(col("ds")) >= 2)
       .select(explode(pairCombos(col("ds"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(col("p.a").as("fp_a"), col("p.b").as("fp_b"))
       .distinct()
-    // exact-Jaccard verification of candidates only: the per-doc shingle
-    // SETS come free off the combined aggregate, joined to the pair list,
-    // the intersection computed in-place with array_intersect — no
-    // re-shuffle of the shingle grain, no per-shingle intersection groupBy.
+    // exact-Jaccard verification of candidates only — at fp grain, so
+    // each distinct-text pair pays ONE array_intersect: the per-fp
+    // shingle SETS come free off the combined aggregate, joined to the
+    // pair list, the intersection computed in-place with array_intersect.
     // Cardinalities come free as size(set). Staged projections: n_common
     // referenced once per derived column would re-run array_intersect (no
     // CSE for non-cheap HOFs), so materialize it in its own select first.
-    val docSets = combined.select(col("doc_id"), col("shset"))
+    val fpSets = combined.select(col("fp"), col("shset"))
     val withSets = candidates
-      .join(docSets.select(col("doc_id").as("ja"), col("shset").as("set_a")),
-        col("doc_a") === col("ja"))
-      .join(docSets.select(col("doc_id").as("jb"), col("shset").as("set_b")),
-        col("doc_b") === col("jb"))
-      .select(col("doc_a"), col("doc_b"),
+      .join(fpSets.select(col("fp").as("fp_a"), col("shset").as("set_a")),
+        Seq("fp_a"))
+      .join(fpSets.select(col("fp").as("fp_b"), col("shset").as("set_b")),
+        Seq("fp_b"))
+      .select(col("fp_a"), col("fp_b"),
         size(array_intersect(col("set_a"), col("set_b"))).as("n_common"),
         size(col("set_a")).as("c_a"), size(col("set_b")).as("c_b"))
-    withSets
-      .select(col("doc_a"), col("doc_b"),
+    val qual = withSets
+      .select(col("fp_a"), col("fp_b"),
         (col("n_common").cast("double") /
           (col("c_a") + col("c_b") - col("n_common"))).as("jaccard"))
       .where(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+    val ids = fpDocs.select(col("fp"), col("doc_id"))
+    val cross = qual
+      .join(ids.select(col("fp").as("fp_a"), col("doc_id").as("da")), Seq("fp_a"))
+      .join(ids.select(col("fp").as("fp_b"), col("doc_id").as("db")), Seq("fp_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    // identical texts: every band co-buckets and Jaccard is exactly 1.0;
+    // gate on membership in `combined` (texts under 3 tokens shingle to
+    // nothing and can pair with nothing — same as the doc-grain form)
+    val multiFp = grp.where(col("m") >= 2).select("fp")
+      .join(combined.select("fp"), Seq("fp"))
+    val intra = ids.as("x")
+      .join(ids.as("y"), col("x.fp") === col("y.fp") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .join(multiFp.withColumnRenamed("fp", "mfp"), col("x.fp") === col("mfp"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   /** The ORACLE-CHECKED end of the MinHash pipeline: identical signature
