@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   *      signature + Σ m_a·m_b over near-signature pairs) without running
   *      the doc-grain join: what `q_simhash`/`q_hamming_neardup` would
   *      have to emit.
-  *   4. t_pairs_sec — optionally (SPARK_GRAFT_DECOMPOSE_FULL=1) actually
-  *      run the doc-grain pair emission to the noop sink, uncapped, so
-  *      the wall split detection-vs-emission is measured, not inferred.
+  *   4. t_pairs_sec — optionally (SPARK_GRAFT_DECOMPOSE_FULL=
+  *      "hamming,simhash" or "1" for both) actually run the doc-grain
+  *      pair emission to the noop sink, uncapped, so the wall split
+  *      detection-vs-emission is measured, not inferred. Check pair_rows
+  *      first: on a saturated corpus the emission IS the answer volume.
   *
   * Prints one JSON line per flavor. Session config mirrors graft.Bench.
   */
@@ -34,7 +36,11 @@ object SimhashDecompose {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val full = sys.env.get("SPARK_GRAFT_DECOMPOSE_FULL").contains("1")
+    val full: Set[String] = sys.env.get("SPARK_GRAFT_DECOMPOSE_FULL") match {
+      case Some("1") => Set("hamming", "simhash")
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      case None => Set.empty
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-simhash-decompose")
@@ -86,7 +92,7 @@ object SimhashDecompose {
         .agg(coalesce(sum(col("ma") * col("mb")), lit(0L))).head().getLong(0)
       val pairRows = intra + cross
       // 4) optional measured doc-grain emission
-      val tPairs = if (!full) -1.0 else {
+      val tPairs = if (!full(flavor)) -1.0 else {
         val q = flavor match {
           case "simhash" => operators.DedupOps.simhashPairs(spark, sfDir)
           case _         => operators.DedupOps.hammingNearDup(spark, sfDir)

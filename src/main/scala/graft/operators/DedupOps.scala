@@ -729,18 +729,24 @@ object DedupOps {
     * of each bit-sum forms the signature. Expressed as 64 codegen'd
     * conditional sums — one shuffle, no UDAF, no driver loops. */
   private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), col("source"),
+    // xxhash64 twin of [[simhashPortableSig]]'s fp-grain vote pipeline:
+    // one tokenize/hash/vote pass per DISTINCT text, attached to docs by
+    // fingerprint join (the signature is a function of the text alone)
+    val toks = fpGrain(docs, "fp", "m")
+      .select(col("fp"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("h"))
+      .select(col("fp"), xxhash64(col("tok")).as("h"))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
     }
     val sig = (0 until 64).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _) // disjoint bit positions: sum == bitwise OR
-    toks.groupBy("doc_id", "source").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), col("source"), sig.as("simhash"))
+    val sigPerFp = toks.groupBy("fp").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("fp"), sig.as("simhash"))
+    docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .join(sigPerFp, Seq("fp"))
+      .select(col("doc_id"), col("source"), col("simhash"))
   }
 
   /** Pigeonhole-blocked Hamming-pair pipeline — the SMALL-CORPUS form
@@ -937,23 +943,31 @@ object DedupOps {
     * simhash) — the shared front-end of [[simhashPairs]] and
     * [[simhashClusters]]. See [[simhashPairs]] for the parity story. */
   private[graft] def simhashPortableSig(spark: SparkSession, dir: String): DataFrame = {
+    // The 63-vote signature is a function of the TEXT alone — since
+    // round 11 the tokenize/md5/vote pipeline runs once per DISTINCT
+    // text and the result attaches to docs by fingerprint join, so a
+    // replica corpus pays detection at distinct-content size
+    val docs = Tables.documents(spark, dir)
     val hi = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
     val lo = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
+    val toks = fpGrain(docs, "fp", "m")
+      .select(col("fp"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       // hi fills bits 31..62, lo>>1 fills bits 0..30 — disjoint ranges, so
       // every signature bit stays an unbiased md5 bit (a plain hi<<31 | lo
       // would OR two independent bits at position 31, biasing it to 3/4)
-      .select(col("doc_id"), shiftleft(hi, 31).bitwiseOR(shiftright(lo, 1)).as("h"))
+      .select(col("fp"), shiftleft(hi, 31).bitwiseOR(shiftright(lo, 1)).as("h"))
     val bitSums = (0 until 63).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
     }
     val sigExpr = (0 until 63).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sigExpr.as("simhash"))
+    val sigPerFp = toks.groupBy("fp").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("fp"), sigExpr.as("simhash"))
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(sigPerFp, Seq("fp"))
+      .select(col("doc_id"), col("simhash"))
   }
 
   /** Signature-grain neighbor rollup shared by [[simhashClusters]] and
