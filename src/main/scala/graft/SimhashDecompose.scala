@@ -82,7 +82,8 @@ object SimhashDecompose {
       }
       val nSigPairs = sigPairs.count()
       // 3) exact doc-grain pair cardinality, arithmetically
-      val intra = sigG.agg(sum(col("m") * (col("m") - 1) / 2)).head().getLong(0)
+      // m*(m-1) is even; halve on the driver (SQL `/` is fractional)
+      val intra = sigG.agg(sum(col("m") * (col("m") - 1))).head().getLong(0) / 2
       val m = sigG.select(col("simhash"), col("m"))
       val cross = sigPairs
         .join(m.withColumnRenamed("simhash", "doc_a")
