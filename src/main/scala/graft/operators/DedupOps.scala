@@ -451,9 +451,29 @@ object DedupOps {
     * output; minhashLshFast then differs only in the (spec-verified) base
     * hash swap and bucket hashing. */
   def minhashOracle(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
+    // Since round 11 this runs at CONTENT-FINGERPRINT grain like
+    // minhashLshImpl: the signature is a function of the text alone, so
+    // identical texts have identical band keys and identical mins —
+    // hashing/banding/scoring once per DISTINCT text and expanding
+    // qualifying fp pairs by the doc lists emits the exact same
+    // candidate-pair set (same-fp docs co-bucket in every band with all
+    // 32 mins matching, so intra-fp pairs carry n_matching = 32 by
+    // construction). The doc-grain form paid C(clique·…, 2) bucket
+    // combos and TWO 32-column signature joins at doc grain — 275 s at
+    // the 100× replica corpus for what is distinct-content work.
+    val docs = Tables.documents(spark, dir)
+    val fpDocs = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .cache() // intra self-join + both cross expansions
+    val grp = fpGrain(docs, "fp", "m")
+      .cache() // shingled once + re-read for the multi-doc intra gate
     val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
-    val sig = minhashSignaturesWith(sh, base).cache()
+    val hashed = fpShingles(grp, "fp").select(col("fp"),
+      pmod(base, lit(MersennePrime31)).as("h"))
+    val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$i")
+    }
+    val sig = hashed.groupBy("fp").agg(mins.head, mins.tail: _*)
+      .cache() // band explode + both scoring joins + the intra gate
     val bandCols = (0 until NumBands).map { bnd =>
       val rows = (0 until RowsPerBand).zipWithIndex.map { case (r, j) =>
         col(s"m${bnd * RowsPerBand + r}").as(s"r$j")
@@ -462,29 +482,48 @@ object DedupOps {
     }
     val rNames = (0 until RowsPerBand).map(j => s"r$j")
     val buckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id") +: (col("bk.band").as("band") +:
+      .select(col("fp"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("fp") +: (col("bk.band").as("band") +:
         rNames.map(n => col(s"bk.$n").as(n))): _*)
-    // same map-side pair generation from bucket doc lists as minhashLsh,
+    // same map-side pair generation from bucket fp lists as minhashLsh,
     // keyed on the RAW 4-min tuple (the bucket key itself)
     val candidates = buckets
       .groupBy(col("band") +: rNames.map(col(_)): _*)
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_set(col("fp"))).as("ds"))
       .where(size(col("ds")) >= 2)
       .select(explode(pairCombos(col("ds"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(col("p.a").as("fp_a"), col("p.b").as("fp_b"))
       .distinct()
-    val sigA = sig.select(col("doc_id").as("sa") +:
+    val sigA = sig.select(col("fp").as("fp_a") +:
       (0 until NumPerm).map(i => col(s"m$i").as(s"a$i")): _*)
-    val sigB = sig.select(col("doc_id").as("sb") +:
+    val sigB = sig.select(col("fp").as("fp_b") +:
       (0 until NumPerm).map(i => col(s"m$i").as(s"b$i")): _*)
     val nMatch = (0 until NumPerm)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    candidates
-      .join(sigA, col("doc_a") === col("sa"))
-      .join(sigB, col("doc_b") === col("sb"))
-      .select(col("doc_a"), col("doc_b"), nMatch.as("n_matching"))
+    val scored = candidates
+      .join(sigA, Seq("fp_a"))
+      .join(sigB, Seq("fp_b"))
+      .select(col("fp_a"), col("fp_b"), nMatch.as("n_matching"))
+    val cross = scored
+      .join(fpDocs.select(col("fp").as("fp_a"), col("doc_id").as("da")),
+        Seq("fp_a"))
+      .join(fpDocs.select(col("fp").as("fp_b"), col("doc_id").as("db")),
+        Seq("fp_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("n_matching"))
+    // identical texts: all 32 mins match by construction — gate on the
+    // fp HAVING a signature (texts under 3 tokens shingle to nothing and
+    // can pair with nothing, same as the doc-grain form)
+    val multiFp = grp.where(col("m") >= 2).select("fp")
+      .join(sig.select("fp"), Seq("fp"))
+    val intra = fpDocs.as("x")
+      .join(fpDocs.as("y"), col("x.fp") === col("y.fp") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .join(multiFp.withColumnRenamed("fp", "mfp"), col("x.fp") === col("mfp"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(NumPerm.toLong).as("n_matching"))
+    cross.unionByName(intra)
       .withColumn("est_jaccard", col("n_matching").cast("double") / NumPerm)
       .orderBy("doc_a", "doc_b")
   }
