@@ -86,44 +86,76 @@ object PipelineOps {
     * (which reports it) and [[curationFunnel]] (which waterfall-orders
     * it). */
   private def curationFlags(spark: SparkSession, dir: String): DataFrame = {
+    // Since round 11 every TEXT-LEVEL flag computes once per DISTINCT
+    // text and attaches to docs by fingerprint join (the near-dup
+    // family's content-grain move): quality, repetition, and
+    // boilerplate are pure functions of the text; contamination is a
+    // function of the text given the src0 eval shingle set; and the
+    // exact-dup bit IS the per-fingerprint min-doc_id — it falls out of
+    // the fingerprint rollup instead of needing a corpus window. On a
+    // replica-heavy corpus the gate's aggregation work shrinks from
+    // corpus-sized to distinct-content-sized; output is unchanged (one
+    // fp per doc, every doc flagged exactly once).
     val docs = Tables.documents(spark, dir)
+    val fpd = docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .cache() // the doc-grain attach side of every flag join
+    val grp = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("text")).as("text"), min(col("doc_id")).as("min_id"),
+        max(when(col("source") === "src0", 1).otherwise(0)).as("has_eval"),
+        max(when(col("source") =!= "src0", 1).otherwise(0)).as("has_train"))
+      .cache() // map flags + shingle explode + dup-min attach
     // map-side flags from TextOps' shared stats + criteria — ONE
     // definition each with q_text_quality / q_repetition, so the bits
-    // can't drift from the standalone operators
-    val mapFlags = TextOps.repetitionStats(docs)
-      .select(col("doc_id"),
+    // can't drift from the standalone operators (the helper's doc_id
+    // key column carries the fingerprint here; nothing computes on it)
+    val mapFlags = TextOps.repetitionStats(
+        grp.select(col("fp").as("doc_id"), col("text")))
+      .select(col("doc_id").as("fp"),
         (!TextOps.qualityOk(col("n_tokens"), col("n_distinct_tokens"),
           col("n_stopwords"))).as("f_quality"),
         TextOps.isRepetitive(col("n_grams"), col("n_distinct_grams"))
           .as("f_repeat"))
-    // ONE corpus shingle-explode feeds both shingle-grain flags: the
-    // boilerplate aggregation (multiplicity) and the contamination
-    // overlap (distinct — cached too, since contaminationStats derives
-    // three subtrees from it), each via the same helper its standalone
-    // operator uses
-    val sh = DedupOps.shingleExplode(docs).cache()
-    val boiler = TextOps.boilerplateStats(sh)
-      .select(col("doc_id").as("b_id"),
+    // ONE per-distinct-text shingle explode feeds both shingle-grain
+    // flags: boilerplate needs multiplicity, contamination the distinct
+    // set derived from it
+    val shM = grp.select(col("fp"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("fp"), explode(
+        graft.functions.VectorFunctions.word_ngrams(col("t"), 3)).as("shingle"))
+      .cache()
+    val boiler = TextOps.boilerplateStats(shM.select(col("fp").as("doc_id"),
+        col("shingle")))
+      .select(col("doc_id").as("b_fp"),
         TextOps.isBoilerplate(col("max_rep"), col("n_shingles")).as("f_boiler"))
-    val contam = DedupOps.contaminationStats(sh.distinct().cache())
-      .select(col("doc_id").as("c_id"),
+    // contamination at fp grain: the eval shingle set is the distinct
+    // shingles of fps carrying any src0 doc; train-side stats cover fps
+    // carrying any non-src0 doc (a text published under both sources
+    // self-contaminates — identical to the doc-grain behavior). The
+    // flag applies only to non-src0 DOCS at attach time, exactly like
+    // the doc-grain form that never scored eval docs.
+    val shD = shM.distinct()
+    val evalSh = shD.join(grp.where(col("has_eval") === 1).select("fp"), Seq("fp"))
+      .select("shingle").distinct().withColumn("hit", lit(1))
+    val contam = shD
+      .join(grp.where(col("has_train") === 1).select("fp"), Seq("fp"))
+      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .select(col("fp").as("c_fp"),
         (col("n_shared").cast("double") / col("n_shingles") > 0.1).as("f_contam"))
-    // exact-dup flag: one window over the content hash
-    val dup = docs.select(col("doc_id").as("d_id"),
-      (col("doc_id") =!= min(col("doc_id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
-        .as("f_dup"))
     val flags =
       when(col("f_quality"), 1L).otherwise(0L) +
       when(col("f_repeat"), 2L).otherwise(0L) +
       when(coalesce(col("f_boiler"), lit(false)), 4L).otherwise(0L) +
-      when(coalesce(col("f_contam"), lit(false)), 8L).otherwise(0L) +
-      when(col("f_dup"), 16L).otherwise(0L)
-    docs.select(col("doc_id"), col("source"))
-      .join(mapFlags, Seq("doc_id"))
-      .join(boiler, col("doc_id") === col("b_id"), "left")
-      .join(contam, col("doc_id") === col("c_id"), "left")
-      .join(dup, col("doc_id") === col("d_id"))
+      when(col("source") =!= "src0" &&
+        coalesce(col("f_contam"), lit(false)), 8L).otherwise(0L) +
+      when(col("doc_id") =!= col("min_id"), 16L).otherwise(0L)
+    fpd
+      .join(mapFlags, Seq("fp"))
+      .join(boiler, col("fp") === col("b_fp"), "left")
+      .join(contam, col("fp") === col("c_fp"), "left")
+      .join(grp.select(col("fp"), col("min_id")), Seq("fp"))
       .select(col("doc_id"), col("source"), flags.as("flags"))
   }
 
