@@ -753,17 +753,29 @@ object TextOps {
     * per-doc aggregation. The token stream is cached: frequencies, the
     * total, and the join all consume it. */
   def surprisal(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .cache()
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // Content grain since round 11: the corpus token distribution is a
+    // MULTIPLICITY-WEIGHTED sum over distinct texts (sum(m) == the
+    // doc-grain count exactly), and a document's score is a function of
+    // its text given that distribution — so the explode, the frequency
+    // aggregation, and the scoring join all run once per distinct text,
+    // with per-doc rows attached by fingerprint join at the end.
+    val docs = Tables.documents(spark, dir)
+    val fpd = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val grp = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
+    val toks = grp
+      .select(col("fp"), col("m"), explode(tokens(col("text"))).as("tok"))
+      .cache() // frequencies, the total, and the scoring join consume it
+    val freq = toks.groupBy("tok").agg(sum(col("m")).as("c"))
+    val total = toks.agg(sum(col("m")).as("n_total"))
     val bits = (length(bin(col("n_total"))) - 1) - (length(bin(col("c"))) - 1)
-    toks.join(freq, "tok")
+    val perFp = toks.join(freq, "tok")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), bits.as("bits"))
-      .groupBy("doc_id")
+      .select(col("fp"), bits.as("bits"))
+      .groupBy("fp")
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+    fpd.join(perFp, Seq("fp"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"))
       .withColumn("mean_bits", col("sum_bits").cast("double") / col("n_tokens"))
       .orderBy("doc_id")
   }
@@ -784,15 +796,25 @@ object TextOps {
     * (doc, dim)-grain aggregation; the md5-prefix bucket is the same
     * portable hash the split/shard assignments use, so DuckDB replays it
     * byte-for-byte. */
-  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    // Content grain since round 11: the bucket histogram is a function
+    // of the text alone, so the explode + (fp, dim) aggregation run once
+    // per distinct text; doc-grain rows come from the fingerprint join —
+    // every emitted row is an output row.
+    val docs = Tables.documents(spark, dir)
+    val fpd = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val perFp = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("text")).as("text"))
+      .select(col("fp"), explode(tokens(col("text"))).as("tok"))
+      .select(col("fp"),
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
           % HashDim).as("dim"))
-      .groupBy("doc_id", "dim")
+      .groupBy("fp", "dim")
       .agg(count(lit(1)).as("tf"))
+    fpd.join(perFp, Seq("fp"))
+      .select(col("doc_id"), col("dim"), col("tf"))
       .orderBy("doc_id", "dim")
+  }
 
   // ----------------------------------------------------------- BPE fertility
   /** Tokenizer-fertility audit: per (source, lang), how efficiently the
@@ -930,28 +952,43 @@ object TextOps {
   private def bigramLmWith(spark: SparkSession, dir: String,
       isRef: Column): DataFrame = {
     import graft.functions.VectorFunctions.word_ngrams
+    // Content grain since round 11: the model counts are MULTIPLICITY-
+    // WEIGHTED sums over distinct texts — each text contributes its
+    // bigram counts once per REFERENCE doc carrying it (m_ref, computed
+    // in the fingerprint rollup since isRef reads only source/doc_id),
+    // so sum(m_ref) == the doc-grain reference count exactly — and a
+    // document's score is a function of its text given the model. The
+    // bigram explode therefore runs once per distinct text for BOTH the
+    // model side (filter m_ref > 0 on the shared cached frame, never a
+    // join) and the scoring side, with per-doc rows attached by
+    // fingerprint join at the end.
     val d = Tables.documents(spark, dir)
-    val bg = d.select(col("doc_id"), col("source"),
+    val fpd = d.select(col("doc_id"), md5(col("text")).as("fp"))
+    val grp = d.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("text")).as("text"),
+        sum(when(isRef, 1L).otherwise(0L)).as("m_ref"))
+      .cache() // bigram explode + the vocabulary scan
+    val bg = grp.select(col("fp"), col("m_ref"),
         explode(word_ngrams(tokens(col("text")), 2)).as("bg"))
       .withColumn("ctx", element_at(split(col("bg"), " "), 1))
       .cache()
-    // isRef references only (source, doc_id) — both ride the bg frame, so
-    // the model side is a FILTER on the shared cached scan, never a join
-    val ref = bg.where(isRef)
-    val bgc = ref.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val cc = ref.groupBy("ctx").agg(count(lit(1)).as("cctx"))
-    val vocab = d.where(isRef)
+    val ref = bg.where(col("m_ref") > 0L)
+    val bgc = ref.groupBy("bg").agg(sum(col("m_ref")).as("cb"))
+    val cc = ref.groupBy("ctx").agg(sum(col("m_ref")).as("cctx"))
+    val vocab = grp.where(col("m_ref") > 0L)
       .select(explode(tokens(col("text"))).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
     def fl2(c: Column): Column = length(bin(c)) - 1
-    bg.join(bgc, Seq("bg"), "left")
+    val perFp = bg.join(bgc, Seq("bg"), "left")
       .join(cc, Seq("ctx"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
+      .select(col("fp"),
         (fl2(coalesce(col("cctx"), lit(0L)) + col("v"))
           - fl2(coalesce(col("cb"), lit(0L)) + lit(1L))).as("bits"))
-      .groupBy("doc_id")
+      .groupBy("fp")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+    fpd.join(perFp, Seq("fp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"))
       .withColumn("mean_bits",
         col("sum_bits").cast("double") / col("n_bigrams"))
       .orderBy("doc_id")
