@@ -1316,35 +1316,36 @@ object DedupOps {
     * shingles — one aggregation shuffle on doc_id, no eval-side skew
     * possible. No df cap here, deliberately: a shingle shared with the
     * eval set is contamination regardless of how common it is. */
-  /** Per-training-doc (n_shingles, n_shared) against the src0 eval set,
-    * from an already-DISTINCT (doc_id, source, shingle) frame — the ONE
-    * overlap computation contamination() and the curation gate both use.
-    * Filtering source after shingling == shingling filtered docs, so a
-    * caller holding a whole-corpus shingle frame (curation) shares the
-    * explode instead of re-scanning.
-    *
-    * SINGLE PASS over the train shingles: a left join against the
-    * (distinct, marker-tagged) eval set keeps every train row exactly
-    * once, so ONE doc_id aggregation yields both the cardinality and the
-    * hit count — the old card-frame/hits-frame/outer-join shape consumed
-    * the train side twice and paid two extra exchanges. */
-  private[graft] def contaminationStats(shDistinct: DataFrame): DataFrame = {
-    val evalSh = shDistinct.where(col("source") === "src0")
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    // Content grain since round 11: a train doc's (n_shingles, n_shared)
+    // is a function of its text given the eval shingle set, and the eval
+    // set is the union over distinct eval texts — so each side shingles
+    // its DISTINCT texts only and train docs attach by fingerprint join
+    // (a text published under both sources self-contaminates, exactly as
+    // at doc grain: its shingles ARE in the eval set). The source filters
+    // still push to the parquet scans, each side reading its own slice.
+    //
+    // SINGLE PASS over the train shingles: a left join against the
+    // (distinct, marker-tagged) eval set keeps every train row exactly
+    // once, so ONE fp aggregation yields both the cardinality and the
+    // hit count.
+    val docs = Tables.documents(spark, dir)
+    val evalSh = fpShingles(
+        fpGrain(docs.where(col("source") === "src0"), "efp", "em"), "efp")
       .select("shingle").distinct().withColumn("hit", lit(1))
-    shDistinct.where(col("source") =!= "src0")
+    val stats = fpShingles(
+        fpGrain(docs.where(col("source") =!= "src0"), "fp", "m"), "fp")
       .join(broadcast(evalSh), Seq("shingle"), "left")
-      .groupBy("doc_id")
+      .groupBy("fp")
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
-  }
-
-  def contamination(spark: SparkSession, dir: String): DataFrame =
-    // no cache: the source filters inside contaminationStats push through
-    // the explode+distinct to the parquet scan, so each side reads only
-    // its own slice — cheaper than materializing the full shingle frame
-    contaminationStats(shingles(Tables.documents(spark, dir)))
+    docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(stats, Seq("fp"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"))
       .withColumn("contam_frac",
         col("n_shared").cast("double") / col("n_shingles"))
       .orderBy("doc_id")
+  }
 
   /** The 100 TB form of [[contamination]]: a BLOOM-FILTER prefilter in front
     * of the exact overlap join, producing the IDENTICAL result (same oracle
@@ -1371,16 +1372,22 @@ object DedupOps {
     // scans (each branch reads only its own row groups); the eval side is
     // benchmark-sized, so its double consumption (bloom build + exact
     // verify join) is cheaper than materializing the full shingle frame
+    // Content grain since round 11, same reasoning as [[contamination]]:
+    // probe + stats per DISTINCT train text, train docs attach by
+    // fingerprint join.
     val docs = Tables.documents(spark, dir)
-    val evalSh = shingles(docs.where(col("source") === "src0"))
+    val evalSh = fpShingles(
+        fpGrain(docs.where(col("source") === "src0"), "efp", "em"), "efp")
       .select("shingle").distinct()
     // driver control flow (like the IVF centroid fetch): one aggregated
     // row carrying the merged bloom — NOT a collect of data rows
     val bloomBytes = evalSh
       .agg(bloom_agg(col("shingle"), 1000 * 1000).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val trainSh = shingles(docs.where(col("source") =!= "src0"))
-    val card = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val trainSh = fpShingles(
+        fpGrain(docs.where(col("source") =!= "src0"), "fp", "m"), "fp")
+      .cache() // cardinality + the probed hit side
+    val card = trainSh.groupBy("fp").agg(count(lit(1)).as("n_shingles"))
     // map-side bloom probe prunes the join's stream side; the exact join
     // over survivors removes false positives (no broadcast hint — the
     // survivor stream is small, AQE picks the strategy). An EMPTY eval set
@@ -1391,8 +1398,11 @@ object DedupOps {
     val hits = trainSh
       .where(probe)
       .join(evalSh, Seq("shingle"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    card.join(hits, Seq("doc_id"), "left")
+      .groupBy("fp").agg(count(lit(1)).as("n_shared"))
+    val stats = card.join(hits, Seq("fp"), "left")
+    docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(stats, Seq("fp"))
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contam_frac",

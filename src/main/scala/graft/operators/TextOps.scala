@@ -275,9 +275,23 @@ object TextOps {
     * template" signal for corpus filtering. Docs under 3 tokens have no
     * shingle and drop out (mirrored in the oracle). */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    // shares DedupOps' shingle definition (with multiplicity) so
-    // "same shingle" is one concept across dedup and boilerplate scoring
-    boilerplateStats(DedupOps.shingleExplode(Tables.documents(spark, dir)))
+    // Shares DedupOps' shingle definition (with multiplicity) so "same
+    // shingle" is one concept across dedup and boilerplate scoring.
+    // Content grain since round 11: max_rep/n_shingles are functions of
+    // the text, so the explode + two-level aggregation run once per
+    // distinct text and docs attach by fingerprint join.
+    val docs = Tables.documents(spark, dir)
+    val fpd = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val shF = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("text")).as("text"))
+      .select(col("fp"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("fp").as("doc_id"),
+        explode(graft.functions.VectorFunctions.word_ngrams(col("t"), 3))
+          .as("shingle"))
+    val stats = boilerplateStats(shF).withColumnRenamed("doc_id", "fp")
+    fpd.join(stats, Seq("fp"))
+      .select(col("doc_id"), col("max_rep"), col("n_shingles"))
       .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_shingles"))
       .withColumn("is_boilerplate",
         isBoilerplate(col("max_rep"), col("n_shingles")))
@@ -319,13 +333,26 @@ object TextOps {
     * the sort-merge fallback is exchange-free). The final top-5-per-source
     * window runs on the tf aggregate, which is already small. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    // Content grain since round 11: tf(source, token) is the
+    // multiplicity-weighted sum of per-text token counts over the
+    // (fp, source) doc multiplicities, and df(token) weights per-text
+    // PRESENCE by the per-fp doc total — both exactly the doc-grain
+    // counts, so the token explode and the (fp, token) aggregation run
+    // once per distinct text.
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), col("source"),
-      explode(tokens(col("text"))).as("token"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    val fpm = docs.groupBy(md5(col("text")).as("fp"), col("source"))
+      .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
+      .cache() // tf weighting + fp-total rollup + the distinct-text side
+    val tc = fpm.select(col("fp"), col("text")).distinct()
+      .select(col("fp"), explode(tokens(col("text"))).as("token"))
+      .groupBy("fp", "token").agg(count(lit(1)).as("c"))
+      .cache() // tf join + df presence
+    val nDocs = fpm.agg(sum(col("m")).as("n_docs"))
+    val tf = tc.join(fpm.select("fp", "source", "m"), Seq("fp"))
+      .groupBy("source", "token").agg(sum(col("c") * col("m")).as("tf"))
+    val fpTotal = fpm.groupBy("fp").agg(sum(col("m")).as("mt"))
+    val df = tc.select("fp", "token").join(fpTotal, Seq("fp"))
+      .groupBy("token").agg(sum(col("mt")).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("tf_idf").desc, col("token"))
     tf.join(df, Seq("token"))
