@@ -571,17 +571,28 @@ object TextOps {
     // the q_bpe_encode driver oracle pins the node every round.
     val encFinal = graft.functions.VectorFunctions.chain_replace(enc0,
       merges.sortBy(_._1).map { case (_, a, b, _) => (s"/$a//$b/", s"/$a$b/") })
-    Tables.documents(spark, dir)
+    // WORD-GRAIN DICTIONARY since round 11 (the trainer's own move,
+    // applied to the encode): a word's token/merged counts are functions
+    // of the word, and Zipf's law makes distinct words orders of
+    // magnitude fewer than occurrences — so the merge chain runs once
+    // per DISTINCT word and the per-doc totals come from an occurrence
+    // join against the vocabulary-sized dictionary (AQE broadcasts it).
+    val occ = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .where(length(col("w")) >= 2 && !col("w").contains("/"))
-      .select(col("doc_id"), encFinal.as("enc"))
-      .select(col("doc_id"),
+    val dict = occ.select("w").distinct()
+      .select(col("w"), encFinal.as("enc"))
+      .select(col("w"),
         split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"))
+      // vocabulary-sized frame: the filter() HOF runs per distinct word,
+      // never per occurrence
+      .select(col("w"), size(col("s")).cast("long").as("w_tokens"),
+        size(filter(col("s"), x => length(x) > 1)).cast("long").as("w_merged"))
+    occ.join(dict, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        sum(size(col("s")).cast("long")).as("n_tokens"),
-        sum(size(filter(col("s"), x => length(x) > 1)).cast("long"))
-          .as("n_merged"))
+        sum(col("w_tokens")).as("n_tokens"),
+        sum(col("w_merged")).as("n_merged"))
       .orderBy("doc_id")
   }
 
@@ -865,17 +876,22 @@ object TextOps {
     val encFinal = merges.sortBy(_._1).foldLeft(enc0) { case (e, (_, a, b, _)) =>
       call_function("replace", e, lit(s"/$a//$b/"), lit(s"/$a$b/"))
     }
-    Tables.documents(spark, dir)
+    // word-grain dictionary, same as [[bpeEncodeWith]]: encode each
+    // distinct word once, weight by occurrence at the (source, lang) agg
+    val occ = Tables.documents(spark, dir)
       .select(col("source"), col("lang"), explode(tokens(col("text"))).as("w"))
       .where(length(col("w")) >= 2 && !col("w").contains("/"))
-      .select(col("source"), col("lang"),
-        length(col("w")).cast("long").as("wc"), encFinal.as("enc"))
-      .select(col("source"), col("lang"), col("wc"),
-        split(expr("substring(enc, 2, length(enc) - 2)"), "//").as("s"))
+    val dict = occ.select("w").distinct()
+      .select(col("w"), length(col("w")).cast("long").as("wc"),
+        encFinal.as("enc"))
+      .select(col("w"), col("wc"),
+        size(split(expr("substring(enc, 2, length(enc) - 2)"), "//"))
+          .cast("long").as("wt"))
+    occ.join(dict, Seq("w"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_words"),
         sum(col("wc")).as("sum_chars"),
-        sum(size(col("s")).cast("long")).as("n_tokens"))
+        sum(col("wt")).as("n_tokens"))
       .withColumn("fertility",
         col("n_tokens").cast("double") / col("n_words"))
       .withColumn("chars_per_token",
