@@ -2,20 +2,24 @@ package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL registration for the engine's native functions, both as a
   * `SparkSessionExtensions` (for `.withExtensions` / the
   * spark.sql.extensions conf on a cluster) and as a runtime helper for an
-  * existing session. Makes `vec_dot(a, b)` and `topk_by(score, id, k)`
-  * first-class in spark.sql text.
+  * existing session. Makes the whole native family — `vec_dot(a, b)`,
+  * `topk_by(score, id, k)`, `word_ngrams(tokens, 3)`, `chain_replace(s,
+  * froms, tos)`, the quantizer/sketch primitives — first-class in
+  * spark.sql text, so a SQL-only user reaches the same codegen'd
+  * expressions the Scala API does.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.vecDot)
-    e.injectFunction(GraftExtensions.vecSub)
-    e.injectFunction(GraftExtensions.topkBy)
-    e.injectFunction(GraftExtensions.pairCombos)
+    GraftExtensions.all.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => RewriteRankOneWindow)
   }
 }
@@ -25,10 +29,48 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
+  /** Constant-fold an argument that parameterizes the expression NODE
+    * (k, n, separators, merge tables) rather than flowing through it.
+    * Mirrors what Spark's own builders do for e.g. `count_min_sketch`'s
+    * eps/confidence/seed arguments. */
+  private def litInt(name: String, arg: String, e: Expression): Int =
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case v => throw new IllegalArgumentException(
+        s"$name: $arg must be an integer literal, got $v")
+    }
+
+  private def litLong(name: String, arg: String, e: Expression): Long =
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case v => throw new IllegalArgumentException(
+        s"$name: $arg must be an integer literal, got $v")
+    }
+
+  private def litString(name: String, arg: String, e: Expression): String =
+    e.eval() match {
+      case s: UTF8String => s.toString
+      case v => throw new IllegalArgumentException(
+        s"$name: $arg must be a string literal, got $v")
+    }
+
+  private def litStrings(name: String, arg: String, e: Expression): Seq[String] =
+    e.eval() match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case v => throw new IllegalArgumentException(
+        s"$name: $arg must be an array<string> literal, got $v")
+    }
+
   private[graftext] val vecDot = (
     FunctionIdentifier("vec_dot"),
     info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
     (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1)))
+
+  private[graftext] val vecNorm = (
+    FunctionIdentifier("vec_norm"),
+    info("vec_norm", "vec_norm(a) - L2 norm of a float array (sqrt of the native dot)"),
+    (exprs: Seq[Expression]) => Sqrt(FloatVectorDot(exprs(0), exprs(0))))
 
   private[graftext] val vecSub = (
     FunctionIdentifier("vec_sub"),
@@ -38,17 +80,8 @@ object GraftExtensions {
   private[graftext] val topkBy = (
     FunctionIdentifier("topk_by"),
     info("topk_by", "topk_by(score, id, k) - top-k (score,id) pairs, best first"),
-    (exprs: Seq[Expression]) => {
-      val k = exprs(2) match {
-        case Literal(v: Int, _) => v
-        case other => other.eval() match {
-          case n: java.lang.Number => n.intValue()
-          case v => throw new IllegalArgumentException(
-            s"topk_by: k must be a numeric literal, got $v")
-        }
-      }
-      TopKByScore(exprs(0), exprs(1), k)
-    })
+    (exprs: Seq[Expression]) =>
+      TopKByScore(exprs(0), exprs(1), litInt("topk_by", "k", exprs(2))))
 
   private[graftext] val pairCombos = (
     FunctionIdentifier("pair_combos"),
@@ -56,12 +89,84 @@ object GraftExtensions {
       "pair_combos(arr) - all (a, b) element pairs with index i < j"),
     (exprs: Seq[Expression]) => PairCombos(exprs(0)))
 
+  private[graftext] val alphaTokenCount = (
+    FunctionIdentifier("alpha_token_count"),
+    info("alpha_token_count",
+      "alpha_token_count(s) - (n_tokens, n_alpha_tokens) over whitespace tokens"),
+    (exprs: Seq[Expression]) => AlphaTokenCount(exprs(0)))
+
+  private[graftext] val rollingHash31 = (
+    FunctionIdentifier("rolling_hash31"),
+    info("rolling_hash31",
+      "rolling_hash31(s) - 31-base rolling polynomial fingerprint mod 1e9+7"),
+    (exprs: Seq[Expression]) => RollingHash31(exprs(0)))
+
+  private[graftext] val wordNGrams = (
+    FunctionIdentifier("word_ngrams"),
+    info("word_ngrams",
+      "word_ngrams(tokens, n[, sep]) - n-gram shingle array over a token array (n, sep literals)"),
+    (exprs: Seq[Expression]) => WordNGrams(exprs(0),
+      litInt("word_ngrams", "n", exprs(1)),
+      if (exprs.length > 2) litString("word_ngrams", "sep", exprs(2)) else " "))
+
+  private[graftext] val chainReplace = (
+    FunctionIdentifier("chain_replace"),
+    info("chain_replace",
+      "chain_replace(s, froms, tos) - ordered literal replace chain in one node " +
+        "(froms/tos array<string> literals, e.g. a BPE merge table)"),
+    (exprs: Seq[Expression]) => ChainReplace(exprs(0),
+      litStrings("chain_replace", "froms", exprs(1)),
+      litStrings("chain_replace", "tos", exprs(2))))
+
+  private[graftext] val nearestCentroid = (
+    FunctionIdentifier("nearest_centroid"),
+    info("nearest_centroid",
+      "nearest_centroid(cents, emb) - max-cosine cluster id over " +
+        "array<struct<cl:int,centroid:array<float>>>"),
+    (exprs: Seq[Expression]) => NearestCentroid(exprs(0), exprs(1)))
+
+  private[graftext] val nearestCode = (
+    FunctionIdentifier("nearest_code"),
+    info("nearest_code",
+      "nearest_code(cands, sub, na2) - ADC nearest codeword id over one subspace's " +
+        "array<struct<code:int,cent:array<float>,nc2:double>>"),
+    (exprs: Seq[Expression]) => NearestCode(exprs(0), exprs(1), exprs(2)))
+
+  private[graftext] val bloomAgg = (
+    FunctionIdentifier("bloom_agg"),
+    info("bloom_agg",
+      "bloom_agg(value, expected_items) - distributed bloom build (xxhash64 keys), " +
+        "returns the serialized filter"),
+    (exprs: Seq[Expression]) => new BloomFilterAggregate(
+      new XxHash64(Seq(exprs(0))),
+      litLong("bloom_agg", "expected_items", exprs(1))).toAggregateExpression())
+
+  private[graftext] val bloomMightContain = (
+    FunctionIdentifier("bloom_might_contain"),
+    info("bloom_might_contain",
+      "bloom_might_contain(bloom, value) - map-side probe of a bloom_agg filter " +
+        "(no false negatives)"),
+    (exprs: Seq[Expression]) =>
+      BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1)))))
+
+  private[graftext] val cmsEstimate = (
+    FunctionIdentifier("cms_estimate"),
+    info("cms_estimate",
+      "cms_estimate(sketch, hashed) - CountMinSketch point estimate (sketch a binary " +
+        "literal; key xxhash64-hashed on both build and probe sides)"),
+    (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1)))
+
+  /** The whole SQL-callable family, in registration order. */
+  private[graftext] val all = Seq(
+    vecDot, vecNorm, vecSub, topkBy, pairCombos, alphaTokenCount,
+    rollingHash31, wordNGrams, chainReplace, nearestCentroid, nearestCode,
+    bloomAgg, bloomMightContain, cmsEstimate)
+
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("vec_dot", vecDot._3, "scala_udf")
-    registry.createOrReplaceTempFunction("vec_sub", vecSub._3, "scala_udf")
-    registry.createOrReplaceTempFunction("topk_by", topkBy._3, "scala_udf")
-    registry.createOrReplaceTempFunction("pair_combos", pairCombos._3, "scala_udf")
+    all.foreach { case (ident, _, builder) =>
+      registry.createOrReplaceTempFunction(ident.funcName, builder, "scala_udf")
+    }
   }
 }

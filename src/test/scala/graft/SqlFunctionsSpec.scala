@@ -59,8 +59,66 @@ class SqlFunctionsSpec extends SparkTestBase {
     // the extensions path is what a cluster's spark.sql.extensions conf uses
     val reg = spark.sessionState.functionRegistry
     GraftExtensions.register(spark)
-    assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
-    assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_sub")))
-    assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by")))
+    for (name <- Seq("vec_dot", "vec_norm", "vec_sub", "topk_by", "pair_combos",
+        "alpha_token_count", "rolling_hash31", "word_ngrams", "chain_replace",
+        "nearest_centroid", "nearest_code", "bloom_agg", "bloom_might_contain",
+        "cms_estimate"))
+      assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name not registered")
+  }
+
+  test("text natives are callable from SQL text") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT alpha_token_count('ab 12 c3') AS a, " +
+        "vec_norm(array(cast(3.0 AS FLOAT), cast(4.0 AS FLOAT))) AS n, " +
+        "word_ngrams(array('a', 'b', 'c'), 2) AS g, " +
+        "chain_replace('abcabc', array('ab', 'cc'), array('c', 'Z')) AS cr")
+      .head()
+    assert(r.getLong(0) == 2L) // "ab" and "c3" carry a letter; "12" does not
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getString(3) == "ZZ") // abcabc -ab>c-> cccc -cc>Z-> ZZ
+
+    // parity with the Scala Column API on the rolling fingerprint
+    import org.apache.spark.sql.functions.lit
+    val viaScala = spark.range(1)
+      .select(graft.functions.VectorFunctions.rolling_hash31(lit("the quick fox")))
+      .head().getLong(0)
+    val viaSql = spark.sql("SELECT rolling_hash31('the quick fox')").head().getLong(0)
+    assert(viaSql == viaScala)
+  }
+
+  test("quantizer natives are callable from SQL text") {
+    GraftExtensions.register(spark)
+    // two centroids: emb (1,0) is closest (max cosine) to cl=7's (2,0)
+    val cl = spark.sql(
+      "SELECT nearest_centroid(array(" +
+        "named_struct('cl', 7, 'centroid', array(cast(2.0 AS FLOAT), cast(0.0 AS FLOAT))), " +
+        "named_struct('cl', 9, 'centroid', array(cast(0.0 AS FLOAT), cast(1.0 AS FLOAT)))), " +
+        "array(cast(1.0 AS FLOAT), cast(0.1 AS FLOAT))) AS cl").head().getInt(0)
+    assert(cl == 7)
+    // ADC: sub (1,0) with |sub|^2=1; code 3 at (1,0) has d2 = 1-2+1 = 0
+    val code = spark.sql(
+      "SELECT nearest_code(array(" +
+        "named_struct('code', 3, 'cent', array(cast(1.0 AS FLOAT), cast(0.0 AS FLOAT)), 'nc2', cast(1.0 AS DOUBLE)), " +
+        "named_struct('code', 5, 'cent', array(cast(0.0 AS FLOAT), cast(1.0 AS FLOAT)), 'nc2', cast(1.0 AS DOUBLE))), " +
+        "array(cast(1.0 AS FLOAT), cast(0.0 AS FLOAT)), cast(1.0 AS DOUBLE)) AS c")
+      .head().getInt(0)
+    assert(code == 3)
+  }
+
+  test("bloom build + probe round-trips in pure SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("bloom_vals")
+    // might_contain requires the filter as a constant or scalar subquery
+    val r = spark.sql(
+      "SELECT bloom_might_contain(" +
+        "(SELECT bloom_agg(x, 100) FROM bloom_vals), 2L) AS hit, " +
+        "bloom_might_contain(" +
+        "(SELECT bloom_agg(x, 100) FROM bloom_vals), 424242L) AS miss").head()
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1)) // deterministic xxhash64: not a member, not an FP
   }
 }
