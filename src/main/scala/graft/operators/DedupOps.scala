@@ -528,6 +528,114 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Analytic banded-LSH detection probability 1 − (1 − j^r)^b at each
+    * Jaccard decile midpoint, computed once in Scala with an explicit
+    * IEEE multiplication chain and inlined as the SAME double constants
+    * into both the Spark plan and the generated DuckDB twin — engine
+    * libm pow() differences can never split the hash. */
+  private val lshAnalyticMid: IndexedSeq[Double] = (0 until 10).map { b =>
+    val jm = (b + 0.5) / 10.0
+    val jm2 = jm * jm
+    val jm4 = jm2 * jm2 // r = RowsPerBand = 4
+    val x = 1.0 - jm4
+    val x2 = x * x
+    val x4 = x2 * x2
+    val x8 = x4 * x4 // b = NumBands = 8
+    1.0 - x8
+  }
+
+  /** LSH banding S-curve audit: per-Jaccard-decile RECALL of the 8-band ×
+    * 4-row MinHash candidate generation against exact-Jaccard ground
+    * truth, next to the analytic detection probability 1 − (1 − j⁴)⁸ at
+    * the decile midpoint. Band/row geometry is THE MinHash tuning
+    * question at scale (how much recall at which similarity, how many
+    * spurious candidates below the 0.5 threshold); this measures it on
+    * the corpus the way q_ann_recall measures IVF probes against the
+    * brute-force baseline. Models the parameter-sweep step of production
+    * fuzzy-dedup pipelines (Leskovec et al., MMDS ch. 3 S-curve).
+    *
+    * Grain: DISTINCT-text (fingerprint) pairs sharing ≥ 1 shingle.
+    * Identical texts co-bucket in every band trivially and would only
+    * inflate recall; conditioning on a shared shingle (jaccard > 0) is
+    * what makes exact ground truth computable by shingle-blocked
+    * intersection. Content grain also makes the audit replication-proof:
+    * the truth self-join is over distinct texts, so replica corpora add
+    * zero pair work.
+    *
+    * Scale: the truth side is the exact all-shared-pairs computation —
+    * an AUDIT shape to run on a sample corpus (exactly like
+    * q_ann_recall's brute-force baseline), while the candidate side is
+    * the production banded generation. Every output number is
+    * engine-exact: integer cardinalities, double divisions of integers,
+    * and the pre-computed analytic constants. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = fpShingles(fpGrain(docs, "fp", "m"), "fp")
+      .cache() // hashed for signatures + self-joined for ground truth
+    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val hashed = sh.select(col("fp"),
+      pmod(base, lit(MersennePrime31)).as("h"))
+    val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$i")
+    }
+    // ONE per-fp aggregate carries the shingle cardinality (truth side)
+    // and the 32 mins (candidate side)
+    val combined = hashed.groupBy("fp")
+      .agg(count(lit(1)).as("c"), mins: _*)
+      .cache() // band explode + the two cardinality joins
+    // ground truth: exact Jaccard for every fp pair sharing ≥ 1 shingle
+    // (shingle-blocked intersection — the ngramJaccard shape at fp grain)
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.fp") < col("b.fp"))
+      .groupBy(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val cards = combined.select(col("fp"), col("c"))
+    val truth = inter
+      .join(cards.select(col("fp").as("fp_a"), col("c").as("ca")), Seq("fp_a"))
+      .join(cards.select(col("fp").as("fp_b"), col("c").as("cb")), Seq("fp_b"))
+      .select(col("fp_a"), col("fp_b"),
+        (col("n_common").cast("double") /
+          (col("ca") + col("cb") - col("n_common"))).as("jaccard"))
+    // production candidate generation at the same grain: band buckets as
+    // raw 4-min tuples (the oracle-portable bucket identity), pairs
+    // map-side from each bucket's fp list
+    val bandCols = (0 until NumBands).map { bnd =>
+      val rows = (0 until RowsPerBand).zipWithIndex.map { case (r, j) =>
+        col(s"m${bnd * RowsPerBand + r}").as(s"r$j")
+      }
+      struct(lit(bnd).as("band") +: rows: _*)
+    }
+    val rNames = (0 until RowsPerBand).map(j => s"r$j")
+    val candidates = combined
+      .select(col("fp"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("fp") +: (col("bk.band").as("band") +:
+        rNames.map(n => col(s"bk.$n").as(n))): _*)
+      .groupBy(col("band") +: rNames.map(col(_)): _*)
+      .agg(sort_array(collect_set(col("fp"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p.a").as("fp_a"), col("p.b").as("fp_b"))
+      .distinct()
+      .withColumn("det", lit(1))
+    val analyticCol = (0 until 10).foldLeft(lit(null).cast("double")) {
+      case (acc, b) => when(col("bucket") === b, lit(lshAnalyticMid(b)))
+        .otherwise(acc)
+    }
+    truth
+      .join(candidates, Seq("fp_a", "fp_b"), "left")
+      .select(least(floor(col("jaccard") * 10), lit(9L)).as("bucket"),
+        col("det"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), count(col("det")).as("n_detected"))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / 10.0).as("jac_lo"),
+        col("n_pairs"), col("n_detected"),
+        (col("n_detected").cast("double") / col("n_pairs")).as("recall"),
+        analyticCol.as("analytic_mid"))
+      .orderBy("bucket")
+  }
+
   // ----------------------------------------------------- incremental near-dup
   /** Minimum matching permutations for the incremental near-dup verdict
     * (= est_jaccard ≥ 0.5). */
@@ -1617,6 +1725,7 @@ object DedupOps {
     "q_neardup_keep" -> (nearDupKeep _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_minhash_oracle" -> (minhashOracle _),
+    "q_lsh_recall" -> (lshRecall _),
     "q_simhash" -> (simhashPairs _),
     "q_hamming_neardup" -> (hammingNearDup _),
     "q_dup_components" -> (dupComponents _),
@@ -1750,6 +1859,73 @@ object DedupOps {
          JOIN sig a ON a.doc_id = c.doc_a
          JOIN sig b ON b.doc_id = c.doc_b
          ORDER BY doc_a, doc_b"""
+  }
+
+  /** DuckDB replay of [[lshRecall]] — GENERATED from the same permParams /
+    * NumBands constants and the same pre-computed analytic doubles, so
+    * neither the signature math nor the S-curve constants can drift. */
+  private val LshRecallSql: String = {
+    val p = MersennePrime31
+    val minExprs = permParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n                  ")
+    val bandJoins = (0 until NumBands).map { bnd =>
+      val eqs = (0 until RowsPerBand)
+        .map(r => s"a.m${bnd * RowsPerBand + r} = b.m${bnd * RowsPerBand + r}")
+        .mkString(" AND ")
+      s"""SELECT a.fp AS fp_a, b.fp AS fp_b
+             FROM sig a JOIN sig b ON $eqs AND a.fp < b.fp"""
+    }.mkString("\n             UNION ALL\n             ")
+    // CAST('<repr>' AS DOUBLE): a bare decimal literal parses as DECIMAL
+    // in DuckDB (rounds the low bits); the string→double parse is
+    // correctly rounded, so both engines hold the identical IEEE value
+    val caseArms = (0 until 10)
+      .map(b => s"WHEN bucket = $b THEN CAST('${lshAnalyticMid(b)}' AS DOUBLE)")
+      .mkString("\n                  ")
+    s"""WITH g AS (
+           SELECT md5(text) AS fp, min(text) AS text
+           FROM documents GROUP BY 1),
+         t3 AS (SELECT fp, string_split(text, ' ') AS t FROM g),
+         t3f AS (SELECT * FROM t3 WHERE len(t) >= 3),
+         sh AS (
+           SELECT DISTINCT fp, shingle FROM (
+             SELECT fp,
+                    unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+             FROM t3f)),
+         hsh AS (
+           SELECT fp, (('0x' || substr(md5(shingle), 1, 8))::BIGINT) % $p AS h
+           FROM sh),
+         sig AS (
+           SELECT fp,
+                  $minExprs
+           FROM hsh GROUP BY fp),
+         card AS (SELECT fp, count(*) AS c FROM sh GROUP BY fp),
+         inter AS (
+           SELECT a.fp AS fp_a, b.fp AS fp_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.fp < b.fp
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT fp_a, fp_b,
+                  CAST(n_common AS DOUBLE) / (ca.c + cb.c - n_common) AS jaccard
+           FROM inter
+           JOIN card ca ON fp_a = ca.fp
+           JOIN card cb ON fp_b = cb.fp),
+         cand AS (SELECT DISTINCT fp_a, fp_b FROM (
+             $bandJoins)),
+         bucketed AS (
+           SELECT least(CAST(floor(t.jaccard * 10) AS BIGINT),
+                        CAST(9 AS BIGINT)) AS bucket,
+                  CASE WHEN c.fp_a IS NOT NULL THEN 1 END AS det
+           FROM truth t LEFT JOIN cand c
+             ON t.fp_a = c.fp_a AND t.fp_b = c.fp_b)
+         SELECT bucket, CAST(bucket AS DOUBLE) / 10.0 AS jac_lo,
+                count(*) AS n_pairs, count(det) AS n_detected,
+                CAST(count(det) AS DOUBLE) / count(*) AS recall,
+                CASE $caseArms END AS analytic_mid
+         FROM bucketed
+         GROUP BY bucket
+         ORDER BY bucket"""
   }
 
   /** Shared CTE chain replaying [[simhashPortableSig]] — GENERATED so the
@@ -1913,6 +2089,7 @@ object DedupOps {
          ORDER BY chunk_fp""",
     "q_minhash_oracle" -> MinhashOracleSql,
     "q_minhash_lsh" -> MinhashLshSql,
+    "q_lsh_recall" -> LshRecallSql,
     "q_snap_neardup" -> snapNearDupSql,
     "q_simhash" -> SimhashOracleSql,
     "q_simhash_clusters" -> SimhashClustersSql,

@@ -345,4 +345,38 @@ class DedupSpec extends SparkTestBase {
     val sameBase = (p: (Long, Long)) => p._1 % 100 == p._2 % 100
     assert(pairs.forall(sameBase), s"cross-base pair leaked: ${pairs.filterNot(sameBase)}")
   }
+
+  test("lsh recall audit: high-jaccard pair detected, one-shared-shingle pair counted but rejected") {
+    // planted geometry (token-level, so shingle arithmetic is exact):
+    //  - docs 0/1: 20 tokens, last token differs → 17 of 18+18 shingles
+    //    shared, jaccard 17/19 ≈ 0.89 → bucket 8; near-identical
+    //    signatures ⇒ the banding must detect it (deterministic md5 math)
+    //  - docs 2/3 both open on the shared prefix (w1 w2 w3) and nothing
+    //    else → every remaining fp pair shares exactly ONE shingle
+    //    (jaccard ≤ 1/13 → bucket 0, 5 such pairs); one matching min in
+    //    ~13 makes a 4-min band collision astronomically unlikely for
+    //    THIS fixed corpus
+    //  - doc 4 replicates doc 0: identical texts collapse to one fp —
+    //    the pair must NOT appear anywhere (fp grain, not doc grain)
+    val w = (1 to 20).map(i => s"w$i")
+    val dir = documentsFixture(Seq(
+      (0L, w.mkString(" "), "en", "src0"),
+      (1L, (w.init :+ "zz").mkString(" "), "en", "src0"),
+      (2L, (Seq("w1", "w2", "w3") ++ (1 to 10).map(i => s"c$i")).mkString(" "), "en", "src1"),
+      (3L, (Seq("e1", "e2") ++ Seq("w1", "w2", "w3")).mkString(" "), "en", "src1"),
+      (4L, w.mkString(" "), "en", "src2"),
+    ))
+    val rows = DedupOps.lshRecall(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // bucket 8: the near-dup pair, detected (recall 1), analytic ≈ 0.997
+    val (n8, d8, r8, a8) = rows(8L)
+    assert(n8 == 1L && d8 == 1L && r8 == 1.0)
+    assert(math.abs(a8 - 0.9972749294876767) < 1e-15)
+    // bucket 0: the five single-shared-shingle pairs, in truth, none banded
+    val (n0, d0, r0, _) = rows(0L)
+    assert(n0 == 5L && d0 == 0L && r0 == 0.0)
+    // docs 0/4 are the same text: no other bucket may exist (fp grain)
+    assert(rows.keySet == Set(0L, 8L), rows.toString)
+  }
 }
