@@ -74,16 +74,17 @@ object SimhashDecompose {
       val Seq(nDocs, nSigs) = sigG
         .agg(sum(col("m")), count(lit(1))).head().toSeq.map(_.toString.toLong)
       // 2) Manku-blocked candidate join over DISTINCT signatures
-      val (sigPairs, tCand) = time {
+      val (pairsAndCount, tCand) = time {
         val p = operators.DedupOps.hammingPairsScaledUnsorted(
           sigG.select(col("simhash").as("doc_id"), col("simhash"))).cache()
-        p.count()
-        p
+        (p, p.count()) // one job: materializes the cache AND is the count
       }
-      val nSigPairs = sigPairs.count()
+      val (sigPairs, nSigPairs) = pairsAndCount
       // 3) exact doc-grain pair cardinality, arithmetically
-      // m*(m-1) is even; halve on the driver (SQL `/` is fractional)
-      val intra = sigG.agg(sum(col("m") * (col("m") - 1))).head().getLong(0) / 2
+      // m*(m-1) is even; halve on the driver (SQL `/` is fractional);
+      // coalesce: sum over an empty rollup is null, not 0
+      val intra = sigG.agg(coalesce(sum(col("m") * (col("m") - 1)), lit(0L)))
+        .head().getLong(0) / 2
       val m = sigG.select(col("simhash"), col("m"))
       val cross = sigPairs
         .join(m.withColumnRenamed("simhash", "doc_a")

@@ -1593,18 +1593,32 @@ object DedupOps {
     * text = the representative — min() is exact, every text in an fp
     * group is identical). Shared by [[contaminationGroups]] and the
     * fp-grain [[contaminationPairsWith]]. */
-  private def fpGrain(side: DataFrame, fpCol: String, nCol: String): DataFrame =
+  private[operators] def fpGrain(side: DataFrame, fpCol: String, nCol: String): DataFrame =
     side.groupBy(md5(col("text")).as(fpCol))
       .agg(count(lit(1)).as(nCol), min(col("text")).as("text"))
 
   /** Distinct 3-gram shingles of each fp's representative text. One
     * representative per fp ⇒ array_distinct IS the distinct shingle
-    * set — no distinct() shuffle needed. */
-  private def fpShingles(grp: DataFrame, fpCol: String): DataFrame =
+    * set — no distinct() shuffle needed.
+    *
+    * fpGrain/fpShingles/fpShinglesAll are `private[operators]`: the
+    * tokenize+fingerprint definition ("same shingle": single-space
+    * tokens, 3-token grams, <3-token texts shingle to nothing) must stay
+    * ONE concept across dedup, boilerplate scoring, and the curation
+    * gate — three drifting copies would silently split it. */
+  private[operators] def fpShingles(grp: DataFrame, fpCol: String): DataFrame =
     grp.select(col(fpCol), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 3)
       .select(col(fpCol), explode(array_distinct(
         graft.functions.VectorFunctions.word_ngrams(col("t"), 3))).as("shingle"))
+
+  /** [[fpShingles]] WITH multiplicity — boilerplate-style scoring needs
+    * repeated-shingle counts within one text. */
+  private[operators] def fpShinglesAll(grp: DataFrame, fpCol: String): DataFrame =
+    grp.select(col(fpCol), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col(fpCol), explode(
+        graft.functions.VectorFunctions.word_ngrams(col("t"), 3)).as("shingle"))
 
   def contaminationGroups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -119,10 +119,7 @@ object PipelineOps {
     // ONE per-distinct-text shingle explode feeds both shingle-grain
     // flags: boilerplate needs multiplicity, contamination the distinct
     // set derived from it
-    val shM = grp.select(col("fp"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 3)
-      .select(col("fp"), explode(
-        graft.functions.VectorFunctions.word_ngrams(col("t"), 3)).as("shingle"))
+    val shM = DedupOps.fpShinglesAll(grp, "fp")
       .cache()
     val boiler = TextOps.boilerplateStats(shM.select(col("fp").as("doc_id"),
         col("shingle")))
@@ -135,6 +132,7 @@ object PipelineOps {
     // flag applies only to non-src0 DOCS at attach time, exactly like
     // the doc-grain form that never scored eval docs.
     val shD = shM.distinct()
+      .cache() // feeds the eval-set build AND the train-side overlap join
     val evalSh = shD.join(grp.where(col("has_eval") === 1).select("fp"), Seq("fp"))
       .select("shingle").distinct().withColumn("hit", lit(1))
     val contam = shD

@@ -282,13 +282,8 @@ object TextOps {
     // distinct text and docs attach by fingerprint join.
     val docs = Tables.documents(spark, dir)
     val fpd = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    val shF = docs.groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("text")).as("text"))
-      .select(col("fp"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 3)
-      .select(col("fp").as("doc_id"),
-        explode(graft.functions.VectorFunctions.word_ngrams(col("t"), 3))
-          .as("shingle"))
+    val shF = DedupOps.fpShinglesAll(DedupOps.fpGrain(docs, "fp", "m"), "fp")
+      .withColumnRenamed("fp", "doc_id")
     val stats = boilerplateStats(shF).withColumnRenamed("doc_id", "fp")
     fpd.join(stats, Seq("fp"))
       .select(col("doc_id"), col("max_rep"), col("n_shingles"))

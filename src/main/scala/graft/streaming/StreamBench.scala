@@ -44,9 +44,22 @@ object StreamBench {
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
     val work = java.nio.file.Files.createTempDirectory("graft_streambench_")
       .toString
+    // corpus-sized parquet copies + sink output + checkpoints live under
+    // `work` — delete on exit or repeated runs accumulate to disk pressure
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-bench")
+      // recentProgress is a ring buffer (default 100 events); rates are
+      // summed over it, so it must hold EVERY batch of a run or the
+      // reported rows/batches silently describe only the tail
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(1000, 4 * nBatches).toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -57,7 +57,12 @@ object GraftExtensions {
   private def litStrings(name: String, arg: String, e: Expression): Seq[String] =
     e.eval() match {
       case a: ArrayData =>
-        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        (0 until a.numElements()).map { i =>
+          val s = a.getUTF8String(i)
+          if (s == null) throw new IllegalArgumentException(
+            s"$name: $arg must not contain null elements")
+          s.toString
+        }
       case v => throw new IllegalArgumentException(
         s"$name: $arg must be an array<string> literal, got $v")
     }
