@@ -43,7 +43,7 @@ object SparkEntry {
     // took round 7's largest in-run inflation (9.4 s) — exactly the
     // multi-stage shape that balloons first when the host degrades
     "q_retention", "q_semdedup", "q_semdedup_scaled", "q_minhash_lsh",
-    "q_lsh_recall", "q_simhash", "q_simhash_clusters",
+    "q_lsh_recall", "q_lsh_tuning", "q_simhash", "q_simhash_clusters",
     "q_contrastive_pairs",
     // not intrinsically slow, but their in-run/standalone ratio exceeded
     // 3x twice across rounds (host-degradation magnets: many-exchange

@@ -568,7 +568,14 @@ object DedupOps {
     * the production banded generation. Every output number is
     * engine-exact: integer cardinalities, double divisions of integers,
     * and the pre-computed analytic constants. */
-  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared by [[lshRecall]] and [[lshTuning]]: the per-fp (cardinality,
+    * 32 mins) aggregate and the exact-Jaccard ground truth over
+    * shingle-sharing fp pairs (shingle-blocked intersection — the
+    * ngramJaccard shape at fp grain). Both frames cached: the signature
+    * aggregate feeds every geometry's band explode, the truth frame
+    * every geometry's join. */
+  private def lshAuditFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val sh = fpShingles(fpGrain(docs, "fp", "m"), "fp")
       .cache() // hashed for signatures + self-joined for ground truth
@@ -582,9 +589,7 @@ object DedupOps {
     // and the 32 mins (candidate side)
     val combined = hashed.groupBy("fp")
       .agg(count(lit(1)).as("c"), mins: _*)
-      .cache() // band explode + the two cardinality joins
-    // ground truth: exact Jaccard for every fp pair sharing ≥ 1 shingle
-    // (shingle-blocked intersection — the ngramJaccard shape at fp grain)
+      .cache() // band explode(s) + the two cardinality joins
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.fp") < col("b.fp"))
@@ -597,17 +602,23 @@ object DedupOps {
       .select(col("fp_a"), col("fp_b"),
         (col("n_common").cast("double") /
           (col("ca") + col("cb") - col("n_common"))).as("jaccard"))
-    // production candidate generation at the same grain: band buckets as
-    // raw 4-min tuples (the oracle-portable bucket identity), pairs
-    // map-side from each bucket's fp list
-    val bandCols = (0 until NumBands).map { bnd =>
-      val rows = (0 until RowsPerBand).zipWithIndex.map { case (r, j) =>
-        col(s"m${bnd * RowsPerBand + r}").as(s"r$j")
+    (combined, truth)
+  }
+
+  /** Distinct banded candidate fp pairs of a (bands, rowsPerBand)
+    * geometry over the shared 32-min signature aggregate — raw min
+    * tuples as bucket keys (the oracle-portable bucket identity), pairs
+    * map-side from each bucket's fp list. */
+  private def bandedCandidates(combined: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { bnd =>
+      val rows = (0 until rowsPerBand).map { j =>
+        col(s"m${bnd * rowsPerBand + j}").as(s"r$j")
       }
       struct(lit(bnd).as("band") +: rows: _*)
     }
-    val rNames = (0 until RowsPerBand).map(j => s"r$j")
-    val candidates = combined
+    val rNames = (0 until rowsPerBand).map(j => s"r$j")
+    combined
       .select(col("fp"), explode(array(bandCols: _*)).as("bk"))
       .select(col("fp") +: (col("bk.band").as("band") +:
         rNames.map(n => col(s"bk.$n").as(n))): _*)
@@ -617,6 +628,11 @@ object DedupOps {
       .select(explode(pairCombos(col("ds"))).as("p"))
       .select(col("p.a").as("fp_a"), col("p.b").as("fp_b"))
       .distinct()
+  }
+
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (combined, truth) = lshAuditFrames(spark, dir)
+    val candidates = bandedCandidates(combined, NumBands, RowsPerBand)
       .withColumn("det", lit(1))
     val analyticCol = (0 until 10).foldLeft(lit(null).cast("double")) {
       case (acc, b) => when(col("bucket") === b, lit(lshAnalyticMid(b)))
@@ -634,6 +650,62 @@ object DedupOps {
         (col("n_detected").cast("double") / col("n_pairs")).as("recall"),
         analyticCol.as("analytic_mid"))
       .orderBy("bucket")
+  }
+
+  /** The candidate band/row geometries [[lshTuning]] sweeps — every
+    * divisor split of the 32 mins from "many loose bands" to "few tight
+    * bands". */
+  private val TuneGeometries = Seq((16, 2), (8, 4), (4, 8))
+
+  /** Analytic detection probability 1 − (1 − 0.5^r)^b at the j = 0.5
+    * decision threshold, as an exact Scala double inlined into both
+    * plans (0.5^r is an exact power of two; the complement power is a
+    * deterministic sequential multiply). */
+  private def tuneAnalytic05(b: Int, r: Int): Double = {
+    val x = 1.0 - math.pow(0.5, r)
+    var acc = 1.0
+    var i = 0
+    while (i < b) { acc *= x; i += 1 }
+    1.0 - acc
+  }
+
+  /** LSH geometry sweep — the tuning table [[lshRecall]]'s S-curve audit
+    * reads off: for each (bands, rows-per-band) split of the SAME 32
+    * mins, the candidate-pair volume (the cost driver: every candidate
+    * pays an exact verify), how many true ≥ 0.5-Jaccard pairs the
+    * geometry surfaces, recall/precision at the 0.5 threshold, and the
+    * analytic detection probability at j = 0.5. (16, 2) floods
+    * candidates for near-perfect recall, (4, 8) starves them — the
+    * sweep quantifies the middle on the actual corpus, which is how a
+    * production MinHash deployment picks its banding before committing
+    * to a 100 TB run. One signature aggregate and one ground-truth
+    * frame feed all three geometries (cached in [[lshAuditFrames]]). */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val (combined, truth) = lshAuditFrames(spark, dir)
+    val truth05 = truth.where(col("jaccard") >= 0.5)
+      .cache() // one geometry join per swept geometry + the total
+    val total = truth05.agg(count(lit(1)).as("n_true_total"))
+    val perGeom = TuneGeometries.map { case (b, r) =>
+      bandedCandidates(combined, b, r)
+        .join(truth05.select(col("fp_a"), col("fp_b"), lit(1).as("tr")),
+          Seq("fp_a", "fp_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"), count(col("tr")).as("n_true_cand"))
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_true_cand"),
+          lit(tuneAnalytic05(b, r)).as("analytic_05"))
+    }
+    perGeom.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .select(col("n_bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_true_cand"), col("n_true_total"),
+        when(col("n_true_total") > 0,
+          col("n_true_cand").cast("double") / col("n_true_total"))
+          .as("recall_05"),
+        when(col("n_candidates") > 0,
+          col("n_true_cand").cast("double") / col("n_candidates"))
+          .as("precision_05"),
+        col("analytic_05"))
+      .orderBy("rows_per_band")
   }
 
   // ----------------------------------------------------- incremental near-dup
@@ -1740,6 +1812,7 @@ object DedupOps {
     "q_minhash_lsh" -> (minhashLsh _),
     "q_minhash_oracle" -> (minhashOracle _),
     "q_lsh_recall" -> (lshRecall _),
+    "q_lsh_tuning" -> (lshTuning _),
     "q_simhash" -> (simhashPairs _),
     "q_hamming_neardup" -> (hammingNearDup _),
     "q_dup_components" -> (dupComponents _),
@@ -1875,28 +1948,16 @@ object DedupOps {
          ORDER BY doc_a, doc_b"""
   }
 
-  /** DuckDB replay of [[lshRecall]] — GENERATED from the same permParams /
-    * NumBands constants and the same pre-computed analytic doubles, so
-    * neither the signature math nor the S-curve constants can drift. */
-  private val LshRecallSql: String = {
+  /** Shared CTE prefix for the LSH audit oracles — fp-grain shingles,
+    * the 32-min signature, and exact-Jaccard ground truth; ends at
+    * `truth(fp_a, fp_b, jaccard)`. GENERATED from the same permParams so
+    * the signature math can't drift. */
+  private val LshAuditCte: String = {
     val p = MersennePrime31
     val minExprs = permParams.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $p) AS m$i"
     }.mkString(",\n                  ")
-    val bandJoins = (0 until NumBands).map { bnd =>
-      val eqs = (0 until RowsPerBand)
-        .map(r => s"a.m${bnd * RowsPerBand + r} = b.m${bnd * RowsPerBand + r}")
-        .mkString(" AND ")
-      s"""SELECT a.fp AS fp_a, b.fp AS fp_b
-             FROM sig a JOIN sig b ON $eqs AND a.fp < b.fp"""
-    }.mkString("\n             UNION ALL\n             ")
-    // CAST('<repr>' AS DOUBLE): a bare decimal literal parses as DECIMAL
-    // in DuckDB (rounds the low bits); the string→double parse is
-    // correctly rounded, so both engines hold the identical IEEE value
-    val caseArms = (0 until 10)
-      .map(b => s"WHEN bucket = $b THEN CAST('${lshAnalyticMid(b)}' AS DOUBLE)")
-      .mkString("\n                  ")
-    s"""WITH g AS (
+    s"""g AS (
            SELECT md5(text) AS fp, min(text) AS text
            FROM documents GROUP BY 1),
          t3 AS (SELECT fp, string_split(text, ' ') AS t FROM g),
@@ -1924,9 +1985,33 @@ object DedupOps {
                   CAST(n_common AS DOUBLE) / (ca.c + cb.c - n_common) AS jaccard
            FROM inter
            JOIN card ca ON fp_a = ca.fp
-           JOIN card cb ON fp_b = cb.fp),
+           JOIN card cb ON fp_b = cb.fp)"""
+  }
+
+  /** The UNION-of-equi-self-joins replay of one banding geometry's
+    * candidate set over `sig`. */
+  private def bandJoinsSql(bands: Int, rowsPerBand: Int): String =
+    (0 until bands).map { bnd =>
+      val eqs = (0 until rowsPerBand)
+        .map(r => s"a.m${bnd * rowsPerBand + r} = b.m${bnd * rowsPerBand + r}")
+        .mkString(" AND ")
+      s"""SELECT a.fp AS fp_a, b.fp AS fp_b
+             FROM sig a JOIN sig b ON $eqs AND a.fp < b.fp"""
+    }.mkString("\n             UNION ALL\n             ")
+
+  /** DuckDB replay of [[lshRecall]] — GENERATED from the same permParams /
+    * NumBands constants and the same pre-computed analytic doubles, so
+    * neither the signature math nor the S-curve constants can drift. */
+  private val LshRecallSql: String = {
+    // CAST('<repr>' AS DOUBLE): a bare decimal literal parses as DECIMAL
+    // in DuckDB (rounds the low bits); the string→double parse is
+    // correctly rounded, so both engines hold the identical IEEE value
+    val caseArms = (0 until 10)
+      .map(b => s"WHEN bucket = $b THEN CAST('${lshAnalyticMid(b)}' AS DOUBLE)")
+      .mkString("\n                  ")
+    s"""WITH $LshAuditCte,
          cand AS (SELECT DISTINCT fp_a, fp_b FROM (
-             $bandJoins)),
+             ${bandJoinsSql(NumBands, RowsPerBand)})),
          bucketed AS (
            SELECT least(CAST(floor(t.jaccard * 10) AS BIGINT),
                         CAST(9 AS BIGINT)) AS bucket,
@@ -1940,6 +2025,41 @@ object DedupOps {
          FROM bucketed
          GROUP BY bucket
          ORDER BY bucket"""
+  }
+
+  /** DuckDB replay of [[lshTuning]] — all three geometries' candidate
+    * generation re-run over the same signature CTE, the analytic
+    * constants inlined from the same Scala computation. */
+  private val LshTuningSql: String = {
+    val geomCtes = TuneGeometries.zipWithIndex.map { case ((b, r), i) =>
+      s"""cand$i AS (SELECT DISTINCT fp_a, fp_b FROM (
+             ${bandJoinsSql(b, r)})),
+         geom$i AS (
+           SELECT CAST($b AS BIGINT) AS n_bands,
+                  CAST($r AS BIGINT) AS rows_per_band,
+                  count(*) AS n_candidates,
+                  count(t.fp_a) AS n_true_cand,
+                  CAST('${tuneAnalytic05(b, r)}' AS DOUBLE) AS analytic_05
+           FROM cand$i c LEFT JOIN truth05 t
+             ON c.fp_a = t.fp_a AND c.fp_b = t.fp_b)"""
+    }.mkString(",\n         ")
+    val geomUnion = TuneGeometries.indices
+      .map(i => s"SELECT * FROM geom$i").mkString(" UNION ALL ")
+    s"""WITH $LshAuditCte,
+         truth05 AS (SELECT fp_a, fp_b FROM truth WHERE jaccard >= 0.5),
+         tt AS (SELECT count(*) AS n_true_total FROM truth05),
+         $geomCtes
+         SELECT g.n_bands, g.rows_per_band, g.n_candidates, g.n_true_cand,
+                tt.n_true_total,
+                CASE WHEN tt.n_true_total > 0
+                     THEN CAST(g.n_true_cand AS DOUBLE) / tt.n_true_total
+                END AS recall_05,
+                CASE WHEN g.n_candidates > 0
+                     THEN CAST(g.n_true_cand AS DOUBLE) / g.n_candidates
+                END AS precision_05,
+                g.analytic_05
+         FROM ($geomUnion) g, tt
+         ORDER BY rows_per_band"""
   }
 
   /** Shared CTE chain replaying [[simhashPortableSig]] — GENERATED so the
@@ -2104,6 +2224,7 @@ object DedupOps {
     "q_minhash_oracle" -> MinhashOracleSql,
     "q_minhash_lsh" -> MinhashLshSql,
     "q_lsh_recall" -> LshRecallSql,
+    "q_lsh_tuning" -> LshTuningSql,
     "q_snap_neardup" -> snapNearDupSql,
     "q_simhash" -> SimhashOracleSql,
     "q_simhash_clusters" -> SimhashClustersSql,

@@ -378,5 +378,19 @@ class DedupSpec extends SparkTestBase {
     assert(n0 == 5L && d0 == 0L && r0 == 0.0)
     // docs 0/4 are the same text: no other bucket may exist (fp grain)
     assert(rows.keySet == Set(0L, 8L), rows.toString)
+
+    // the geometry sweep on the same fixture: exactly ONE true ≥ 0.5 pair
+    // (the bucket-8 near-dup); the registered (8, 4) geometry must
+    // surface it (same banding q_lsh_recall just detected), and every
+    // geometry's candidate count bounds its true-candidate count
+    val tune = DedupOps.lshTuning(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(7))).toMap
+    assert(tune.keySet == Set((16L, 2L), (8L, 4L), (4L, 8L)))
+    val (nc84, nt84, tot84, an84) = tune((8L, 4L))
+    assert(tot84 == 1L && nt84 == 1L && nc84 >= 1L)
+    // analytic 1-(1-0.5^4)^8 for the registered geometry, exact constant
+    assert(math.abs(an84 - (1.0 - math.pow(1.0 - 0.0625, 8))) < 1e-15)
+    assert(tune.forall { case (_, (nc, nt, tot, _)) => nt <= nc && nt <= tot })
   }
 }

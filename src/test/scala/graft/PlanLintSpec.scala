@@ -76,6 +76,9 @@ class PlanLintSpec extends SparkTestBase {
     "q_embed_neardup",
     "q_index_drift", "q_embed_pca", "q_embed_project",
     "q_perceptron", "q_threshold_sweep",
+    // q_lsh_tuning: the 1-row true-pair-total aggregate cross-joined
+    // into the 3-row geometry frame
+    "q_lsh_tuning",
     "q_dataset_card")
 
   // bench-only fast-path aliases (x_*) are linted alongside the registry:
