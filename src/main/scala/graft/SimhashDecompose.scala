@@ -72,7 +72,8 @@ object SimhashDecompose {
         g
       }
       val Seq(nDocs, nSigs) = sigG
-        .agg(sum(col("m")), count(lit(1))).head().toSeq.map(_.toString.toLong)
+        .agg(coalesce(sum(col("m")), lit(0L)), count(lit(1)))
+        .head().toSeq.map(_.toString.toLong)
       // 2) Manku-blocked candidate join over DISTINCT signatures
       val (pairsAndCount, tCand) = time {
         val p = operators.DedupOps.hammingPairsScaledUnsorted(

@@ -571,9 +571,11 @@ object DedupOps {
   /** Shared by [[lshRecall]] and [[lshTuning]]: the per-fp (cardinality,
     * 32 mins) aggregate and the exact-Jaccard ground truth over
     * shingle-sharing fp pairs (shingle-blocked intersection — the
-    * ngramJaccard shape at fp grain). Both frames cached: the signature
-    * aggregate feeds every geometry's band explode, the truth frame
-    * every geometry's join. */
+    * ngramJaccard shape at fp grain). The shingle frame and the
+    * signature aggregate are cached (the aggregate feeds every
+    * geometry's band explode); `truth` is NOT — each caller consumes it
+    * once (lshTuning caches its truth05 derivative instead), so a
+    * future multi-consumer must add its own cache. */
   private def lshAuditFrames(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
