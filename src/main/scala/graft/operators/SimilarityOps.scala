@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -481,6 +481,31 @@ object SimilarityOps {
     * partition-order-dependent and unverifiable). */
   private val CosScale = 1048576.0
 
+  /** Quantized member→centroid cosine for the list-stat audits
+    * (ivfStats, indexDrift). A zero-norm (poisoned) member has an
+    * undefined cosine: Spark's clamp passes NaN through, and a bare
+    * round(NaN).cast(long) silently reads 0 — mid-grid — while DuckDB's
+    * list_cosine_similarity returns -1.0 for a zero-norm side (verified
+    * against 1.4.x; its cast of a genuine NaN would ERROR, so the
+    * engines could never agree without a pin). Pin BOTH engines to the
+    * DuckDB reading: a poisoned member scores -1, the worst legitimate
+    * grid point, so it drags its list's mean/min loudly into the audit
+    * instead of hiding mid-scale. */
+  private def quantizedMemberCos: Column = {
+    // the zero-norm guard must come BEFORE the division: under ANSI
+    // mode 0/0 RAISES (DIVIDE_BY_ZERO) rather than yielding NaN, so an
+    // unguarded audit would abort on the poisoned row. CaseWhen
+    // evaluates only the taken branch, so the division never runs for
+    // a zero-norm member. A NaN ELEMENT (dot = NaN with nonzero norms)
+    // pins to -1 through the second guard — an ANSI cast of NaN to
+    // long would also raise.
+    val denom = VectorOps.norm(col("embedding")) * VectorOps.norm(col("centroid"))
+    val c = when(denom === 0.0, lit(-1.0))
+      .otherwise(VectorOps.cosine(col("embedding"), col("centroid")).cast("double"))
+    val safe = when(isnan(c), lit(-1.0)).otherwise(c)
+    round(safe * lit(CosScale)).cast("long")
+  }
+
   /** INDEX-HEALTH AUDIT of the trained IVF quantizer: per inverted list,
     * its occupancy and how well the centroid represents it (mean and
     * worst cosine of members to their centroid). The numbers an ANN
@@ -495,9 +520,7 @@ object SimilarityOps {
   def ivfStats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val centroids = ivfCentroids(e).cache()
-    val q = round(
-      VectorOps.cosine(col("embedding"), col("centroid")).cast("double")
-        * lit(CosScale)).cast("long")
+    val q = quantizedMemberCos
     assign(e, centroids)
       .join(broadcast(centroids), Seq("cl"))
       .select(col("cl"), q.as("qc"))
@@ -635,8 +658,7 @@ object SimilarityOps {
       assign(batch, centroids)
         .withColumn("nrm", VectorOps.norm(col("embedding"))))
       .cache()
-    val qc = round(VectorOps.cosine(col("embedding"), col("centroid"))
-      .cast("double") * lit(CosScale)).cast("long")
+    val qc = quantizedMemberCos
     def listStats(lists: DataFrame, suffix: String): DataFrame =
       lists.join(broadcast(centroids), Seq("cl"))
         .select(col("cl"), qc.as("qc"))
@@ -932,7 +954,12 @@ object SimilarityOps {
         posexplode(slice(col("qa"), col("p") + lit(1),
           size(col("qa")) - col("p"))).as(Seq("j", "qq")))
       .groupBy(col("p"), (col("p") + col("j")).as("q"))
-      .agg(sum(col("qp") * col("qq")).as("s2"))
+      // DECIMAL(38,0) second-moment sum: the n-term Σ qp·qq outgrows
+      // int64 past ~2^21 vectors (each term ≤ 2^42); decimal keeps the
+      // sum exact at any corpus size. The DuckDB twin needs no change —
+      // its BIGINT sum already accumulates in HUGEINT, and both engines
+      // divide the same exact integer down to the same double.
+      .agg(sum((col("qp") * col("qq")).cast("decimal(38,0)")).as("s2"))
     val m2 = m2u.unionAll(m2u.where(col("p") < col("q"))
       .select(col("q").as("p"), col("p").as("q"), col("s2")))
     val cov = m2
@@ -1120,10 +1147,16 @@ object SimilarityOps {
         posexplode(transform(col("embedding"),
           x => round(x.cast("double") * lit(CentroidScale)).cast("long"))))
       .select(col("label"), col("pos").as("dim"), col("col").as("qx"))
+    // s1 stays a LONG sum (|s1| ≤ n·2^21: safe past 10^12 vectors per
+    // group); s2's VALUE itself outgrows int64 at ~2^21 vectors per
+    // group (qx² ≤ 2^42), so it sums — and is emitted — as
+    // DECIMAL(38,0): still exact integer arithmetic (map-side partials,
+    // partition-order-free), with headroom past any conceivable corpus.
+    // DuckDB mirrors with its HUGEINT sum cast to the same decimal.
     q.groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("qx")).as("s1"),
-        sum(col("qx") * col("qx")).as("s2"))
+        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("s2"))
       .select(col("label"), col("dim"), col("n_vecs"),
         col("s1"), col("s2"),
         (col("s1").cast("double") / col("n_vecs") / CentroidScale)
@@ -1993,9 +2026,9 @@ object SimilarityOps {
   /** Shared by q_ann_bruteforce, q_ann_topk_agg (same rows by design)
     * and the q_ann_recall reference side. */
   private val AnnBruteForceSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
            SELECT vec_id AS query_id, embedding AS qe
-           FROM embeddings WHERE vec_id < 10),
+           FROM embeddings WHERE vec_id < $NumQueries),
          s AS (
            SELECT q.query_id, e.vec_id AS neighbor_id,
                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
@@ -2005,7 +2038,7 @@ object SimilarityOps {
            SELECT *, row_number() OVER (
              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
            FROM s)
-         WHERE rank <= 5 ORDER BY query_id, rank"""
+         WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   /** DuckDB replay of [[annRecall]]: both chains as CTEs (a CTE body may
     * carry its own WITH), then the same left-join hit count. */
@@ -2083,7 +2116,7 @@ object SimilarityOps {
          m AS (
            SELECT label, dim, count(*) AS n_vecs,
                   CAST(sum(qx) AS BIGINT) AS s1,
-                  CAST(sum(qx * qx) AS BIGINT) AS s2
+                  CAST(sum(qx * qx) AS DECIMAL(38,0)) AS s2
            FROM q GROUP BY label, dim)
          SELECT label, dim, n_vecs, s1, s2,
                 CAST(s1 AS DOUBLE) / n_vecs / 1048576.0 AS mean_val,

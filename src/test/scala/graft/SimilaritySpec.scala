@@ -431,4 +431,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.0, s"recall was $recall")
     assert(lsh.map(_._1).size >= 5)
   }
+
+  test("ivf stats: a zero-norm (poisoned) member scores -1, not a silent mid-grid 0") {
+    // a zero vector has an undefined cosine to its centroid: Spark's
+    // clamp yields NaN, and before the guard a bare round(NaN).cast(long)
+    // silently read 0 (mid-grid) while DuckDB reads -1.0 for a zero-norm
+    // side — the engines could diverge on exactly the poisoned data an
+    // audit exists to surface. The pin: poisoned member = -1 (worst fit).
+    val base = (0 until 32).map { i =>
+      val v = Seq.tabulate(8)(j => if (j == i % 8) 1.0f else 0.1f)
+      (i.toLong, v, i % 2)
+    }
+    val dir = embeddingsFixture(base :+ ((99L, Seq.fill(8)(0.0f), 0)))
+    val stats = SimilarityOps.ivfStats(spark, dir).collect()
+    assert(stats.nonEmpty)
+    // no NaN anywhere, and SOME list carries the poisoned member's -1.0
+    // floor (min_cos is exact: -2^20 / 2^20)
+    assert(stats.forall(r => !r.getDouble(2).isNaN && !r.getDouble(3).isNaN))
+    assert(stats.exists(r => r.getDouble(3) == -1.0),
+      stats.map(_.getDouble(3)).mkString(","))
+  }
 }
