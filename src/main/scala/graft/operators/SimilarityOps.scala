@@ -214,15 +214,20 @@ object SimilarityOps {
     * end-to-end ([[AnnIvfSql]] — the order-free integer-moment centroid
     * training makes the whole trained index replayable); ScalaTest
     * additionally checks planted-dup retrieval + recall vs brute force. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val centroids = ivfCentroids(e).cache()
-    val lists = assign(e, centroids)
-      .withColumn("nrm", VectorOps.norm(col("embedding")))
-    val q = e.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        VectorOps.norm(col("embedding")).as("nq"))
-    // probe the nprobe nearest centroids per query
+  /** THE IVF probe+rank tail — one definition for [[annIvf]],
+    * [[annIndexProbe]] and [[indexDrift]]'s probe audit (they used to be
+    * three near-identical copies; a probe-semantics fix must hit all of
+    * them at once). Ranks centroids per query, keeps the `IvfProbes`
+    * nearest lists, scans them, ranks members by prenormed cosine.
+    * `excludeSelf`: corpus-rows-as-queries mode (annIvf, the drift
+    * audit) drops the query's own row; online probes keep exact matches
+    * back (cos ≈ 1 IS the answer for an intake dedup probe).
+    * `broadcastProbes`: the online path hints its micro-batch-sized
+    * probe frame so the list join never shuffles the index. Returns
+    * (query_id, neighbor_id, cos_sim, rank) unranked-order. */
+  private def ivfProbeTopK(q: DataFrame, centroids: DataFrame,
+      lists: DataFrame, excludeSelf: Boolean,
+      broadcastProbes: Boolean = false): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cl").asc)
     val probes = q.join(broadcast(centroids))
@@ -231,15 +236,30 @@ object SimilarityOps {
       .withColumn("prank", row_number().over(wq))
       .where(col("prank") <= IvfProbes)
       .select(col("query_id"), col("qe"), col("nq"), col("cl"))
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val joined = probeSide.join(lists, Seq("cl"))
+    val scoped =
+      if (excludeSelf) joined.where(col("vec_id") =!= col("query_id"))
+      else joined
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    probes.join(lists, Seq("cl"))
-      .where(col("vec_id") =!= col("query_id"))
+    scoped
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         VectorOps.cosinePrenorm(col("qe"), col("embedding"),
           col("nq"), col("nrm")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e).cache()
+    val lists = assign(e, centroids)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.norm(col("embedding")).as("nq"))
+    ivfProbeTopK(q, centroids, lists, excludeSelf = true)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
       .orderBy("query_id", "rank")
@@ -594,22 +614,8 @@ object SimilarityOps {
     val lists = spark.read.parquet(s"$indexDir/lists")
     val q = queries.select(col("query_id"), col("qe"),
       VectorOps.norm(col("qe")).as("nq"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cl").asc)
-    val probes = q.join(broadcast(centroids))
-      .select(col("query_id"), col("qe"), col("nq"), col("cl"),
-        VectorOps.cosine(col("qe"), col("centroid")).as("csim"))
-      .withColumn("prank", row_number().over(wq))
-      .where(col("prank") <= IvfProbes)
-      .select(col("query_id"), col("qe"), col("nq"), col("cl"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    broadcast(probes).join(lists, Seq("cl"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorOps.cosinePrenorm(col("qe"), col("embedding"),
-          col("nq"), col("nrm")).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= TopK)
+    ivfProbeTopK(q, centroids, lists, excludeSelf = false,
+        broadcastProbes = true)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
   }
@@ -681,26 +687,9 @@ object SimilarityOps {
         .where(col("rank") <= TopK)
         .select(col("query_id"), col("neighbor_id"))
     }
-    def probeTopK(lists: DataFrame): DataFrame = {
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("csim").desc, col("cl").asc)
-      val probes = q.join(broadcast(centroids))
-        .select(col("query_id"), col("qe"), col("nq"), col("cl"),
-          VectorOps.cosine(col("qe"), col("centroid")).as("csim"))
-        .withColumn("prank", row_number().over(wq))
-        .where(col("prank") <= IvfProbes)
-        .select(col("query_id"), col("qe"), col("nq"), col("cl"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-      probes.join(lists, Seq("cl"))
-        .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          VectorOps.cosinePrenorm(col("qe"), col("embedding"),
-            col("nq"), col("nrm")).as("cos_sim"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= TopK)
+    def probeTopK(lists: DataFrame): DataFrame =
+      ivfProbeTopK(q, centroids, lists, excludeSelf = true)
         .select(col("query_id"), col("neighbor_id"))
-    }
     def recallOf(bf: DataFrame, ap: DataFrame, name: String): DataFrame =
       bf.join(ap.withColumn("hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left")
@@ -1385,48 +1374,60 @@ object SimilarityOps {
          ORDER BY vec_id"""
   }
 
-  /** Shared CTE prefix replaying the DataFrame-trained IVF quantizer —
-    * init assignment (vec_id mod K), order-free integer-moment means,
-    * one Lloyd reassignment, final means, final assignment (`lists`).
-    * Exact because [[meansOf]] quantizes to the 2^20 grid (long sums →
-    * order-free) and every cosine is the driver-proven
-    * list_cosine_similarity. NaN ordering: the ASSIGN argmax in Spark is
-    * an array_min over struct(negsim, cl), where a NaN negsim sorts LAST
-    * — replayed as `isnan(csim) ASC` before `csim DESC`. (The PROBE
-    * window below deliberately has no isnan guard: Spark's plain
-    * `csim DESC` window treats NaN as largest, same as DuckDB.) */
-  private val IvfChainCtes: String = {
-    val sc = CentroidScale
+  /** The ONE cosine-quantizer SQL recipe — integer-moment means off the
+    * `q0` quantized-component CTE, and the isnan-guarded argmax
+    * assignment. Shared by [[IvfChainCtes]], [[scaledQuantizerCtes]] and
+    * [[IndexDriftSql]]: three hand-synced copies predated this, and a
+    * parity fix (rounding mode, NaN ordering) that missed one would have
+    * produced an oracle-only divergence, so the recipe now exists once.
+    * NaN ordering: the ASSIGN argmax in Spark is an array_min over
+    * struct(negsim, cl), where a NaN negsim sorts LAST — replayed as
+    * `isnan(csim) ASC` before `csim DESC`. */
+  private object QuantizerSql {
     def means(assignCte: String, out: String): String =
       s"""${out}m AS (
            SELECT a.cl, q0.pos,
-                  CAST(sum(q0.qv) AS DOUBLE) / count(*) / $sc AS m
+                  CAST(sum(q0.qv) AS DOUBLE) / count(*) / $CentroidScale AS m
            FROM q0 JOIN $assignCte a USING (vec_id) GROUP BY 1, 2),
          $out AS (
            SELECT cl, list(CAST(m AS FLOAT) ORDER BY pos) AS centroid
            FROM ${out}m GROUP BY cl)"""
-    def assignTo(centCte: String, out: String): String =
-      s"""${out}s AS (
-           SELECT e.vec_id, c.cl,
-                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                         CAST(c.centroid AS DOUBLE[])) AS csim
-           FROM e, $centCte c),
-         $out AS (
+    def argmax(out: String): String =
+      s"""$out AS (
            SELECT vec_id, cl FROM (
              SELECT vec_id, cl, row_number() OVER (
                PARTITION BY vec_id
                ORDER BY isnan(csim) ASC, csim DESC, cl ASC) AS rn
              FROM ${out}s) WHERE rn = 1)"""
+    def assignTo(corpus: String, centCte: String, out: String): String =
+      s"""${out}s AS (
+           SELECT e.vec_id, c.cl,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) AS csim
+           FROM $corpus e, $centCte c),
+         ${argmax(out)}"""
+  }
+
+  /** Shared CTE prefix replaying the DataFrame-trained IVF quantizer —
+    * init assignment (vec_id mod K), order-free integer-moment means,
+    * one Lloyd reassignment, final means, final assignment (`lists`).
+    * Exact because [[meansOf]] quantizes to the 2^20 grid (long sums →
+    * order-free) and every cosine is the driver-proven
+    * list_cosine_similarity. (The PROBE windows elsewhere deliberately
+    * have no isnan guard: Spark's plain `csim DESC` window treats NaN as
+    * largest, same as DuckDB.) */
+  private val IvfChainCtes: String = {
+    val sc = CentroidScale
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
          q0 AS (
            SELECT vec_id, CAST(i - 1 AS INT) AS pos,
                   CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
            FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
          a0 AS (SELECT vec_id, CAST(vec_id % $IvfK AS INT) AS cl FROM e),
-         ${means("a0", "c0")},
-         ${assignTo("c0", "a1")},
-         ${means("a1", "c1")},
-         ${assignTo("c1", "lists")}"""
+         ${QuantizerSql.means("a0", "c0")},
+         ${QuantizerSql.assignTo("e", "c0", "a1")},
+         ${QuantizerSql.means("a1", "c1")},
+         ${QuantizerSql.assignTo("e", "c1", "lists")}"""
   }
 
   /** DuckDB replay of [[annIvf]] off the shared quantizer chain: probe
@@ -1515,27 +1516,9 @@ object SimilarityOps {
   private[operators] def scaledQuantizerCtes: String = {
     val sc = CentroidScale
     def means(assignCte: String, out: String): String =
-      s"""${out}m AS (
-           SELECT a.cl, q0.pos,
-                  CAST(sum(q0.qv) AS DOUBLE) / count(*) / $sc AS m
-           FROM q0 JOIN $assignCte a USING (vec_id) GROUP BY 1, 2),
-         $out AS (
-           SELECT cl, list(CAST(m AS FLOAT) ORDER BY pos) AS centroid
-           FROM ${out}m GROUP BY cl)"""
-    def argmax(out: String): String =
-      s"""$out AS (
-           SELECT vec_id, cl FROM (
-             SELECT vec_id, cl, row_number() OVER (
-               PARTITION BY vec_id
-               ORDER BY isnan(csim) ASC, csim DESC, cl ASC) AS rn
-             FROM ${out}s) WHERE rn = 1)"""
+      QuantizerSql.means(assignCte, out)
     def assignTo(centCte: String, out: String): String =
-      s"""${out}s AS (
-           SELECT e.vec_id, c.cl,
-                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                         CAST(c.centroid AS DOUBLE[])) AS csim
-           FROM e, $centCte c),
-         ${argmax(out)}"""
+      QuantizerSql.assignTo("e", centCte, out)
     def cellAssign(centCte: String, out: String): String =
       s"""${out}s AS (
            SELECT r.vec_id, c.cl,
@@ -1545,7 +1528,7 @@ object SimilarityOps {
            CROSS JOIN kq
            JOIN e ON e.vec_id = r.vec_id
            JOIN $centCte c ON c.cl // kq.k2 = r.cl1),
-         ${argmax(out)}"""
+         ${QuantizerSql.argmax(out)}"""
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
          kq AS (
            SELECT k, k1,
@@ -1586,14 +1569,18 @@ object SimilarityOps {
     * an array_min (NaN last → `isnan ASC` guard); the shortlist/refine
     * windows are plain ASC sorts (NaN last in BOTH engines → no guard,
     * same as the Spark windows). */
-  private val AnnPqSql: String = {
-    val sc = CentroidScale
-    val ms = (0 until PqM).mkString("[", ", ", "]")
-    def means(assignJoin: String, out: String): String =
+  /** The ONE product-quantizer codebook SQL recipe — per-subspace
+    * integer-moment codeword means (+ the nc2 self-dot) and the
+    * isnan-guarded nearest-code assignment — shared by [[AnnPqSql]]
+    * (raw subvectors: sq/subs) and [[AnnIvfPqSql]] (residual
+    * subvectors: rsq/rsubs); they were two hand-synced copies differing
+    * only in those CTE names. */
+  private object PqSql {
+    def means(momentCte: String, assignJoin: String, out: String): String =
       s"""${out}m AS (
            SELECT s.m, a.code, s.pos,
-                  CAST(sum(s.qv) AS DOUBLE) / count(*) / $sc AS mv
-           FROM sq s JOIN $assignJoin GROUP BY 1, 2, 3),
+                  CAST(sum(s.qv) AS DOUBLE) / count(*) / $CentroidScale AS mv
+           FROM $momentCte s JOIN $assignJoin GROUP BY 1, 2, 3),
          ${out}l AS (
            SELECT m, code, list(CAST(mv AS FLOAT) ORDER BY pos) AS cent
            FROM ${out}m GROUP BY m, code),
@@ -1602,19 +1589,28 @@ object SimilarityOps {
                   list_dot_product(CAST(cent AS DOUBLE[]),
                                    CAST(cent AS DOUBLE[])) AS nc2
            FROM ${out}l)"""
-    def assignTo(cb: String, out: String): String =
+    def assignTo(subsCte: String, cb: String, out: String): String =
       s"""${out}s AS (
            SELECT s.vec_id, s.m, c.code,
                   s.na2 - 2.0 * list_dot_product(CAST(s.sub AS DOUBLE[]),
                                                  CAST(c.cent AS DOUBLE[]))
                     + c.nc2 AS d2
-           FROM subs s JOIN $cb c ON c.m = s.m),
+           FROM $subsCte s JOIN $cb c ON c.m = s.m),
          $out AS (
            SELECT vec_id, m, code FROM (
              SELECT vec_id, m, code, row_number() OVER (
                PARTITION BY vec_id, m
                ORDER BY isnan(d2) ASC, d2 ASC, code ASC) AS rn
              FROM ${out}s) WHERE rn = 1)"""
+  }
+
+  private val AnnPqSql: String = {
+    val sc = CentroidScale
+    val ms = (0 until PqM).mkString("[", ", ", "]")
+    def means(assignJoin: String, out: String): String =
+      PqSql.means("sq", assignJoin, out)
+    def assignTo(cb: String, out: String): String =
+      PqSql.assignTo("subs", cb, out)
     val adcPivot = (0 until PqM)
       .map(m => s"sum(CASE WHEN d.m = $m THEN d.d2 END) AS d$m")
       .mkString(",\n                  ")
@@ -1712,25 +1708,9 @@ object SimilarityOps {
   private val IndexDriftSql: String = {
     val sc = CentroidScale
     def means(assignCte: String, out: String): String =
-      s"""${out}m AS (
-           SELECT a.cl, q0.pos,
-                  CAST(sum(q0.qv) AS DOUBLE) / count(*) / $sc AS m
-           FROM q0 JOIN $assignCte a USING (vec_id) GROUP BY 1, 2),
-         $out AS (
-           SELECT cl, list(CAST(m AS FLOAT) ORDER BY pos) AS centroid
-           FROM ${out}m GROUP BY cl)"""
+      QuantizerSql.means(assignCte, out)
     def assignTo(corpus: String, centCte: String, out: String): String =
-      s"""${out}s AS (
-           SELECT e.vec_id, c.cl,
-                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                         CAST(c.centroid AS DOUBLE[])) AS csim
-           FROM $corpus e, $centCte c),
-         $out AS (
-           SELECT vec_id, cl FROM (
-             SELECT vec_id, cl, row_number() OVER (
-               PARTITION BY vec_id
-               ORDER BY isnan(csim) ASC, csim DESC, cl ASC) AS rn
-             FROM ${out}s) WHERE rn = 1)"""
+      QuantizerSql.assignTo(corpus, centCte, out)
     def stats(listsCte: String, suffix: String): String =
       s"""mc_$suffix AS (
            SELECT l.cl,
@@ -1847,31 +1827,9 @@ object SimilarityOps {
     val sc = CentroidScale
     val ms = (0 until PqM).mkString("[", ", ", "]")
     def means(assignJoin: String, out: String): String =
-      s"""${out}m AS (
-           SELECT s.m, a.code, s.pos,
-                  CAST(sum(s.qv) AS DOUBLE) / count(*) / $sc AS mv
-           FROM rsq s JOIN $assignJoin GROUP BY 1, 2, 3),
-         ${out}l AS (
-           SELECT m, code, list(CAST(mv AS FLOAT) ORDER BY pos) AS cent
-           FROM ${out}m GROUP BY m, code),
-         $out AS (
-           SELECT m, code, cent,
-                  list_dot_product(CAST(cent AS DOUBLE[]),
-                                   CAST(cent AS DOUBLE[])) AS nc2
-           FROM ${out}l)"""
+      PqSql.means("rsq", assignJoin, out)
     def assignTo(cb: String, out: String): String =
-      s"""${out}s AS (
-           SELECT s.vec_id, s.m, c.code,
-                  s.na2 - 2.0 * list_dot_product(CAST(s.sub AS DOUBLE[]),
-                                                 CAST(c.cent AS DOUBLE[]))
-                    + c.nc2 AS d2
-           FROM rsubs s JOIN $cb c ON c.m = s.m),
-         $out AS (
-           SELECT vec_id, m, code FROM (
-             SELECT vec_id, m, code, row_number() OVER (
-               PARTITION BY vec_id, m
-               ORDER BY isnan(d2) ASC, d2 ASC, code ASC) AS rn
-             FROM ${out}s) WHERE rn = 1)"""
+      PqSql.assignTo("rsubs", cb, out)
     val adcPivot = (0 until PqM)
       .map(m => s"sum(CASE WHEN d.m = $m THEN d.d2 END) AS d$m")
       .mkString(",\n                  ")
