@@ -15,6 +15,12 @@ object VectorFunctions {
     * the DuckDB-parity contract). */
   def vec_sub(a: Column, b: Column): Column = VectorColumns.vec_sub(a, b)
 
+  /** Fixed-point quantization array<float> → array<long> in one native
+    * pass: round(double(x_i)·scale) cast long, Spark round()/cast-exact
+    * (see graftext.FloatVectorQuantize for the parity contract). */
+  def vec_quantize(a: Column, scale: Double): Column =
+    VectorColumns.vec_quantize(a, scale)
+
   /** All i<j pairs of an array as array<struct<a,b>> (native single-pass
     * expansion; see graftext.PairCombos). */
   def pair_combos(x: Column): Column =

@@ -157,9 +157,11 @@ object SimilarityOps {
     * q_semdedup carry full driver oracles. */
   private[operators] def meansOf(assigned: DataFrame): DataFrame =
     assigned
+      // ONE native quantize pass per row (codegen'd; neither an
+      // interpreted transform() lambda nor a post-explode scalar round —
+      // see graftext.FloatVectorQuantize), then explode longs
       .select(col("cl"),
-        posexplode(transform(col("embedding"),
-          x => round(x.cast("double") * lit(CentroidScale)).cast("long")))
+        posexplode(VectorOps.quantize(col("embedding"), CentroidScale))
           .as(Seq("pos", "qv")))
       .groupBy("cl", "pos")
       .agg(sum(col("qv")).as("s1"), count(lit(1)).as("n"))
@@ -299,9 +301,9 @@ object SimilarityOps {
     * partitionings and DuckDB-replayable. */
   private def pqMeans(assigned: DataFrame): DataFrame =
     assigned
+      // one native quantize pass per subvector, same reasoning as [[meansOf]]
       .select(col("m"), col("code"),
-        posexplode(transform(col("sub"),
-          x => round(x.cast("double") * lit(CentroidScale)).cast("long")))
+        posexplode(VectorOps.quantize(col("sub"), CentroidScale))
           .as(Seq("pos", "qv")))
       .groupBy("m", "code", "pos")
       .agg(sum(col("qv")).as("s1"), count(lit(1)).as("n"))
@@ -856,7 +858,15 @@ object SimilarityOps {
     * transform, no shuffle at any SF. The quantized stats are integers,
     * so the oracle comparison is exact — both engines compute the same
     * double products before the identical half-away-from-zero round.
-    * Zero vectors quantize to all-zero (scale 0) rather than NaN. */
+    * Zero vectors quantize to all-zero (scale 0) rather than NaN.
+    *
+    * DELIBERATE HOF exemption (the repo bans interpreted lambdas in
+    * corpus-grain hot paths): the per-row scale depends on the row's own
+    * max|x|, and the outputs are per-VECTOR reductions of the quantized
+    * array — the explode-then-scalar rewrite the moment paths use would
+    * need a groupBy(vec_id) to reassemble, turning a shuffle-FREE scan
+    * into an n·d-row exchange. Interpreted per-element cost (d = 64,
+    * one pass) is the cheaper side of that trade at every scale. */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     e.select(col("vec_id"), col("embedding"),
@@ -922,9 +932,14 @@ object SimilarityOps {
     * [[embedProject]] (which applies it): (mu(p,mu,n), cov(p,q,c),
     * pc(p,pc1)). */
   private def pcaMuCovPc(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val qarr = transform(col("embedding"),
-      x => round(x.cast("double") * lit(CentroidScale)).cast("long"))
-    val base = e.select(col("vec_id"), qarr.as("qa"))
+    // quantize ONCE per row at ARRAY grain (native codegen'd pass): the
+    // qa array feeds BOTH the mean explode and the d²/2-row Gram pair
+    // explode below. Moving the round() to scalar grain after the inner
+    // explode re-ran Spark's BigDecimal double-round n·d²/2 times —
+    // measured 22 → 210 s at the 100× corpus; an interpreted transform()
+    // lambda is the banned HOF shape. The native pass is both.
+    val base = e.select(col("vec_id"),
+      VectorOps.quantize(col("embedding"), CentroidScale).as("qa"))
     val comp = base.select(col("vec_id"),
       posexplode(col("qa")).as(Seq("p", "qp")))
     val mu = comp.groupBy("p")
@@ -1131,11 +1146,13 @@ object SimilarityOps {
     * integer moments in one double division each. One posexplode + one
     * groupBy: a single shuffle of (labels × dims) partial rows. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    // one native quantize pass per row, then explode longs (see
+    // [[meansOf]] / graftext.FloatVectorQuantize)
     val q = Tables.embeddings(spark, dir)
       .select(col("label"),
-        posexplode(transform(col("embedding"),
-          x => round(x.cast("double") * lit(CentroidScale)).cast("long"))))
-      .select(col("label"), col("pos").as("dim"), col("col").as("qx"))
+        posexplode(VectorOps.quantize(col("embedding"), CentroidScale))
+          .as(Seq("pos", "qx")))
+      .select(col("label"), col("pos").as("dim"), col("qx"))
     // s1 stays a LONG sum (|s1| ≤ n·2^21: safe past 10^12 vectors per
     // group); s2's VALUE itself outgrows int64 at ~2^21 vectors per
     // group (qx² ≤ 2^42), so it sums — and is emitted — as

@@ -40,6 +40,13 @@ object VectorOps {
   def cosinePrenorm(a: Column, b: Column, normA: Column, normB: Column): Column =
     clamp(dot(a, b) / (normA * normB))
 
+  /** Fixed-point quantization array<float> → array<long>: one native
+    * pass per row, Spark round()/cast-exact (the integer-moment front
+    * door — see graftext.FloatVectorQuantize for why neither a transform
+    * lambda nor post-explode scalar round() is acceptable here). */
+  def quantize(a: Column, scale: Double): Column =
+    VectorFunctions.vec_quantize(a, scale)
+
   /** Reference higher-order-function implementation (interpreted lambdas;
     * ~6× slower in pair joins). Kept for cross-checking the native expr. */
   private[graft] def dotHof(a: Column, b: Column): Column =
@@ -49,4 +56,9 @@ object VectorOps {
 
   private[graft] def norm2Hof(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Reference HOF form of [[quantize]] (interpreted transform over
+    * Spark's own round/cast). Kept for the VectorExprSpec parity pin. */
+  private[graft] def quantizeHof(a: Column, scale: Double): Column =
+    transform(a, x => round(x.cast("double") * lit(scale)).cast("long"))
 }

@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native codegen'd vector expressions.
   *
@@ -150,6 +150,73 @@ object FloatVectorSub {
   }
 }
 
+/** Fixed-point quantization of an `array<float>` column in ONE native
+  * pass per row: out_i = CAST(round(double(x_i) * scale, 0) AS LONG).
+  *
+  * Exists for the integer-moment paths (centroid means, PQ means, the
+  * PCA covariance): they consume the SAME quantized array in several
+  * downstream explodes, so quantization must happen once per row at
+  * array grain. The two alternatives both lose: a `transform` lambda is
+  * interpreted per element over the corpus (the banned HOF shape), and
+  * quantizing AFTER the explode re-runs Spark's BigDecimal-based double
+  * round once per exploded row — fatal in the PCA Gram path, where the
+  * inner explode is n·d²/2 rows (measured 22 → 210 s at the 100× corpus
+  * when round() sat inside the pair space).
+  *
+  * Per-element arithmetic is byte-for-byte Spark's own
+  * `round(cast(x AS DOUBLE) * scale)` (RoundBase, HALF_UP: NaN/Inf pass
+  * through BigDecimal untouched) followed by the non-ANSI double→long
+  * cast (Java `(long)` semantics: NaN→0, ±Inf→Long.MIN/MAX) — so DuckDB
+  * oracles built on `CAST(round(x * scale) AS BIGINT)` are unaffected,
+  * and VectorExprSpec pins bit-parity against the transform() form.
+  * Null elements map to null (sum() then skips them, as before). */
+case class FloatVectorQuantize(child: Expression, scale: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(LongType, containsNull)
+    case _ => ArrayType(LongType, containsNull = true)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    FloatVectorQuantize.build(a.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftext.FloatVectorQuantize.build($a, $scale);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVectorQuantize =
+    copy(child = newChild)
+}
+
+object FloatVectorQuantize {
+  /** One compiled loop shared by eval and codegen (the FloatVectorSub
+    * pattern). Mirrors RoundBase's DoubleType branch exactly. */
+  def build(x: ArrayData, scale: Double): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) {
+        out(i) = null
+      } else {
+        val d = x.getFloat(i).toDouble * scale
+        val r =
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        out(i) = r.toLong
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorColumns {
   /** Column API for the native dot product. */
   def vec_dot(a: Column, b: Column): Column =
@@ -164,4 +231,9 @@ object VectorColumns {
   def vec_sub(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorSub(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Fixed-point array quantization (the integer-moment front door). */
+  def vec_quantize(a: Column, scale: Double): Column =
+    ExpressionUtils.column(FloatVectorQuantize(
+      ExpressionUtils.expression(a), scale))
 }

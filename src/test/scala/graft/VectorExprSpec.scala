@@ -261,6 +261,80 @@ class VectorExprSpec extends SparkTestBase {
     assert(bi == Seq("a b", "b c", "c d"))
   }
 
+  test("native vec_quantize is bit-identical to the transform(round·cast) formulation") {
+    // the corpus itself, under the session default (ANSI on): every
+    // moment path's input
+    val e = Tables.embeddings(spark, sf0001)
+    val diff = e.select(
+        VectorOps.quantize(col("embedding"), 1048576.0).as("native"),
+        VectorOps.quantizeHof(col("embedding"), 1048576.0).as("hof"))
+      .where(col("native") =!= col("hof")) // exact array comparison
+    assert(diff.count() == 0, "native and HOF quantize must agree bitwise")
+  }
+
+  test("native vec_quantize edges: ties, negatives, null element, empty, null, NaN/Inf") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_quantize
+    // scale 2.0 makes exact .5 products reachable: x=0.25 → 0.5 (HALF_UP
+    // → away from zero: 1), x=-0.25 → -0.5 → -1 (Math.round would give 0
+    // — the difference this pin exists to catch). Spark's round() on
+    // double goes through BigDecimal.valueOf, mirrored by the native loop.
+    val df = Seq(
+      (1L, Some(Seq(Some(0.25f), Some(-0.25f), Some(0.75f), Some(-0.75f)))),
+      (2L, Some(Seq(Some(1.1f), None, Some(-2.9f)))), // null element
+      (3L, Some(Seq.empty[Option[Float]])),
+      (4L, None),
+    ).toDF("id", "a")
+    val hof = VectorOps.quantizeHof(col("a"), 2.0)
+    val got = df.select(vec_quantize(col("a"), 2.0).as("n"), hof.as("h"))
+      .collect()
+    assert(got(0).getSeq[Long](0) == Seq(1L, -1L, 2L, -2L),
+      "HALF_UP ties must round away from zero")
+    assert(got(0).getSeq[Long](0) == got(0).getSeq[Long](1))
+    val withNull = got(1).getSeq[Any](0)
+    assert(withNull == got(1).getSeq[Any](1) &&
+      withNull(1) == null, "null element passes through as null")
+    assert(got(2).getSeq[Long](0).isEmpty)
+    assert(got(3).isNullAt(0) && got(3).isNullAt(1))
+    // NaN/±Inf elements (poisoned vectors): Spark's round() passes them
+    // through and the ANSI session cast would RAISE — the native form
+    // keeps IEEE/non-ANSI semantics instead (NaN→0, ±Inf→Long.MIN/MAX),
+    // same precedent as nearest_centroid; parity is pinned under
+    // ansi=false, where the HOF chain computes the same values.
+    val poisoned = spark.sql(
+      """SELECT array(cast('NaN' as float), cast('Infinity' as float),
+                      cast('-Infinity' as float), cast(3.5 as float)) AS a""")
+    val ansi = "spark.sql.ansi.enabled"
+    val ansi0 = spark.conf.get(ansi)
+    val p = try {
+      spark.conf.set(ansi, "false")
+      poisoned.select(vec_quantize(col("a"), 2.0).as("n"),
+        VectorOps.quantizeHof(col("a"), 2.0).as("h")).collect()
+    } finally spark.conf.set(ansi, ansi0)
+    assert(p(0).getSeq[Long](0) == Seq(0L, Long.MaxValue, Long.MinValue, 7L))
+    assert(p(0).getSeq[Long](0) == p(0).getSeq[Long](1))
+  }
+
+  test("vec_quantize agrees between codegen and interpreted eval") {
+    import graft.functions.VectorFunctions.vec_quantize
+    val e = Tables.embeddings(spark, sf0001).limit(64)
+    def run(): Seq[Seq[Long]] =
+      e.select(vec_quantize(col("embedding"), 1048576.0))
+        .collect().map(_.getSeq[Long](0)).toSeq
+    val codegen = run()
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val wholeStage = "spark.sql.codegen.wholeStage"
+    val (fm0, ws0) = (spark.conf.get(factoryMode), spark.conf.get(wholeStage))
+    try {
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      spark.conf.set(wholeStage, "false")
+      assert(run() == codegen, "interpreted eval diverged from codegen")
+    } finally {
+      spark.conf.set(factoryMode, fm0)
+      spark.conf.set(wholeStage, ws0)
+    }
+  }
+
   test("nearest_centroid agrees between codegen and interpreted eval") {
     // Janino can decline any generated method (size limits) and Spark
     // silently falls back to eval() — the two paths must return the same
