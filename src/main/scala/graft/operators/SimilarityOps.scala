@@ -905,13 +905,15 @@ object SimilarityOps {
     * Fully in DataFrames, fully order-free, so the whole trained chain
     * replays in DuckDB:
     *  - second moments Σ qᵢₚqᵢ_q from the 2^20-quantized components via
-    *    DOUBLE-posexplode (explode the quantized array, then the q ≥ p
-    *    SUFFIX slice of it — Gram symmetry halves the dominant moment
-    *    work): ~n·d²/2 narrow rows, ONE shuffle of ~d²/2 keys with
-    *    map-side partial long sums — no self-join, no float
-    *    accumulation; the strict-upper half mirrors after aggregation
-    *    (exact long sums ⇒ bit-identical). The covariance then derives
-    *    per (p,q) as s2/n/S² − μₚμ_q in exact double arithmetic.
+    *    the single-pass [[org.apache.spark.sql.graftext.GramMoments]]
+    *    aggregate (q ≥ p upper triangle — Gram symmetry halves the
+    *    moment work; 128-bit integer accumulation, d(d+1)/2 cells of
+    *    state per partition): the corpus is read ONCE map-side and the
+    *    only shuffle is one ~50 KB state buffer per partition — no pair
+    *    explode, no self-join, no float accumulation; the strict-upper
+    *    half mirrors after aggregation (exact integer sums ⇒
+    *    bit-identical). The covariance then derives per (p,q) as
+    *    s2/n/S² − μₚμ_q in exact double arithmetic.
     *  - each iteration's matrix-vector product quantizes its d per-term
     *    products to the grid and LONG-sums them (order-free; a double
     *    sum over even 64 terms would be partition-order-dependent), and
@@ -921,49 +923,43 @@ object SimilarityOps {
     *  - v₀ = e₀; [[PcaIters]] fixed iterations (the oracle unrolls them —
     *    the registered-toy-size convention of every trained chain here).
     *
-    * Scale: the corpus-grain work is the one d²-key moment aggregation
-    * (map-side combine ⇒ the shuffle moves ~d² rows per partition, not
-    * per vector); the iteration frames are d and d² rows — driver-free,
-    * broadcast-joined. At 100 TB d²·n explode rows dominate: production
-    * would fold the Gram accumulation into a custom aggregate over the
-    * array column (one pass, d² longs of state) — the same shape, fewer
-    * rows; the d²-key shuffle is already the floor. */
+    * Scale: the corpus-grain work is ONE map-side pass (quantize +
+    * GramMoments partials); the shuffle moves one d²-cell state buffer
+    * per partition and the iteration frames are d and d² rows —
+    * driver-free, broadcast-joined. This is the fold-into-a-custom-
+    * aggregate shape the round-10 audit predicted production would
+    * need (it replaced the n·d²/2-row pair explode that previously
+    * dominated — ~409M shuffled rows at the 100× corpus). */
   /** The trained chain shared by [[embedPca]] (which reports it) and
     * [[embedProject]] (which applies it): (mu(p,mu,n), cov(p,q,c),
     * pc(p,pc1)). */
   private def pcaMuCovPc(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    // quantize ONCE per row at ARRAY grain (native codegen'd pass): the
-    // qa array feeds BOTH the mean explode and the d²/2-row Gram pair
-    // explode below. Moving the round() to scalar grain after the inner
-    // explode re-ran Spark's BigDecimal double-round n·d²/2 times —
-    // measured 22 → 210 s at the 100× corpus; an interpreted transform()
-    // lambda is the banned HOF shape. The native pass is both.
-    val base = e.select(col("vec_id"),
-      VectorOps.quantize(col("embedding"), CentroidScale).as("qa"))
-    val comp = base.select(col("vec_id"),
-      posexplode(col("qa")).as(Seq("p", "qp")))
-    val mu = comp.groupBy("p")
-      .agg(sum(col("qp")).as("s1"), count(lit(1)).as("n"))
+    // ONE corpus pass: quantize each vector at array grain (native
+    // codegen'd FloatVectorQuantize), then fold counts, first moments and
+    // the UPPER-TRIANGLE second-moment matrix into the GramMoments
+    // aggregate — d(d+1)/2 cells of 128-bit integer state per partition
+    // (~50 KB at d=64), merged once. This replaces the n·d²/2-row pair
+    // explode that dominated the plan (~409M shuffled rows at the 100×
+    // corpus); the only corpus shuffle left is one state buffer per
+    // partition. Integer accumulation is order-free, so the emitted
+    // n/s1/s2 are BIT-IDENTICAL to the explode+sum formulation at any
+    // partitioning — the DuckDB oracle (HUGEINT sums over the same grid)
+    // is untouched.
+    import org.apache.spark.sql.graftext.GramAggColumns.gram_moments
+    val g = e
+      .select(VectorOps.quantize(col("embedding"), CentroidScale).as("qa"))
+      .agg(gram_moments(col("qa")).as("g"))
+    val mu = g
+      .select(posexplode(arrays_zip(col("g.n").as("n"), col("g.s1").as("s1")))
+        .as(Seq("p", "z")))
       .select(col("p"),
-        (col("s1").cast("double") / col("n") / lit(CentroidScale)).as("mu"),
-        col("n"))
-    // Gram symmetry (ADVICE r10): only the UPPER triangle q ≥ p is
-    // aggregated — the inner posexplode runs over slice(qa, p+1, d−p),
-    // so the dominant n·d² moment shuffle generates ~n·d²/2 rows — then
-    // the strict-upper half is mirrored (exact long sums ⇒ the mirrored
+        (col("z.s1").cast("double") / col("z.n") / lit(CentroidScale)).as("mu"),
+        col("z.n").as("n"))
+    // Gram symmetry (ADVICE r10): the aggregate carries only q ≥ p; the
+    // strict-upper half is mirrored (exact integer sums ⇒ the mirrored
     // value is bit-identical to what a full aggregation would produce).
-    val m2u = base
-      .select(col("qa"), posexplode(col("qa")).as(Seq("p", "qp")))
-      .select(col("p"), col("qp"),
-        posexplode(slice(col("qa"), col("p") + lit(1),
-          size(col("qa")) - col("p"))).as(Seq("j", "qq")))
-      .groupBy(col("p"), (col("p") + col("j")).as("q"))
-      // DECIMAL(38,0) second-moment sum: the n-term Σ qp·qq outgrows
-      // int64 past ~2^21 vectors (each term ≤ 2^42); decimal keeps the
-      // sum exact at any corpus size. The DuckDB twin needs no change —
-      // its BIGINT sum already accumulates in HUGEINT, and both engines
-      // divide the same exact integer down to the same double.
-      .agg(sum((col("qp") * col("qq")).cast("decimal(38,0)")).as("s2"))
+    val m2u = g.select(explode(col("g.s2")).as("t"))
+      .select(col("t.p").as("p"), col("t.q").as("q"), col("t.s2").as("s2"))
     val m2 = m2u.unionAll(m2u.where(col("p") < col("q"))
       .select(col("q").as("p"), col("p").as("q"), col("s2")))
     val cov = m2

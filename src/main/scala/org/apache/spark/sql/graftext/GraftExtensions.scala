@@ -47,6 +47,16 @@ object GraftExtensions {
         s"$name: $arg must be an integer literal, got $v")
     }
 
+  private def litDouble(name: String, arg: String, e: Expression): Double =
+    e.eval() match {
+      // SQL text `2.0` parses as a DECIMAL literal (Spark Decimal is not
+      // a java.lang.Number), `2.0D` as a double — accept both
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case v => throw new IllegalArgumentException(
+        s"$name: $arg must be a numeric literal, got $v")
+    }
+
   private def litString(name: String, arg: String, e: Expression): String =
     e.eval() match {
       case s: UTF8String => s.toString
@@ -81,6 +91,21 @@ object GraftExtensions {
     FunctionIdentifier("vec_sub"),
     info("vec_sub", "vec_sub(a, b) - elementwise difference of two float arrays (the PQ residual step)"),
     (exprs: Seq[Expression]) => FloatVectorSub(exprs(0), exprs(1)))
+
+  private[graftext] val vecQuantize = (
+    FunctionIdentifier("vec_quantize"),
+    info("vec_quantize",
+      "vec_quantize(a, scale) - fixed-point quantization array<float> -> array<long> " +
+        "(round(double(x)*scale) cast long, scale a double literal)"),
+    (exprs: Seq[Expression]) => FloatVectorQuantize(exprs(0),
+      litDouble("vec_quantize", "scale", exprs(1))))
+
+  private[graftext] val gramMoments = (
+    FunctionIdentifier("gram_moments"),
+    info("gram_moments",
+      "gram_moments(qa) - one-pass integer Gram moments over array<bigint>: " +
+        "struct<n, s1, s2(p,q,decimal)> (the PCA covariance inputs)"),
+    (exprs: Seq[Expression]) => GramMoments(exprs(0)).toAggregateExpression())
 
   private[graftext] val topkBy = (
     FunctionIdentifier("topk_by"),
@@ -163,9 +188,9 @@ object GraftExtensions {
 
   /** The whole SQL-callable family, in registration order. */
   private[graftext] val all = Seq(
-    vecDot, vecNorm, vecSub, topkBy, pairCombos, alphaTokenCount,
-    rollingHash31, wordNGrams, chainReplace, nearestCentroid, nearestCode,
-    bloomAgg, bloomMightContain, cmsEstimate)
+    vecDot, vecNorm, vecSub, vecQuantize, gramMoments, topkBy, pairCombos,
+    alphaTokenCount, rollingHash31, wordNGrams, chainReplace,
+    nearestCentroid, nearestCode, bloomAgg, bloomMightContain, cmsEstimate)
 
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -41,6 +41,25 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("vec_quantize and gram_moments are callable from SQL text") {
+    GraftExtensions.register(spark)
+    val q = spark.sql(
+      "SELECT vec_quantize(array(cast(0.25 AS FLOAT), cast(-0.25 AS FLOAT)), 2.0) AS q")
+      .head().getSeq[Long](0)
+    assert(q == Seq(1L, -1L), "HALF_UP ties away from zero")
+    import spark.implicits._
+    Seq(Seq(2L, 3L), Seq(4L, 5L)).toDF("qa").createOrReplaceTempView("qas")
+    val g = spark.sql(
+      "SELECT gram_moments(qa) AS g FROM qas")
+      .select("g.n", "g.s1", "g.s2").head()
+    assert(g.getSeq[Long](0) == Seq(2L, 2L))
+    assert(g.getSeq[Long](1) == Seq(6L, 8L))
+    val s2 = g.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2).longValueExact())).toMap
+    // (0,0): 4+16, (0,1): 6+20, (1,1): 9+25
+    assert(s2 == Map((0, 0) -> 20L, (0, 1) -> 26L, (1, 1) -> 34L))
+  }
+
   test("topk_by rejects wrong input types with a clear analysis error") {
     GraftExtensions.register(spark)
     import spark.implicits._

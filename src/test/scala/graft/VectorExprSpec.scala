@@ -335,6 +335,84 @@ class VectorExprSpec extends SparkTestBase {
     }
   }
 
+  test("gram_moments matches the double-posexplode formulation on the corpus") {
+    import org.apache.spark.sql.graftext.GramAggColumns.gram_moments
+    val qa = Tables.embeddings(spark, sf0001)
+      .select(VectorOps.quantize(col("embedding"), 1048576.0).as("qa"))
+    val g = qa.agg(gram_moments(col("qa")).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.s2")).head()
+    val aggN = g.getSeq[Long](0)
+    val aggS1 = g.getSeq[Long](1)
+    val aggS2 = g.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2).toBigInteger)).toMap
+    // the explode+sum reference (the shape this aggregate replaced)
+    val refNS1 = qa.select(posexplode(col("qa")).as(Seq("p", "qp")))
+      .groupBy("p").agg(count(lit(1)).as("n"), sum("qp").as("s1"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val refS2 = qa.select(col("qa"), posexplode(col("qa")).as(Seq("p", "qp")))
+      .select(col("p"), col("qp"),
+        posexplode(slice(col("qa"), col("p") + lit(1),
+          size(col("qa")) - col("p"))).as(Seq("j", "qq")))
+      .groupBy(col("p"), (col("p") + col("j")).as("q"))
+      .agg(sum((col("qp") * col("qq")).cast("decimal(38,0)")).as("s2"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2).toBigInteger)).toMap
+    assert(aggN.indices.forall(p => refNS1(p) == ((aggN(p), aggS1(p)))),
+      "per-position counts/first moments must match the explode form")
+    assert(aggS2 == refS2, "upper-triangle second moments must match exactly")
+    // partition independence: integer state merges are order-free
+    val g7 = qa.repartition(7).agg(gram_moments(col("qa")).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.s2")).head()
+    assert(g7 == g, "result must be independent of partitioning")
+  }
+
+  test("gram_moments: 128-bit second moments, ragged arrays, null elements") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftext.GramAggColumns.gram_moments
+    // elements ~2^30: products ~2^60 (fit long), 100-row sums ~2^66
+    // (OVERFLOW long) — the i128 accumulator must stay exact where a
+    // naive long sum wraps
+    val big = (0 until 100).map(i =>
+      Seq(Some(1L << 30), Some((1L << 30) + i), Some(-(1L << 29))))
+    // ragged + null-element rows: count(lit(1)) semantics per position,
+    // and position 3 exists ONLY as a null element — sum() over the
+    // all-null group is NULL, which the aggregate must reproduce
+    val ragged = Seq(
+      Seq(Some(5L), None, Some(7L), None),
+      Seq(Some(-3L), Some(4L)),
+      Seq[Option[Long]](None))
+    val df = (big ++ ragged).toDF("qa")
+    val g = df.agg(gram_moments(col("qa")).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.s2")).head()
+    val aggN = g.getSeq[Long](0)
+    val aggS1 = g.getSeq[Any](1).map(Option(_).map(_.asInstanceOf[Long]))
+    val aggS2 = g.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        Option(r.getDecimal(2)).map(_.toBigInteger))).toMap
+    def optLong(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val refNS1 = df.select(posexplode(col("qa")).as(Seq("p", "qp")))
+      .groupBy("p").agg(count(lit(1)).as("n"), sum("qp").as("s1"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), optLong(r, 2)))).toMap
+    val refS2 = df.select(col("qa"), posexplode(col("qa")).as(Seq("p", "qp")))
+      .select(col("p"), col("qp"),
+        posexplode(slice(col("qa"), col("p") + lit(1),
+          size(col("qa")) - col("p"))).as(Seq("j", "qq")))
+      .groupBy(col("p"), (col("p") + col("j")).as("q"))
+      .agg(sum((col("qp") * col("qq")).cast("decimal(38,0)")).as("s2"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        Option(r.getDecimal(2)).map(_.toBigInteger))).toMap
+    assert(aggN.indices.forall(p => refNS1(p) == ((aggN(p), aggS1(p)))))
+    assert(aggS2 == refS2)
+    // the interesting cases actually happened
+    assert(aggS2((0, 0)).get.compareTo(
+      java.math.BigInteger.valueOf(Long.MaxValue)) > 0,
+      "test must exercise the beyond-int64 range")
+    assert(aggS1(3).isEmpty && aggS2((0, 3)).isEmpty && aggN(3) == 1L,
+      "all-null position must emit NULL moments but count rows")
+  }
+
   test("nearest_centroid agrees between codegen and interpreted eval") {
     // Janino can decline any generated method (size limits) and Spark
     // silently falls back to eval() — the two paths must return the same
