@@ -21,6 +21,12 @@ object VectorFunctions {
   def vec_quantize(a: Column, scale: Double): Column =
     VectorColumns.vec_quantize(a, scale)
 
+  /** Per-row int8 quantization statistics struct<max_abs_f, scale,
+    * q_sum, q_min, q_max> in one native pass (see
+    * graftext.FloatQuantizeStats for the parity contract). */
+  def vec_quantize_stats(a: Column): Column =
+    VectorColumns.vec_quantize_stats(a)
+
   /** All i<j pairs of an array as array<struct<a,b>> (native single-pass
     * expansion; see graftext.PairCombos). */
   def pair_combos(x: Column): Column =

@@ -860,30 +860,27 @@ object SimilarityOps {
     * double products before the identical half-away-from-zero round.
     * Zero vectors quantize to all-zero (scale 0) rather than NaN.
     *
-    * DELIBERATE HOF exemption (the repo bans interpreted lambdas in
-    * corpus-grain hot paths): the per-row scale depends on the row's own
-    * max|x|, and the outputs are per-VECTOR reductions of the quantized
-    * array — the explode-then-scalar rewrite the moment paths use would
-    * need a groupBy(vec_id) to reassemble, turning a shuffle-FREE scan
-    * into an n·d-row exchange. Interpreted per-element cost (d = 64,
-    * one pass) is the cheaper side of that trade at every scale. */
+    * The per-row scale (127/this row's max|x|) is why the
+    * [[org.apache.spark.sql.graftext.FloatVectorQuantize]] literal-scale
+    * expression doesn't apply here; the outputs being per-VECTOR
+    * reductions is why an explode rewrite would turn a shuffle-FREE scan
+    * into an n·d-row exchange. [[org.apache.spark.sql.graftext.FloatQuantizeStats]]
+    * fuses the whole thing — max|x|, scale, quantize, sum/min/max — into
+    * one native pass per row (replacing a 4-pass interpreted HOF chain
+    * that measured 13 s at the 100× corpus for a map-side scan),
+    * bit-parity-pinned against the HOF form in VectorExprSpec. */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_quantize_stats
     val e = Tables.embeddings(spark, dir)
     e.select(col("vec_id"), col("embedding"),
-        array_max(transform(col("embedding"), x => abs(x))).as("max_abs_f"))
-      .withColumn("scale",
-        when(col("max_abs_f") > 0f, lit(127.0) / col("max_abs_f").cast("double"))
-          .otherwise(lit(0.0)))
-      .withColumn("qs",
-        transform(col("embedding"),
-          x => round(x.cast("double") * col("scale")).cast("long")))
+        vec_quantize_stats(col("embedding")).as("st"))
       .select(col("vec_id"),
         size(col("embedding")).cast("long").as("n_dims"),
-        col("max_abs_f").cast("double").as("max_abs"),
-        col("scale"),
-        aggregate(col("qs"), lit(0L), (acc, v) => acc + v).as("q_sum"),
-        array_min(col("qs")).as("q_min"),
-        array_max(col("qs")).as("q_max"))
+        col("st.max_abs_f").cast("double").as("max_abs"),
+        col("st.scale").as("scale"),
+        col("st.q_sum").as("q_sum"),
+        col("st.q_min").as("q_min"),
+        col("st.q_max").as("q_max"))
       .orderBy("vec_id")
   }
 

@@ -100,6 +100,13 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => FloatVectorQuantize(exprs(0),
       litDouble("vec_quantize", "scale", exprs(1))))
 
+  private[graftext] val vecQuantizeStats = (
+    FunctionIdentifier("vec_quantize_stats"),
+    info("vec_quantize_stats",
+      "vec_quantize_stats(a) - per-row int8 quantization stats " +
+        "struct<max_abs_f, scale, q_sum, q_min, q_max> in one pass"),
+    (exprs: Seq[Expression]) => FloatQuantizeStats(exprs(0)))
+
   private[graftext] val gramMoments = (
     FunctionIdentifier("gram_moments"),
     info("gram_moments",
@@ -188,9 +195,10 @@ object GraftExtensions {
 
   /** The whole SQL-callable family, in registration order. */
   private[graftext] val all = Seq(
-    vecDot, vecNorm, vecSub, vecQuantize, gramMoments, topkBy, pairCombos,
-    alphaTokenCount, rollingHash31, wordNGrams, chainReplace,
-    nearestCentroid, nearestCode, bloomAgg, bloomMightContain, cmsEstimate)
+    vecDot, vecNorm, vecSub, vecQuantize, vecQuantizeStats, gramMoments,
+    topkBy, pairCombos, alphaTokenCount, rollingHash31, wordNGrams,
+    chainReplace, nearestCentroid, nearestCode, bloomAgg,
+    bloomMightContain, cmsEstimate)
 
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -217,6 +217,132 @@ object FloatVectorQuantize {
   }
 }
 
+/** Per-row int8 scalar-quantization statistics in ONE native pass:
+  * struct<max_abs_f:float, scale:double, q_sum:long, q_min:long,
+  * q_max:long> where scale = 127/max|x| (0 for a zero/empty vector) and
+  * q_i = CAST(round(double(x_i)·scale) AS LONG).
+  *
+  * Replaces the 4-pass interpreted HOF chain in the int8 compression
+  * audit (array_max∘transform(abs), transform(round·cast),
+  * aggregate(+), array_min/max — measured 13 s at the 100× corpus for a
+  * map-side scan). The per-ROW scale is why [[FloatVectorQuantize]]
+  * doesn't apply: the scale is data-dependent, and the outputs are
+  * per-vector reductions — fusing everything into one loop keeps the op
+  * a shuffle-free scan.
+  *
+  * Semantics pinned against the HOF form (VectorExprSpec):
+  * NaN-poisoned rows keep Spark's NaN-largest max ordering (Java
+  * Math.max propagates NaN identically); the round is RoundBase-exact
+  * (BigDecimal HALF_UP, NaN/Inf passthrough, non-ANSI long cast); a
+  * null ELEMENT is skipped by max/min/max (array_min/max semantics)
+  * but nulls q_sum (aggregate's null-poisoned fold); an EMPTY array
+  * yields (null, 0.0, 0, null, null) exactly like the HOF chain. */
+case class FloatQuantizeStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = FloatQuantizeStats.outType
+
+  /** NEVER null: a null input array produces the same struct the HOF
+    * chain's struct() wrapper does — (null, 0.0, null, null, null) —
+    * because when(null > 0f).otherwise(0.0) still yields the 0.0 scale.
+    * Matching that exactly is what keeps the rewritten query
+    * column-for-column identical on corpora with null embedding rows. */
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    FloatQuantizeStats.buildTotal(
+      child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      InternalRow ${ev.value} =
+        org.apache.spark.sql.graftext.FloatQuantizeStats.buildTotal(
+          ${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatQuantizeStats =
+    copy(child = newChild)
+}
+
+object FloatQuantizeStats {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  private[graftext] val outType: StructType = StructType(Seq(
+    StructField("max_abs_f", FloatType, nullable = true),
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = true),
+    StructField("q_min", LongType, nullable = true),
+    StructField("q_max", LongType, nullable = true)))
+
+  /** The null-array result: what the HOF struct() yields on a null
+    * embedding (scale's otherwise(0.0) fires, every other field null).
+    * One shared immutable instance — values are never mutated. */
+  private val NullInputRow: org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(null, 0.0, null, null, null)
+
+  /** Total (null-accepting) entry shared by eval and codegen. */
+  def buildTotal(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow =
+    if (x == null) NullInputRow else build(x)
+
+  /** One compiled loop shared by eval and codegen. */
+  def build(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    // pass 1: max|x| with Spark's NaN-largest ordering (Java Math.max
+    // propagates NaN the same way); nulls skipped like array_max
+    var maxAbs = Float.NegativeInfinity
+    var sawVal = false
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        sawVal = true
+        maxAbs = Math.max(maxAbs, Math.abs(x.getFloat(i)))
+      }
+      i += 1
+    }
+    // scale: when(max_abs > 0f, 127/max_abs, 0.0) under Spark comparison
+    // semantics, where NaN orders above every value (> 0 is TRUE)
+    val scale =
+      if (sawVal && (java.lang.Float.isNaN(maxAbs) || maxAbs > 0f))
+        127.0 / maxAbs.toDouble
+      else 0.0
+    // pass 2: quantize + fused sum/min/max
+    var qSum = 0L
+    var sumNull = false
+    var qMin = Long.MaxValue
+    var qMax = Long.MinValue
+    var sawQ = false
+    i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) {
+        sumNull = true // aggregate()'s fold is null-poisoned by a null elem
+      } else {
+        val d = x.getFloat(i).toDouble * scale
+        val r =
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        val q = r.toLong
+        qSum += q
+        if (q < qMin) qMin = q
+        if (q > qMax) qMax = q
+        sawQ = true
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      if (sawVal) maxAbs else null,
+      scale,
+      if (sumNull) null else qSum,
+      if (sawQ) qMin else null,
+      if (sawQ) qMax else null)
+  }
+}
+
 object VectorColumns {
   /** Column API for the native dot product. */
   def vec_dot(a: Column, b: Column): Column =
@@ -236,4 +362,8 @@ object VectorColumns {
   def vec_quantize(a: Column, scale: Double): Column =
     ExpressionUtils.column(FloatVectorQuantize(
       ExpressionUtils.expression(a), scale))
+
+  /** Per-row int8 quantization stats (the compression-audit front door). */
+  def vec_quantize_stats(a: Column): Column =
+    ExpressionUtils.column(FloatQuantizeStats(ExpressionUtils.expression(a)))
 }

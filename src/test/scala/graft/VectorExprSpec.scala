@@ -335,6 +335,68 @@ class VectorExprSpec extends SparkTestBase {
     }
   }
 
+  test("native vec_quantize_stats matches the 4-pass HOF chain") {
+    import graft.functions.VectorFunctions.vec_quantize_stats
+    // the HOF chain this expression replaced, verbatim
+    def hofCols(emb: org.apache.spark.sql.Column) = {
+      val maxAbs = array_max(transform(emb, x => abs(x)))
+      val scale = when(maxAbs > 0f, lit(127.0) / maxAbs.cast("double"))
+        .otherwise(lit(0.0))
+      val qs = transform(emb, x => round(x.cast("double") * scale).cast("long"))
+      struct(maxAbs.as("max_abs_f"), scale.as("scale"),
+        aggregate(qs, lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(qs).as("q_min"), array_max(qs).as("q_max"))
+    }
+    // corpus rows under the session default (ANSI on)
+    val e = Tables.embeddings(spark, sf0001)
+    val diff = e.select(vec_quantize_stats(col("embedding")).as("native"),
+        hofCols(col("embedding")).as("hof"))
+      .where(col("native") =!= col("hof")) // exact struct comparison
+    assert(diff.count() == 0, "native and HOF stats must agree bitwise")
+    // edges: zero vector (scale 0), -0.0, empty, all-null, null element,
+    // null array — and NaN/Inf rows under ansi=false (the cast of a NaN
+    // quantity raises under ANSI in the HOF form, same pin as
+    // vec_quantize)
+    val edges = spark.sql(
+      """SELECT * FROM VALUES
+         (array(cast(0.0 as float), cast(-0.0 as float))),
+         (array(cast(0.5 as float), cast(-0.25 as float), cast(0.125 as float))),
+         (array(cast(null as float))),
+         (array(cast(1.5 as float), cast(null as float))),
+         (cast(array() as array<float>)),
+         (cast(null as array<float>)),
+         (array(cast('NaN' as float), cast(2.0 as float))),
+         (array(cast('Infinity' as float), cast(1.0 as float)))
+         AS t(emb)""")
+    val ansi = "spark.sql.ansi.enabled"
+    val ansi0 = spark.conf.get(ansi)
+    val rows = try {
+      spark.conf.set(ansi, "false")
+      edges.select(vec_quantize_stats(col("emb")).as("native"),
+        hofCols(col("emb")).as("hof")).collect()
+    } finally spark.conf.set(ansi, ansi0)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"row $i null disagreement: $r")
+      if (!r.isNullAt(0))
+        assert(r.getStruct(0) == r.getStruct(1), s"row $i: $r")
+    }
+    // spot-check the interesting values
+    val zeroVec = rows(0).getStruct(0)
+    assert(zeroVec.getDouble(1) == 0.0 && zeroVec.getLong(2) == 0L,
+      "zero vector: scale 0, all-zero quanta")
+    assert(rows(3).getStruct(0).isNullAt(2),
+      "null element nulls q_sum (aggregate fold)")
+    assert(rows(3).getStruct(0).getLong(3) == 127L,
+      "null element skipped by q_min/q_max")
+    assert(rows(4).getStruct(0).isNullAt(0) &&
+      rows(4).getStruct(0).getLong(2) == 0L,
+      "empty array: null max_abs, seed q_sum 0")
+    val nullArr = rows(5).getStruct(0)
+    assert(nullArr.isNullAt(0) && nullArr.getDouble(1) == 0.0 &&
+      nullArr.isNullAt(2),
+      "null array: the struct() shape with otherwise(0.0) scale, like the HOF")
+  }
+
   test("gram_moments matches the double-posexplode formulation on the corpus") {
     import org.apache.spark.sql.graftext.GramAggColumns.gram_moments
     val qa = Tables.embeddings(spark, sf0001)
