@@ -513,7 +513,7 @@ object SimilarityOps {
     * DuckDB reading: a poisoned member scores -1, the worst legitimate
     * grid point, so it drags its list's mean/min loudly into the audit
     * instead of hiding mid-scale. */
-  private def quantizedMemberCos: Column = {
+  private def quantizedMemberCos(na: Column, nb: Column): Column = {
     // the zero-norm guard must come BEFORE the division: under ANSI
     // mode 0/0 RAISES (DIVIDE_BY_ZERO) rather than yielding NaN, so an
     // unguarded audit would abort on the poisoned row. CaseWhen
@@ -521,9 +521,16 @@ object SimilarityOps {
     // a zero-norm member. A NaN ELEMENT (dot = NaN with nonzero norms)
     // pins to -1 through the second guard — an ANSI cast of NaN to
     // long would also raise.
-    val denom = VectorOps.norm(col("embedding")) * VectorOps.norm(col("centroid"))
+    // Norms arrive PRENORMED as projected columns (member nrm computed
+    // once per row, centroid cnrm once per centroid before the
+    // broadcast): Spark's subexpression elimination does not CSE into
+    // CaseWhen branches, so inlining norm() here paid the O(d) loop
+    // 2-3× per member row (in-round self-review finding). Same values —
+    // sqrt(dot(a,a)) either way — so the oracles are untouched.
+    val denom = na * nb
     val c = when(denom === 0.0, lit(-1.0))
-      .otherwise(VectorOps.cosine(col("embedding"), col("centroid")).cast("double"))
+      .otherwise(VectorOps.cosinePrenorm(col("embedding"), col("centroid"),
+        na, nb).cast("double"))
     val safe = when(isnan(c), lit(-1.0)).otherwise(c)
     round(safe * lit(CosScale)).cast("long")
   }
@@ -542,9 +549,11 @@ object SimilarityOps {
   def ivfStats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val centroids = ivfCentroids(e).cache()
-    val q = quantizedMemberCos
+    val q = quantizedMemberCos(col("nrm"), col("cnrm"))
     assign(e, centroids)
-      .join(broadcast(centroids), Seq("cl"))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .join(broadcast(centroids
+        .withColumn("cnrm", VectorOps.norm(col("centroid")))), Seq("cl"))
       .select(col("cl"), q.as("qc"))
       .groupBy("cl")
       .agg(count(lit(1)).as("n_vecs"),
@@ -666,9 +675,11 @@ object SimilarityOps {
       assign(batch, centroids)
         .withColumn("nrm", VectorOps.norm(col("embedding"))))
       .cache()
-    val qc = quantizedMemberCos
+    val qc = quantizedMemberCos(col("nrm"), col("cnrm"))
+    val centroidsN = centroids
+      .withColumn("cnrm", VectorOps.norm(col("centroid")))
     def listStats(lists: DataFrame, suffix: String): DataFrame =
-      lists.join(broadcast(centroids), Seq("cl"))
+      lists.join(broadcast(centroidsN), Seq("cl"))
         .select(col("cl"), qc.as("qc"))
         .groupBy("cl")
         .agg(count(lit(1)).as(s"n_$suffix"), sum(col("qc")).as("s1"))
@@ -1067,7 +1078,11 @@ object SimilarityOps {
                   count(*) AS n
            FROM q0 GROUP BY p),
          m2u AS (
-           SELECT a.p, b.p AS q, CAST(sum(a.qp * b.qp) AS BIGINT) AS s2
+           -- DECIMAL(38,0) like the Spark side's 128-bit GramMoments sum:
+           -- the n-term moment outgrows int64 past ~2^21 vectors (a
+           -- BIGINT cast of DuckDB's HUGEINT sum would ERROR there while
+           -- Spark keeps going) — same fix as labelCentroids' s2
+           SELECT a.p, b.p AS q, CAST(sum(a.qp * b.qp) AS DECIMAL(38,0)) AS s2
            FROM q0 a JOIN q0 b ON a.vec_id = b.vec_id AND a.p <= b.p
            GROUP BY 1, 2),
          m2 AS (

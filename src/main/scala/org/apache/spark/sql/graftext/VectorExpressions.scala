@@ -164,11 +164,16 @@ object FloatVectorSub {
   * when round() sat inside the pair space).
   *
   * Per-element arithmetic is byte-for-byte Spark's own
-  * `round(cast(x AS DOUBLE) * scale)` (RoundBase, HALF_UP: NaN/Inf pass
-  * through BigDecimal untouched) followed by the non-ANSI double→long
-  * cast (Java `(long)` semantics: NaN→0, ±Inf→Long.MIN/MAX) — so DuckDB
-  * oracles built on `CAST(round(x * scale) AS BIGINT)` are unaffected,
-  * and VectorExprSpec pins bit-parity against the transform() form.
+  * `round(cast(x AS DOUBLE) * scale)` (RoundBase, HALF_UP) followed by
+  * the ANSI double→long cast THE SESSION ACTUALLY RUNS WITH: a
+  * non-finite or beyond-int64 quantity RAISES, exactly like the
+  * round().cast("long") chain this replaced. Poison must stay loud — a
+  * NaN element silently quantizing to 0 would be a legitimate-looking
+  * mid-grid value that trains centroids/codebooks/covariance on
+  * garbage, and the DuckDB oracles (whose CAST of NaN errors) could
+  * never agree. DuckDB oracles built on `CAST(round(x*scale) AS
+  * BIGINT/DECIMAL)` are unaffected on finite data, and VectorExprSpec
+  * pins bit-parity against the transform() form plus the raise.
   * Null elements map to null (sum() then skips them, as before). */
 case class FloatVectorQuantize(child: Expression, scale: Double)
     extends UnaryExpression with ExpectsInputTypes {
@@ -194,8 +199,28 @@ case class FloatVectorQuantize(child: Expression, scale: Double)
 }
 
 object FloatVectorQuantize {
+  /** The ANSI-cast-equivalent guard both quantize expressions share:
+    * round first (RoundBase's DoubleType branch exactly), then raise on
+    * anything the session's ANSI double→long cast would reject. */
+  private[graftext] def quantizeOne(d: Double, what: String): Long = {
+    val r =
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+      else java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    // same acceptance window as Spark's ANSI Cast(double → long):
+    // Long.MaxValue.toDouble rounds UP to 2^63 (not representable), so
+    // equality there must reject; Long.MinValue.toDouble is exact
+    if (java.lang.Double.isNaN(r) || r < Long.MinValue.toDouble ||
+        r >= Long.MaxValue.toDouble)
+      throw new ArithmeticException(
+        s"$what: non-castable quantity $d (poisoned vector element?) — " +
+          "the ANSI round().cast(long) chain this expression replaces " +
+          "raises here, and silence would train on mid-grid garbage")
+    r.toLong
+  }
+
   /** One compiled loop shared by eval and codegen (the FloatVectorSub
-    * pattern). Mirrors RoundBase's DoubleType branch exactly. */
+    * pattern). */
   def build(x: ArrayData, scale: Double): ArrayData = {
     val n = x.numElements()
     val out = new Array[Any](n)
@@ -204,12 +229,7 @@ object FloatVectorQuantize {
       if (x.isNullAt(i)) {
         out(i) = null
       } else {
-        val d = x.getFloat(i).toDouble * scale
-        val r =
-          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-          else java.math.BigDecimal.valueOf(d)
-            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
-        out(i) = r.toLong
+        out(i) = quantizeOne(x.getFloat(i).toDouble * scale, "vec_quantize")
       }
       i += 1
     }
@@ -230,13 +250,15 @@ object FloatVectorQuantize {
   * per-vector reductions — fusing everything into one loop keeps the op
   * a shuffle-free scan.
   *
-  * Semantics pinned against the HOF form (VectorExprSpec):
-  * NaN-poisoned rows keep Spark's NaN-largest max ordering (Java
-  * Math.max propagates NaN identically); the round is RoundBase-exact
-  * (BigDecimal HALF_UP, NaN/Inf passthrough, non-ANSI long cast); a
-  * null ELEMENT is skipped by max/min/max (array_min/max semantics)
-  * but nulls q_sum (aggregate's null-poisoned fold); an EMPTY array
-  * yields (null, 0.0, 0, null, null) exactly like the HOF chain. */
+  * Semantics pinned against the HOF form (VectorExprSpec): the round is
+  * RoundBase-exact (BigDecimal HALF_UP) and a non-finite quantity
+  * RAISES like the ANSI cast in the chain this replaced (a NaN element
+  * makes max|x| NaN via Java Math.max — Spark's NaN-largest ordering —
+  * then scale NaN, then the raise: poison stays loud, see
+  * [[FloatVectorQuantize]]); a null ELEMENT is skipped by max/min/max
+  * (array_min/max semantics) but nulls q_sum (aggregate's null-poisoned
+  * fold); an EMPTY array yields (null, 0.0, 0, null, null) exactly like
+  * the HOF chain. */
 case class FloatQuantizeStats(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -321,12 +343,8 @@ object FloatQuantizeStats {
       if (x.isNullAt(i)) {
         sumNull = true // aggregate()'s fold is null-poisoned by a null elem
       } else {
-        val d = x.getFloat(i).toDouble * scale
-        val r =
-          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-          else java.math.BigDecimal.valueOf(d)
-            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
-        val q = r.toLong
+        val q = FloatVectorQuantize.quantizeOne(
+          x.getFloat(i).toDouble * scale, "vec_quantize_stats")
         qSum += q
         if (q < qMin) qMin = q
         if (q > qMax) qMax = q

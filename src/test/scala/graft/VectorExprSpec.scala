@@ -296,31 +296,33 @@ class VectorExprSpec extends SparkTestBase {
       withNull(1) == null, "null element passes through as null")
     assert(got(2).getSeq[Long](0).isEmpty)
     assert(got(3).isNullAt(0) && got(3).isNullAt(1))
-    // NaN/±Inf elements (poisoned vectors): Spark's round() passes them
-    // through and the ANSI session cast would RAISE — the native form
-    // keeps IEEE/non-ANSI semantics instead (NaN→0, ±Inf→Long.MIN/MAX),
-    // same precedent as nearest_centroid; parity is pinned under
-    // ansi=false, where the HOF chain computes the same values.
+    // NaN/±Inf elements (poisoned vectors) RAISE, exactly like the ANSI
+    // round().cast(long) chain this expression replaced — a NaN that
+    // silently quantized to 0 would be a legitimate-looking mid-grid
+    // value training on garbage (and the DuckDB oracles, whose CAST of
+    // NaN errors, could never agree)
     val poisoned = spark.sql(
-      """SELECT array(cast('NaN' as float), cast('Infinity' as float),
-                      cast('-Infinity' as float), cast(3.5 as float)) AS a""")
-    val ansi = "spark.sql.ansi.enabled"
-    val ansi0 = spark.conf.get(ansi)
-    val p = try {
-      spark.conf.set(ansi, "false")
-      poisoned.select(vec_quantize(col("a"), 2.0).as("n"),
-        VectorOps.quantizeHof(col("a"), 2.0).as("h")).collect()
-    } finally spark.conf.set(ansi, ansi0)
-    assert(p(0).getSeq[Long](0) == Seq(0L, Long.MaxValue, Long.MinValue, 7L))
-    assert(p(0).getSeq[Long](0) == p(0).getSeq[Long](1))
+      """SELECT array(cast('NaN' as float), cast(3.5 as float)) AS a""")
+    val e1 = intercept[Exception] {
+      poisoned.select(vec_quantize(col("a"), 2.0)).collect()
+    }
+    assert(e1.getMessage.contains("poisoned") ||
+      Option(e1.getCause).exists(_.getMessage.contains("poisoned")),
+      s"NaN must raise the poison guard, got: ${e1.getMessage}")
+    val inf = spark.sql(
+      """SELECT array(cast('Infinity' as float)) AS a""")
+    assertThrows[Exception] {
+      inf.select(vec_quantize(col("a"), 2.0)).collect()
+    }
   }
 
-  test("vec_quantize agrees between codegen and interpreted eval") {
-    import graft.functions.VectorFunctions.vec_quantize
+  test("vec_quantize and vec_quantize_stats agree between codegen and interpreted eval") {
+    import graft.functions.VectorFunctions.{vec_quantize, vec_quantize_stats}
     val e = Tables.embeddings(spark, sf0001).limit(64)
-    def run(): Seq[Seq[Long]] =
-      e.select(vec_quantize(col("embedding"), 1048576.0))
-        .collect().map(_.getSeq[Long](0)).toSeq
+    def run(): Seq[(Seq[Long], org.apache.spark.sql.Row)] =
+      e.select(vec_quantize(col("embedding"), 1048576.0),
+          vec_quantize_stats(col("embedding")))
+        .collect().map(r => (r.getSeq[Long](0), r.getStruct(1))).toSeq
     val codegen = run()
     val factoryMode = "spark.sql.codegen.factoryMode"
     val wholeStage = "spark.sql.codegen.wholeStage"
@@ -354,9 +356,7 @@ class VectorExprSpec extends SparkTestBase {
       .where(col("native") =!= col("hof")) // exact struct comparison
     assert(diff.count() == 0, "native and HOF stats must agree bitwise")
     // edges: zero vector (scale 0), -0.0, empty, all-null, null element,
-    // null array — and NaN/Inf rows under ansi=false (the cast of a NaN
-    // quantity raises under ANSI in the HOF form, same pin as
-    // vec_quantize)
+    // null array — parity under the session default (ANSI on)
     val edges = spark.sql(
       """SELECT * FROM VALUES
          (array(cast(0.0 as float), cast(-0.0 as float))),
@@ -364,21 +364,22 @@ class VectorExprSpec extends SparkTestBase {
          (array(cast(null as float))),
          (array(cast(1.5 as float), cast(null as float))),
          (cast(array() as array<float>)),
-         (cast(null as array<float>)),
-         (array(cast('NaN' as float), cast(2.0 as float))),
-         (array(cast('Infinity' as float), cast(1.0 as float)))
+         (cast(null as array<float>))
          AS t(emb)""")
-    val ansi = "spark.sql.ansi.enabled"
-    val ansi0 = spark.conf.get(ansi)
-    val rows = try {
-      spark.conf.set(ansi, "false")
-      edges.select(vec_quantize_stats(col("emb")).as("native"),
-        hofCols(col("emb")).as("hof")).collect()
-    } finally spark.conf.set(ansi, ansi0)
+    val rows = edges.select(vec_quantize_stats(col("emb")).as("native"),
+      hofCols(col("emb")).as("hof")).collect()
     rows.zipWithIndex.foreach { case (r, i) =>
       assert(r.isNullAt(0) == r.isNullAt(1), s"row $i null disagreement: $r")
       if (!r.isNullAt(0))
         assert(r.getStruct(0) == r.getStruct(1), s"row $i: $r")
+    }
+    // NaN/Inf poisoned rows RAISE like the ANSI cast in the HOF chain
+    // (NaN max ⇒ NaN scale ⇒ poison guard; Inf ⇒ scale 0 ⇒ Inf·0 = NaN)
+    Seq("'NaN'", "'Infinity'").foreach { bad =>
+      assertThrows[Exception] {
+        spark.sql(s"SELECT array(cast($bad as float), cast(2.0 as float)) AS emb")
+          .select(vec_quantize_stats(col("emb"))).collect()
+      }
     }
     // spot-check the interesting values
     val zeroVec = rows(0).getStruct(0)

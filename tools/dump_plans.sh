@@ -18,21 +18,24 @@ ADD_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.n
     echo '```'
     # a JVM can die under host load (observed: truncated PLANS.md after
     # grep's empty-output exit killed the set -e loop) — retry once, and
-    # never let an empty plan abort the whole dump
-    plan=$(SPARK_GRAFT_CPUS=8 java $ADD_OPENS -Xmx8g -Dspark.sql.session.timeZone=UTC \
-      -cp "$CP" graft.Explain "$q" /root/testdata/sf0.1 1 2>/dev/null \
-      | sed -n '/^== Physical Plan ==/,/^rep 1/p' | grep -v "^rep 1" || true)
-    if [ -z "$plan" ]; then
-      plan=$(SPARK_GRAFT_CPUS=8 java $ADD_OPENS -Xmx8g -Dspark.sql.session.timeZone=UTC \
-        -cp "$CP" graft.Explain "$q" /root/testdata/sf0.1 1 2>/dev/null \
-        | sed -n '/^== Physical Plan ==/,/^rep 1/p' | grep -v "^rep 1" || true)
-    fi
-    if [ -z "$plan" ]; then
-      echo "(explain produced no output twice — JVM died; rerun tools/dump_plans.sh on a quiet host)"
-      failed=1
-    else
-      echo "$plan"
-    fi
+    # anchor completeness on the "rep 1" TERMINATOR so a JVM dying
+    # mid-plan (partial tree printed) is caught, not just total death
+    raw=$(SPARK_GRAFT_CPUS=8 java $ADD_OPENS -Xmx8g -Dspark.sql.session.timeZone=UTC \
+      -cp "$CP" graft.Explain "$q" /root/testdata/sf0.1 1 2>/dev/null || true)
+    case "$raw" in *"rep 1"*) ;; *)
+      raw=$(SPARK_GRAFT_CPUS=8 java $ADD_OPENS -Xmx8g -Dspark.sql.session.timeZone=UTC \
+        -cp "$CP" graft.Explain "$q" /root/testdata/sf0.1 1 2>/dev/null || true)
+    ;; esac
+    case "$raw" in
+      *"rep 1"*)
+        printf '%s\n' "$raw" | sed -n '/^== Physical Plan ==/,/^rep 1/p' \
+          | grep -v "^rep 1" || true
+        ;;
+      *)
+        echo "(explain died before completing twice — rerun tools/dump_plans.sh on a quiet host)"
+        failed=1
+        ;;
+    esac
     echo '```'
     echo
   done
