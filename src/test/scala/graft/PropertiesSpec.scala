@@ -138,6 +138,85 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: vec_quantize matches an in-JVM BigDecimal reference on arbitrary finite floats") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_quantize
+    // the reference: exactly RoundBase's DoubleType branch + (long) cast
+    def ref(x: Float, scale: Double): Long =
+      java.math.BigDecimal.valueOf(x.toDouble * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val genRow = for {
+      n <- Gen.choose(0, 12)
+      // near-tie magnitudes included: k/2 ± small jitter over a wide range
+      xs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-4.0f, 4.0f),
+        Gen.choose(-1000, 1000).map(_ / 2.0f),
+        Gen.choose(-8, 8).map(k => k + 0.5f)))
+    } yield xs
+    val genBatch = Gen.listOfN(8, genRow)
+    samples(genBatch, 10).foreach { batch =>
+      val got = batch.toDF("a")
+        .select(vec_quantize(col("a"), 2.0)).collect()
+        .map(_.getSeq[Long](0)).toSeq
+      val want = batch.map(_.map(ref(_, 2.0)))
+      assert(got == want, s"batch=$batch")
+    }
+  }
+
+  test("property: gram_moments equals a brute-force reference and is partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftext.GramAggColumns.gram_moments
+    val genRow: Gen[Seq[Option[Long]]] = for {
+      n <- Gen.choose(0, 6)
+      xs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-3000000L, 3000000L).map(Some(_)),
+        Gen.const(None: Option[Long])))
+    } yield xs
+    val genBatch = for {
+      m <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(m, genRow)
+    } yield rows
+    samples(genBatch, 8).foreach { rows =>
+      val d = (0 +: rows.map(_.size)).max
+      // brute force in BigInt (the exactness contract)
+      val n = Array.fill(d)(0L)
+      val s1 = Array.fill(d)(Option.empty[BigInt])
+      val s2 = collection.mutable.Map.empty[(Int, Int), BigInt]
+      val seen = collection.mutable.Set.empty[(Int, Int)]
+      rows.foreach { r =>
+        r.indices.foreach { p =>
+          n(p) += 1
+          r(p).foreach(v => s1(p) = Some(s1(p).getOrElse(BigInt(0)) + v))
+          (p until r.size).foreach { q =>
+            seen += ((p, q))
+            for (vp <- r(p); vq <- r(q))
+              s2((p, q)) = s2.getOrElse((p, q), BigInt(0)) + BigInt(vp) * vq
+          }
+        }
+      }
+      def check(parts: Int): Unit = {
+        val df0 = rows.toDF("qa")
+        val df = if (parts > 1) df0.repartition(parts) else df0
+        val g = df.agg(gram_moments(col("qa")).as("g"))
+          .select(col("g.n"), col("g.s1"), col("g.s2")).head()
+        assert(g.getSeq[Long](0) == n.toSeq, s"n parts=$parts rows=$rows")
+        val gotS1 = g.getSeq[Any](1)
+          .map(Option(_).map(v => BigInt(v.asInstanceOf[Long])))
+        assert(gotS1 == s1.toSeq, s"s1 parts=$parts rows=$rows")
+        val gotS2 = g.getSeq[org.apache.spark.sql.Row](2).map { r =>
+          ((r.getInt(0), r.getInt(1)),
+            Option(r.getDecimal(2)).map(d => BigInt(d.toBigInteger)))
+        }.toMap
+        // every p<=q<d cell is emitted; value null unless a non-null
+        // product was observed
+        assert(gotS2.keySet ==
+          (for (p <- 0 until d; q <- p until d) yield (p, q)).toSet)
+        gotS2.foreach { case (k, v) => assert(v == s2.get(k), s"$k parts=$parts") }
+      }
+      check(1); check(7)
+    }
+  }
+
   test("property: split assignment is a partition — every doc in exactly one split") {
     import graft.operators.PipelineOps
     val genTexts = for {
