@@ -136,11 +136,14 @@ object DedupOps {
     * fingerprint-pair constants — the oracle (doc-grain in DuckDB)
     * stays green by construction. */
   private def shinglePairOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val fpDocs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
-        col("text"))
-      .cache() // doc↔fp map: read by reps + both expansions + intra
-    val reps = fpDocs.groupBy("source", "fp")
+    val docs = Tables.documents(spark, dir)
+    // the cached doc↔fp map is TEXT-FREE (in-round review finding: the
+    // full corpus text was pinned in executor memory for one reader);
+    // reps takes its own one-pass scan of the text column instead
+    val fpDocs = docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .cache() // doc↔fp map: both expansions + intra
+    val reps = docs.groupBy(col("source"), md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
     // one representative text per (source, fp) ⇒ array_distinct IS the
     // per-doc distinct shingle set — no collect_set dedup needed
@@ -544,30 +547,6 @@ object DedupOps {
     1.0 - x8
   }
 
-  /** LSH banding S-curve audit: per-Jaccard-decile RECALL of the 8-band ×
-    * 4-row MinHash candidate generation against exact-Jaccard ground
-    * truth, next to the analytic detection probability 1 − (1 − j⁴)⁸ at
-    * the decile midpoint. Band/row geometry is THE MinHash tuning
-    * question at scale (how much recall at which similarity, how many
-    * spurious candidates below the 0.5 threshold); this measures it on
-    * the corpus the way q_ann_recall measures IVF probes against the
-    * brute-force baseline. Models the parameter-sweep step of production
-    * fuzzy-dedup pipelines (Leskovec et al., MMDS ch. 3 S-curve).
-    *
-    * Grain: DISTINCT-text (fingerprint) pairs sharing ≥ 1 shingle.
-    * Identical texts co-bucket in every band trivially and would only
-    * inflate recall; conditioning on a shared shingle (jaccard > 0) is
-    * what makes exact ground truth computable by shingle-blocked
-    * intersection. Content grain also makes the audit replication-proof:
-    * the truth self-join is over distinct texts, so replica corpora add
-    * zero pair work.
-    *
-    * Scale: the truth side is the exact all-shared-pairs computation —
-    * an AUDIT shape to run on a sample corpus (exactly like
-    * q_ann_recall's brute-force baseline), while the candidate side is
-    * the production banded generation. Every output number is
-    * engine-exact: integer cardinalities, double divisions of integers,
-    * and the pre-computed analytic constants. */
   /** Shared by [[lshRecall]] and [[lshTuning]]: the per-fp (cardinality,
     * 32 mins) aggregate and the exact-Jaccard ground truth over
     * shingle-sharing fp pairs (shingle-blocked intersection — the
@@ -632,6 +611,30 @@ object DedupOps {
       .distinct()
   }
 
+  /** LSH banding S-curve audit: per-Jaccard-decile RECALL of the 8-band ×
+    * 4-row MinHash candidate generation against exact-Jaccard ground
+    * truth, next to the analytic detection probability 1 − (1 − j⁴)⁸ at
+    * the decile midpoint. Band/row geometry is THE MinHash tuning
+    * question at scale (how much recall at which similarity, how many
+    * spurious candidates below the 0.5 threshold); this measures it on
+    * the corpus the way q_ann_recall measures IVF probes against the
+    * brute-force baseline. Models the parameter-sweep step of production
+    * fuzzy-dedup pipelines (Leskovec et al., MMDS ch. 3 S-curve).
+    *
+    * Grain: DISTINCT-text (fingerprint) pairs sharing ≥ 1 shingle.
+    * Identical texts co-bucket in every band trivially and would only
+    * inflate recall; conditioning on a shared shingle (jaccard > 0) is
+    * what makes exact ground truth computable by shingle-blocked
+    * intersection. Content grain also makes the audit replication-proof:
+    * the truth self-join is over distinct texts, so replica corpora add
+    * zero pair work.
+    *
+    * Scale: the truth side is the exact all-shared-pairs computation —
+    * an AUDIT shape to run on a sample corpus (exactly like
+    * q_ann_recall's brute-force baseline), while the candidate side is
+    * the production banded generation. Every output number is
+    * engine-exact: integer cardinalities, double divisions of integers,
+    * and the pre-computed analytic constants. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     val (combined, truth) = lshAuditFrames(spark, dir)
     val candidates = bandedCandidates(combined, NumBands, RowsPerBand)
@@ -1646,23 +1649,6 @@ object DedupOps {
       .orderBy("train_id", "eval_id")
   }
 
-  /** BOUNDED-REPORT twin of [[contaminationPairs]] — the cap-proof form
-    * for replica corpora (round-10 100× sweep: every doc replicated
-    * 40-100×, so the (train, eval) pair grain is r_train × r_eval rows
-    * per real leak — genuine output, but unreportable at scale). Rolls
-    * the attribution up at CONTENT-FINGERPRINT grain: train and eval
-    * docs collapse to one row per distinct md5(text) BEFORE any shingle
-    * work (replicas share text, so each side shingles each distinct text
-    * ONCE), and the report grain is (train_fp, eval_fp) overlaps of ≥ 3
-    * shingles with the document multiplicities carried alongside — the
-    * per-doc pair count recovers as n_train_docs × n_eval_docs. Output
-    * is bounded by DISTINCT-content overlap; a replica corpus grows the
-    * multiplicity columns, not the row count.
-    *
-    * Scale shape: the fp collapse is one hash-groupBy per side (the
-    * dedupExact move); min(text) is exact because all texts in an fp
-    * group are identical. The eval side stays benchmark-sized →
-    * broadcast, same as the registered pair query. */
   /** One row per distinct text of `side`: (fpCol, nCol = doc count,
     * text = the representative — min() is exact, every text in an fp
     * group is identical). Shared by [[contaminationGroups]] and the
@@ -1694,6 +1680,23 @@ object DedupOps {
       .select(col(fpCol), explode(
         graft.functions.VectorFunctions.word_ngrams(col("t"), 3)).as("shingle"))
 
+  /** BOUNDED-REPORT twin of [[contaminationPairs]] — the cap-proof form
+    * for replica corpora (round-10 100× sweep: every doc replicated
+    * 40-100×, so the (train, eval) pair grain is r_train × r_eval rows
+    * per real leak — genuine output, but unreportable at scale). Rolls
+    * the attribution up at CONTENT-FINGERPRINT grain: train and eval
+    * docs collapse to one row per distinct md5(text) BEFORE any shingle
+    * work (replicas share text, so each side shingles each distinct text
+    * ONCE), and the report grain is (train_fp, eval_fp) overlaps of ≥ 3
+    * shingles with the document multiplicities carried alongside — the
+    * per-doc pair count recovers as n_train_docs × n_eval_docs. Output
+    * is bounded by DISTINCT-content overlap; a replica corpus grows the
+    * multiplicity columns, not the row count.
+    *
+    * Scale shape: the fp collapse is one hash-groupBy per side (the
+    * dedupExact move); min(text) is exact because all texts in an fp
+    * group are identical. The eval side stays benchmark-sized →
+    * broadcast, same as the registered pair query. */
   def contaminationGroups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val evG = fpGrain(docs.where(col("source") === "src0"), "eval_fp", "n_eval_docs")

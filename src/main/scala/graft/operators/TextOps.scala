@@ -794,8 +794,9 @@ object TextOps {
     // with per-doc rows attached by fingerprint join at the end.
     val docs = Tables.documents(spark, dir)
     val fpd = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    val grp = docs.groupBy(md5(col("text")).as("fp"))
-      .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
+    // the ONE canonical fingerprint rollup (DedupOps.fpGrain) — a local
+    // groupBy twin here would silently split the grain definition
+    val grp = DedupOps.fpGrain(docs, "fp", "m")
     val toks = grp
       .select(col("fp"), col("m"), explode(tokens(col("text"))).as("tok"))
       .cache() // frequencies, the total, and the scoring join consume it
@@ -836,8 +837,9 @@ object TextOps {
     // every emitted row is an output row.
     val docs = Tables.documents(spark, dir)
     val fpd = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    val perFp = docs.groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("text")).as("text"))
+    // DedupOps.fpGrain is the one rollup definition; the unused count
+    // column is pruned by the optimizer
+    val perFp = DedupOps.fpGrain(docs, "fp", "m_unused")
       .select(col("fp"), explode(tokens(col("text"))).as("tok"))
       .select(col("fp"),
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")

@@ -60,6 +60,19 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(s2 == Map((0, 0) -> 20L, (0, 1) -> 26L, (1, 1) -> 34L))
   }
 
+  test("wrong arity surfaces a named error, not a raw IndexOutOfBounds") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_ngrams(array('a','b'))").collect()
+    }
+    assert(e.getMessage.contains("word_ngrams expects 2 to 3"),
+      s"got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(cast(1.0 as float)))").collect()
+    }
+    assert(e2.getMessage.contains("vec_dot expects 2"), s"got: ${e2.getMessage}")
+  }
+
   test("topk_by rejects wrong input types with a clear analysis error") {
     GraftExtensions.register(spark)
     import spark.implicits._
