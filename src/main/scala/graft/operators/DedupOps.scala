@@ -332,8 +332,19 @@ object DedupOps {
   def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
     minhashLshImpl(spark, dir, xxhash64(col("shingle")), hashedBuckets = true)
 
-  private def minhashLshImpl(spark: SparkSession, dir: String,
-      base: Column, hashedBuckets: Boolean): DataFrame = {
+  /** The shared verified end of the MinHash+LSH pipeline at
+    * content-fingerprint grain: the doc↔fp map (with source — the
+    * attribution rollup groups by it), the verified cross-fp pair frame
+    * (exact Jaccard ≥ 0.5), and the intra-eligible fp set (identical
+    * texts: ≥ 2 docs AND shingled — texts under 3 tokens shingle to
+    * nothing and can pair with nothing). [[minhashLshImpl]] expands
+    * these to doc pairs; [[sourceOverlap]] rolls them up by source pair
+    * without ever materializing the doc-pair space. */
+  private final case class MinhashVerified(
+      fpDocs: DataFrame, qual: DataFrame, multiFp: DataFrame)
+
+  private def minhashVerifiedFrames(spark: SparkSession, dir: String,
+      base: Column, hashedBuckets: Boolean): MinhashVerified = {
     // Since round 11 the signature/banding/verify pipeline runs at
     // CONTENT-FINGERPRINT grain and doc pairs are produced by expansion
     // joins afterwards (the shinglePairOverlap move): the minhash
@@ -346,7 +357,8 @@ object DedupOps {
     // combos per band bucket and an array_intersect per expanded pair;
     // output is unchanged (one fp per doc — no duplicate pairs).
     val docs = Tables.documents(spark, dir)
-    val fpDocs = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val fpDocs = docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
       .cache() // intra self-join + both cross expansions
     val grp = fpGrain(docs, "fp", "m")
       .cache() // shingled once + re-read for the multi-doc intra gate
@@ -418,24 +430,89 @@ object DedupOps {
         (col("n_common").cast("double") /
           (col("c_a") + col("c_b") - col("n_common"))).as("jaccard"))
       .where(col("jaccard") >= 0.5)
-    val ids = fpDocs.select(col("fp"), col("doc_id"))
-    val cross = qual
-      .join(ids.select(col("fp").as("fp_a"), col("doc_id").as("da")), Seq("fp_a"))
-      .join(ids.select(col("fp").as("fp_b"), col("doc_id").as("db")), Seq("fp_b"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
     // identical texts: every band co-buckets and Jaccard is exactly 1.0;
     // gate on membership in `combined` (texts under 3 tokens shingle to
     // nothing and can pair with nothing — same as the doc-grain form)
     val multiFp = grp.where(col("m") >= 2).select("fp")
       .join(combined.select("fp"), Seq("fp"))
+    MinhashVerified(fpDocs, qual, multiFp)
+  }
+
+  private def minhashLshImpl(spark: SparkSession, dir: String,
+      base: Column, hashedBuckets: Boolean): DataFrame = {
+    val f = minhashVerifiedFrames(spark, dir, base, hashedBuckets)
+    val ids = f.fpDocs.select(col("fp"), col("doc_id"))
+    val cross = f.qual
+      .join(ids.select(col("fp").as("fp_a"), col("doc_id").as("da")), Seq("fp_a"))
+      .join(ids.select(col("fp").as("fp_b"), col("doc_id").as("db")), Seq("fp_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
     val intra = ids.as("x")
       .join(ids.as("y"), col("x.fp") === col("y.fp") &&
         col("x.doc_id") < col("y.doc_id"))
-      .join(multiFp.withColumnRenamed("fp", "mfp"), col("x.fp") === col("mfp"))
+      .join(f.multiFp.withColumnRenamed("fp", "mfp"), col("x.fp") === col("mfp"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
+  /** Cross-source duplication attribution: the verified near-dup pair
+    * mass of [[minhashLsh]] rolled up by UNORDERED source pair — the
+    * dataset-card question "which sources duplicate each other, and how
+    * much". For each source pair: distinct near-dup CONTENT pairs
+    * (fingerprint pairs, counting an identical-text clique as one),
+    * total doc pairs, and the strongest similarity. Models the source-
+    * attribution step of corpus curation (where cross-source contamination
+    * concentrates), the way q_contamination_groups attributes train↔eval
+    * leaks.
+    *
+    * Grain: verified fingerprint pairs × per-(fp, source) doc COUNTS —
+    * the doc-pair space is never materialized. A replica clique
+    * contributes one fp-pair row and integer count products
+    * (cnt_a·cnt_b across sources; C(cnt,2) within), so the rollup stays
+    * output-proportional at any duplication factor. Doc-pair counts use
+    * long products with an exact shiftright halving (cnt·(cnt−1) is
+    * even) — no double division anywhere in the integer columns. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val f = minhashVerifiedFrames(spark, dir,
+      conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
+      hashedBuckets = false)
+    val counts = f.fpDocs.groupBy("fp", "source")
+      .agg(count(lit(1)).as("cnt"))
+    // cross-fp pairs: for sources (s1, s2) the doc-pair count from a
+    // verified fp pair is cnt(fp_a,s1)·cnt(fp_b,s2) + cnt(fp_a,s2)·
+    // cnt(fp_b,s1) — the two orientations arrive as two join rows with
+    // the same (least, greatest) source key and sum() adds them
+    val cx = f.qual
+      .join(counts.select(col("fp").as("fp_a"), col("source").as("src_a"),
+        col("cnt").as("cnt_a")), Seq("fp_a"))
+      .join(counts.select(col("fp").as("fp_b"), col("source").as("src_b"),
+        col("cnt").as("cnt_b")), Seq("fp_b"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("fp_a"), col("fp_b"),
+        (col("cnt_a") * col("cnt_b")).as("pairs"), col("jaccard"))
+    // intra-fp (identical texts): C(cnt,2) within a source, cnt·cnt
+    // across; the pairs>0 filter drops the C(1,2)=0 rows so a group
+    // exists iff it has at least one real doc pair (oracle parity)
+    val ic = counts.as("x")
+      .join(counts.as("y"), col("x.fp") === col("y.fp") &&
+        col("x.source") <= col("y.source"))
+      .join(f.multiFp.withColumnRenamed("fp", "mfp"), col("x.fp") === col("mfp"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.fp").as("fp_a"), col("x.fp").as("fp_b"),
+        when(col("x.source") === col("y.source"),
+          shiftright(col("x.cnt") * (col("x.cnt") - 1), 1))
+          .otherwise(col("x.cnt") * col("y.cnt")).as("pairs"),
+        lit(1.0).as("jaccard"))
+      .where(col("pairs") > 0)
+    cx.unionByName(ic)
+      .groupBy("source_a", "source_b")
+      .agg(countDistinct(col("fp_a"), col("fp_b")).as("n_fp_pairs"),
+        sum(col("pairs")).as("dup_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
   }
 
   /** The ORACLE-CHECKED end of the MinHash pipeline: identical signature
@@ -1816,6 +1893,7 @@ object DedupOps {
     "q_neardup_keep" -> (nearDupKeep _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_minhash_oracle" -> (minhashOracle _),
+    "q_source_overlap" -> (sourceOverlap _),
     "q_lsh_recall" -> (lshRecall _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_simhash" -> (simhashPairs _),
@@ -2135,7 +2213,7 @@ object DedupOps {
     * code so the twin can never drift. Pairs whose banded candidacy comes
     * only from hash collisions fall out identically on both sides (the
     * ≥ 0.5 exact-Jaccard filter removes them). */
-  private val MinhashLshSql: String = {
+  private val MinhashLshCtes: String = {
     val p = MersennePrime31
     val minExprs = permParams.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $p) AS m$i"
@@ -2147,7 +2225,7 @@ object DedupOps {
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM sig a JOIN sig b ON $eqs AND a.doc_id < b.doc_id"""
     }.mkString("\n             UNION ALL\n             ")
-    s"""WITH toks AS (
+    s"""toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          tok3 AS (SELECT * FROM toks WHERE len(t) >= 3),
          sh AS (
@@ -2173,15 +2251,43 @@ object DedupOps {
            FROM cand c
            JOIN sh a ON a.doc_id = c.doc_a
            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-           GROUP BY 1, 2)
-         SELECT i.doc_a, i.doc_b,
+           GROUP BY 1, 2)"""
+  }
+
+  private val MinhashPairSelect: String =
+    """SELECT i.doc_a, i.doc_b,
                 CAST(i.n_common AS DOUBLE) / (ca.c + cb.c - i.n_common) AS jaccard
          FROM inter i
          JOIN card ca ON i.doc_a = ca.doc_id
          JOIN card cb ON i.doc_b = cb.doc_id
-         WHERE CAST(i.n_common AS DOUBLE) / (ca.c + cb.c - i.n_common) >= 0.5
+         WHERE CAST(i.n_common AS DOUBLE) / (ca.c + cb.c - i.n_common) >= 0.5"""
+
+  private val MinhashLshSql: String =
+    s"""WITH $MinhashLshCtes
+         $MinhashPairSelect
          ORDER BY doc_a, doc_b"""
-  }
+
+  /** DuckDB replay of [[sourceOverlap]] — the identical verified-pair
+    * chain as q_minhash_lsh, rolled up at DOC grain by unordered source
+    * pair (the oracle is free to expand the doc-pair space the Spark
+    * side deliberately avoids: at oracle SF it is small). Content pairs
+    * count distinct normalized fp pairs so an identical-text clique is
+    * one, exactly like the fp-grain side. */
+  private val SourceOverlapSql: String =
+    s"""WITH $MinhashLshCtes,
+         pairs AS ($MinhashPairSelect),
+         ds AS (SELECT doc_id, source, md5(text) AS fp FROM documents)
+         SELECT least(a.source, b.source) AS source_a,
+                greatest(a.source, b.source) AS source_b,
+                count(DISTINCT least(a.fp, b.fp) || ':' || greatest(a.fp, b.fp))
+                  AS n_fp_pairs,
+                count(*) AS dup_pairs,
+                max(p.jaccard) AS max_jaccard
+         FROM pairs p
+         JOIN ds a ON p.doc_a = a.doc_id
+         JOIN ds b ON p.doc_b = b.doc_id
+         GROUP BY 1, 2
+         ORDER BY source_a, source_b"""
 
   /** DuckDB twin of contamination — AND of contaminationBloom, which is
     * result-identical by construction (the exact verify join removes every
@@ -2228,6 +2334,7 @@ object DedupOps {
          ORDER BY chunk_fp""",
     "q_minhash_oracle" -> MinhashOracleSql,
     "q_minhash_lsh" -> MinhashLshSql,
+    "q_source_overlap" -> SourceOverlapSql,
     "q_lsh_recall" -> LshRecallSql,
     "q_lsh_tuning" -> LshTuningSql,
     "q_snap_neardup" -> snapNearDupSql,

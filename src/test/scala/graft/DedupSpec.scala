@@ -59,6 +59,44 @@ class DedupSpec extends SparkTestBase {
       s"jaccard pairs $jac must be a subset of lsh pairs $pairs")
   }
 
+  test("source overlap equals a doc-grain rollup of the minhash pair output") {
+    // cross-source exact-dup clique {0,1,2} + near-dups in two more
+    // sources: exercises every contribution kind (same-source C(cnt,2),
+    // cross-source intra-fp cnt·cnt, cross-fp products)
+    val dir = documentsFixture(Seq(
+      (0L, base, "en", "src0"),
+      (1L, base, "en", "src0"),                        // same-source exact dup
+      (2L, base, "en", "src1"),                        // CROSS-source exact dup
+      (3L, base + " extra", "en", "src1"),             // near-dup of the clique
+      (4L, "totally different words here now", "en", "src2"),
+      (5L, base.replace("spark", "flink"), "en", "src2"))) // near-dup, 3rd source
+    val got = DedupOps.sourceOverlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("max_jaccard")))).toMap
+    // brute force: expand the registered pair query's own doc-grain
+    // output and roll it up — the fp-grain rollup must agree exactly
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val pairs = DedupOps.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (meta(a)._1, meta(b)._1)
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, ps) =>
+      val fpPairs = ps.map { case (a, b, _) =>
+        val (fa, fb) = (meta(a)._2, meta(b)._2)
+        if (fa <= fb) (fa, fb) else (fb, fa)
+      }.toSet
+      k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
+    }
+    assert(got == brute, s"fp-grain rollup $got != doc-grain rollup $brute")
+    assert(got(("src0", "src0")) == ((1L, 1L, 1.0)),
+      "one same-source exact-dup pair, one content pair, jaccard 1.0")
+    assert(got(("src0", "src1"))._2 >= 2L,
+      "cross-source group must carry the 2 exact-dup doc pairs plus near-dups")
+  }
+
   test("hot boilerplate shingle is df-capped out of the jaccard candidate join") {
     // 300 otherwise-unrelated docs all share ONE boilerplate shingle
     // ("click here now"): uncapped, the self-join would put 300²/2 ≈ 45k
