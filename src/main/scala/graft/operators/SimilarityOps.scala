@@ -566,6 +566,54 @@ object SimilarityOps {
       .orderBy("cl")
   }
 
+  /** The K values [[kmeansTuning]] sweeps — bracketing the production
+    * IvfK=16 the way TuneGeometries brackets the 8×4 banding. */
+  private val TuneKs = Seq(4, 8, 16)
+
+  /** K-SWEEP audit of the cosine coarse quantizer — the cluster-count
+    * tuning question that precedes every IVF/semdedup build, the way
+    * q_lsh_tuning's geometry sweep precedes the banded dedup: for each
+    * K, train the same deterministic quantizer (vec_id-mod init + one
+    * Lloyd refinement — [[ivfCentroidsK]], the exact trainer the
+    * production ops use) and report occupancy balance (non-empty lists,
+    * min/max list size — probe-cost variance) against fit tightness
+    * (mean member→centroid cosine — the elbow curve's y-axis). Models
+    * the K-selection step of Jégou et al.'s IVF recipe.
+    *
+    * Exactness: cosines quantize to the 2^20 grid and aggregate as LONG
+    * sums (order-free, partition-independent), so the one double
+    * division per row of output is replayable bit-exactly in DuckDB —
+    * the whole 3-K sweep (3 trainings + 3 assignments) is inside the
+    * oracle gate. Scale: per K the work is the linear trainer (two
+    * bounded-key integer-moment aggregations) + one broadcast-argmax
+    * assignment pass; output is 3 rows. */
+  def kmeansTuning(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).cache()
+    val q = quantizedMemberCos(col("nrm"), col("cnrm"))
+    val frames = TuneKs.map { k =>
+      val cents = ivfCentroidsK(e, k).cache() // assign broadcast + cosine join
+      val perCl = assign(e, cents)
+        .withColumn("nrm", VectorOps.norm(col("embedding")))
+        .join(broadcast(cents
+          .withColumn("cnrm", VectorOps.norm(col("centroid")))), Seq("cl"))
+        .select(col("cl"), q.as("qc"))
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n"), sum(col("qc")).as("s1"))
+      perCl.agg(
+        sum(col("n")).as("n_vectors"),
+        count(lit(1)).as("n_lists_used"),
+        min(col("n")).as("min_size"),
+        max(col("n")).as("max_size"),
+        (sum(col("s1")).cast("double") / sum(col("n")) / lit(CosScale))
+          .as("mean_cos"))
+        .select(lit(k).cast("bigint").as("k"), col("n_vectors"),
+          col("n_lists_used"), col("min_size"), col("max_size"),
+          col("mean_cos"))
+    }
+    frames.reduce(_.unionByName(_)).orderBy("k")
+  }
+
   // ----------------------------------------------------- persisted IVF index
   /** Persist the trained IVF index for ONLINE probing: the K centroids
     * plus the inverted lists written PARTITIONED BY LIST (`cl`) — a probe
@@ -1379,6 +1427,7 @@ object SimilarityOps {
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_ivf_stats" -> (ivfStats _),
+    "q_kmeans_tuning" -> (kmeansTuning _),
     "q_ann_recall" -> (annRecall _),
     "q_ivfpq_recall" -> (annIvfPqRecall _),
     "q_index_drift" -> (indexDrift _),
@@ -1719,6 +1768,52 @@ object SimilarityOps {
                 CAST(sum(qc) AS DOUBLE) / count(*) / $CosScale AS mean_cos,
                 CAST(min(qc) AS DOUBLE) / $CosScale AS min_cos
          FROM mc GROUP BY cl ORDER BY cl"""
+
+  /** DuckDB replay of [[kmeansTuning]] — the full 3-K sweep: for each K
+    * the same trainer chain as [[IvfChainCtes]] (init mod-K assignment,
+    * integer-moment means, one Lloyd reassignment, final means, final
+    * assignment) scoped by a _K suffix over the SHARED e/q0 CTEs, then
+    * the [[IvfStatsSql]] quantized-cosine recipe rolled up to one row
+    * per K. GENERATED from the same TuneKs / CentroidScale / CosScale
+    * constants as the Spark side so the sweep can't drift. */
+  private val KmeansTuningSql: String = {
+    val sc = CentroidScale
+    val perK = TuneKs.map { k =>
+      s"""a0_$k AS (SELECT vec_id, CAST(vec_id % $k AS INT) AS cl FROM e),
+         ${QuantizerSql.means(s"a0_$k", s"c0_$k")},
+         ${QuantizerSql.assignTo("e", s"c0_$k", s"a1_$k")},
+         ${QuantizerSql.means(s"a1_$k", s"c1_$k")},
+         ${QuantizerSql.assignTo("e", s"c1_$k", s"lists_$k")},
+         mc_$k AS (
+           SELECT l.cl,
+                  CAST(round(list_cosine_similarity(
+                         CAST(ee.embedding AS DOUBLE[]),
+                         CAST(c.centroid AS DOUBLE[])) * $CosScale)
+                       AS BIGINT) AS qc
+           FROM lists_$k l
+           JOIN e ee USING (vec_id)
+           JOIN c1_$k c USING (cl)),
+         pc_$k AS (
+           SELECT cl, count(*) AS n, sum(qc) AS s1 FROM mc_$k GROUP BY cl),
+         stat_$k AS (
+           SELECT CAST($k AS BIGINT) AS k,
+                  CAST(sum(n) AS BIGINT) AS n_vectors,
+                  CAST(count(*) AS BIGINT) AS n_lists_used,
+                  CAST(min(n) AS BIGINT) AS min_size,
+                  CAST(max(n) AS BIGINT) AS max_size,
+                  CAST(sum(s1) AS DOUBLE) / sum(n) / $CosScale AS mean_cos
+           FROM pc_$k)"""
+    }.mkString(",\n         ")
+    val union = TuneKs.map(k => s"SELECT * FROM stat_$k")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         q0 AS (
+           SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
+           FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
+         $perK
+         SELECT * FROM ($union) ORDER BY k"""
+  }
 
   /** DuckDB replay of [[indexDrift]] — the whole lifecycle: centroids
     * train on the base split only (same integer-moment chain as
@@ -2082,6 +2177,7 @@ object SimilarityOps {
     "q_ann_pq" -> AnnPqSql,
     "q_ann_ivfpq" -> AnnIvfPqSql,
     "q_ivf_stats" -> IvfStatsSql,
+    "q_kmeans_tuning" -> KmeansTuningSql,
     "q_index_drift" -> IndexDriftSql,
     "q_embed_pca" -> embedPcaSql,
     "q_embed_project" -> embedProjectSql,

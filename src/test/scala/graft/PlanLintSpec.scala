@@ -71,6 +71,9 @@ class PlanLintSpec extends SparkTestBase {
     "q_skew_profile", "q_copurchase_lift", "q_surprisal", "q_bigram_lm",
     "x_bigram_lm_fixedref", "q_rfm", "q_wau",
     "q_semdedup", "q_semdedup_scaled", "q_ivf_stats",
+    // q_kmeans_tuning: the packed single-row centroid broadcast of each
+    // of the three swept trainers (same shape as q_ivf_stats, ×3)
+    "q_kmeans_tuning",
     // q_embed_neardup: blocked by the same two-level quantizer (packed
     // single-row centroid broadcasts at both levels)
     "q_embed_neardup",

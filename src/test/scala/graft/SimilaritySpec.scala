@@ -451,4 +451,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(stats.exists(r => r.getDouble(3) == -1.0),
       stats.map(_.getDouble(3)).mkString(","))
   }
+
+  test("kmeans tuning: K=16 row agrees with q_ivf_stats' own per-list output") {
+    val dir = sf0001
+    val sweep = SimilarityOps.kmeansTuning(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(sweep.keySet == Set(4L, 8L, 16L))
+    val n = sweep(4L)._1
+    assert(sweep.values.forall(_._1 == n), "every K assigns every vector")
+    assert(sweep.forall { case (k, v) => v._2 <= k && v._3 >= 1 && v._3 <= v._4 })
+    assert(sweep.values.forall(v => v._5 >= -1.0 && v._5 <= 1.0))
+    // cross-pin: K=16 is the production quantizer — the sweep's summary
+    // row must agree with q_ivf_stats' per-list frame (same trainer,
+    // same quantized-cosine recipe) on every integer field and on the
+    // occupancy-weighted mean within one double rounding
+    val stats = SimilarityOps.ivfStats(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val (n16, used16, min16, max16, mean16) = sweep(16L)
+    assert(n16 == stats.map(_._1).sum)
+    assert(used16 == stats.length.toLong)
+    assert(min16 == stats.map(_._1).min && max16 == stats.map(_._1).max)
+    val weighted = stats.map(s => s._2 * s._1).sum / n16
+    assert(math.abs(mean16 - weighted) < 1e-9, s"$mean16 vs $weighted")
+  }
 }
