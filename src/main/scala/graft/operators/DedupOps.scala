@@ -293,6 +293,17 @@ object DedupOps {
     * md5-derived hash for the oracle-checked variant (portable to DuckDB).
     * Either way it is reduced mod p BEFORE the permutation multiply so
     * a·h stays under 2^62 (ANSI-mode overflow headroom). */
+  /** The md5-derived PORTABLE base hash of a shingle — first 8 hex chars
+    * read as an integer, which DuckDB computes identically
+    * (`('0x' || substr(md5(shingle), 1, 8))::BIGINT`). ONE definition for
+    * every oracle-checked minhash pipeline (registered LSH, candidate
+    * oracle, band audits, snapshot index, source rollup): the oracle CTEs
+    * replay this exact hash, so a second hand-synced Scala copy could
+    * silently split the shared candidate semantics. The production twins
+    * swap in xxhash64 via the `base` parameters. */
+  private[operators] def md5ShingleBase: Column =
+    conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+
   private[operators] def minhashSignaturesWith(sh: DataFrame, base: Column): DataFrame = {
     val hashed = sh.select(col("doc_id"), col("source"),
       pmod(base, lit(MersennePrime31)).as("h"))
@@ -320,9 +331,7 @@ object DedupOps {
     * rows); identical pipeline shape, spec-verified on the same planted
     * fixtures. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLshImpl(spark, dir,
-      conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
-      hashedBuckets = false)
+    minhashLshImpl(spark, dir, md5ShingleBase, hashedBuckets = false)
 
   /** Production fast path of [[minhashLsh]]: xxhash64 base hash (one
     * 8-byte hash per shingle instead of a 32-hex-char md5) and
@@ -474,8 +483,7 @@ object DedupOps {
     * long products with an exact shiftright halving (cnt·(cnt−1) is
     * even) — no double division anywhere in the integer columns. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val f = minhashVerifiedFrames(spark, dir,
-      conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
+    val f = minhashVerifiedFrames(spark, dir, md5ShingleBase,
       hashedBuckets = false)
     val counts = f.fpDocs.groupBy("fp", "source")
       .agg(count(lit(1)).as("cnt"))
@@ -546,7 +554,7 @@ object DedupOps {
       .cache() // intra self-join + both cross expansions
     val grp = fpGrain(docs, "fp", "m")
       .cache() // shingled once + re-read for the multi-doc intra gate
-    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val base = md5ShingleBase
     val hashed = fpShingles(grp, "fp").select(col("fp"),
       pmod(base, lit(MersennePrime31)).as("h"))
     val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
@@ -637,7 +645,7 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
     val sh = fpShingles(fpGrain(docs, "fp", "m"), "fp")
       .cache() // hashed for signatures + self-joined for ground truth
-    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val base = md5ShingleBase
     val hashed = sh.select(col("fp"),
       pmod(base, lit(MersennePrime31)).as("h"))
     val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
@@ -812,7 +820,7 @@ object DedupOps {
   def snapshotNearDup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(Tables.documents(spark, dir))
-    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val base = md5ShingleBase
     val sig = minhashSignaturesWith(sh, base)
       .withColumn("is_batch", pmod(col("doc_id"), lit(10)) >= 8)
       .cache() // feeds buckets (both sides) + both scoring joins
@@ -884,7 +892,7 @@ object DedupOps {
       indexTable: String, sigTable: String): Unit = {
     val corpus = Tables.documents(spark, dir)
       .where(pmod(col("doc_id"), lit(10)) < 8)
-    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val base = md5ShingleBase
     val sig = minhashSignaturesWith(shingles(corpus), base)
       .drop("source").cache() // feeds both writes below
     try {
@@ -940,7 +948,7 @@ object DedupOps {
   private def snapNearDupProbeFrames(spark: SparkSession, batch: DataFrame,
       indexTable: String, sigTable: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val base = md5ShingleBase
     val bsig = minhashSignaturesWith(shingles(batch), base)
       .drop("source").cache() // probe keys + the batch scoring side
     val probe = bsig.select(col("doc_id").as("batch_id"),

@@ -546,19 +546,31 @@ object SimilarityOps {
     * (cosines quantized to the 2^20 grid, long sums — order-free,
     * replayable); min is exact without accumulation. One assignment pass
     * (bounded centroid broadcast) + one bounded-key aggregation. */
-  def ivfStats(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val centroids = ivfCentroids(e).cache()
-    val q = quantizedMemberCos(col("nrm"), col("cnrm"))
+  /** Per-list quantized-cosine member moments of a trained quantizer —
+    * assign the corpus, score each member against its OWN centroid via
+    * [[quantizedMemberCos]] (prenormed, poison-pinned), reduce to the
+    * exact integer moments (n, long cosine sum, min). ONE definition for
+    * [[ivfStats]] and [[kmeansTuning]]: a parity fix to the scoring
+    * recipe (rounding, NaN pin, prenorm placement) must hit every audit
+    * at once — two hand-synced copies predated this. (indexDrift's
+    * listStats block scores PRE-ASSIGNED persisted lists against frozen
+    * centroids, so it composes the same quantizedMemberCos from its own
+    * join shape.) */
+  private def memberCosMoments(e: DataFrame, centroids: DataFrame): DataFrame =
     assign(e, centroids)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
       .join(broadcast(centroids
         .withColumn("cnrm", VectorOps.norm(col("centroid")))), Seq("cl"))
-      .select(col("cl"), q.as("qc"))
+      .select(col("cl"), quantizedMemberCos(col("nrm"), col("cnrm")).as("qc"))
       .groupBy("cl")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("qc")).as("s1"),
         min(col("qc")).as("qmin"))
+
+  def ivfStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e).cache()
+    memberCosMoments(e, centroids)
       .select(col("cl"), col("n_vecs"),
         (col("s1").cast("double") / col("n_vecs") / lit(CosScale))
           .as("mean_cos"),
@@ -590,22 +602,14 @@ object SimilarityOps {
   def kmeansTuning(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).cache()
-    val q = quantizedMemberCos(col("nrm"), col("cnrm"))
     val frames = TuneKs.map { k =>
       val cents = ivfCentroidsK(e, k).cache() // assign broadcast + cosine join
-      val perCl = assign(e, cents)
-        .withColumn("nrm", VectorOps.norm(col("embedding")))
-        .join(broadcast(cents
-          .withColumn("cnrm", VectorOps.norm(col("centroid")))), Seq("cl"))
-        .select(col("cl"), q.as("qc"))
-        .groupBy("cl")
-        .agg(count(lit(1)).as("n"), sum(col("qc")).as("s1"))
-      perCl.agg(
-        sum(col("n")).as("n_vectors"),
+      memberCosMoments(e, cents).agg(
+        sum(col("n_vecs")).as("n_vectors"),
         count(lit(1)).as("n_lists_used"),
-        min(col("n")).as("min_size"),
-        max(col("n")).as("max_size"),
-        (sum(col("s1")).cast("double") / sum(col("n")) / lit(CosScale))
+        min(col("n_vecs")).as("min_size"),
+        max(col("n_vecs")).as("max_size"),
+        (sum(col("s1")).cast("double") / sum(col("n_vecs")) / lit(CosScale))
           .as("mean_cos"))
         .select(lit(k).cast("bigint").as("k"), col("n_vectors"),
           col("n_lists_used"), col("min_size"), col("max_size"),
@@ -1480,6 +1484,38 @@ object SimilarityOps {
                                          CAST(c.centroid AS DOUBLE[])) AS csim
            FROM $corpus e, $centCte c),
          ${argmax(out)}"""
+    /** The 2^20-grid quantized-component CTE `q0` over a corpus CTE —
+      * the integer-moment input every [[means]] call joins. */
+    def q0Over(corpus: String): String =
+      s"""q0 AS (
+           SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * $CentroidScale)
+                       AS BIGINT) AS qv
+           FROM $corpus, unnest(generate_series(1, len(embedding))) AS u(i))"""
+    /** The FULL deterministic trainer chain (mod-K init, means, one Lloyd
+      * reassignment, final means, final assignment) — the [[ivfCentroidsK]]
+      * twin. `sfx` scopes the CTE names so several Ks can train over the
+      * same q0 in one statement; `lists` names the final assignment. */
+    def trainChain(corpus: String, k: Int, sfx: String,
+        lists: String): String =
+      s"""a0$sfx AS (SELECT vec_id, CAST(vec_id % $k AS INT) AS cl FROM $corpus),
+         ${means(s"a0$sfx", s"c0$sfx")},
+         ${assignTo(corpus, s"c0$sfx", s"a1$sfx")},
+         ${means(s"a1$sfx", s"c1$sfx")},
+         ${assignTo(corpus, s"c1$sfx", lists)}"""
+    /** Quantized member→centroid cosines of an assigned-lists CTE — the
+      * [[quantizedMemberCos]] replay shared by the stats audits
+      * (IvfStatsSql, IndexDriftSql, KmeansTuningSql). */
+    def memberCos(listsCte: String, centCte: String, out: String): String =
+      s"""$out AS (
+           SELECT l.cl,
+                  CAST(round(list_cosine_similarity(
+                         CAST(ee.embedding AS DOUBLE[]),
+                         CAST(c.centroid AS DOUBLE[])) * $CosScale)
+                       AS BIGINT) AS qc
+           FROM $listsCte l
+           JOIN e ee USING (vec_id)
+           JOIN $centCte c USING (cl))"""
   }
 
   /** Shared CTE prefix replaying the DataFrame-trained IVF quantizer —
@@ -1490,19 +1526,10 @@ object SimilarityOps {
     * list_cosine_similarity. (The PROBE windows elsewhere deliberately
     * have no isnan guard: Spark's plain `csim DESC` window treats NaN as
     * largest, same as DuckDB.) */
-  private val IvfChainCtes: String = {
-    val sc = CentroidScale
+  private val IvfChainCtes: String =
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
-         q0 AS (
-           SELECT vec_id, CAST(i - 1 AS INT) AS pos,
-                  CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
-           FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
-         a0 AS (SELECT vec_id, CAST(vec_id % $IvfK AS INT) AS cl FROM e),
-         ${QuantizerSql.means("a0", "c0")},
-         ${QuantizerSql.assignTo("e", "c0", "a1")},
-         ${QuantizerSql.means("a1", "c1")},
-         ${QuantizerSql.assignTo("e", "c1", "lists")}"""
-  }
+         ${QuantizerSql.q0Over("e")},
+         ${QuantizerSql.trainChain("e", IvfK, "", "lists")}"""
 
   /** DuckDB replay of [[annIvf]] off the shared quantizer chain: probe
     * the IvfProbes best final centroids per query (plain csim DESC window
@@ -1755,15 +1782,7 @@ object SimilarityOps {
     * to the Spark side. */
   private val IvfStatsSql: String =
     s"""WITH $IvfChainCtes,
-         mc AS (
-           SELECT l.cl,
-                  CAST(round(list_cosine_similarity(
-                         CAST(ee.embedding AS DOUBLE[]),
-                         CAST(c.centroid AS DOUBLE[])) * $CosScale)
-                       AS BIGINT) AS qc
-           FROM lists l
-           JOIN e ee USING (vec_id)
-           JOIN c1 c USING (cl))
+         ${QuantizerSql.memberCos("lists", "c1", "mc")}
          SELECT cl, CAST(count(*) AS BIGINT) AS n_vecs,
                 CAST(sum(qc) AS DOUBLE) / count(*) / $CosScale AS mean_cos,
                 CAST(min(qc) AS DOUBLE) / $CosScale AS min_cos
@@ -1777,22 +1796,9 @@ object SimilarityOps {
     * per K. GENERATED from the same TuneKs / CentroidScale / CosScale
     * constants as the Spark side so the sweep can't drift. */
   private val KmeansTuningSql: String = {
-    val sc = CentroidScale
     val perK = TuneKs.map { k =>
-      s"""a0_$k AS (SELECT vec_id, CAST(vec_id % $k AS INT) AS cl FROM e),
-         ${QuantizerSql.means(s"a0_$k", s"c0_$k")},
-         ${QuantizerSql.assignTo("e", s"c0_$k", s"a1_$k")},
-         ${QuantizerSql.means(s"a1_$k", s"c1_$k")},
-         ${QuantizerSql.assignTo("e", s"c1_$k", s"lists_$k")},
-         mc_$k AS (
-           SELECT l.cl,
-                  CAST(round(list_cosine_similarity(
-                         CAST(ee.embedding AS DOUBLE[]),
-                         CAST(c.centroid AS DOUBLE[])) * $CosScale)
-                       AS BIGINT) AS qc
-           FROM lists_$k l
-           JOIN e ee USING (vec_id)
-           JOIN c1_$k c USING (cl)),
+      s"""${QuantizerSql.trainChain("e", k, s"_$k", s"lists_$k")},
+         ${QuantizerSql.memberCos(s"lists_$k", s"c1_$k", s"mc_$k")},
          pc_$k AS (
            SELECT cl, count(*) AS n, sum(qc) AS s1 FROM mc_$k GROUP BY cl),
          stat_$k AS (
@@ -1807,10 +1813,7 @@ object SimilarityOps {
     val union = TuneKs.map(k => s"SELECT * FROM stat_$k")
       .mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         q0 AS (
-           SELECT vec_id, CAST(i - 1 AS INT) AS pos,
-                  CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
-           FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
+         ${QuantizerSql.q0Over("e")},
          $perK
          SELECT * FROM ($union) ORDER BY k"""
   }
@@ -1826,19 +1829,8 @@ object SimilarityOps {
     * isnan guard on ASSIGN argmaxes only; plain windows on
     * probe/rank. */
   private val IndexDriftSql: String = {
-    val sc = CentroidScale
-    def means(assignCte: String, out: String): String =
-      QuantizerSql.means(assignCte, out)
-    def assignTo(corpus: String, centCte: String, out: String): String =
-      QuantizerSql.assignTo(corpus, centCte, out)
     def stats(listsCte: String, suffix: String): String =
-      s"""mc_$suffix AS (
-           SELECT l.cl,
-                  CAST(round(list_cosine_similarity(
-                         CAST(ee.embedding AS DOUBLE[]),
-                         CAST(c.centroid AS DOUBLE[])) * $CosScale)
-                       AS BIGINT) AS qc
-           FROM $listsCte l JOIN e ee USING (vec_id) JOIN c1 c USING (cl)),
+      s"""${QuantizerSql.memberCos(listsCte, "c1", s"mc_$suffix")},
          st_$suffix AS (
            SELECT cl, CAST(count(*) AS BIGINT) AS n_$suffix,
                   CAST(sum(qc) AS DOUBLE) / count(*) / $CosScale
@@ -1884,16 +1876,9 @@ object SimilarityOps {
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          b AS (SELECT * FROM e WHERE vec_id % 10 < 8),
          nb AS (SELECT * FROM e WHERE vec_id % 10 >= 8),
-         q0 AS (
-           SELECT vec_id, CAST(i - 1 AS INT) AS pos,
-                  CAST(round(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
-           FROM b, unnest(generate_series(1, len(embedding))) AS u(i)),
-         a0 AS (SELECT vec_id, CAST(vec_id % $IvfK AS INT) AS cl FROM b),
-         ${means("a0", "c0")},
-         ${assignTo("b", "c0", "a1")},
-         ${means("a1", "c1")},
-         ${assignTo("b", "c1", "lb")},
-         ${assignTo("nb", "c1", "ab")},
+         ${QuantizerSql.q0Over("b")},
+         ${QuantizerSql.trainChain("b", IvfK, "", "lb")},
+         ${QuantizerSql.assignTo("nb", "c1", "ab")},
          la AS (SELECT * FROM lb UNION ALL SELECT * FROM ab),
          bc AS (SELECT l.vec_id, l.cl, ee.embedding
                 FROM lb l JOIN e ee USING (vec_id)),

@@ -35,6 +35,29 @@ class EdgeCasesSpec extends SparkTestBase {
     // iterative components: empty pair graph exits the loop without a round
     assert(DedupOps.dupComponents(spark, dir).count() == 0)
     assert(TextOps.tfidf(spark, dir).count() == 0)
+    // the attribution rollup of an empty pair frame is empty, not an error
+    assert(DedupOps.sourceOverlap(spark, dir).count() == 0)
+  }
+
+  test("kmeans tuning on an empty embeddings corpus: 3 null-stat rows, no error") {
+    // aggregates without GROUP BY emit one all-NULL row per K on an empty
+    // corpus in BOTH engines (the k literal survives), so the sweep
+    // degrades identically instead of throwing
+    val dir = embeddingsFixture(Seq.empty)
+    val rows = graft.operators.SimilarityOps.kmeansTuning(spark, dir).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 8L, 16L))
+    assert(rows.forall(_.isNullAt(5)), "mean_cos must be NULL, not NaN/0")
+  }
+
+  test("source overlap with no qualifying pairs: empty, not zero-rows") {
+    // shingled docs that share nothing: groups must be ABSENT (matching
+    // the oracle, which only emits groups with >= 1 real doc pair), not
+    // present with dup_pairs = 0
+    val dir = documentsFixture(Seq(
+      (1L, "alpha beta gamma delta", "en", "src0"),
+      (2L, "eta theta iota kappa", "en", "src1")))
+    assert(DedupOps.sourceOverlap(spark, dir).count() == 0)
   }
 
   test("contamination with no eval-source docs: all zero overlap, no errors") {
