@@ -79,6 +79,7 @@ object SparkEntry {
     * construction (RegistrySpec asserts disjointness anyway). */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_minhash_lsh_fast" -> ((s, d) => DedupOps.minhashLshFast(s, d)),
+    "x_source_overlap_fast" -> ((s, d) => DedupOps.sourceOverlapFast(s, d)),
     "x_simhash_fast" -> ((s, d) => DedupOps.simhashPairsFast(s, d)),
     // x_semdedup_scaled RETIRED in round 10: the corpus-scaled shape is
     // now the REGISTERED q_semdedup_scaled (dynamic-K oracle), and at

@@ -482,9 +482,21 @@ object DedupOps {
     * output-proportional at any duplication factor. Doc-pair counts use
     * long products with an exact shiftright halving (cnt·(cnt−1) is
     * even) — no double division anywhere in the integer columns. */
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val f = minhashVerifiedFrames(spark, dir, md5ShingleBase,
-      hashedBuckets = false)
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapWith(spark, dir, md5ShingleBase, hashedBuckets = false)
+
+  /** Production fast path of [[sourceOverlap]] — the [[minhashLshFast]]
+    * hash family (xxhash64 base, hash-compressed bucket keys) feeding
+    * the same fp-grain rollup. Engine-specific hashes → no DuckDB twin;
+    * bench-only (`x_source_overlap_fast`), spec-pinned to a doc-grain
+    * rollup of minhashLshFast's own output. */
+  def sourceOverlapFast(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapWith(spark, dir, xxhash64(col("shingle")),
+      hashedBuckets = true)
+
+  private def sourceOverlapWith(spark: SparkSession, dir: String,
+      base: Column, hashedBuckets: Boolean): DataFrame = {
+    val f = minhashVerifiedFrames(spark, dir, base, hashedBuckets)
     val counts = f.fpDocs.groupBy("fp", "source")
       .agg(count(lit(1)).as("cnt"))
     // cross-fp pairs: for sources (s1, s2) the doc-pair count from a

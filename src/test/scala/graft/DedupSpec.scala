@@ -95,6 +95,26 @@ class DedupSpec extends SparkTestBase {
       "one same-source exact-dup pair, one content pair, jaccard 1.0")
     assert(got(("src0", "src1"))._2 >= 2L,
       "cross-source group must carry the 2 exact-dup doc pairs plus near-dups")
+    // the xxhash64 production path must satisfy the same identity against
+    // ITS OWN pair output (hash family changes candidates, never the
+    // rollup arithmetic)
+    val gotFast = DedupOps.sourceOverlapFast(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("max_jaccard")))).toMap
+    val bruteFast = DedupOps.minhashLshFast(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy { case (a, b, _) =>
+        val (sa, sb) = (meta(a)._1, meta(b)._1)
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }.map { case (k, ps) =>
+        val fpPairs = ps.map { case (a, b, _) =>
+          val (fa, fb) = (meta(a)._2, meta(b)._2)
+          if (fa <= fb) (fa, fb) else (fb, fa)
+        }.toSet
+        k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
+      }
+    assert(gotFast == bruteFast,
+      s"fast rollup $gotFast != fast doc-grain rollup $bruteFast")
   }
 
   test("hot boilerplate shingle is df-capped out of the jaccard candidate join") {
