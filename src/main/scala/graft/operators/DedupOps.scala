@@ -497,42 +497,80 @@ object DedupOps {
   private def sourceOverlapWith(spark: SparkSession, dir: String,
       base: Column, hashedBuckets: Boolean): DataFrame = {
     val f = minhashVerifiedFrames(spark, dir, base, hashedBuckets)
-    val counts = f.fpDocs.groupBy("fp", "source")
+    val counts = f.fpDocs.groupBy(col("fp"), col("source").as("grp"))
       .agg(count(lit(1)).as("cnt"))
-    // cross-fp pairs: for sources (s1, s2) the doc-pair count from a
-    // verified fp pair is cnt(fp_a,s1)·cnt(fp_b,s2) + cnt(fp_a,s2)·
-    // cnt(fp_b,s1) — the two orientations arrive as two join rows with
-    // the same (least, greatest) source key and sum() adds them
+    pairMassRollup(f, counts, "source_a", "source_b")
+  }
+
+  /** NEAR-DUP pair mass rolled up by an UNORDERED pair of doc groups
+    * (source, split, ...) at fingerprint grain — the shared arithmetic of
+    * [[sourceOverlap]] and [[splitLeakage]]. `counts` assigns each
+    * (fp, group) its doc count; the doc-pair space is never materialized:
+    * cross-fp pairs contribute cnt·cnt products, intra-fp (identical
+    * texts) C(cnt,2) within a group and cnt·cnt across.
+    *
+    * Cross-fp orientation: for groups (g1, g2) the doc-pair count from a
+    * verified fp pair is cnt(fp_a,g1)·cnt(fp_b,g2) + cnt(fp_a,g2)·
+    * cnt(fp_b,g1) — the two orientations arrive as two join rows with
+    * the same (least, greatest) group key and sum() adds them. The
+    * pairs>0 filter drops C(1,2)=0 intra rows so a group pair exists iff
+    * it has at least one real doc pair (oracle parity). */
+  private def pairMassRollup(f: MinhashVerified, counts: DataFrame,
+      aName: String, bName: String): DataFrame = {
     val cx = f.qual
-      .join(counts.select(col("fp").as("fp_a"), col("source").as("src_a"),
+      .join(counts.select(col("fp").as("fp_a"), col("grp").as("g_a"),
         col("cnt").as("cnt_a")), Seq("fp_a"))
-      .join(counts.select(col("fp").as("fp_b"), col("source").as("src_b"),
+      .join(counts.select(col("fp").as("fp_b"), col("grp").as("g_b"),
         col("cnt").as("cnt_b")), Seq("fp_b"))
       .select(
-        least(col("src_a"), col("src_b")).as("source_a"),
-        greatest(col("src_a"), col("src_b")).as("source_b"),
+        least(col("g_a"), col("g_b")).as(aName),
+        greatest(col("g_a"), col("g_b")).as(bName),
         col("fp_a"), col("fp_b"),
         (col("cnt_a") * col("cnt_b")).as("pairs"), col("jaccard"))
-    // intra-fp (identical texts): C(cnt,2) within a source, cnt·cnt
-    // across; the pairs>0 filter drops the C(1,2)=0 rows so a group
-    // exists iff it has at least one real doc pair (oracle parity)
     val ic = counts.as("x")
       .join(counts.as("y"), col("x.fp") === col("y.fp") &&
-        col("x.source") <= col("y.source"))
+        col("x.grp") <= col("y.grp"))
       .join(f.multiFp.withColumnRenamed("fp", "mfp"), col("x.fp") === col("mfp"))
-      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+      .select(col("x.grp").as(aName), col("y.grp").as(bName),
         col("x.fp").as("fp_a"), col("x.fp").as("fp_b"),
-        when(col("x.source") === col("y.source"),
+        when(col("x.grp") === col("y.grp"),
           shiftright(col("x.cnt") * (col("x.cnt") - 1), 1))
           .otherwise(col("x.cnt") * col("y.cnt")).as("pairs"),
         lit(1.0).as("jaccard"))
       .where(col("pairs") > 0)
     cx.unionByName(ic)
-      .groupBy("source_a", "source_b")
+      .groupBy(aName, bName)
       .agg(countDistinct(col("fp_a"), col("fp_b")).as("n_fp_pairs"),
         sum(col("pairs")).as("dup_pairs"),
         max(col("jaccard")).as("max_jaccard"))
-      .orderBy("source_a", "source_b")
+      .orderBy(aName, bName)
+  }
+
+  /** SPLIT-LEAKAGE AUDIT: the near-dup pair mass that straddles (or
+    * stays within) the train/val/test boundaries of q_split_assign —
+    * the eval-integrity question dedup-aware splitting exists to answer
+    * (near-duplicate test↔train documents inflate benchmark scores;
+    * Lee et al. 2022). Same columns as [[sourceOverlap]] with split
+    * pairs: the cross-split rows ARE the leak, the within-split rows the
+    * baseline.
+    *
+    * The split is CONTENT-KEYED (a function of md5(text) — exactly
+    * q_split_assign's bucket rule), so it derives from the fingerprint
+    * itself with zero extra scans, and identical texts can never leak by
+    * construction: every intra-fp pair lands on a (s, s) row, which the
+    * fp-grain arithmetic reflects for free. Only genuinely-near texts
+    * (Jaccard ≥ 0.5, different fp) can cross — the residual risk this
+    * audit counts. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val f = minhashVerifiedFrames(spark, dir, md5ShingleBase,
+      hashedBuckets = false)
+    val bucket = conv(substring(col("fp"), 1, 8), 16, 10).cast("long") % 100
+    val counts = f.fpDocs.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("grp",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test"))
+    pairMassRollup(f, counts, "split_a", "split_b")
   }
 
   /** The ORACLE-CHECKED end of the MinHash pipeline: identical signature
@@ -1914,6 +1952,7 @@ object DedupOps {
     "q_minhash_lsh" -> (minhashLsh _),
     "q_minhash_oracle" -> (minhashOracle _),
     "q_source_overlap" -> (sourceOverlap _),
+    "q_split_leakage" -> (splitLeakage _),
     "q_lsh_recall" -> (lshRecall _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_simhash" -> (simhashPairs _),
@@ -2309,6 +2348,32 @@ object DedupOps {
          GROUP BY 1, 2
          ORDER BY source_a, source_b"""
 
+  /** DuckDB replay of [[splitLeakage]] — the verified-pair chain rolled
+    * up by the q_split_assign bucket rule (the same
+    * `('0x' || substr(md5(text), 1, 8))::BIGINT % 100` expression that
+    * oracle uses), doc-grain like [[SourceOverlapSql]]. */
+  private val SplitLeakageSql: String = {
+    val b = "('0x' || substr(md5(text), 1, 8))::BIGINT % 100"
+    s"""WITH $MinhashLshCtes,
+         pairs AS ($MinhashPairSelect),
+         ds AS (SELECT doc_id, md5(text) AS fp,
+                  CASE WHEN $b < 80 THEN 'train'
+                       WHEN $b < 90 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM documents)
+         SELECT least(a.split, b.split) AS split_a,
+                greatest(a.split, b.split) AS split_b,
+                count(DISTINCT least(a.fp, b.fp) || ':' || greatest(a.fp, b.fp))
+                  AS n_fp_pairs,
+                count(*) AS dup_pairs,
+                max(p.jaccard) AS max_jaccard
+         FROM pairs p
+         JOIN ds a ON p.doc_a = a.doc_id
+         JOIN ds b ON p.doc_b = b.doc_id
+         GROUP BY 1, 2
+         ORDER BY split_a, split_b"""
+  }
+
   /** DuckDB twin of contamination — AND of contaminationBloom, which is
     * result-identical by construction (the exact verify join removes every
     * bloom false positive; the bloom can't produce false negatives). */
@@ -2355,6 +2420,7 @@ object DedupOps {
     "q_minhash_oracle" -> MinhashOracleSql,
     "q_minhash_lsh" -> MinhashLshSql,
     "q_source_overlap" -> SourceOverlapSql,
+    "q_split_leakage" -> SplitLeakageSql,
     "q_lsh_recall" -> LshRecallSql,
     "q_lsh_tuning" -> LshTuningSql,
     "q_snap_neardup" -> snapNearDupSql,

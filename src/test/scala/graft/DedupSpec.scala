@@ -117,6 +117,47 @@ class DedupSpec extends SparkTestBase {
       s"fast rollup $gotFast != fast doc-grain rollup $bruteFast")
   }
 
+  test("split leakage equals a doc-grain rollup over splitAssign; exact dups never cross") {
+    // a 5-replica clique + near-dup satellites: the identical-text mass
+    // must land entirely on a within-split row (content-keyed split),
+    // while near-dups may cross
+    val dir = documentsFixture(
+      (0L until 5L).map(i => (i, base, "en", s"src$i")) ++ Seq(
+        (10L, base + " extra", "en", "srcA"),
+        (11L, base.replace("spark", "flink"), "en", "srcB"),
+        (12L, "totally different words here now", "en", "srcC")))
+    val got = DedupOps.splitLeakage(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("max_jaccard")))).toMap
+    // doc-grain brute force off the registered pair query and the
+    // registered split assignment — cross-pins the fp-derived split rule
+    // against q_split_assign's own output
+    val split = graft.operators.PipelineOps.splitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DedupOps.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (split(a), split(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, ps) =>
+      val fpPairs = ps.map { case (a, b, _) =>
+        val (fa, fb) = (fps(a), fps(b))
+        if (fa <= fb) (fa, fb) else (fb, fa)
+      }.toSet
+      k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
+    }
+    assert(got == brute, s"fp-grain $got != doc-grain $brute")
+    // the clique's 10 identical-text pairs are same-split by construction
+    val cliqueSplit = split(0L)
+    assert((0L until 5L).forall(i => split(i) == cliqueSplit),
+      "identical texts must share a split (content-keyed rule)")
+    assert(got((cliqueSplit, cliqueSplit))._2 >= 10L,
+      "the C(5,2) clique pairs must all land within one split")
+  }
+
   test("hot boilerplate shingle is df-capped out of the jaccard candidate join") {
     // 300 otherwise-unrelated docs all share ONE boilerplate shingle
     // ("click here now"): uncapped, the self-join would put 300²/2 ≈ 45k
