@@ -280,10 +280,13 @@ object SimilarityOps {
   /** (vec_id, m, sub, na2): the M per-subspace views of each vector, with
     * the squared norm precomputed so every later L2 distance is one native
     * dot (|a−c|² = |a|² − 2a·c + |c|²). */
-  private def subvectors(e: DataFrame): DataFrame = {
-    val subs = (0 until PqM).map { m =>
+  private def subvectors(e: DataFrame): DataFrame = subvectorsM(e, PqM)
+
+  private def subvectorsM(e: DataFrame, mCount: Int): DataFrame = {
+    val subDim = Dim / mCount
+    val subs = (0 until mCount).map { m =>
       struct(lit(m).as("m"),
-        slice(col("embedding"), m * SubDim + 1, SubDim).as("sub"))
+        slice(col("embedding"), m * subDim + 1, subDim).as("sub"))
     }
     // carry any non-embedding columns through (the IVF-PQ path keeps the
     // coarse list id `cl` alongside each subvector; plain PQ passes just
@@ -616,6 +619,54 @@ object SimilarityOps {
           col("mean_cos"))
     }
     frames.reduce(_.unionByName(_)).orderBy("k")
+  }
+
+  /** The subspace counts [[pqTuning]] sweeps — bracketing the production
+    * PqM=4 (Dim=64 → sub_dim 32/16/8, bits/vec 8/16/32 at K=16). */
+  private val TunePqMs = Seq(2, 4, 8)
+
+  /** PQ GEOMETRY sweep — the third leg of the tuning triad (q_lsh_tuning
+    * picks the banding, q_kmeans_tuning the coarse K, this the product-
+    * quantization subspace count): for each M, train the exact production
+    * codebook recipe (mod-K init + one Lloyd step per subspace,
+    * [[pqCodebookK]]'s chain) and report the compression-vs-fidelity
+    * trade — bits per vector against mean squared reconstruction error
+    * (Jégou et al. 2011's central design knob: more subspaces = more
+    * bits = finer quantization = costlier ADC tables).
+    *
+    * Exactness: the per-subvector reconstruction error
+    * ‖sub − cent‖² = na2 − 2·⟨sub,cent⟩ + nc2 is the same double
+    * arithmetic the ADC distance uses (oracle-proven in q_ann_pq),
+    * quantized to the 2^20 grid and LONG-summed — order-free,
+    * partition-independent, bit-replayable. Scale: per M one linear
+    * train + one encode pass; the error join broadcasts the M·K-row
+    * codebook; output is |TunePqMs| rows. */
+  def pqTuning(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).cache()
+    val frames = TunePqMs.map { mCount =>
+      val subDim = Dim / mCount
+      val subs = subvectorsM(e, mCount)
+      val init = pqMeans(subs.withColumn("code",
+        (col("vec_id") % PqK).cast("int")))
+      val cb = pqMeans(pqAssign(subs, init)).cache() // encode + error join
+      val err = pqAssign(subs, cb)
+        .join(broadcast(cb), Seq("m", "code"))
+        .select(col("m"), col("code"),
+          round((col("na2") -
+            lit(2.0) * VectorOps.dot(col("sub"), col("cent")) +
+            col("nc2")) * lit(CosScale)).cast("long").as("qe"))
+      err.agg(
+        count(lit(1)).as("n_subvectors"),
+        countDistinct(col("m"), col("code")).as("codes_used"),
+        (sum(col("qe")).cast("double") / count(lit(1)) / lit(CosScale))
+          .as("mean_sq_err"))
+        .select(lit(mCount).cast("bigint").as("m_subspaces"),
+          lit(subDim).cast("bigint").as("sub_dim"),
+          lit(mCount * 4).cast("bigint").as("bits_per_vec"),
+          col("n_subvectors"), col("codes_used"), col("mean_sq_err"))
+    }
+    frames.reduce(_.unionByName(_)).orderBy("m_subspaces")
   }
 
   // ----------------------------------------------------- persisted IVF index
@@ -1432,6 +1483,7 @@ object SimilarityOps {
     "q_ann_topk_agg" -> (annTopKAgg _),
     "q_ivf_stats" -> (ivfStats _),
     "q_kmeans_tuning" -> (kmeansTuning _),
+    "q_pq_tuning" -> (pqTuning _),
     "q_ann_recall" -> (annRecall _),
     "q_ivfpq_recall" -> (annIvfPqRecall _),
     "q_index_drift" -> (indexDrift _),
@@ -1703,6 +1755,60 @@ object SimilarityOps {
                PARTITION BY vec_id, m
                ORDER BY isnan(d2) ASC, d2 ASC, code ASC) AS rn
              FROM ${out}s) WHERE rn = 1)"""
+  }
+
+  /** DuckDB replay of [[pqTuning]] — the full 3-M sweep: per subspace
+    * count the same slicing, quantization, trainer chain and encode as
+    * [[AnnPqSql]] (the shared [[PqSql]] builders, CTEs scoped by _M),
+    * then the quantized reconstruction-error rollup. GENERATED from the
+    * same TunePqMs / Dim / PqK / CosScale constants as the Spark side. */
+  private val PqTuningSql: String = {
+    val sc = CentroidScale
+    val perM = TunePqMs.map { mc =>
+      val sd = Dim / mc
+      val ms = (0 until mc).mkString("[", ", ", "]")
+      s"""sub0_$mc AS (
+           SELECT vec_id, m,
+                  embedding[m*$sd+1 : m*$sd+$sd] AS sub
+           FROM e, unnest($ms) AS mm$mc(m)),
+         subs_$mc AS (
+           SELECT vec_id, m, sub,
+                  list_dot_product(CAST(sub AS DOUBLE[]),
+                                   CAST(sub AS DOUBLE[])) AS na2
+           FROM sub0_$mc),
+         sq_$mc AS (
+           SELECT vec_id, m, CAST(i - 1 AS INT) AS pos,
+                  CAST(round(CAST(sub[i] AS DOUBLE) * $sc) AS BIGINT) AS qv
+           FROM sub0_$mc, unnest(generate_series(1, len(sub))) AS u(i)),
+         ${PqSql.means(s"sq_$mc", "a0 a USING (vec_id)", s"cb0_$mc")},
+         ${PqSql.assignTo(s"subs_$mc", s"cb0_$mc", s"a1_$mc")},
+         ${PqSql.means(s"sq_$mc",
+        s"a1_$mc a ON a.vec_id = s.vec_id AND a.m = s.m", s"cb1_$mc")},
+         ${PqSql.assignTo(s"subs_$mc", s"cb1_$mc", s"codes_$mc")},
+         err_$mc AS (
+           SELECT k.m, k.code,
+                  CAST(round((s.na2
+                    - 2.0 * list_dot_product(CAST(s.sub AS DOUBLE[]),
+                                             CAST(c.cent AS DOUBLE[]))
+                    + c.nc2) * $CosScale) AS BIGINT) AS qe
+           FROM codes_$mc k
+           JOIN subs_$mc s ON s.vec_id = k.vec_id AND s.m = k.m
+           JOIN cb1_$mc c ON c.m = k.m AND c.code = k.code),
+         stat_$mc AS (
+           SELECT CAST($mc AS BIGINT) AS m_subspaces,
+                  CAST($sd AS BIGINT) AS sub_dim,
+                  CAST(${mc * 4} AS BIGINT) AS bits_per_vec,
+                  CAST(count(*) AS BIGINT) AS n_subvectors,
+                  count(DISTINCT m || ':' || code) AS codes_used,
+                  CAST(sum(qe) AS DOUBLE) / count(*) / $CosScale AS mean_sq_err
+           FROM err_$mc)"""
+    }.mkString(",\n         ")
+    val union = TunePqMs.map(mc => s"SELECT * FROM stat_$mc")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         a0 AS (SELECT vec_id, CAST(vec_id % $PqK AS INT) AS code FROM e),
+         $perM
+         SELECT * FROM ($union) ORDER BY m_subspaces"""
   }
 
   private val AnnPqSql: String = {
@@ -2163,6 +2269,7 @@ object SimilarityOps {
     "q_ann_ivfpq" -> AnnIvfPqSql,
     "q_ivf_stats" -> IvfStatsSql,
     "q_kmeans_tuning" -> KmeansTuningSql,
+    "q_pq_tuning" -> PqTuningSql,
     "q_index_drift" -> IndexDriftSql,
     "q_embed_pca" -> embedPcaSql,
     "q_embed_project" -> embedProjectSql,

@@ -475,4 +475,33 @@ class SimilaritySpec extends SparkTestBase {
     val weighted = stats.map(s => s._2 * s._1).sum / n16
     assert(math.abs(mean16 - weighted) < 1e-9, s"$mean16 vs $weighted")
   }
+
+  test("pq tuning: error falls as subspaces grow; aligned replicas reconstruct exactly") {
+    val sweep = SimilarityOps.pqTuning(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(sweep.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    assert(sweep.forall { case (m, sd, bits, _, used, _) =>
+      sd == 64 / m && bits == 4 * m && used <= 16 * m })
+    val n = sweep.head._4 / 2
+    assert(sweep.forall(s => s._4 == s._1 * n), "n_subvectors = M * n_vectors")
+    val errs = sweep.map(_._6)
+    assert(errs(0) > errs(1) && errs(1) > errs(2),
+      s"reconstruction error must fall as bits grow: ${errs.mkString(",")}")
+    // planted: 16 distinct vectors, replicas aligned to init cells
+    // (vec_id ≡ original mod 16) → every init cell holds copies of ONE
+    // vector, the codebook reproduces it to the 2^20 grid, and the
+    // quantized reconstruction error is EXACTLY zero at every M
+    val base = (0 until 16).map { i =>
+      Seq.tabulate(64)(j => (i + 1) * 0.1f + j * 0.01f)
+    }
+    val dir = embeddingsFixture((0 until 48).map { k =>
+      (k.toLong, base(k % 16), k % 3)
+    })
+    val planted = SimilarityOps.pqTuning(spark, dir).collect()
+    assert(planted.forall(_.getDouble(5) == 0.0),
+      planted.map(_.getDouble(5)).mkString(","))
+    assert(planted.forall(r => r.getLong(4) == r.getLong(0) * 16),
+      "each subspace must use all 16 codes (one per distinct subvector)")
+  }
 }
