@@ -59,9 +59,13 @@ object SparkEntry {
     // the two-index drift audit, the shared-flags funnel, and the
     // 48-merge trainer (the biggest driver-loop host-degradation magnet)
     "q_embed_pca", "q_embed_project", "q_index_drift", "q_curation_funnel",
+    // continuation-wave multi-stage additions: the minhash verified-chain
+    // rollups and the 3-geometry trainer sweeps (3 trainings each — the
+    // q_pq_tuning M=8 leg is the slowest new entry at 100x)
+    "q_source_overlap", "q_split_leakage", "q_kmeans_tuning", "q_pq_tuning",
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)
-    "x_minhash_lsh_fast", "x_simhash_fast",
+    "x_minhash_lsh_fast", "x_simhash_fast", "x_source_overlap_fast",
     "x_ann_pq256", "x_ann_ivfpq256", "x_bigram_lm_fixedref",
     "x_bpe_encode_big", "x_chunk_scrub_fast",
     "x_contamination_pairs_fixedeval", "x_hamming_pigeonhole")
