@@ -227,17 +227,27 @@ object SimilarityOps {
     * `broadcastProbes`: the online path hints its micro-batch-sized
     * probe frame so the list join never shuffles the index. Returns
     * (query_id, neighbor_id, cos_sim, rank) unranked-order. */
-  private def ivfProbeTopK(q: DataFrame, centroids: DataFrame,
-      lists: DataFrame, excludeSelf: Boolean,
-      broadcastProbes: Boolean = false): DataFrame = {
+  /** The probe-selection stage alone: each query's `nprobe` nearest
+    * centroids (csim DESC, cl ASC window). Exposed so [[ivfProbeTuning]]
+    * can sweep nprobe and price the probed lists without a second copy
+    * of the ranking logic. */
+  private def probeSelection(q: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cl").asc)
-    val probes = q.join(broadcast(centroids))
+    q.join(broadcast(centroids))
       .select(col("query_id"), col("qe"), col("nq"), col("cl"),
         VectorOps.cosine(col("qe"), col("centroid")).as("csim"))
       .withColumn("prank", row_number().over(wq))
-      .where(col("prank") <= IvfProbes)
+      .where(col("prank") <= nprobe)
       .select(col("query_id"), col("qe"), col("nq"), col("cl"))
+  }
+
+  private def ivfProbeTopK(q: DataFrame, centroids: DataFrame,
+      lists: DataFrame, excludeSelf: Boolean,
+      broadcastProbes: Boolean = false,
+      nprobe: Int = IvfProbes): DataFrame = {
+    val probes = probeSelection(q, centroids, nprobe)
     val probeSide = if (broadcastProbes) broadcast(probes) else probes
     val joined = probeSide.join(lists, Seq("cl"))
     val scoped =
@@ -619,6 +629,66 @@ object SimilarityOps {
           col("mean_cos"))
     }
     frames.reduce(_.unionByName(_)).orderBy("k")
+  }
+
+  /** The probe counts [[ivfProbeTuning]] sweeps — bracketing the
+    * production IvfProbes=2. */
+  private val TuneProbes = Seq(1, 2, 4)
+
+  /** IVF nprobe SWEEP — the QUERY-TIME knob the build-time sweeps leave
+    * open (q_kmeans_tuning picks K, this picks how many of the K lists a
+    * query pays to scan): for each nprobe, recall@5 of the probe chain
+    * against the exact cosine baseline, next to the candidate rows
+    * actually scanned and the fraction of the brute-force scan they
+    * represent. The recall-vs-cost curve is how an ANN deployment
+    * chooses its latency point (Jégou et al. 2011 §5).
+    *
+    * Exactness: recall counts are integers off the same
+    * brute-force/probe frames q_ann_recall uses; scanned rows price the
+    * probed lists from a bounded-key size join (sum of probed list
+    * sizes minus the self rows the probe excludes) — no full rescan per
+    * arm. The corpus size attaches via the PlanLint-whitelisted 1-row
+    * broadcast. */
+  def ivfProbeTuning(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e).cache()
+    val lists = assign(e, centroids)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .cache() // 3 probe arms + the size rollup
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.norm(col("embedding")).as("nq"))
+    val bf = annBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val listSizes = lists.groupBy("cl").agg(count(lit(1)).as("lsz"))
+    val ownList = lists.select(col("vec_id").as("query_id"), col("cl"))
+    val nCorpus = e.agg(count(lit(1)).as("n_corpus"))
+    val frames = TuneProbes.map { np =>
+      val ap = ivfProbeTopK(q, centroids, lists, excludeSelf = true,
+        nprobe = np)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      val rec = bf.join(ap, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      // scanned candidates = Σ probed list sizes − the probe's own rows
+      // (excludeSelf drops each query's own vector when its list is hit)
+      val pr = probeSelection(q, centroids, np).select("query_id", "cl")
+      val scanned = pr.join(listSizes, Seq("cl"))
+        .agg(sum(col("lsz")).as("rows_in_probed"))
+      val own = pr.join(ownList, Seq("query_id", "cl"))
+        .agg(count(lit(1)).as("n_own"))
+      rec.crossJoin(broadcast(scanned)).crossJoin(broadcast(own))
+        .crossJoin(broadcast(nCorpus))
+        .select(lit(np).cast("bigint").as("nprobe"),
+          col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"),
+          (col("rows_in_probed") - col("n_own")).as("n_candidates"),
+          ((col("rows_in_probed") - col("n_own")).cast("double") /
+            (lit(NumQueries.toLong) * (col("n_corpus") - 1)))
+            .as("scan_frac"))
+    }
+    frames.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
   /** The subspace counts [[pqTuning]] sweeps — bracketing the production
@@ -1484,6 +1554,7 @@ object SimilarityOps {
     "q_ivf_stats" -> (ivfStats _),
     "q_kmeans_tuning" -> (kmeansTuning _),
     "q_pq_tuning" -> (pqTuning _),
+    "q_ivf_probe_tuning" -> (ivfProbeTuning _),
     "q_ann_recall" -> (annRecall _),
     "q_ivfpq_recall" -> (annIvfPqRecall _),
     "q_index_drift" -> (indexDrift _),
@@ -1617,6 +1688,81 @@ object SimilarityOps {
              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
            FROM scored)
          WHERE rank <= $TopK ORDER BY query_id, rank"""
+
+  /** DuckDB replay of [[ivfProbeTuning]] — the probe sweep off the
+    * shared quantizer chain: for each nprobe arm the [[AnnIvfSql]] probe
+    * window / candidate scan / cosine re-rank (plain windows, no isnan
+    * guard — probe convention), the exact cosine baseline
+    * ([[AnnBruteForceSql]] shape), the recall left-join, and the
+    * scanned-rows pricing from the probed list sizes. GENERATED from the
+    * same TuneProbes / NumQueries / TopK constants. */
+  private val IvfProbeTuningSql: String = {
+    val perNp = TuneProbes.map { np =>
+      s"""probes_$np AS (
+           SELECT query_id, cl FROM (
+             SELECT query_id, cl, row_number() OVER (
+               PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS prank
+             FROM ps) WHERE prank <= $np),
+         cand_$np AS (
+           SELECT p.query_id, l.vec_id AS neighbor_id
+           FROM probes_$np p JOIN lists l USING (cl)
+           WHERE l.vec_id != p.query_id),
+         ap_$np AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT c.query_id, c.neighbor_id, row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                          CAST(ne.embedding AS DOUBLE[])) DESC,
+                        c.neighbor_id) AS rank
+             FROM cand_$np c
+             JOIN qv q USING (query_id)
+             JOIN e ne ON ne.vec_id = c.neighbor_id)
+           WHERE rank <= $TopK),
+         rec_$np AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_true,
+                  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           FROM bf b LEFT JOIN ap_$np a
+             ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+         scan_$np AS (
+           SELECT CAST(sum(z.lsz) AS BIGINT) AS rows_in_probed
+           FROM probes_$np p JOIN lsz z USING (cl)),
+         own_$np AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_own
+           FROM probes_$np p JOIN lists l
+             ON l.vec_id = p.query_id AND l.cl = p.cl),
+         stat_$np AS (
+           SELECT CAST($np AS BIGINT) AS nprobe, r.n_true, r.n_hit,
+                  CAST(r.n_hit AS DOUBLE) / r.n_true AS recall,
+                  s.rows_in_probed - o.n_own AS n_candidates,
+                  CAST(s.rows_in_probed - o.n_own AS DOUBLE)
+                    / ($NumQueries * (nc.n_corpus - 1)) AS scan_frac
+           FROM rec_$np r, scan_$np s, own_$np o, nc)"""
+    }.mkString(",\n         ")
+    val union = TuneProbes.map(np => s"SELECT * FROM stat_$np")
+      .mkString(" UNION ALL ")
+    s"""WITH $IvfChainCtes,
+         qv AS (SELECT vec_id AS query_id, embedding AS qe
+                FROM e WHERE vec_id < $NumQueries),
+         ps AS (
+           SELECT q.query_id, c.cl,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(c.centroid AS DOUBLE[])) AS csim
+           FROM qv q, c1 c),
+         bf AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, e2.vec_id AS neighbor_id, row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                          CAST(e2.embedding AS DOUBLE[])) DESC,
+                        e2.vec_id) AS rank
+             FROM qv q JOIN e e2 ON e2.vec_id != q.query_id)
+           WHERE rank <= $TopK),
+         lsz AS (SELECT cl, count(*) AS lsz FROM lists GROUP BY cl),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e),
+         $perNp
+         SELECT * FROM ($union) ORDER BY nprobe"""
+  }
 
   /** DuckDB replay of [[semDeDup]] off the shared quantizer chain: the
     * final assignment IS the clustering; within-cluster a<b pairs above
@@ -2270,6 +2416,7 @@ object SimilarityOps {
     "q_ivf_stats" -> IvfStatsSql,
     "q_kmeans_tuning" -> KmeansTuningSql,
     "q_pq_tuning" -> PqTuningSql,
+    "q_ivf_probe_tuning" -> IvfProbeTuningSql,
     "q_index_drift" -> IndexDriftSql,
     "q_embed_pca" -> embedPcaSql,
     "q_embed_project" -> embedProjectSql,

@@ -74,6 +74,10 @@ class PlanLintSpec extends SparkTestBase {
     // q_kmeans_tuning: the packed single-row centroid broadcast of each
     // of the three swept trainers (same shape as q_ivf_stats, ×3)
     "q_kmeans_tuning",
+    // q_ivf_probe_tuning: the packed-centroid broadcast (assignment +
+    // probe ranking) plus per-arm 1-row recall/scan/corpus-count
+    // aggregates cross-joined as scalar columns (the q_index_drift shape)
+    "q_ivf_probe_tuning",
     // q_embed_neardup: blocked by the same two-level quantizer (packed
     // single-row centroid broadcasts at both levels)
     "q_embed_neardup",

@@ -504,4 +504,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(planted.forall(r => r.getLong(4) == r.getLong(0) * 16),
       "each subspace must use all 16 codes (one per distinct subvector)")
   }
+
+  test("ivf probe tuning: recall and cost grow with nprobe; nprobe=2 equals q_ann_ivf") {
+    val dir = sf0001
+    val sweep = SimilarityOps.ivfProbeTuning(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    // a true top-5 neighbor present among the candidates always makes the
+    // candidate top-5 (only higher-cos true neighbors outrank it), so
+    // hits are monotone in the probed-candidate superset
+    assert(sweep.toSeq.sliding(2).forall { case Seq(a, b) =>
+      b._3 >= a._3 && b._5 >= a._5 })
+    assert(sweep.forall(s => s._6 > 0.0 && s._6 <= 1.0))
+    // cross-pin: the nprobe=2 arm must equal a direct recall computation
+    // off the registered q_ann_ivf (the same probe chain) vs brute force
+    val bf = SimilarityOps.annBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.annIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val two = sweep.find(_._1 == 2L).get
+    assert(two._2 == bf.size.toLong)
+    assert(two._3 == (bf & ivf).size.toLong,
+      s"sweep n_hit ${two._3} != |bf ∩ annIvf| ${(bf & ivf).size}")
+  }
 }
