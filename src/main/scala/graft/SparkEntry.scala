@@ -63,7 +63,7 @@ object SparkEntry {
     // rollups and the 3-geometry trainer sweeps (3 trainings each — the
     // q_pq_tuning M=8 leg is the slowest new entry at 100x)
     "q_source_overlap", "q_split_leakage", "q_kmeans_tuning", "q_pq_tuning",
-    "q_ivf_probe_tuning",
+    "q_ivf_probe_tuning", "q_dedup_tau_sweep",
     // bench-only fast-path aliases: same multi-stage dedup shapes as their
     // q_ twins (Verify never sees these names; only Bench ordering does)
     "x_minhash_lsh_fast", "x_simhash_fast", "x_source_overlap_fast",

@@ -573,6 +573,69 @@ object DedupOps {
     pairMassRollup(f, counts, "split_a", "split_b")
   }
 
+  /** The thresholds [[dedupTauSweep]] sweeps (the verified frame starts
+    * at the registered 0.5 gate, so the sweep covers [0.5, 1.0]). */
+  private val TuneTaus = Seq(0.5, 0.7, 0.9)
+
+  /** Near-dup THRESHOLD sweep — the curation-aggressiveness knob: for
+    * each Jaccard threshold τ, how many verified doc pairs qualify, how
+    * many documents the keep-first rule drops (a doc is dropped iff some
+    * partner has a smaller doc_id — q_neardup_keep's rule), and how many
+    * survive. The retention-vs-cleanliness curve a curation team reads
+    * before committing a dedup pass to a 100 TB corpus.
+    *
+    * Grain: fp. Per-doc drop decisions derive from two per-fp attributes
+    * — the fp's own min doc_id (intra: identical texts, Jaccard exactly
+    * 1.0, qualify at every τ, gated on shingled-and-multi like the pair
+    * query) and the min doc_id over τ-qualifying neighbor fps — joined
+    * back to the doc↔fp map: one linear pass per arm, the doc-pair
+    * space never materializes. Pair counts are the [[pairMassRollup]]
+    * products. */
+  def dedupTauSweep(spark: SparkSession, dir: String): DataFrame = {
+    val f = minhashVerifiedFrames(spark, dir, md5ShingleBase,
+      hashedBuckets = false)
+    val perFp = f.fpDocs.groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("mn"))
+      .cache() // all three arms' pair products + neighbor mins + flags
+    val qual = f.qual.cache() // filtered per τ
+    // τ-independent: intra pairs (Jaccard exactly 1.0 ≥ every τ) and
+    // the corpus total
+    val intraPairs = f.multiFp.join(perFp, Seq("fp"))
+      .agg(coalesce(sum(shiftright(col("cnt") * (col("cnt") - 1), 1)),
+        lit(0L)).as("ip"))
+    val totals = f.fpDocs.agg(count(lit(1)).as("n_docs"))
+    val frames = TuneTaus.map { tau =>
+      val q = qual.where(col("jaccard") >= tau)
+      val crossPairs = q
+        .join(perFp.select(col("fp").as("fp_a"), col("cnt").as("ca")),
+          Seq("fp_a"))
+        .join(perFp.select(col("fp").as("fp_b"), col("cnt").as("cb")),
+          Seq("fp_b"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("cp"))
+      val sym = q.select(col("fp_a").as("fp"), col("fp_b").as("nb"))
+        .unionByName(q.select(col("fp_b").as("fp"), col("fp_a").as("nb")))
+      val nbMin = sym
+        .join(perFp.select(col("fp").as("nb"), col("mn").as("nmn")),
+          Seq("nb"))
+        .groupBy("fp").agg(min(col("nmn")).as("nbmin"))
+      val dropped = f.fpDocs
+        .join(perFp.select(col("fp"), col("mn")), Seq("fp"))
+        .join(f.multiFp.select(col("fp"), lit(1).as("im")), Seq("fp"),
+          "left")
+        .join(nbMin, Seq("fp"), "left")
+        .where((col("im").isNotNull && col("doc_id") > col("mn")) ||
+          (col("nbmin").isNotNull && col("nbmin") < col("doc_id")))
+        .agg(count(lit(1)).as("n_docs_dropped"))
+      intraPairs.crossJoin(broadcast(crossPairs))
+        .crossJoin(broadcast(dropped)).crossJoin(broadcast(totals))
+        .select(lit(tau).as("tau"),
+          (col("ip") + col("cp")).as("n_pairs"),
+          col("n_docs_dropped"),
+          (col("n_docs") - col("n_docs_dropped")).as("n_docs_kept"))
+    }
+    frames.reduce(_.unionByName(_)).orderBy("tau")
+  }
+
   /** The ORACLE-CHECKED end of the MinHash pipeline: identical signature
     * arithmetic and banded candidate generation as minhashLsh, with two
     * engine-portable substitutions — the base hash is md5-derived (first
@@ -1953,6 +2016,7 @@ object DedupOps {
     "q_minhash_oracle" -> (minhashOracle _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_split_leakage" -> (splitLeakage _),
+    "q_dedup_tau_sweep" -> (dedupTauSweep _),
     "q_lsh_recall" -> (lshRecall _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_simhash" -> (simhashPairs _),
@@ -2374,6 +2438,33 @@ object DedupOps {
          ORDER BY split_a, split_b"""
   }
 
+  /** DuckDB replay of [[dedupTauSweep]] — the verified-pair chain, then
+    * per τ arm the doc-grain pair count and distinct-doc_b drop count
+    * (the greater-element rule at doc grain — exactly the keep-first
+    * drop condition the fp-grain side derives from min-id attributes).
+    * τ literals cast to DOUBLE so the column type and the comparison
+    * promote identically in both engines. */
+  private val DedupTauSweepSql: String = {
+    val arms = TuneTaus.map { tau =>
+      s"""arm_${(tau * 10).toInt} AS (
+           SELECT CAST($tau AS DOUBLE) AS tau,
+                  (SELECT CAST(count(*) AS BIGINT) FROM pairs
+                   WHERE jaccard >= CAST($tau AS DOUBLE)) AS n_pairs,
+                  (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM pairs
+                   WHERE jaccard >= CAST($tau AS DOUBLE)) AS n_docs_dropped)"""
+    }.mkString(",\n         ")
+    val union = TuneTaus.map(tau => s"SELECT * FROM arm_${(tau * 10).toInt}")
+      .mkString(" UNION ALL ")
+    s"""WITH $MinhashLshCtes,
+         pairs AS ($MinhashPairSelect),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         $arms
+         SELECT a.tau, a.n_pairs, a.n_docs_dropped,
+                nd.n_docs - a.n_docs_dropped AS n_docs_kept
+         FROM ($union) a, nd
+         ORDER BY a.tau"""
+  }
+
   /** DuckDB twin of contamination — AND of contaminationBloom, which is
     * result-identical by construction (the exact verify join removes every
     * bloom false positive; the bloom can't produce false negatives). */
@@ -2421,6 +2512,7 @@ object DedupOps {
     "q_minhash_lsh" -> MinhashLshSql,
     "q_source_overlap" -> SourceOverlapSql,
     "q_split_leakage" -> SplitLeakageSql,
+    "q_dedup_tau_sweep" -> DedupTauSweepSql,
     "q_lsh_recall" -> LshRecallSql,
     "q_lsh_tuning" -> LshTuningSql,
     "q_snap_neardup" -> snapNearDupSql,

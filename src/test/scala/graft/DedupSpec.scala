@@ -158,6 +158,40 @@ class DedupSpec extends SparkTestBase {
       "the C(5,2) clique pairs must all land within one split")
   }
 
+  test("dedup tau sweep equals doc-grain thresholds of the pair output") {
+    // three near-dup pairs engineered into distinct jaccard bands
+    // (22-token texts sharing an 18/20/21-token prefix → 0.667 / 0.818 /
+    // 0.905) + an exact-dup pair (1.0 via the intra path) + an unrelated
+    // doc; vocabularies disjoint across pairs so no cross-pair jaccard
+    def text(v: String, shared: Int, tag: String) =
+      ((0 until shared).map(j => s"$v$j") ++
+        (shared until 22).map(j => s"$v$tag$j")).mkString(" ")
+    val dir = documentsFixture(Seq(
+      (0L, text("a", 18, "x"), "en", "s0"), (1L, text("a", 18, "y"), "en", "s0"),
+      (2L, text("b", 20, "x"), "en", "s0"), (3L, text("b", 20, "y"), "en", "s0"),
+      (4L, text("c", 21, "x"), "en", "s0"), (5L, text("c", 21, "y"), "en", "s0"),
+      (6L, text("d", 22, ""), "en", "s0"), (7L, text("d", 22, ""), "en", "s0"),
+      (8L, "totally unrelated words entirely different here", "en", "s0")))
+    val sweep = DedupOps.dedupTauSweep(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(sweep.keySet == Set(0.5, 0.7, 0.9))
+    // doc-grain brute force off the registered pair query: per τ the pair
+    // count, the greater-element drop count, and the survivors
+    val pairs = DedupOps.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    sweep.foreach { case (tau, (np, nd, nk)) =>
+      val qp = pairs.filter(_._3 >= tau)
+      assert(np == qp.length.toLong, s"tau=$tau pairs")
+      assert(nd == qp.map(_._2).distinct.length.toLong, s"tau=$tau drops")
+      assert(nk == 9L - nd, s"tau=$tau kept")
+    }
+    // the exact-dup pair qualifies at every τ; aggressiveness is monotone
+    assert(sweep(0.9)._1 >= 1L && sweep(0.9)._2 >= 1L)
+    assert(sweep(0.5)._1 >= sweep(0.7)._1 && sweep(0.7)._1 >= sweep(0.9)._1)
+    assert(sweep(0.5)._2 >= sweep(0.7)._2 && sweep(0.7)._2 >= sweep(0.9)._2)
+  }
+
   test("hot boilerplate shingle is df-capped out of the jaccard candidate join") {
     // 300 otherwise-unrelated docs all share ONE boilerplate shingle
     // ("click here now"): uncapped, the self-join would put 300²/2 ≈ 45k

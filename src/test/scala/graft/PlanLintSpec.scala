@@ -78,6 +78,10 @@ class PlanLintSpec extends SparkTestBase {
     // probe ranking) plus per-arm 1-row recall/scan/corpus-count
     // aggregates cross-joined as scalar columns (the q_index_drift shape)
     "q_ivf_probe_tuning",
+    // q_dedup_tau_sweep: per τ arm four 1-row aggregates (intra pairs,
+    // cross pairs, dropped docs, corpus total) cross-joined into the
+    // one output row
+    "q_dedup_tau_sweep",
     // q_embed_neardup: blocked by the same two-level quantizer (packed
     // single-row centroid broadcasts at both levels)
     "q_embed_neardup",
