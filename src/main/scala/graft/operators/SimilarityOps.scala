@@ -209,24 +209,6 @@ object SimilarityOps {
           .nearest_centroid(col("cents"), col("embedding")).as("cl"))
   }
 
-  /** IVF ANN: coarse-quantize the corpus into K inverted lists, probe the
-    * `IvfProbes` nearest lists per query, exact-rank only the candidates.
-    * At 100 TB the inverted lists are the partitioning: a query touches
-    * nprobe/K of the corpus instead of all of it. Driver-oracle-checked
-    * end-to-end ([[AnnIvfSql]] — the order-free integer-moment centroid
-    * training makes the whole trained index replayable); ScalaTest
-    * additionally checks planted-dup retrieval + recall vs brute force. */
-  /** THE IVF probe+rank tail — one definition for [[annIvf]],
-    * [[annIndexProbe]] and [[indexDrift]]'s probe audit (they used to be
-    * three near-identical copies; a probe-semantics fix must hit all of
-    * them at once). Ranks centroids per query, keeps the `IvfProbes`
-    * nearest lists, scans them, ranks members by prenormed cosine.
-    * `excludeSelf`: corpus-rows-as-queries mode (annIvf, the drift
-    * audit) drops the query's own row; online probes keep exact matches
-    * back (cos ≈ 1 IS the answer for an intake dedup probe).
-    * `broadcastProbes`: the online path hints its micro-batch-sized
-    * probe frame so the list join never shuffles the index. Returns
-    * (query_id, neighbor_id, cos_sim, rank) unranked-order. */
   /** The probe-selection stage alone: each query's `nprobe` nearest
     * centroids (csim DESC, cl ASC window). Exposed so [[ivfProbeTuning]]
     * can sweep nprobe and price the probed lists without a second copy
@@ -243,11 +225,28 @@ object SimilarityOps {
       .select(col("query_id"), col("qe"), col("nq"), col("cl"))
   }
 
+  /** THE IVF probe+rank tail — one definition for [[annIvf]],
+    * [[annIndexProbe]], [[indexDrift]]'s probe audit and
+    * [[ivfProbeTuning]]'s arms (they used to be near-identical copies; a
+    * probe-semantics fix must hit all of them at once). Ranks centroids
+    * per query ([[probeSelection]]), keeps the `nprobe` nearest lists,
+    * scans them, ranks members by prenormed cosine.
+    * `excludeSelf`: corpus-rows-as-queries mode (annIvf, the drift
+    * audit) drops the query's own row; online probes keep exact matches
+    * back (cos ≈ 1 IS the answer for an intake dedup probe).
+    * `broadcastProbes`: the online path hints its micro-batch-sized
+    * probe frame so the list join never shuffles the index.
+    * `precomputedProbes`: the tuning sweep prices the same probe frame
+    * it ranks with, so it passes the selection in rather than paying the
+    * centroid join twice. Returns (query_id, neighbor_id, cos_sim, rank)
+    * unranked-order. */
   private def ivfProbeTopK(q: DataFrame, centroids: DataFrame,
       lists: DataFrame, excludeSelf: Boolean,
       broadcastProbes: Boolean = false,
-      nprobe: Int = IvfProbes): DataFrame = {
-    val probes = probeSelection(q, centroids, nprobe)
+      nprobe: Int = IvfProbes,
+      precomputedProbes: Option[DataFrame] = None): DataFrame = {
+    val probes = precomputedProbes
+      .getOrElse(probeSelection(q, centroids, nprobe))
     val probeSide = if (broadcastProbes) broadcast(probes) else probes
     val joined = probeSide.join(lists, Seq("cl"))
     val scoped =
@@ -263,6 +262,13 @@ object SimilarityOps {
       .where(col("rank") <= TopK)
   }
 
+  /** IVF ANN: coarse-quantize the corpus into K inverted lists, probe the
+    * `IvfProbes` nearest lists per query, exact-rank only the candidates.
+    * At 100 TB the inverted lists are the partitioning: a query touches
+    * nprobe/K of the corpus instead of all of it. Driver-oracle-checked
+    * end-to-end ([[AnnIvfSql]] — the order-free integer-moment centroid
+    * training makes the whole trained index replayable); ScalaTest
+    * additionally checks planted-dup retrieval + recall vs brute force. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val centroids = ivfCentroids(e).cache()
@@ -664,8 +670,12 @@ object SimilarityOps {
     val ownList = lists.select(col("vec_id").as("query_id"), col("cl"))
     val nCorpus = e.agg(count(lit(1)).as("n_corpus"))
     val frames = TuneProbes.map { np =>
+      // ONE probe selection per arm, shared by the rank tail and the
+      // scan pricing (in-round review finding: the centroid join + rank
+      // window subtree was planned twice per arm)
+      val probes = probeSelection(q, centroids, np)
       val ap = ivfProbeTopK(q, centroids, lists, excludeSelf = true,
-        nprobe = np)
+        nprobe = np, precomputedProbes = Some(probes))
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))
       val rec = bf.join(ap, Seq("query_id", "neighbor_id"), "left")
@@ -673,7 +683,7 @@ object SimilarityOps {
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       // scanned candidates = Σ probed list sizes − the probe's own rows
       // (excludeSelf drops each query's own vector when its list is hit)
-      val pr = probeSelection(q, centroids, np).select("query_id", "cl")
+      val pr = probes.select("query_id", "cl")
       val scanned = pr.join(listSizes, Seq("cl"))
         .agg(sum(col("lsz")).as("rows_in_probed"))
       val own = pr.join(ownList, Seq("query_id", "cl"))
@@ -1654,39 +1664,55 @@ object SimilarityOps {
          ${QuantizerSql.q0Over("e")},
          ${QuantizerSql.trainChain("e", IvfK, "", "lists")}"""
 
-  /** DuckDB replay of [[annIvf]] off the shared quantizer chain: probe
-    * the IvfProbes best final centroids per query (plain csim DESC window
-    * — see the NaN note on [[IvfChainCtes]]), candidates from the probed
-    * inverted lists, exact cosine re-rank. */
-  private val AnnIvfSql: String =
-    s"""WITH $IvfChainCtes,
-         qv AS (SELECT vec_id AS query_id, embedding AS qe
+  /** The ONE IVF probe-chain SQL recipe — qv/ps (query set × final
+    * centroids), the nprobe window, the self-excluded candidate scan,
+    * and the exact cosine re-rank. Shared by [[AnnIvfSql]] and
+    * [[IvfProbeTuningSql]] (the QuantizerSql lesson: a parity fix —
+    * NaN ordering, tie-break, cast — edited in one hand-synced copy is
+    * an oracle-only divergence found late at the driver gate). Probe
+    * windows are deliberately unguarded (plain csim DESC — see the NaN
+    * note on [[IvfChainCtes]]). */
+  private object IvfProbeSql {
+    val QvPs: String =
+      s"""qv AS (SELECT vec_id AS query_id, embedding AS qe
                 FROM e WHERE vec_id < $NumQueries),
          ps AS (
            SELECT q.query_id, c.cl,
                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
                                          CAST(c.centroid AS DOUBLE[])) AS csim
-           FROM qv q, c1 c),
-         probes AS (
+           FROM qv q, c1 c)"""
+    def probeCand(np: Int, sfx: String): String =
+      s"""probes$sfx AS (
            SELECT query_id, cl FROM (
              SELECT query_id, cl, row_number() OVER (
                PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS prank
-             FROM ps) WHERE prank <= $IvfProbes),
-         cand AS (
+             FROM ps) WHERE prank <= $np),
+         cand$sfx AS (
            SELECT p.query_id, l.vec_id AS neighbor_id
-           FROM probes p JOIN lists l USING (cl)
-           WHERE l.vec_id != p.query_id),
-         scored AS (
+           FROM probes$sfx p JOIN lists l USING (cl)
+           WHERE l.vec_id != p.query_id)"""
+    def rerank(sfx: String): String =
+      s"""scored$sfx AS (
            SELECT c.query_id, c.neighbor_id,
                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
                                          CAST(ne.embedding AS DOUBLE[])) AS cos_sim
-           FROM cand c
+           FROM cand$sfx c
            JOIN qv q USING (query_id)
-           JOIN e ne ON ne.vec_id = c.neighbor_id)
-         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           JOIN e ne ON ne.vec_id = c.neighbor_id),
+         ranked$sfx AS (
            SELECT *, row_number() OVER (
              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-           FROM scored)
+           FROM scored$sfx)"""
+  }
+
+  /** DuckDB replay of [[annIvf]] off the shared quantizer chain: the
+    * [[IvfProbeSql]] probe chain at nprobe = IvfProbes. */
+  private val AnnIvfSql: String =
+    s"""WITH $IvfChainCtes,
+         ${IvfProbeSql.QvPs},
+         ${IvfProbeSql.probeCand(IvfProbes, "")},
+         ${IvfProbeSql.rerank("")}
+         SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   /** DuckDB replay of [[ivfProbeTuning]] — the probe sweep off the
@@ -1696,68 +1722,40 @@ object SimilarityOps {
     * ([[AnnBruteForceSql]] shape), the recall left-join, and the
     * scanned-rows pricing from the probed list sizes. GENERATED from the
     * same TuneProbes / NumQueries / TopK constants. */
-  private val IvfProbeTuningSql: String = {
+  private lazy val IvfProbeTuningSql: String = {
     val perNp = TuneProbes.map { np =>
-      s"""probes_$np AS (
-           SELECT query_id, cl FROM (
-             SELECT query_id, cl, row_number() OVER (
-               PARTITION BY query_id ORDER BY csim DESC, cl ASC) AS prank
-             FROM ps) WHERE prank <= $np),
-         cand_$np AS (
-           SELECT p.query_id, l.vec_id AS neighbor_id
-           FROM probes_$np p JOIN lists l USING (cl)
-           WHERE l.vec_id != p.query_id),
-         ap_$np AS (
-           SELECT query_id, neighbor_id FROM (
-             SELECT c.query_id, c.neighbor_id, row_number() OVER (
-               PARTITION BY c.query_id
-               ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
-                          CAST(ne.embedding AS DOUBLE[])) DESC,
-                        c.neighbor_id) AS rank
-             FROM cand_$np c
-             JOIN qv q USING (query_id)
-             JOIN e ne ON ne.vec_id = c.neighbor_id)
+      val sfx = s"_$np"
+      s"""${IvfProbeSql.probeCand(np, sfx)},
+         ${IvfProbeSql.rerank(sfx)},
+         ap$sfx AS (
+           SELECT query_id, neighbor_id FROM ranked$sfx
            WHERE rank <= $TopK),
-         rec_$np AS (
+         rec$sfx AS (
            SELECT CAST(count(*) AS BIGINT) AS n_true,
                   CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-           FROM bf b LEFT JOIN ap_$np a
+           FROM bf b LEFT JOIN ap$sfx a
              ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
-         scan_$np AS (
+         scan$sfx AS (
            SELECT CAST(sum(z.lsz) AS BIGINT) AS rows_in_probed
-           FROM probes_$np p JOIN lsz z USING (cl)),
-         own_$np AS (
+           FROM probes$sfx p JOIN lsz z USING (cl)),
+         own$sfx AS (
            SELECT CAST(count(*) AS BIGINT) AS n_own
-           FROM probes_$np p JOIN lists l
+           FROM probes$sfx p JOIN lists l
              ON l.vec_id = p.query_id AND l.cl = p.cl),
-         stat_$np AS (
+         stat$sfx AS (
            SELECT CAST($np AS BIGINT) AS nprobe, r.n_true, r.n_hit,
                   CAST(r.n_hit AS DOUBLE) / r.n_true AS recall,
                   s.rows_in_probed - o.n_own AS n_candidates,
                   CAST(s.rows_in_probed - o.n_own AS DOUBLE)
                     / ($NumQueries * (nc.n_corpus - 1)) AS scan_frac
-           FROM rec_$np r, scan_$np s, own_$np o, nc)"""
+           FROM rec$sfx r, scan$sfx s, own$sfx o, nc)"""
     }.mkString(",\n         ")
     val union = TuneProbes.map(np => s"SELECT * FROM stat_$np")
       .mkString(" UNION ALL ")
     s"""WITH $IvfChainCtes,
-         qv AS (SELECT vec_id AS query_id, embedding AS qe
-                FROM e WHERE vec_id < $NumQueries),
-         ps AS (
-           SELECT q.query_id, c.cl,
-                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
-                                         CAST(c.centroid AS DOUBLE[])) AS csim
-           FROM qv q, c1 c),
-         bf AS (
-           SELECT query_id, neighbor_id FROM (
-             SELECT q.query_id, e2.vec_id AS neighbor_id, row_number() OVER (
-               PARTITION BY q.query_id
-               ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
-                          CAST(e2.embedding AS DOUBLE[])) DESC,
-                        e2.vec_id) AS rank
-             FROM qv q JOIN e e2 ON e2.vec_id != q.query_id)
-           WHERE rank <= $TopK),
+         ${IvfProbeSql.QvPs},
+         bf AS (SELECT query_id, neighbor_id FROM ($AnnBruteForceSql)),
          lsz AS (SELECT cl, count(*) AS lsz FROM lists GROUP BY cl),
          nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e),
          $perNp
