@@ -217,6 +217,59 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: pair-mass rollups are lossless vs the doc-grain pair output") {
+    import graft.operators.DedupOps
+    // template-family corpora: few base texts × small mutations × random
+    // sources → exact-dup cliques, near-dup pairs, and isolated docs all
+    // occur; the fp-grain count arithmetic must reproduce the doc-grain
+    // rollup for EVERY such corpus, not just the hand-built fixture
+    val genDocs: Gen[Seq[(Long, String, String, String)]] = for {
+      n <- Gen.choose(3, 14)
+      rows <- Gen.listOfN(n, for {
+        base <- Gen.oneOf("alpha beta gamma delta epsilon zeta",
+          "one two three four five six seven")
+        mut <- Gen.oneOf("", "", " extra", " tail tok")
+        src <- Gen.oneOf("sA", "sB", "sC")
+      } yield (base + mut, src))
+    } yield rows.zipWithIndex.map { case ((t, s), i) =>
+      (i.toLong, t, "en", s)
+    }
+    samples(genDocs, 6).foreach { rows =>
+      val dir = documentsFixture(rows)
+      val meta = rows.map { case (id, t, _, s) =>
+        id -> (s, java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }.toMap
+      val pairs = DedupOps.minhashLsh(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // source overlap
+      val got = DedupOps.sourceOverlap(spark, dir).collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getAs[Double]("max_jaccard"))))
+        .toMap
+      val brute = pairs.groupBy { case (a, b, _) =>
+        val (sa, sb) = (meta(a)._1, meta(b)._1)
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }.map { case (k, ps) =>
+        val fpPairs = ps.map { case (a, b, _) =>
+          val (fa, fb) = (meta(a)._2, meta(b)._2)
+          if (fa <= fb) (fa, fb) else (fb, fa)
+        }.toSet
+        k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
+      }
+      assert(got == brute, s"rows=$rows\ngot=$got\nbrute=$brute")
+      // tau sweep
+      val sweep = DedupOps.dedupTauSweep(spark, dir).collect()
+        .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      sweep.foreach { case (tau, (np, nd, nk)) =>
+        val qp = pairs.filter(_._3 >= tau)
+        assert(np == qp.length.toLong, s"tau=$tau rows=$rows")
+        assert(nd == qp.map(_._2).distinct.length.toLong, s"tau=$tau rows=$rows")
+        assert(nk == rows.size.toLong - nd)
+      }
+    }
+  }
+
   test("property: split assignment is a partition — every doc in exactly one split") {
     import graft.operators.PipelineOps
     val genTexts = for {
