@@ -2444,16 +2444,19 @@ object DedupOps {
     * drop condition the fp-grain side derives from min-id attributes).
     * τ literals cast to DOUBLE so the column type and the comparison
     * promote identically in both engines. */
+  private def armKey(tau: Double): String =
+    tau.toString.replace(".", "_").replace("-", "m")
+
   private val DedupTauSweepSql: String = {
     val arms = TuneTaus.map { tau =>
-      s"""arm_${(tau * 10).toInt} AS (
+      s"""arm_${armKey(tau)} AS (
            SELECT CAST($tau AS DOUBLE) AS tau,
                   (SELECT CAST(count(*) AS BIGINT) FROM pairs
                    WHERE jaccard >= CAST($tau AS DOUBLE)) AS n_pairs,
                   (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM pairs
                    WHERE jaccard >= CAST($tau AS DOUBLE)) AS n_docs_dropped)"""
     }.mkString(",\n         ")
-    val union = TuneTaus.map(tau => s"SELECT * FROM arm_${(tau * 10).toInt}")
+    val union = TuneTaus.map(tau => s"SELECT * FROM arm_${armKey(tau)}")
       .mkString(" UNION ALL ")
     s"""WITH $MinhashLshCtes,
          pairs AS ($MinhashPairSelect),

@@ -364,8 +364,14 @@ object SimilarityOps {
   private[operators] def pqCodebook(e: DataFrame): DataFrame =
     pqCodebookK(e, PqK)
 
-  private[operators] def pqCodebookK(e: DataFrame, k: Int): DataFrame = {
-    val subs = subvectors(e)
+  private[operators] def pqCodebookK(e: DataFrame, k: Int): DataFrame =
+    pqCodebookFor(subvectors(e), k)
+
+  /** The ONE codebook trainer recipe over an already-sliced subvector
+    * frame (mod-K init, one Lloyd step) — shared by [[pqCodebookK]] and
+    * [[pqTuning]]'s M sweep so a recipe change can never leave the sweep
+    * auditing a different trainer than the one the indexes deploy. */
+  private def pqCodebookFor(subs: DataFrame, k: Int): DataFrame = {
     val init = pqMeans(subs.withColumn("code",
       (col("vec_id") % k).cast("int")))
     pqMeans(pqAssign(subs, init))
@@ -727,9 +733,7 @@ object SimilarityOps {
     val frames = TunePqMs.map { mCount =>
       val subDim = Dim / mCount
       val subs = subvectorsM(e, mCount)
-      val init = pqMeans(subs.withColumn("code",
-        (col("vec_id") % PqK).cast("int")))
-      val cb = pqMeans(pqAssign(subs, init)).cache() // encode + error join
+      val cb = pqCodebookFor(subs, PqK).cache() // encode + error join
       val err = pqAssign(subs, cb)
         .join(broadcast(cb), Seq("m", "code"))
         .select(col("m"), col("code"),

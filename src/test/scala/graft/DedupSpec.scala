@@ -80,16 +80,7 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     val pairs = DedupOps.minhashLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val brute = pairs.groupBy { case (a, b, _) =>
-      val (sa, sb) = (meta(a)._1, meta(b)._1)
-      if (sa <= sb) (sa, sb) else (sb, sa)
-    }.map { case (k, ps) =>
-      val fpPairs = ps.map { case (a, b, _) =>
-        val (fa, fb) = (meta(a)._2, meta(b)._2)
-        if (fa <= fb) (fa, fb) else (fb, fa)
-      }.toSet
-      k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
-    }
+    val brute = docGrainRollup(pairs, meta(_)._1, meta(_)._2)
     assert(got == brute, s"fp-grain rollup $got != doc-grain rollup $brute")
     assert(got(("src0", "src0")) == ((1L, 1L, 1.0)),
       "one same-source exact-dup pair, one content pair, jaccard 1.0")
@@ -101,18 +92,10 @@ class DedupSpec extends SparkTestBase {
     val gotFast = DedupOps.sourceOverlapFast(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)),
         (r.getLong(2), r.getLong(3), r.getAs[Double]("max_jaccard")))).toMap
-    val bruteFast = DedupOps.minhashLshFast(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .groupBy { case (a, b, _) =>
-        val (sa, sb) = (meta(a)._1, meta(b)._1)
-        if (sa <= sb) (sa, sb) else (sb, sa)
-      }.map { case (k, ps) =>
-        val fpPairs = ps.map { case (a, b, _) =>
-          val (fa, fb) = (meta(a)._2, meta(b)._2)
-          if (fa <= fb) (fa, fb) else (fb, fa)
-        }.toSet
-        k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
-      }
+    val bruteFast = docGrainRollup(
+      DedupOps.minhashLshFast(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))),
+      meta(_)._1, meta(_)._2)
     assert(gotFast == bruteFast,
       s"fast rollup $gotFast != fast doc-grain rollup $bruteFast")
   }
@@ -139,16 +122,7 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val pairs = DedupOps.minhashLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val brute = pairs.groupBy { case (a, b, _) =>
-      val (sa, sb) = (split(a), split(b))
-      if (sa <= sb) (sa, sb) else (sb, sa)
-    }.map { case (k, ps) =>
-      val fpPairs = ps.map { case (a, b, _) =>
-        val (fa, fb) = (fps(a), fps(b))
-        if (fa <= fb) (fa, fb) else (fb, fa)
-      }.toSet
-      k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
-    }
+    val brute = docGrainRollup(pairs, split(_), fps(_))
     assert(got == brute, s"fp-grain $got != doc-grain $brute")
     // the clique's 10 identical-text pairs are same-split by construction
     val cliqueSplit = split(0L)

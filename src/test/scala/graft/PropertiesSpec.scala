@@ -247,16 +247,7 @@ class PropertiesSpec extends SparkTestBase {
         .map(r => ((r.getString(0), r.getString(1)),
           (r.getLong(2), r.getLong(3), r.getAs[Double]("max_jaccard"))))
         .toMap
-      val brute = pairs.groupBy { case (a, b, _) =>
-        val (sa, sb) = (meta(a)._1, meta(b)._1)
-        if (sa <= sb) (sa, sb) else (sb, sa)
-      }.map { case (k, ps) =>
-        val fpPairs = ps.map { case (a, b, _) =>
-          val (fa, fb) = (meta(a)._2, meta(b)._2)
-          if (fa <= fb) (fa, fb) else (fb, fa)
-        }.toSet
-        k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
-      }
+      val brute = docGrainRollup(pairs, meta(_)._1, meta(_)._2)
       assert(got == brute, s"rows=$rows\ngot=$got\nbrute=$brute")
       // tau sweep
       val sweep = DedupOps.dedupTauSweep(spark, dir).collect()

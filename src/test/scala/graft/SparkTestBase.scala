@@ -40,4 +40,25 @@ trait SparkTestBase extends AnyFunSuite {
 
   def rowsOf(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
+
+  /** The ONE doc-grain reference rollup for the pair-mass audits
+    * (q_source_overlap / x_source_overlap_fast / q_split_leakage and the
+    * rollup property): group (doc_a, doc_b, jaccard) pairs by the
+    * unordered group key, count distinct normalized fp pairs, total doc
+    * pairs, max jaccard. Specs compare the fp-grain operators against
+    * this definition — keep it single so a column change edits every pin
+    * at once. */
+  def docGrainRollup(pairs: Iterable[(Long, Long, Double)],
+      groupOf: Long => String, fpOf: Long => String)
+      : Map[(String, String), (Long, Long, Double)] =
+    pairs.groupBy { case (a, b, _) =>
+      val (ga, gb) = (groupOf(a), groupOf(b))
+      if (ga <= gb) (ga, gb) else (gb, ga)
+    }.map { case (k, ps) =>
+      val fpPairs = ps.map { case (a, b, _) =>
+        val (fa, fb) = (fpOf(a), fpOf(b))
+        if (fa <= fb) (fa, fb) else (fb, fa)
+      }.toSet
+      k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
+    }
 }
