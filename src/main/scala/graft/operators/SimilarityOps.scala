@@ -1350,16 +1350,25 @@ object SimilarityOps {
       .select(col("label"), col("pos").as("dim"), col("qx"))
     // s1 stays a LONG sum (|s1| ≤ n·2^21: safe past 10^12 vectors per
     // group); s2's VALUE itself outgrows int64 at ~2^21 vectors per
-    // group (qx² ≤ 2^42), so it sums — and is emitted — as
-    // DECIMAL(38,0): still exact integer arithmetic (map-side partials,
-    // partition-order-free), with headroom past any conceivable corpus.
-    // DuckDB mirrors with its HUGEINT sum cast to the same decimal.
+    // group (qx² ≤ 2^42), so it sums as DECIMAL(38,0): still exact
+    // integer arithmetic (map-side partials, partition-order-free), with
+    // headroom past any conceivable corpus. DuckDB mirrors with its
+    // HUGEINT sum cast to the same decimal. The EMITTED s2 is the
+    // canonical integer STRING of that decimal, not the decimal itself:
+    // this was the registry's only decimal128 result column, and a
+    // decimal column's pandas-level representation is engine-version-
+    // dependent (DuckDB returned float64 for decimals in older releases,
+    // object Decimal in newer ones) — the round-11 driver hash-fail
+    // correlates exactly with this column's introduction, while every
+    // value is < 2^53 so value-level drift is impossible. A plain
+    // integer string has ONE representation everywhere; exactness is
+    // unchanged (same integer, boring dtype).
     q.groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("qx")).as("s1"),
         sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("s2"))
       .select(col("label"), col("dim"), col("n_vecs"),
-        col("s1"), col("s2"),
+        col("s1"), col("s2").cast("string").as("s2"),
         (col("s1").cast("double") / col("n_vecs") / CentroidScale)
           .as("mean_val"),
         ((col("s2").cast("double") / col("n_vecs")) -
@@ -2438,7 +2447,7 @@ object SimilarityOps {
                   CAST(sum(qx) AS BIGINT) AS s1,
                   CAST(sum(qx * qx) AS DECIMAL(38,0)) AS s2
            FROM q GROUP BY label, dim)
-         SELECT label, dim, n_vecs, s1, s2,
+         SELECT label, dim, n_vecs, s1, CAST(s2 AS VARCHAR) AS s2,
                 CAST(s1 AS DOUBLE) / n_vecs / 1048576.0 AS mean_val,
                 (CAST(s2 AS DOUBLE) / n_vecs)
                   - (CAST(s1 AS DOUBLE) / n_vecs)
