@@ -3,7 +3,6 @@ package org.apache.spark.sql.graftext
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
@@ -202,7 +201,7 @@ object GraftExtensions {
       "bloom_might_contain(bloom, value) - map-side probe of a bloom_agg filter " +
         "(no false negatives)"),
     arity("bloom_might_contain", 2)(exprs =>
-      BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))))
+      BloomProbe(exprs(0), new XxHash64(Seq(exprs(1))))))
 
   private[graftext] val cmsEstimate = (
     FunctionIdentifier("cms_estimate"),

@@ -1,12 +1,17 @@
 package org.apache.spark.sql.graftext
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, ExpectsInputTypes, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Literal, PlanExpression, Predicate, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral, JavaCode, TrueLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongType}
-import org.apache.spark.util.sketch.CountMinSketch
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongType, NullType}
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /** Column API over Spark's own sketch expressions (the machinery behind
   * runtime bloom-filter joins) plus a point-query expression for
@@ -43,7 +48,7 @@ object SketchColumns {
     * literal (task-broadcast with the plan — KBs to low MBs). */
   def bloom_might_contain(bloomBytes: Array[Byte], value: Column): Column =
     ExpressionUtils.column(
-      BloomFilterMightContain(
+      BloomProbe(
         Literal(bloomBytes, BinaryType),
         new XxHash64(Seq(ExpressionUtils.expression(value)))))
 
@@ -57,6 +62,81 @@ object SketchColumns {
     ExpressionUtils.column(
       CmsEstimate(Literal(sketchBytes, BinaryType),
         ExpressionUtils.expression(hashedValue)))
+}
+
+/** Map-side probe of a serialized bloom filter — same semantics as Spark's
+  * internal `BloomFilterMightContain` (reference semantics: the Redis SET
+  * membership probes at `G/app/DauApp.scala:67`; the filter side must be a
+  * constant or an uncorrelated scalar subquery so it deserializes ONCE, not
+  * per row), but with WORKING whole-stage/projection codegen. Spark's own
+  * `doGenCode` emits `mightContainLong((Long) value)` and Janino rejects the
+  * boxed cast of a primitive ("java.lang.Long" is not an rvalue), so every
+  * probe of a non-trivial plan silently fell back to interpreted projection
+  * — exactly the hot map-side scan the bloom exists for. The fix is emitting
+  * the primitive long directly (`mightContainLong(long)` accepts it); the
+  * SqlFunctionsSpec bloom test now runs under CODEGEN_ONLY so a fallback is
+  * a test failure, not a WARN. */
+case class BloomProbe(bloomFilterExpression: Expression, valueExpression: Expression)
+    extends BinaryExpression with Predicate {
+
+  override def left: Expression = bloomFilterExpression
+  override def right: Expression = valueExpression
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType | NullType, LongType | NullType) =>
+        bloomFilterExpression match {
+          case e if e.foldable => TypeCheckResult.TypeCheckSuccess
+          case _: PlanExpression[_] => TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: the filter argument must be a constant or scalar " +
+              "subquery (it is deserialized once per task, never per row)")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (binary, bigint) arguments, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+
+  /** Deserialized once per task (transient lazy); null filter bytes (an
+    * empty build-side aggregate) degrade to NULL probes, matching Spark. */
+  @transient private lazy val bloomFilter: BloomFilter = {
+    val bytes = bloomFilterExpression.eval().asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else {
+      val in = new ByteArrayInputStream(bytes)
+      try BloomFilter.readFrom(in) finally in.close()
+    }
+  }
+
+  override def eval(input: InternalRow): Any =
+    if (bloomFilter == null) null
+    else {
+      val v = valueExpression.eval(input)
+      if (v == null) null else bloomFilter.mightContainLong(v.asInstanceOf[Long])
+    }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (bloomFilter == null) {
+      ev.copy(isNull = TrueLiteral, value = FalseLiteral)
+    } else {
+      val bf = ctx.addReferenceObj("bloomFilter", bloomFilter,
+        classOf[BloomFilter].getName)
+      val valueEval = valueExpression.genCode(ctx)
+      ev.copy(code =
+        code"""
+          ${valueEval.code}
+          boolean ${ev.isNull} = ${valueEval.isNull};
+          boolean ${ev.value} = false;
+          if (!${ev.isNull}) {
+            ${ev.value} = $bf.mightContainLong(${valueEval.value});
+          }""")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbe =
+    copy(bloomFilterExpression = newLeft, valueExpression = newRight)
 }
 
 /** `estimateCount` over a serialized CountMinSketch. The sketch literal is

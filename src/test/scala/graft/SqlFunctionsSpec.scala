@@ -140,17 +140,39 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(code == 3)
   }
 
-  test("bloom build + probe round-trips in pure SQL") {
+  test("bloom build + probe round-trips in pure SQL — and stays codegen'd") {
     GraftExtensions.register(spark)
     import spark.implicits._
     Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("bloom_vals")
-    // might_contain requires the filter as a constant or scalar subquery
-    val r = spark.sql(
-      "SELECT bloom_might_contain(" +
-        "(SELECT bloom_agg(x, 100) FROM bloom_vals), 2L) AS hit, " +
-        "bloom_might_contain(" +
-        "(SELECT bloom_agg(x, 100) FROM bloom_vals), 424242L) AS miss").head()
-    assert(r.getBoolean(0))
-    assert(!r.getBoolean(1)) // deterministic xxhash64: not a member, not an FP
+    // CODEGEN_ONLY turns any interpreted-projection fallback into a hard
+    // error: Spark's own BloomFilterMightContain generated Java that
+    // Janino rejects ("java.lang.Long" is not an rvalue), so this query
+    // silently ran every probe row interpreted until the BloomProbe
+    // rewrite — this conf pin is the regression test for that.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // might_contain requires the filter as a constant or scalar subquery
+      val r = spark.sql(
+        "SELECT bloom_might_contain(" +
+          "(SELECT bloom_agg(x, 100) FROM bloom_vals), 2L) AS hit, " +
+          "bloom_might_contain(" +
+          "(SELECT bloom_agg(x, 100) FROM bloom_vals), 424242L) AS miss").head()
+      assert(r.getBoolean(0))
+      assert(!r.getBoolean(1)) // deterministic xxhash64: not a member, not an FP
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("bloom_might_contain rejects a non-constant, non-subquery filter argument") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("bloom_vals2")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT bloom_might_contain(bf, x) FROM " +
+          "(SELECT x, (SELECT bloom_agg(x, 100) FROM bloom_vals2) AS bf " +
+          "FROM bloom_vals2) t").collect()
+    }
+    assert(e.getMessage.contains("constant or scalar subquery"),
+      s"unexpected error: ${e.getMessage}")
   }
 }
