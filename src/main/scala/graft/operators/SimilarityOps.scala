@@ -291,6 +291,11 @@ object SimilarityOps {
     * scans — together they are the standard 100 TB ANN architecture. */
   private val PqM = 4
   private val PqK = 16
+  /** Bits one PQ code occupies: log2(PqK). Derived, not hard-coded — the
+    * tuning sweep's bits_per_vec column (m_subspaces × this) must track a
+    * PqK change on BOTH the Spark and oracle sides or it silently reports
+    * the wrong compression rate while staying oracle-green. */
+  private val PqCodeBits = 31 - Integer.numberOfLeadingZeros(PqK)
   private val SubDim = Dim / PqM
 
   /** (vec_id, m, sub, na2): the M per-subspace views of each vector, with
@@ -747,7 +752,7 @@ object SimilarityOps {
           .as("mean_sq_err"))
         .select(lit(mCount).cast("bigint").as("m_subspaces"),
           lit(subDim).cast("bigint").as("sub_dim"),
-          lit(mCount * 4).cast("bigint").as("bits_per_vec"),
+          lit(mCount * PqCodeBits).cast("bigint").as("bits_per_vec"),
           col("n_subvectors"), col("codes_used"), col("mean_sq_err"))
     }
     frames.reduce(_.unionByName(_)).orderBy("m_subspaces")
@@ -1954,7 +1959,7 @@ object SimilarityOps {
          stat_$mc AS (
            SELECT CAST($mc AS BIGINT) AS m_subspaces,
                   CAST($sd AS BIGINT) AS sub_dim,
-                  CAST(${mc * 4} AS BIGINT) AS bits_per_vec,
+                  CAST(${mc * PqCodeBits} AS BIGINT) AS bits_per_vec,
                   CAST(count(*) AS BIGINT) AS n_subvectors,
                   count(DISTINCT m || ':' || code) AS codes_used,
                   CAST(sum(qe) AS DOUBLE) / count(*) / $CosScale AS mean_sq_err

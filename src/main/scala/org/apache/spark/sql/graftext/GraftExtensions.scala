@@ -128,7 +128,9 @@ object GraftExtensions {
     FunctionIdentifier("gram_moments"),
     info("gram_moments",
       "gram_moments(qa) - one-pass integer Gram moments over array<bigint>: " +
-        "struct<n, s1, s2(p,q,decimal)> (the PCA covariance inputs)"),
+        "struct<n, s1, s2(p,q,decimal)> (the PCA covariance inputs). " +
+        "Elements must satisfy |x| <= 2^31 (quantized-vector contract) — " +
+        "larger values raise rather than risk wrapping the 128-bit sums"),
     arity("gram_moments", 1)(exprs => GramMoments(exprs(0)).toAggregateExpression()))
 
   private[graftext] val topkBy = (

@@ -152,6 +152,9 @@ case class GramMoments(
 
 object GramMoments {
 
+  /** Loud-failure input bound: 2^31. See the guard in [[State.add]]. */
+  private[graftext] val MaxAbsElement: Long = 1L << 31
+
   private[graftext] val outType: StructType = StructType(Seq(
     StructField("n", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("s1", ArrayType(LongType, containsNull = true), nullable = false),
@@ -227,7 +230,23 @@ object GramMoments {
       val nulls = new Array[Boolean](len)
       p = 0
       while (p < len) {
-        if (arr.isNullAt(p)) nulls(p) = true else vals(p) = arr.getLong(p)
+        if (arr.isNullAt(p)) nulls(p) = true
+        else {
+          val v = arr.getLong(p)
+          // SQL-registered for arbitrary array<bigint>, so out-of-contract
+          // input must fail LOUDLY (the quantize expressions' rule): with
+          // |x| ≤ 2^31 every product is ≤ 2^62 and the 128-bit accumulator
+          // cannot wrap before ~2^65 rows, but elements near 2^63 could
+          // wrap it SILENTLY into a legitimate-looking in-range sum. One
+          // compare per element, amortized over the O(d²/2) pair loop.
+          if (v > GramMoments.MaxAbsElement || v < -GramMoments.MaxAbsElement)
+            throw new ArithmeticException(
+              s"gram_moments: |element| $v exceeds 2^31 — the exactness " +
+                "contract covers quantized vectors (|x| ≤ scale·2^11 ≪ " +
+                "2^31); larger inputs could wrap the 128-bit accumulator " +
+                "silently")
+          vals(p) = v
+        }
         p += 1
       }
       p = 0

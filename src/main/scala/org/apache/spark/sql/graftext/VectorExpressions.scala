@@ -207,11 +207,15 @@ object FloatVectorQuantize {
       if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
       else java.math.BigDecimal.valueOf(d)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
-    // same acceptance window as Spark's ANSI Cast(double → long):
-    // Long.MaxValue.toDouble rounds UP to 2^63 (not representable), so
-    // equality there must reject; Long.MinValue.toDouble is exact
+    // same acceptance window as Spark's ANSI Cast(double → long), which
+    // compares floor(d) <= Long.MaxValue with MaxValue PROMOTED to double
+    // (= 2^63 exactly, though MaxValue itself is 2^63-1): d == 2^63
+    // therefore passes Spark's check and d.toLong SATURATES to
+    // Long.MaxValue — so equality here must accept and saturate too
+    // (r.toLong below does), not raise one value early.
+    // Long.MinValue.toDouble is exact; equality there is accepted by both.
     if (java.lang.Double.isNaN(r) || r < Long.MinValue.toDouble ||
-        r >= Long.MaxValue.toDouble)
+        r > Long.MaxValue.toDouble)
       throw new ArithmeticException(
         s"$what: non-castable quantity $d (poisoned vector element?) — " +
           "the ANSI round().cast(long) chain this expression replaces " +

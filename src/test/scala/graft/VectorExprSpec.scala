@@ -316,6 +316,28 @@ class VectorExprSpec extends SparkTestBase {
     }
   }
 
+  test("vec_quantize saturation boundary matches Spark's ANSI cast exactly at ±2^63") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_quantize
+    // Spark's ANSI Cast(double → long) compares floor(d) <= Long.MaxValue
+    // with MaxValue promoted to double (= 2^63): d == 2^63 passes and
+    // d.toLong SATURATES to Long.MaxValue. The native guard must accept
+    // that same single boundary value (it raised one value early until
+    // the round-12 fix), and still raise just past it.
+    val two63 = math.pow(2, 63) // exact: 9.223372036854776E18
+    val atBoundary = Seq((1L, Seq(1.0f, -1.0f))).toDF("id", "a")
+    val native = atBoundary.select(vec_quantize(col("a"), two63)).head().getSeq[Long](0)
+    assert(native == Seq(Long.MaxValue, Long.MinValue),
+      s"2^63 must saturate like Spark's ANSI cast, got $native")
+    // the ANSI chain itself, same inputs — the byte-for-byte claim
+    val hof = atBoundary.select(VectorOps.quantizeHof(col("a"), two63)).head().getSeq[Long](0)
+    assert(hof == native, "native and ANSI round().cast(long) must agree at the boundary")
+    // one ulp past the boundary still raises on both paths
+    val past = Seq((1L, Seq(2.0f))).toDF("id", "a")
+    assertThrows[Exception] { past.select(vec_quantize(col("a"), two63)).collect() }
+    assertThrows[Exception] { past.select(VectorOps.quantizeHof(col("a"), two63)).collect() }
+  }
+
   test("vec_quantize and vec_quantize_stats agree between codegen and interpreted eval") {
     import graft.functions.VectorFunctions.{vec_quantize, vec_quantize_stats}
     val e = Tables.embeddings(spark, sf0001).limit(64)
@@ -474,6 +496,29 @@ class VectorExprSpec extends SparkTestBase {
       "test must exercise the beyond-int64 range")
     assert(aggS1(3).isEmpty && aggS2((0, 3)).isEmpty && aggN(3) == 1L,
       "all-null position must emit NULL moments but count rows")
+  }
+
+  test("gram_moments raises loudly on out-of-contract element magnitude") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftext.GramAggColumns.gram_moments
+    // elements near 2^63 could wrap the 128-bit accumulator into a
+    // legitimate-looking in-range sum with no error — the guard makes
+    // out-of-contract input fail like the quantize expressions do
+    val bad = Seq(Seq((1L << 31) + 1L, 2L)).toDF("qa")
+    val e = intercept[Exception] {
+      bad.agg(gram_moments(col("qa"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds 2^31")),
+      s"expected the magnitude guard, got: ${msgs(e)}")
+    // the boundary itself is in contract (|x| = 2^31 exactly)
+    val edge = Seq(Seq(1L << 31, -(1L << 31))).toDF("qa")
+    val g = edge.agg(gram_moments(col("qa")).as("g")).select("g.s2").head()
+    val s2 = g.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2).toBigInteger)).toMap
+    assert(s2((0, 1)) == java.math.BigInteger.valueOf(1L << 31)
+      .multiply(java.math.BigInteger.valueOf(-(1L << 31))))
   }
 
   test("nearest_centroid agrees between codegen and interpreted eval") {
