@@ -1,0 +1,161 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.operators.ServingOps
+
+/** The publisher REST daemon — the reference's gmall-publisher Spring Boot
+  * app (`P/controller/ChartController.java:24-60`) as a thin JDK
+  * `HttpServer` main over the engine's oracle-checked serving queries.
+  * Closes the one SURVEY §2.6 residual that was "fixture-modeled by
+  * design": the endpoints now EXECUTE, not just their semantics.
+  *
+  * Endpoints (shapes match the reference controller):
+  *   - `GET /realtime-total?date=yyyy-MM-dd` → JSON array of
+  *     `{id, name, value}` stat tiles; the `dau` tile is
+  *     [[ServingOps.realtimeTotal]] (`DauServicelmpl.java:26-42`), the
+  *     `new_mid` tile is the reference's own hard-coded mock
+  *     (`ChartController.java:37-40` puts a literal 2 — kept verbatim as
+  *     shape filler, exactly like the reference).
+  *   - `GET /realtime-hour?id=dau&date=yyyy-MM-dd` →
+  *     `{"yesterday": {"HH": dau…}, "today": {…}}` — two
+  *     [[ServingOps.realtimeHourly]] curves (`ChartController.java:48-57`;
+  *     yesterday via the same minus-one-day rule as `GetDate`).
+  *
+  * Architecture note (SURVEY §1: semantics, not service plumbing): the
+  * reference serves from per-day Elasticsearch indexes that the streaming
+  * layer maintains; this daemon computes the same answers straight from
+  * the dt-pruned events scan ([[ServingOps]] pushes the one-day range
+  * into the parquet scan), with a per-(endpoint, date) answer cache in
+  * front — the closed-day answers are immutable, so a dashboard polling
+  * the same date hits Spark once. At production scale the same main
+  * points at the streaming layer's dt-partitioned output table and
+  * nothing else changes.
+  *
+  * Usage: `graft.serving.ServeMain <sfDir> [port]` (port 0 = ephemeral;
+  * the bound port is printed as `serving on <port>` for harnesses).
+  * JSON is emitted by a 30-line encoder below — the payloads are flat
+  * maps/arrays of strings and longs; no library needed offline.
+  */
+object ServeMain {
+
+  /** Minimal JSON encoder for the payload shapes above (strings, longs,
+    * maps, seqs, null). Strings are escaped per RFC 8259 minimal set. */
+  private[graft] def toJson(v: Any): String = v match {
+    case null => "null"
+    case s: String =>
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append('"').toString()
+    case n: Long => n.toString
+    case n: Int => n.toString
+    case m: collection.Map[_, _] =>
+      m.map { case (k, x) => s"${toJson(k.toString)}:${toJson(x)}" }
+        .mkString("{", ",", "}")
+    case xs: Seq[_] => xs.map(toJson).mkString("[", ",", "]")
+    case other => toJson(other.toString)
+  }
+
+  /** Closed-day answers are immutable: memoize per (endpoint, dir, date)
+    * — dir participates so two servers over different tables in one JVM
+    * (tests, multi-tenant) can't cross-contaminate. The cache is the
+    * whole difference between "dashboard polls every 5 s" and "Spark job
+    * every 5 s". */
+  private val cache = new ConcurrentHashMap[(String, String, String), String]()
+
+  private[serving] def totalJson(spark: SparkSession, dir: String,
+      date: String): String =
+    cache.computeIfAbsent(("total", dir, date), _ => {
+      val dau = ServingOps.realtimeTotal(spark, dir, date)
+        .head().getLong(0)
+      toJson(Seq(
+        // LinkedHashMap: tile order is part of the reference shape
+        collection.immutable.ListMap(
+          "id" -> "dau", "name" -> "dau_total", "value" -> dau),
+        collection.immutable.ListMap(
+          "id" -> "new_mid", "name" -> "new_mid_total", "value" -> 2L)))
+    })
+
+  private def hourCurve(spark: SparkSession, dir: String,
+      date: String): collection.immutable.ListMap[String, Any] = {
+    val rows = ServingOps.realtimeHourly(spark, dir, date).collect()
+    collection.immutable.ListMap(
+      rows.map(r => r.getString(0) -> (r.getLong(1): Any)).toSeq: _*)
+  }
+
+  private[serving] def hourlyJson(spark: SparkSession, dir: String,
+      date: String): String =
+    cache.computeIfAbsent(("hourly", dir, date), _ =>
+      toJson(collection.immutable.ListMap(
+        "yesterday" -> hourCurve(spark, dir, ServingOps.prevDay(date)),
+        "today" -> hourCurve(spark, dir, date))))
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def param(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split('&')).map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == name && v.nonEmpty => v }
+
+  private val DatePattern = "\\d{4}-\\d{2}-\\d{2}".r
+
+  private def handle(ex: HttpExchange)(f: String => String): Unit =
+    try {
+      param(ex, "date") match {
+        case Some(d) if DatePattern.matches(d) => respond(ex, 200, f(d))
+        case Some(d) => respond(ex, 400,
+          toJson(Map("error" -> s"bad date '$d' (want yyyy-MM-dd)")))
+        case None => respond(ex, 400, toJson(Map("error" -> "missing ?date=")))
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, toJson(Map("error" -> String.valueOf(e.getMessage))))
+    } finally ex.close()
+
+  /** Build and start the server; returns it (caller stops it). Port 0
+    * binds an ephemeral port — read it back from `getAddress.getPort`. */
+  def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/realtime-total",
+      (ex: HttpExchange) => handle(ex)(totalJson(spark, dir, _)))
+    server.createContext("/realtime-hour",
+      (ex: HttpExchange) => handle(ex)(hourlyJson(spark, dir, _)))
+    server.createContext("/", (ex: HttpExchange) => {
+      respond(ex, 404, toJson(Map(
+        "error" -> "unknown path",
+        "endpoints" -> Seq("/realtime-total?date=", "/realtime-hour?date="))))
+      ex.close()
+    })
+    server.start()
+    server
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ServeMain <sfDir> [port]")
+    val dir = args(0)
+    val port = if (args.length > 1) args(1).toInt else 8070
+    val spark = GraftSession.build(appName = "graft-serve")
+    val server = start(spark, dir, port)
+    // the harness contract: one parseable line with the bound port
+    println(s"serving on ${server.getAddress.getPort}")
+    sys.addShutdownHook { server.stop(0); spark.stop() }
+    Thread.currentThread().join() // daemon: block until killed
+  }
+}
