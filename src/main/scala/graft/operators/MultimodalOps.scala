@@ -217,6 +217,99 @@ object MultimodalOps {
       .orderBy("modality", "asset_id")
   }
 
+  /** EXACT BINARY DEDUP over the asset payloads — the image-pipeline
+    * standard (LAION/DataComp dedupe stage): hash the OPAQUE BYTES, group,
+    * keep the lowest asset id, price the duplicate storage. Blocked by
+    * modality (an image is never compared against an audio clip — the
+    * same blocking-key role `source` plays in the text dedups). One
+    * shuffle on (modality, md5(payload)) with map-side partial
+    * aggregation; payload bytes never move — only their 16-byte digests
+    * do, which is the whole reason this survives 100 TB of media.
+    * `dup_bytes` = (n_copies−1) × byte_len (copies are byte-identical,
+    * so one length prices them all): the bytes a dedup pass would free. */
+  def assetDedup(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir)
+      .select(col("asset_id"), col("modality"),
+        md5(col("payload")).as("payload_fp"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .groupBy(col("modality"), col("payload_fp"))
+      .agg(min(col("asset_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("byte_len")).as("byte_len"))
+      .select(col("modality"), col("payload_fp"), col("keep_id"),
+        col("n_copies"),
+        ((col("n_copies") - 1) * col("byte_len")).as("dup_bytes"))
+      .orderBy("modality", "keep_id")
+
+  /** Spectrogram window geometry (Whisper-style 25 ms frames scale to a
+    * 400 ms window / 160 ms hop at this corpus's ms grain). */
+  val WinMs = 400L
+  val HopMs = 160L
+  /** Per-asset window cap — long audio is CHUNKED in real pipelines
+    * (Whisper's 30 s segments); the cap bounds the explode fan-out the
+    * same way MaxFrames bounds the video plan. */
+  val MaxWindows = 64L
+
+  /** WINDOW PLAN for audio assets: which (start, end) ms slices feed the
+    * spectrogram/encoder — the audio twin of [[framePlan]], with OVERLAP
+    * (hop < window, the STFT shape) where frames are point samples.
+    * Short clips (< one window) still get one zero-padded window; the
+    * explode fans out ≤ [[MaxWindows]] rows per asset. All integer
+    * arithmetic, engine-replayable; map-side over the asset scan. */
+  def windowPlan(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir).where(col("modality") === "audio")
+      .select(col("asset_id"), col("duration_ms"))
+      .withColumn("n_windows",
+        expr(s"""CASE WHEN duration_ms >= $WinMs
+                 THEN least($MaxWindows, (duration_ms - $WinMs) DIV $HopMs + 1)
+                 ELSE 1 END"""))
+      .withColumn("win_idx", explode(sequence(lit(0L), col("n_windows") - 1)))
+      .withColumn("start_ms", expr(s"win_idx * $HopMs"))
+      .withColumn("end_ms", expr(s"least(start_ms + $WinMs, duration_ms)"))
+      .select(col("asset_id"), col("n_windows"), col("win_idx"),
+        col("start_ms"), col("end_ms"))
+      .orderBy("asset_id", "win_idx")
+
+  /** Bytes one frame fetch reads (container-level slice around the
+    * sampled timestamp) and the gap under which two fetches coalesce
+    * into one object-store GET. */
+  val FrameBytes = 4096L
+  val CoalesceGap = 512L
+
+  /** FETCH PLAN: coalesce [[framePlan]]'s per-frame byte ranges into
+    * object-store GET requests — at 100 TB, frame sampling is an I/O
+    * problem before it is a decode problem, and issuing one ranged GET
+    * per frame (16 per video) would 16× the request bill for bytes that
+    * are usually adjacent. Ranges [off, off+FrameBytes) merge when the
+    * next start is within [[CoalesceGap]] of the previous end (paying
+    * ≤ gap wasted bytes to save a round trip — the classic vectored-IO
+    * trade). Frame offsets are monotone per asset (timestamps are), so
+    * one lag() flags range starts and a running sum numbers them: two
+    * window passes + one groupBy, ALL partitioned by asset — no global
+    * shuffle beyond the hash on asset_id. */
+  def fetchPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byIdx = Window.partitionBy("asset_id").orderBy("frame_idx")
+    val ranges = framePlan(spark, dir)
+      .join(assets(spark, dir).select(col("asset_id"),
+        length(col("payload")).cast("long").as("byte_len")), Seq("asset_id"))
+      .select(col("asset_id"), col("frame_idx"), col("byte_offset"),
+        expr(s"least(byte_offset + $FrameBytes, byte_len)").as("byte_end"))
+      .withColumn("prev_end", lag(col("byte_end"), 1).over(byIdx))
+      .withColumn("new_range",
+        when(col("prev_end").isNull ||
+          col("byte_offset") > col("prev_end") + CoalesceGap, 1L)
+          .otherwise(0L))
+      .withColumn("range_id", sum(col("new_range")).over(
+        byIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+    ranges.groupBy("asset_id", "range_id")
+      .agg(min(col("byte_offset")).as("range_start"),
+        max(col("byte_end")).as("range_end"),
+        count(lit(1)).as("n_frames"))
+      .withColumn("io_bytes", col("range_end") - col("range_start"))
+      .orderBy("asset_id", "range_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> (assetMeta _),
@@ -225,6 +318,9 @@ object MultimodalOps {
     "q_mm_shards" -> (shardManifest _),
     "q_mm_resize" -> (resizePlan _),
     "q_mm_frames" -> (framePlan _),
+    "q_mm_dedup" -> (assetDedup _),
+    "q_mm_windows" -> (windowPlan _),
+    "q_mm_fetch_plan" -> (fetchPlan _),
   )
 
   /** DuckDB replay of [[featureAnn]] — GENERATED over the FeatureDim bins
@@ -308,6 +404,86 @@ object MultimodalOps {
          SELECT asset_id, n_frames, frame_idx, t_ms,
                 (t_ms * byte_len) // greatest(duration_ms, 1) AS byte_offset
          FROM g ORDER BY asset_id, frame_idx""",
+    // binary exact dedup: md5 over the SAME utf-8 payload bytes —
+    // DuckDB 1.0 has only md5(VARCHAR), which hashes the string's UTF-8
+    // bytes, i.e. exactly Spark's md5(text.cast(binary)); lowercase hex
+    // both sides; count(*)/min are BIGINT both sides
+    "q_mm_dedup" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                  ELSE 'video' END AS modality,
+                  md5(text) AS payload_fp,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+           FROM documents)
+         SELECT modality, payload_fp, min(asset_id) AS keep_id,
+                count(*) AS n_copies,
+                CAST((count(*) - 1) * min(byte_len) AS BIGINT) AS dup_bytes
+         FROM a GROUP BY modality, payload_fp
+         ORDER BY modality, keep_id""",
+    // audio window plan: same capped (duration-win)//hop+1 arithmetic
+    "q_mm_windows" ->
+      s"""WITH au AS (
+           SELECT doc_id AS asset_id, n_chars * 40 AS duration_ms
+           FROM documents WHERE doc_id % 3 = 1),
+         w AS (
+           SELECT asset_id, duration_ms,
+                  CASE WHEN duration_ms >= $WinMs
+                       THEN least($MaxWindows,
+                                  (duration_ms - $WinMs) // $HopMs + 1)
+                       ELSE 1 END AS n_windows
+           FROM au)
+         SELECT asset_id, n_windows, CAST(u.i AS BIGINT) AS win_idx,
+                u.i * $HopMs AS start_ms,
+                least(u.i * $HopMs + $WinMs, duration_ms) AS end_ms
+         FROM w, unnest(generate_series(0, n_windows - 1)) AS u(i)
+         ORDER BY asset_id, win_idx""",
+    // fetch coalescing: replay the frame plan, then the same
+    // lag/flag/running-sum range numbering and rollup
+    "q_mm_fetch_plan" ->
+      s"""WITH v AS (
+           SELECT doc_id AS asset_id,
+                  n_chars * 40 AS duration_ms,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+           FROM documents WHERE doc_id % 3 = 2),
+         f AS (
+           SELECT asset_id, duration_ms, byte_len,
+                  least($MaxFrames, duration_ms // 1000 + 1) AS n_frames
+           FROM v),
+         g AS (
+           SELECT asset_id, byte_len, CAST(u.i AS BIGINT) AS frame_idx,
+                  (u.i * duration_ms) // n_frames AS t_ms,
+                  duration_ms
+           FROM f, unnest(generate_series(0, n_frames - 1)) AS u(i)),
+         o AS (
+           SELECT asset_id, frame_idx,
+                  (t_ms * byte_len) // greatest(duration_ms, 1) AS byte_offset,
+                  least((t_ms * byte_len) // greatest(duration_ms, 1)
+                        + $FrameBytes, byte_len) AS byte_end
+           FROM g),
+         r AS (
+           SELECT asset_id, frame_idx, byte_offset, byte_end,
+                  lag(byte_end) OVER (
+                    PARTITION BY asset_id ORDER BY frame_idx) AS prev_end
+           FROM o),
+         n AS (
+           SELECT *, CASE WHEN prev_end IS NULL
+                          OR byte_offset > prev_end + $CoalesceGap
+                          THEN 1 ELSE 0 END AS new_range
+           FROM r),
+         ri AS (
+           SELECT *, CAST(sum(new_range) OVER (
+                    PARTITION BY asset_id ORDER BY frame_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - 1 AS range_id
+           FROM n)
+         SELECT asset_id, range_id,
+                min(byte_offset) AS range_start,
+                max(byte_end) AS range_end,
+                count(*) AS n_frames,
+                max(byte_end) - min(byte_offset) AS io_bytes
+         FROM ri GROUP BY asset_id, range_id
+         ORDER BY asset_id, range_id""",
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id,
                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -196,6 +196,78 @@ class TextMultimodalSpec extends SparkTestBase {
       (7L, "audio", 1L, 14464L)))
   }
 
+  test("asset dedup: identical payloads merge within a modality, never across") {
+    // 3 and 6 are both image (%3=0) with identical bytes → one group,
+    // keep = min id, dup_bytes = one copy's length; 1 (audio) has the
+    // SAME bytes but a different modality → its own group (modality is
+    // the blocking key, like `source` in the text dedups); 9 is unique
+    val dir = documentsFixture(Seq(
+      (3L, "same bytes", "en", "src0"),
+      (6L, "same bytes", "en", "src0"),
+      (1L, "same bytes", "en", "src0"),
+      (9L, "other", "en", "src0")))
+    val got = graft.operators.MultimodalOps.assetDedup(spark, dir).collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies"), r.getAs[Long]("dup_bytes")))
+    assert(got.toSeq == Seq(
+      ("audio", 1L, 1L, 0L),
+      ("image", 3L, 2L, 10L),  // "same bytes".length = 10
+      ("image", 9L, 1L, 0L)))
+  }
+
+  test("audio window plan: zero-pad short clip, STFT overlap, fan-out cap") {
+    // audio = doc_id % 3 == 1; duration_ms = n_chars * 40
+    val dir = documentsFixture(Seq(
+      (1L, "a" * 5, "en", "src0"),     // 200 ms < 400 → one padded window
+      (4L, "b" * 30, "en", "src0"),    // 1200 ms → (1200-400)/160+1 = 6
+      (7L, "c" * 10000, "en", "src0"))) // 400 s → capped at 64
+    val got = graft.operators.MultimodalOps.windowPlan(spark, dir).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("win_idx"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms")))
+    val byAsset = got.groupBy(_._1)
+    assert(byAsset(1L).toSeq == Seq((1L, 1L, 0L, 0L, 200L)))
+    assert(byAsset(4L).map(_._4).sorted.toSeq ==
+      Seq(0L, 160L, 320L, 480L, 640L, 800L))
+    assert(byAsset(4L).forall { case (_, n, i, s, e) =>
+      n == 6L && e == math.min(s + 400L, 1200L) })
+    assert(byAsset(7L).length == 64 && byAsset(7L).forall(_._2 == 64L))
+    // overlap: consecutive windows share 400-160 = 240 ms
+    val w4 = byAsset(4L).sortBy(_._3)
+    w4.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 - a._4 == 160L && a._5 > b._4, "hop < window → overlap") }
+  }
+
+  test("fetch plan: adjacent frame ranges coalesce into one GET, distant ones don't") {
+    // video = doc_id % 3 == 2. byte_len = n_chars (ascii), 16 frames each.
+    // doc 2: 100000 bytes → frame offsets 6250·i; the next offset is 2154
+    // bytes past the previous range end (6250·i + 4096) > the 512 gap →
+    // 16 separate GETs of 4096 bytes each.
+    // doc 5: 1000 bytes → every frame's [offset, offset+4096) clamps to
+    // byte_len → one coalesced GET of the whole asset.
+    val dir = documentsFixture(Seq(
+      (2L, "x" * 100000, "en", "src0"),
+      (5L, "y" * 1000, "en", "src0")))
+    val got = graft.operators.MultimodalOps.fetchPlan(spark, dir).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("range_id"),
+        r.getAs[Long]("range_start"), r.getAs[Long]("range_end"),
+        r.getAs[Long]("n_frames"), r.getAs[Long]("io_bytes")))
+    val byAsset = got.groupBy(_._1)
+    assert(byAsset(2L).length == 16)
+    assert(byAsset(2L).forall { case (_, _, s, e, n, b) =>
+      n == 1L && b == 4096L && e == s + 4096L })
+    assert(byAsset(2L).map(_._2).sorted.toSeq == (0L until 16L).toSeq,
+      "range ids are dense from 0")
+    assert(byAsset(5L).toSeq == Seq((5L, 0L, 0L, 1000L, 16L, 1000L)))
+    // coverage invariant: every sampled frame's slice is inside a range
+    val frames = graft.operators.MultimodalOps.framePlan(spark, dir).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("byte_offset")))
+    frames.foreach { case (id, off) =>
+      assert(byAsset(id).exists { case (_, _, s, e, _, _) =>
+        s <= off && off < e || (off == e && e == s) }, s"frame $id@$off uncovered")
+    }
+  }
+
   test("multimodal: features deterministic across runs, histogram sums to 1") {
     val f1 = MultimodalOps.featureStats(spark, sf0001).collect()
     val f2 = MultimodalOps.featureStats(spark, sf0001).collect()

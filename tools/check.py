@@ -83,6 +83,7 @@ for name in names:
         exp = con.execute(oracle[name]).fetch_arrow_table()
     except Exception as e:
         print(f"  [ORACLE-ERR] {name}: {e}")
+        record_diff(name, kind="oracle-error", error=str(e))
         n_fail += 1
         continue
     # Arrow-dtype parity: the driver HASHES result values after a pandas
