@@ -173,6 +173,15 @@ object MultimodalOps {
     * proportional byte offset with a zero-duration guard), replayable;
     * the explode fans out ≤16 rows per asset — bounded, map-side. */
   def framePlan(spark: SparkSession, dir: String): DataFrame =
+    framePlanWithLen(spark, dir)
+      .select(col("asset_id"), col("n_frames"), col("frame_idx"),
+        col("t_ms"), col("byte_offset"))
+      .orderBy("asset_id", "frame_idx")
+
+  /** [[framePlan]] before its final projection, keeping `byte_len` — so
+    * [[fetchPlan]] doesn't need a SECOND payload-bearing scan + join just
+    * to recover a length the plan already computed. */
+  private def framePlanWithLen(spark: SparkSession, dir: String): DataFrame =
     assets(spark, dir).where(col("modality") === "video")
       .select(col("asset_id"), col("duration_ms"),
         length(col("payload")).cast("long").as("byte_len"))
@@ -183,9 +192,6 @@ object MultimodalOps {
       .withColumn("t_ms", expr("(frame_idx * duration_ms) DIV n_frames"))
       .withColumn("byte_offset",
         expr("(t_ms * byte_len) DIV greatest(duration_ms, 1)"))
-      .select(col("asset_id"), col("n_frames"), col("frame_idx"),
-        col("t_ms"), col("byte_offset"))
-      .orderBy("asset_id", "frame_idx")
 
   /** Manifest volume width: shards are scoped per (modality, volume =
     * asset_id DIV width), so the packing window never sorts more than one
@@ -290,9 +296,7 @@ object MultimodalOps {
   def fetchPlan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byIdx = Window.partitionBy("asset_id").orderBy("frame_idx")
-    val ranges = framePlan(spark, dir)
-      .join(assets(spark, dir).select(col("asset_id"),
-        length(col("payload")).cast("long").as("byte_len")), Seq("asset_id"))
+    val ranges = framePlanWithLen(spark, dir)
       .select(col("asset_id"), col("frame_idx"), col("byte_offset"),
         expr(s"least(byte_offset + $FrameBytes, byte_len)").as("byte_end"))
       .withColumn("prev_end", lag(col("byte_end"), 1).over(byIdx))

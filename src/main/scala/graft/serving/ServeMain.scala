@@ -67,16 +67,29 @@ object ServeMain {
     case other => toJson(other.toString)
   }
 
-  /** Closed-day answers are immutable: memoize per (endpoint, dir, date)
+  /** CLOSED-day answers are immutable: memoize per (endpoint, dir, date)
     * — dir participates so two servers over different tables in one JVM
-    * (tests, multi-tenant) can't cross-contaminate. The cache is the
-    * whole difference between "dashboard polls every 5 s" and "Spark job
-    * every 5 s". */
+    * (tests, multi-tenant) can't cross-contaminate. The OPEN (current or
+    * future) day is never cached: its answer changes with every
+    * micro-batch, and the reference controller recomputes per request —
+    * freezing today's DAU at its first-poll value would be wrong all
+    * day. The cache is still the whole difference between "dashboard
+    * polls every 5 s" and "Spark job every 5 s", because dashboards
+    * mostly compare CLOSED days (yesterday's curve is cached even while
+    * today's recomputes). */
   private val cache = new ConcurrentHashMap[(String, String, String), String]()
+
+  private def closedDay(date: String): Boolean =
+    java.time.LocalDate.parse(date)
+      .isBefore(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+
+  /** Memoize only closed days; open days compute every call. */
+  private def cached(key: (String, String, String))(f: => String): String =
+    if (closedDay(key._3)) cache.computeIfAbsent(key, _ => f) else f
 
   private[serving] def totalJson(spark: SparkSession, dir: String,
       date: String): String =
-    cache.computeIfAbsent(("total", dir, date), _ => {
+    cached(("total", dir, date)) {
       val dau = ServingOps.realtimeTotal(spark, dir, date)
         .head().getLong(0)
       toJson(Seq(
@@ -85,7 +98,7 @@ object ServeMain {
           "id" -> "dau", "name" -> "dau_total", "value" -> dau),
         collection.immutable.ListMap(
           "id" -> "new_mid", "name" -> "new_mid_total", "value" -> 2L)))
-    })
+    }
 
   private def hourCurve(spark: SparkSession, dir: String,
       date: String): collection.immutable.ListMap[String, Any] = {
@@ -96,10 +109,11 @@ object ServeMain {
 
   private[serving] def hourlyJson(spark: SparkSession, dir: String,
       date: String): String =
-    cache.computeIfAbsent(("hourly", dir, date), _ =>
+    cached(("hourly", dir, date)) {
       toJson(collection.immutable.ListMap(
         "yesterday" -> hourCurve(spark, dir, ServingOps.prevDay(date)),
-        "today" -> hourCurve(spark, dir, date))))
+        "today" -> hourCurve(spark, dir, date)))
+    }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -133,6 +147,13 @@ object ServeMain {
     * binds an ephemeral port — read it back from `getAddress.getPort`. */
   def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // without an executor the JDK server runs EVERY handler on its one
+    // dispatcher thread — a first-touch Spark computation would block
+    // even cache-hit requests for other dates. A small pool lets cached
+    // answers flow while one uncached date computes (computeIfAbsent
+    // already prevents duplicate computation per key).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      r => { val t = new Thread(r, "graft-serve"); t.setDaemon(true); t }))
     server.createContext("/realtime-total",
       (ex: HttpExchange) => handle(ex)(totalJson(spark, dir, _)))
     server.createContext("/realtime-hour",

@@ -5,7 +5,8 @@ import java.io.ByteArrayInputStream
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Literal, PlanExpression, Predicate, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, GetStructField, Literal, PlanExpression, Predicate, XxHash64}
+import org.apache.spark.sql.catalyst.trees.TreePattern.OUTER_REFERENCE
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral, JavaCode, TrueLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -87,12 +88,23 @@ case class BloomProbe(bloomFilterExpression: Expression, valueExpression: Expres
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType | NullType, LongType | NullType) =>
+        // mirrors Spark's own acceptance set exactly: a CORRELATED
+        // subquery must be rejected HERE (the optimizer would decorrelate
+        // it into a join attribute and the once-per-task eval would NPE
+        // deep in execution), and a struct-field projection over an
+        // uncorrelated scalar subquery is fine (the subquery still
+        // evaluates once)
         bloomFilterExpression match {
           case e if e.foldable => TypeCheckResult.TypeCheckSuccess
-          case _: PlanExpression[_] => TypeCheckResult.TypeCheckSuccess
+          case sub: PlanExpression[_] if !sub.containsPattern(OUTER_REFERENCE) =>
+            TypeCheckResult.TypeCheckSuccess
+          case GetStructField(sub: PlanExpression[_], _, _)
+              if !sub.containsPattern(OUTER_REFERENCE) =>
+            TypeCheckResult.TypeCheckSuccess
           case _ => TypeCheckResult.TypeCheckFailure(
-            s"$prettyName: the filter argument must be a constant or scalar " +
-              "subquery (it is deserialized once per task, never per row)")
+            s"$prettyName: the filter argument must be a constant or " +
+              "UNCORRELATED scalar subquery (it is deserialized once per " +
+              "task, never per row)")
         }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs (binary, bigint) arguments, got " +

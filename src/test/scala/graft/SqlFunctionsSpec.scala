@@ -172,7 +172,25 @@ class SqlFunctionsSpec extends SparkTestBase {
           "(SELECT x, (SELECT bloom_agg(x, 100) FROM bloom_vals2) AS bf " +
           "FROM bloom_vals2) t").collect()
     }
-    assert(e.getMessage.contains("constant or scalar subquery"),
+    assert(e.getMessage.contains("constant or UNCORRELATED scalar subquery"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("bloom_might_contain rejects a CORRELATED scalar subquery at analysis time") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 1L), (2L, 1L)).toDF("x", "k").createOrReplaceTempView("bloom_vals3")
+    // a correlated subquery would be decorrelated into a join attribute,
+    // turning the once-per-task eval into a deep-execution NPE — it must
+    // die cleanly at analysis instead (Spark's own acceptance set)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT bloom_might_contain(" +
+          "(SELECT bloom_agg(i.x, 100) FROM bloom_vals3 i WHERE i.k = o.k), " +
+          "o.x) FROM bloom_vals3 o").collect()
+    }
+    assert(e.getMessage.contains("UNCORRELATED") ||
+      e.getMessage.contains("correlated"),
       s"unexpected error: ${e.getMessage}")
   }
 }

@@ -38,11 +38,28 @@ def bits(v):
         return repr(v)
 
 
-diffs = {}  # name -> list of row-level divergence records, dumped at exit
+diffs = {}  # name -> list of row-level divergence records
+_counts = {"pass": 0, "fail": 0, "rows_only": 0}
+
+
+def flush_diffs():
+    """Rewrite the diff artifact NOW — the sandbox kills long gates under
+    load (CLAUDE.md; Verify writes incrementally for the same reason), and
+    an artifact that only appears after the full loop would vanish in
+    exactly the degraded runs it exists to diagnose."""
+    meta = {"duckdb": duckdb.__version__, "pyarrow": pa.__version__,
+            "pandas": pd.__version__, "sf_dir": sf,
+            "pass": _counts["pass"], "fail": _counts["fail"],
+            "rows_only": _counts["rows_only"], "diffs": diffs}
+    tmp = f"{out}/._gate_diffs.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+    os.replace(tmp, f"{out}/_gate_diffs.json")
 
 
 def record_diff(name, **kw):
     diffs.setdefault(name, []).append(kw)
+    flush_diffs()
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
@@ -165,7 +182,12 @@ for name in names:
                 bad = ~((pd.isna(gv) & pd.isna(ev)) |
                         np.isclose(gv.astype(float), ev.astype(float),
                                    rtol=1e-9, atol=1e-12, equal_nan=True))
-                exact = np.array_equal(gv, ev, equal_nan=True)
+                # BITWISE divergence is the ground truth (the driver hashes
+                # bit-level representations): value equality would hide
+                # +0.0 vs -0.0 and differing NaN payloads — exactly the
+                # non-reproducing-fail class this artifact exists to catch
+                nb = (np.frombuffer(gv.astype(np.float64).tobytes(), dtype=np.uint64)
+                      != np.frombuffer(ev.astype(np.float64).tobytes(), dtype=np.uint64))
                 if bad.any():
                     i = int(np.argmax(bad))
                     print(f"  [FAIL] {name}.{c}: row {i} spark={gv[i]!r} duck={ev[i]!r}")
@@ -173,13 +195,11 @@ for name in names:
                                 spark=repr(gv[i]), duck=repr(ev[i]),
                                 spark_bits=bits(gv[i]), duck_bits=bits(ev[i]))
                     ok = False
-                elif not exact:
+                elif nb.any():
                     # surface the FIRST bit-divergent row with both bit
-                    # patterns — the driver hashes bits, so "close" rows
-                    # are exactly the non-reproducing-fail candidates
-                    nb = ~((pd.isna(gv) & pd.isna(ev)) |
-                           (np.frombuffer(gv.astype(np.float64).tobytes(), dtype=np.uint64)
-                            == np.frombuffer(ev.astype(np.float64).tobytes(), dtype=np.uint64)))
+                    # patterns (NaN-payload diffs between two NaNs are
+                    # unreachable through parquet/duckdb, but signed zeros
+                    # are real: both hash differently driver-side)
                     i = int(np.argmax(nb))
                     print(f"  [warn] {name}.{c}: doubles close but not bit-identical "
                           f"(row {i}: spark={bits(gv[i])} duck={bits(ev[i])})")
@@ -202,16 +222,10 @@ for name in names:
     else:
         n_fail += 1
 
-# Diagnosability artifact: every divergence (fails AND bits-only warns)
-# with first-divergent-row values + IEEE bit patterns + engine versions,
-# so a fail that doesn't reproduce elsewhere is arguable from the file
-# alone (VERDICT r11 #1).
-meta = {"duckdb": duckdb.__version__, "pyarrow": pa.__version__,
-        "pandas": pd.__version__, "sf_dir": sf,
-        "pass": n_pass, "fail": n_fail, "rows_only": n_noor,
-        "diffs": diffs}
-with open(f"{out}/_gate_diffs.json", "w") as f:
-    json.dump(meta, f, indent=1, default=str)
+# Final artifact write (diffs were also flushed incrementally on every
+# record so a killed gate keeps its partial diagnostics — VERDICT r11 #1).
+_counts.update({"pass": n_pass, "fail": n_fail, "rows_only": n_noor})
+flush_diffs()
 
 print(f"\n{n_pass} pass, {n_fail} fail, {n_noor} rows-only "
       f"(diff artifact: {out}/_gate_diffs.json)")
