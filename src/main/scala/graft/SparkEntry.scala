@@ -121,7 +121,10 @@ object SparkEntry {
     // cheap one-off-small-corpus variant, kept for the cost comparison
     // now that the registered q_hamming_neardup/q_simhash graduated to
     // the unbounded-key Manku blocking in round 11
-    "x_hamming_pigeonhole" -> ((s, d) => DedupOps.hammingNearDupPigeonhole(s, d)))
+    "x_hamming_pigeonhole" -> ((s, d) => DedupOps.hammingNearDupPigeonhole(s, d)),
+    // xxhash64 binary-asset dedup (registered q_mm_dedup keeps md5 for
+    // the DuckDB replay); group structure spec-pinned identical
+    "x_mm_dedup_fast" -> ((s, d) => MultimodalOps.assetDedupFast(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -247,6 +247,26 @@ object MultimodalOps {
         ((col("n_copies") - 1) * col("byte_len")).as("dup_bytes"))
       .orderBy("modality", "keep_id")
 
+  /** Production path of [[assetDedup]]: xxhash64 instead of md5 — half
+    * the digest bytes and a far cheaper non-cryptographic hash, the right
+    * trade for non-adversarial corpus dedup at 100 TB (md5 stays in the
+    * REGISTERED query because DuckDB has no xxhash64 to replay). Bench-
+    * only (`x_mm_dedup_fast`); spec pins the group structure (keep_id,
+    * n_copies, dup_bytes per modality) identical to the md5 form. */
+  def assetDedupFast(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir)
+      .select(col("asset_id"), col("modality"),
+        xxhash64(col("payload")).as("payload_fp"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .groupBy(col("modality"), col("payload_fp"))
+      .agg(min(col("asset_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("byte_len")).as("byte_len"))
+      .select(col("modality"), col("payload_fp"), col("keep_id"),
+        col("n_copies"),
+        ((col("n_copies") - 1) * col("byte_len")).as("dup_bytes"))
+      .orderBy("modality", "keep_id")
+
   /** Spectrogram window geometry (Whisper-style 25 ms frames scale to a
     * 400 ms window / 160 ms hop at this corpus's ms grain). */
   val WinMs = 400L

@@ -215,6 +215,16 @@ class TextMultimodalSpec extends SparkTestBase {
       ("image", 9L, 1L, 0L)))
   }
 
+  test("xxhash64 asset dedup has the identical group structure to the md5 form") {
+    val md = graft.operators.MultimodalOps.assetDedup(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies"), r.getAs[Long]("dup_bytes"))).sorted.toSeq
+    val xx = graft.operators.MultimodalOps.assetDedupFast(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies"), r.getAs[Long]("dup_bytes"))).sorted.toSeq
+    assert(md == xx, "hash choice must not change the dedup answer")
+  }
+
   test("audio window plan: zero-pad short clip, STFT overlap, fan-out cap") {
     // audio = doc_id % 3 == 1; duration_ms = n_chars * 40
     val dir = documentsFixture(Seq(
