@@ -104,6 +104,16 @@ object StreamBench {
         .option("checkpointLocation", s"$work/cur_ckpt").start()
     }
 
+    // 1b) asset intake: binary payloads fingerprinted map-side, dedup
+    // state holds metadata + 8-byte digests only (the multimodal ingest
+    // shape — media bytes are dropped before the state store)
+    results("asset_intake") = measure {
+      StreamingOps.assetIntakeStream(
+        asStream(graft.operators.MultimodalOps.assets(spark, sfDir), "as_in"))
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$work/as_ckpt").start()
+    }
+
     // 2) near-dup intake: corpus slice indexed offline, batch slice streamed
     graft.operators.DedupOps.buildSnapNearDupIndex(
       spark, sfDir, "sb_band_idx", "sb_sig")

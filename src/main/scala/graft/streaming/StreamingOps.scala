@@ -445,6 +445,25 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** STREAMING MULTIMODAL INGEST — dedup-on-arrival for binary assets,
+    * the streaming twin of the batch `q_mm_dedup`: fingerprint the
+    * OPAQUE payload map-side (xxhash64 — the production digest, matching
+    * x_mm_dedup_fast), then keep the FIRST arrival of each
+    * (modality, digest) across ALL micro-batches via dropDuplicates
+    * state. Only metadata + the 8-byte digest enter the state store —
+    * media bytes are dropped at the map stage, which is what makes the
+    * state bounded while 100 TB of payloads flow past. Keep-rule
+    * difference vs batch (documented, spec-pinned): the stream keeps the
+    * first ARRIVAL, the batch dedup the MIN id — the kept (modality,
+    * digest) SET and group counts are identical, the representative can
+    * differ (same convention as the curation intake's fp state). */
+  def assetIntakeStream(assets: DataFrame): DataFrame =
+    assets.select(col("asset_id"), col("modality"),
+        xxhash64(col("payload")).as("payload_fp"),
+        length(col("payload")).cast("long").as("byte_len"),
+        col("width"), col("height"), col("duration_ms"))
+      .dropDuplicates("modality", "payload_fp")
+
   def curationIntakeStream(docs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.{rolling_hash31, word_ngrams}
     val t = split(col("text"), " ")

@@ -465,6 +465,66 @@ class StreamingSpec extends SparkTestBase {
     assert(back.where(col("op") === "delete").count() == 0)
   }
 
+  test("asset intake stream: cross-batch payload dedup, modality-blocked, metadata only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Array[Byte], Long, Long, Long)]
+    val assets = in.toDF()
+      .toDF("asset_id", "modality", "payload", "width", "height", "duration_ms")
+    val q = StreamingOps.assetIntakeStream(assets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asset_intake").start()
+    val bytesA = "same jpeg bytes".getBytes("UTF-8")
+    val bytesB = "other bytes".getBytes("UTF-8")
+    in.addData((1L, "image", bytesA, 64L, 64L, 0L))
+    q.processAllAvailable()
+    // batch 2: exact payload dup of asset 1 (suppressed by cross-batch
+    // state), the SAME bytes under another modality (kept — modality
+    // blocks), and a new payload
+    in.addData((2L, "image", bytesA, 64L, 64L, 0L),
+      (3L, "audio", bytesA, 0L, 0L, 1000L),
+      (4L, "image", bytesB, 32L, 32L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("asset_intake").collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[String]("modality")).toMap
+    assert(out == Map(1L -> "image", 3L -> "audio", 4L -> "image"),
+      s"got $out")
+    // media bytes must NOT flow into the output/state — metadata + digest only
+    assert(!spark.table("asset_intake").schema.fieldNames.contains("payload"))
+  }
+
+  test("asset intake: streaming and batch agree on the kept (modality, digest) set") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.MultimodalOps.assetDedupFast(spark, sf0001)
+      .select("modality", "payload_fp", "n_copies").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val schema = spark.read
+      .option("pathGlobFilter", "documents.parquet").parquet(sf0001).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf0001)
+    // the intake takes the ASSET shape; reuse the same synthesis the
+    // batch table uses so stream and batch see identical payloads
+    val assetStream = raw.select(
+      col("doc_id").as("asset_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 640 + 1).as("width"),
+      (col("n_chars") % 480 + 1).as("height"),
+      (col("n_chars") * 40L).as("duration_ms"))
+    val q = StreamingOps.assetIntakeStream(assetStream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asset_intake_f").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asset_intake_f")
+      .select("modality", "payload_fp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch.keySet,
+      s"stream kept ${streamed.size} digests, batch ${batch.keySet.size}")
+  }
+
   test("curation intake stream: quality/repetition gate + cross-batch content dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
