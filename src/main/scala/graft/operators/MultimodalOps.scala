@@ -28,7 +28,13 @@ object MultimodalOps {
     * text (an opaque blob as far as the pipeline is concerned), modality
     * round-robined, metadata derived deterministically from n_chars. */
   def assets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    assetsFrom(Tables.documents(spark, dir))
+
+  /** The synthesis itself, over ANY documents-shaped frame — a streaming
+    * source included (assetIntakeStream's stream≡batch spec applies this
+    * to a readStream, so stream and batch literally share the shape). */
+  def assetsFrom(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("asset_id"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
@@ -234,9 +240,18 @@ object MultimodalOps {
     * `dup_bytes` = (n_copies−1) × byte_len (copies are byte-identical,
     * so one length prices them all): the bytes a dedup pass would free. */
   def assetDedup(spark: SparkSession, dir: String): DataFrame =
+    assetDedupWith(spark, dir, md5)
+
+  /** The one dedup dataflow, parameterized by the fingerprint function —
+    * the chunkScrubWith/minhashLshImpl pattern: a semantics change (the
+    * pricing, the blocking key) can never half-apply to the md5/xxhash
+    * pair. */
+  private def assetDedupWith(spark: SparkSession, dir: String,
+      fp: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame =
     assets(spark, dir)
       .select(col("asset_id"), col("modality"),
-        md5(col("payload")).as("payload_fp"),
+        fp(col("payload")).as("payload_fp"),
         length(col("payload")).cast("long").as("byte_len"))
       .groupBy(col("modality"), col("payload_fp"))
       .agg(min(col("asset_id")).as("keep_id"),
@@ -254,18 +269,7 @@ object MultimodalOps {
     * only (`x_mm_dedup_fast`); spec pins the group structure (keep_id,
     * n_copies, dup_bytes per modality) identical to the md5 form. */
   def assetDedupFast(spark: SparkSession, dir: String): DataFrame =
-    assets(spark, dir)
-      .select(col("asset_id"), col("modality"),
-        xxhash64(col("payload")).as("payload_fp"),
-        length(col("payload")).cast("long").as("byte_len"))
-      .groupBy(col("modality"), col("payload_fp"))
-      .agg(min(col("asset_id")).as("keep_id"),
-        count(lit(1)).as("n_copies"),
-        min(col("byte_len")).as("byte_len"))
-      .select(col("modality"), col("payload_fp"), col("keep_id"),
-        col("n_copies"),
-        ((col("n_copies") - 1) * col("byte_len")).as("dup_bytes"))
-      .orderBy("modality", "keep_id")
+    assetDedupWith(spark, dir, c => xxhash64(c))
 
   /** Spectrogram window geometry (Whisper-style 25 ms frames scale to a
     * 400 ms window / 160 ms hop at this corpus's ms grain). */

@@ -455,8 +455,9 @@ object StreamingOps {
     * state bounded while 100 TB of payloads flow past. Keep-rule
     * difference vs batch (documented, spec-pinned): the stream keeps the
     * first ARRIVAL, the batch dedup the MIN id — the kept (modality,
-    * digest) SET and group counts are identical, the representative can
-    * differ (same convention as the curation intake's fp state). */
+    * digest) SET is identical, the representative row can differ (same
+    * convention as the curation intake's fp state; group counts are the
+    * batch report's job — dropDuplicates emits one row, not a count). */
   def assetIntakeStream(assets: DataFrame): DataFrame =
     assets.select(col("asset_id"), col("modality"),
         xxhash64(col("payload")).as("payload_fp"),

@@ -497,23 +497,16 @@ class StreamingSpec extends SparkTestBase {
   test("asset intake: streaming and batch agree on the kept (modality, digest) set") {
     implicit val sqlCtx = spark.sqlContext
     val batch = graft.operators.MultimodalOps.assetDedupFast(spark, sf0001)
-      .select("modality", "payload_fp", "n_copies").collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .select("modality", "payload_fp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
     val schema = spark.read
       .option("pathGlobFilter", "documents.parquet").parquet(sf0001).schema
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sf0001)
-    // the intake takes the ASSET shape; reuse the same synthesis the
-    // batch table uses so stream and batch see identical payloads
-    val assetStream = raw.select(
-      col("doc_id").as("asset_id"),
-      element_at(typedlit(Seq("image", "audio", "video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-      col("text").cast("binary").as("payload"),
-      (col("n_chars") % 640 + 1).as("width"),
-      (col("n_chars") % 480 + 1).as("height"),
-      (col("n_chars") * 40L).as("duration_ms"))
-    val q = StreamingOps.assetIntakeStream(assetStream)
+    // the SHARED synthesis applied to the stream — batch and stream
+    // literally run the same assetsFrom shape
+    val q = StreamingOps.assetIntakeStream(
+      graft.operators.MultimodalOps.assetsFrom(raw))
       .writeStream.outputMode("append").format("memory")
       .queryName("asset_intake_f").start()
     q.processAllAvailable()
@@ -521,8 +514,8 @@ class StreamingSpec extends SparkTestBase {
     val streamed = spark.table("asset_intake_f")
       .select("modality", "payload_fp").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(streamed == batch.keySet,
-      s"stream kept ${streamed.size} digests, batch ${batch.keySet.size}")
+    assert(streamed == batch,
+      s"stream kept ${streamed.size} digests, batch ${batch.size}")
   }
 
   test("curation intake stream: quality/repetition gate + cross-batch content dedup") {
