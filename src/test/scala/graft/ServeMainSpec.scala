@@ -61,6 +61,10 @@ class ServeMainSpec extends SparkTestBase {
       val port = server.getAddress.getPort
       assert(get(port, "/realtime-total")._1 == 400)
       assert(get(port, "/realtime-total?date=15-01-2024")._1 == 400)
+      // regex-shaped but impossible date: LocalDate.parse throws inside
+      // the handler → the 500 path, with the message in the body
+      val (s500, b500) = get(port, "/realtime-total?date=2024-02-31")
+      assert(s500 == 500 && b500.contains("error"), s"$s500 $b500")
       val (s404, body) = get(port, "/nope")
       assert(s404 == 404 && body.contains("endpoints"))
     } finally server.stop(0)
