@@ -271,6 +271,38 @@ object MultimodalOps {
   def assetDedupFast(spark: SparkSession, dir: String): DataFrame =
     assetDedupWith(spark, dir, c => xxhash64(c))
 
+  /** DATASET CARD for the media corpus, per modality — the numbers a
+    * multimodal training set publishes (and a curation pass reads before
+    * deciding what to dedup): asset and distinct-payload counts, the
+    * duplicate fraction, total stored bytes vs the bytes a dedup pass
+    * would keep, and the total media duration. Two exact integer
+    * aggregations (per-(modality, digest) rollup, then per modality);
+    * `dup_frac` is one double division of two exact longs, so it is
+    * bit-identical across engines. Scale shape: the same digest-grain
+    * groupBy as [[assetDedup]] — payload bytes never shuffle. */
+  def assetCard(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir)
+      .select(col("modality"), md5(col("payload")).as("payload_fp"),
+        length(col("payload")).cast("long").as("byte_len"),
+        col("duration_ms"))
+      .groupBy(col("modality"), col("payload_fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("byte_len")).as("byte_len"),
+        sum(col("duration_ms")).as("dur_sum"))
+      .groupBy(col("modality"))
+      .agg(sum(col("n_copies")).as("n_assets"),
+        count(lit(1)).as("n_payloads"),
+        sum(col("n_copies") * col("byte_len")).as("total_bytes"),
+        sum(col("byte_len")).as("kept_bytes"),
+        sum(col("dur_sum")).as("total_duration_ms"))
+      .select(col("modality"), col("n_assets"), col("n_payloads"),
+        (lit(1.0) - col("n_payloads").cast("double") /
+          col("n_assets")).as("dup_frac"),
+        col("total_bytes"),
+        (col("total_bytes") - col("kept_bytes")).as("dup_bytes"),
+        col("total_duration_ms"))
+      .orderBy("modality")
+
   /** Spectrogram window geometry (Whisper-style 25 ms frames scale to a
     * 400 ms window / 160 ms hop at this corpus's ms grain). */
   val WinMs = 400L
@@ -347,6 +379,7 @@ object MultimodalOps {
     "q_mm_resize" -> (resizePlan _),
     "q_mm_frames" -> (framePlan _),
     "q_mm_dedup" -> (assetDedup _),
+    "q_mm_card" -> (assetCard _),
     "q_mm_windows" -> (windowPlan _),
     "q_mm_fetch_plan" -> (fetchPlan _),
   )
@@ -432,6 +465,33 @@ object MultimodalOps {
          SELECT asset_id, n_frames, frame_idx, t_ms,
                 (t_ms * byte_len) // greatest(duration_ms, 1) AS byte_offset
          FROM g ORDER BY asset_id, frame_idx""",
+    // per-modality dataset card off the same digest-grain rollup as the
+    // dedup; every emitted number is an exact long (or one double
+    // division of two exact longs), BIGINT/DOUBLE-cast on both sides
+    "q_mm_card" ->
+      """WITH a AS (
+           SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                  ELSE 'video' END AS modality,
+                  md5(text) AS payload_fp,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                  n_chars * 40 AS duration_ms
+           FROM documents),
+         g AS (
+           SELECT modality, payload_fp,
+                  count(*) AS n_copies,
+                  min(byte_len) AS byte_len,
+                  CAST(sum(duration_ms) AS BIGINT) AS dur_sum
+           FROM a GROUP BY modality, payload_fp)
+         SELECT modality,
+                CAST(sum(n_copies) AS BIGINT) AS n_assets,
+                count(*) AS n_payloads,
+                1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n_copies) AS DOUBLE)
+                  AS dup_frac,
+                CAST(sum(n_copies * byte_len) AS BIGINT) AS total_bytes,
+                CAST(sum(n_copies * byte_len) - sum(byte_len) AS BIGINT)
+                  AS dup_bytes,
+                CAST(sum(dur_sum) AS BIGINT) AS total_duration_ms
+         FROM g GROUP BY modality ORDER BY modality""",
     // binary exact dedup: md5 over the SAME utf-8 payload bytes —
     // DuckDB 1.0 has only md5(VARCHAR), which hashes the string's UTF-8
     // bytes, i.e. exactly Spark's md5(text.cast(binary)); lowercase hex

@@ -215,6 +215,25 @@ class TextMultimodalSpec extends SparkTestBase {
       ("image", 9L, 1L, 0L)))
   }
 
+  test("asset card: hand-computed counts, duplicate fraction and recoverable bytes") {
+    // same planted corpus as the dedup spec: image = {3, 6 (dup of 3), 9},
+    // audio = {1}; "same bytes" is 10 chars, "other" 5
+    val dir = documentsFixture(Seq(
+      (3L, "same bytes", "en", "src0"),
+      (6L, "same bytes", "en", "src0"),
+      (1L, "same bytes", "en", "src0"),
+      (9L, "other", "en", "src0")))
+    val got = graft.operators.MultimodalOps.assetCard(spark, dir).collect()
+      .map(r => r.getAs[String]("modality") ->
+        ((r.getAs[Long]("n_assets"), r.getAs[Long]("n_payloads"),
+          r.getAs[Double]("dup_frac"), r.getAs[Long]("total_bytes"),
+          r.getAs[Long]("dup_bytes"), r.getAs[Long]("total_duration_ms"))))
+      .toMap
+    assert(got("audio") == ((1L, 1L, 0.0, 10L, 0L, 400L)))
+    assert(got("image") == ((3L, 2L, 1.0 - 2.0 / 3.0, 25L, 10L, 1000L)),
+      s"image card: ${got("image")}")
+  }
+
   test("xxhash64 asset dedup has the identical group structure to the md5 form") {
     val md = graft.operators.MultimodalOps.assetDedup(spark, sf0001).collect()
       .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
