@@ -37,6 +37,13 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(TextOps.tfidf(spark, dir).count() == 0)
     // the attribution rollup of an empty pair frame is empty, not an error
     assert(DedupOps.sourceOverlap(spark, dir).count() == 0)
+    // the round-12 multimodal family: empty asset table → empty plans,
+    // empty dedup/card, no errors (the window/explode/lag chains all
+    // tolerate zero input rows)
+    assert(graft.operators.MultimodalOps.assetDedup(spark, dir).count() == 0)
+    assert(graft.operators.MultimodalOps.assetCard(spark, dir).count() == 0)
+    assert(graft.operators.MultimodalOps.windowPlan(spark, dir).count() == 0)
+    assert(graft.operators.MultimodalOps.fetchPlan(spark, dir).count() == 0)
   }
 
   test("kmeans tuning on an empty embeddings corpus: 3 null-stat rows, no error") {
