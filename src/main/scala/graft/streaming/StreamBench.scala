@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * main adds the rows/s + per-batch-latency numbers a user sizing an
   * intake needs).
   *
-  * Three production intakes run over SPARK_GRAFT_SF_DIR as file-source
+  * Four production intakes run over SPARK_GRAFT_SF_DIR as file-source
   * streams chopped into SPARK_GRAFT_STREAM_BATCHES micro-batches
   * (maxFilesPerTrigger=1 over a repartition(n)-written input dir — the
   * micro-batch boundary is the unit the 5 s trigger would deliver):
@@ -18,6 +18,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - curation_intake: in-stream quality/repetition gate + cross-batch
   *    exact-dup state (curationIntakeStream) → noop sink. Pure
   *    stream-transform shape: measures gate + state-store throughput.
+  *  - asset_intake: binary payload fingerprints map-side + cross-batch
+  *    (modality, digest) dedup state (assetIntakeStream) → noop sink.
+  *    The multimodal ingest shape: media bytes never reach the state.
   *  - neardup_intake: per-batch MinHash signatures probing the PERSISTED
   *    corpus band index (nearDupIntakeStream) → epoch-partitioned parquet.
   *    Measures the batch-proportional-probe design end to end, sink I/O
