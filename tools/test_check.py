@@ -26,16 +26,26 @@ SF = "/root/testdata/sf0.001"  # tables unused by the literal oracles
 
 
 def run_case(name, spark_tbl, oracle_sql):
+    import shutil
     out = tempfile.mkdtemp(prefix=f"check_self_{name}_")
-    os.makedirs(f"{out}/{name}")
-    pq.write_table(spark_tbl, f"{out}/{name}/part-0.parquet")
-    with open(f"{out}/oracle_sql.json", "w") as f:
-        json.dump({name: oracle_sql}, f)
-    p = subprocess.run(
-        [sys.executable, f"{HERE}/check.py", SF, out],
-        capture_output=True, text=True)
-    diffs = json.load(open(f"{out}/_gate_diffs.json"))["diffs"]
-    return p.returncode, p.stdout, diffs
+    try:
+        os.makedirs(f"{out}/{name}")
+        pq.write_table(spark_tbl, f"{out}/{name}/part-0.parquet")
+        with open(f"{out}/oracle_sql.json", "w") as f:
+            json.dump({name: oracle_sql}, f)
+        p = subprocess.run(
+            [sys.executable, f"{HERE}/check.py", SF, out],
+            capture_output=True, text=True)
+        if not os.path.exists(f"{out}/_gate_diffs.json"):
+            # the gate died before writing its artifact — surface ITS
+            # stderr, not a FileNotFoundError from here (a diagnosability
+            # tool must not fail opaquely)
+            sys.exit(f"check.py produced no artifact for {name} "
+                     f"(rc={p.returncode}):\n{p.stderr[-2000:]}")
+        diffs = json.load(open(f"{out}/_gate_diffs.json"))["diffs"]
+        return p.returncode, p.stdout, diffs
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 fails = []
