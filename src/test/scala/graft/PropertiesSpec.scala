@@ -115,6 +115,30 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: asset card is the exact per-modality rollup of the dedup report") {
+    // cross-op identity: q_mm_card's n_assets / n_payloads / dup_bytes
+    // per modality must equal sums over q_mm_dedup's groups — two
+    // independent dataflows over the same digest grain
+    val gen = Gen.nonEmptyListOf(
+      Gen.oneOf("aaa bbb", "c d e", "ffff", "gg hh ii jj", ""))
+    samples(gen, 5).foreach { texts =>
+      val dir = documentsFixture(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+      val card = graft.operators.MultimodalOps.assetCard(spark, dir)
+        .collect().map(r => r.getAs[String]("modality") ->
+          ((r.getAs[Long]("n_assets"), r.getAs[Long]("n_payloads"),
+            r.getAs[Long]("dup_bytes")))).toMap
+      val fromDedup = graft.operators.MultimodalOps.assetDedup(spark, dir)
+        .groupBy("modality")
+        .agg(sum("n_copies").as("n_assets"),
+          count(lit(1)).as("n_payloads"),
+          sum("dup_bytes").as("dup_bytes"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(card == fromDedup, s"card=$card dedup-rollup=$fromDedup")
+    }
+  }
+
   test("property: chunking covers every token exactly; no chunk is contained in another") {
     import graft.operators.PipelineOps
     val genDoc = for {
