@@ -7,7 +7,10 @@ import graft.Tables
 
 /** Multimodal-column handling for a training-data pipeline: image/audio/
   * video payloads as opaque `binary` columns with typed metadata, plus a
-  * batch feature-extraction stage.
+  * batch feature-extraction stage, the exact binary dedup + per-modality
+  * dataset card, and the integer PLANNING ops (resize geometry, video
+  * frame sampling, audio STFT windows, fetch coalescing, shard packing)
+  * that decide WHAT media work happens before any byte is decoded.
   *
   * The container has no image/audio codecs, so the DECODE step is a
   * clearly-marked deterministic STUB — but all the Spark-side plumbing is
