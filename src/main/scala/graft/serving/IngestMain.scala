@@ -94,10 +94,17 @@ object IngestMain {
         if (body.isEmpty || body.charAt(0) != '{') {
           respond(ex, 400, "body must be one JSON object")
         } else {
-          // one log record = one jsonl line (strip interior newlines so
-          // a pretty-printed body can't split into phantom records)
-          landing.append(body.replace('\n', ' ').replace('\r', ' '))
-          respond(ex, 200, "success") // the reference's literal reply
+          try {
+            // one log record = one jsonl line (strip interior newlines so
+            // a pretty-printed body can't split into phantom records)
+            landing.append(body.replace('\n', ' ').replace('\r', ' '))
+            respond(ex, 200, "success") // the reference's literal reply
+          } catch {
+            // a landing IO failure (disk full, dir removed) must surface
+            // as a 500 the sender can retry on, not a dropped connection
+            case e: Exception =>
+              respond(ex, 500, s"landing failed: ${e.getMessage}")
+          }
         }
       }
     })
