@@ -45,12 +45,24 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 object IngestMain {
 
   /** One rotating jsonl appender over `dir`. Thread-safe via the object
-    * monitor; close() flushes the tail epoch. */
+    * monitor; close() flushes the tail epoch.
+    *
+    * Restart safety: a consumer (`readStream.json(dir)`) reads each
+    * completed epoch file exactly once and never re-reads it, so a file
+    * is immutable the moment it exists — including across daemon
+    * restarts. The constructor therefore scans `dir` and resumes at
+    * max(existing epoch)+1; it must NEVER append to a pre-existing file,
+    * even a partial one from a crash (that file may already have been
+    * consumed mid-write). */
   final class Landing(dir: String, rotateLines: Int) {
-    private val epoch = new AtomicLong(0L)
+    new File(dir).mkdirs()
+    private val EpochName = raw"epoch-(\d{6})\.jsonl".r
+    private val resumeAt: Long = Option(new File(dir).list()).getOrElse(Array.empty[String])
+      .collect { case EpochName(n) => n.toLong }
+      .foldLeft(-1L)(math.max) + 1L
+    private val epoch = new AtomicLong(resumeAt)
     private var lines = 0
     private var out: BufferedWriter = _
-    new File(dir).mkdirs()
 
     private def open(): Unit = {
       out = new BufferedWriter(new FileWriter(
@@ -61,6 +73,11 @@ object IngestMain {
       if (out == null) open()
       out.write(line)
       out.write('\n')
+      // flush per record: `success` is only sent after the line is at
+      // least in the OS page cache, so a daemon crash (not host crash)
+      // loses no acknowledged records and the in-progress epoch is
+      // visible to `tail`/tests without waiting for rotation
+      out.flush()
       lines += 1
       if (lines >= rotateLines) rotate()
     }

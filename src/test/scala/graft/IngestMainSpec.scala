@@ -70,4 +70,32 @@ class IngestMainSpec extends SparkTestBase {
       assert(s == "hello gmall")
     } finally { server.stop(0); landing.close() }
   }
+
+  test("restarted Landing resumes past existing epochs; closed files stay immutable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_restart_").toString
+    // first daemon life: land 3 records at rotateLines=2 → epoch-000000
+    // (closed, 2 lines) + epoch-000001 (closed by close(), 1 line)
+    val first = new IngestMain.Landing(dir, rotateLines = 2)
+    first.append("""{"n":1}"""); first.append("""{"n":2}"""); first.append("""{"n":3}""")
+    first.close()
+    val before = new java.io.File(dir).listFiles().map { f =>
+      f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
+    }.toMap
+    assert(before.keySet == Set("epoch-000000.jsonl", "epoch-000001.jsonl"), before.keySet)
+    // second life over the same dir: must start at epoch 2, not append to 0
+    val second = new IngestMain.Landing(dir, rotateLines = 2)
+    second.append("""{"n":4}""")
+    // per-append flush → the in-progress epoch is already on disk
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files.contains("epoch-000002.jsonl"), files)
+    // every pre-existing file is byte-identical (a consumer already read them)
+    before.foreach { case (name, bytes) =>
+      val now = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, name).toPath).toSeq
+      assert(now == bytes, s"$name mutated after restart")
+    }
+    second.close()
+    assert(scala.io.Source.fromFile(new java.io.File(dir, "epoch-000002.jsonl"))
+      .mkString == "{\"n\":4}\n")
+  }
 }
