@@ -60,11 +60,18 @@ object ServeMain {
       b.append('"').toString()
     case n: Long => n.toString
     case n: Int => n.toString
+    case d: Double => // emit as a JSON number (NaN/Inf have none — fail loud)
+      require(!d.isNaN && !d.isInfinite, s"non-finite double in payload: $d")
+      d.toString
+    case b: Boolean => b.toString
     case m: collection.Map[_, _] =>
       m.map { case (k, x) => s"${toJson(k.toString)}:${toJson(x)}" }
         .mkString("{", ",", "}")
     case xs: Seq[_] => xs.map(toJson).mkString("[", ",", "]")
-    case other => toJson(other.toString)
+    case other => // no silent stringification: a payload shape change must
+      // fail loudly here, not serialize 2.5 as "2.5" for a client to parse
+      throw new IllegalArgumentException(
+        s"unsupported payload type ${other.getClass.getName}")
   }
 
   /** CLOSED-day answers are immutable: memoize per (endpoint, dir, date)
@@ -76,16 +83,43 @@ object ServeMain {
     * day. The cache is still the whole difference between "dashboard
     * polls every 5 s" and "Spark job every 5 s", because dashboards
     * mostly compare CLOSED days (yesterday's curve is cached even while
-    * today's recomputes). */
+    * today's recomputes).
+    *
+    * BOUNDED: a client sweeping arbitrary historical dates must not grow
+    * the memo forever, so eviction drops the oldest inserted entries past
+    * [[CacheCap]]. Closed-day answers are immutable, so evicting one is
+    * always safe — the next request just recomputes. Insertion order (a
+    * cheap queue) rather than true LRU: at ~100 B/entry the cap is about
+    * recency hygiene, not hit-rate tuning, and it keeps computeIfAbsent's
+    * no-duplicate-computation guarantee without a global lock. */
+  private[graft] val CacheCap = 4096
   private val cache = new ConcurrentHashMap[(String, String, String), String]()
+  private val cacheOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+
+  private[graft] def cacheSize: Int = cache.size()
 
   private def closedDay(date: String): Boolean =
     java.time.LocalDate.parse(date)
       .isBefore(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
 
   /** Memoize only closed days; open days compute every call. */
-  private def cached(key: (String, String, String))(f: => String): String =
-    if (closedDay(key._3)) cache.computeIfAbsent(key, _ => f) else f
+  private[graft] def cached(key: (String, String, String))(f: => String): String =
+    if (!closedDay(key._3)) f
+    else {
+      var inserted = false
+      val answer = cache.computeIfAbsent(key, _ => { inserted = true; f })
+      if (inserted) {
+        cacheOrder.add(key)
+        // evict oldest past the cap; racing threads each evict at most one
+        // stale entry, so size stays within CacheCap + thread-pool width
+        while (cache.size() > CacheCap) {
+          val oldest = cacheOrder.poll()
+          if (oldest != null) cache.remove(oldest) else return answer
+        }
+      }
+      answer
+    }
 
   private[serving] def totalJson(spark: SparkSession, dir: String,
       date: String): String =

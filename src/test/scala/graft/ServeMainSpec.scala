@@ -77,5 +77,32 @@ class ServeMainSpec extends SparkTestBase {
     assert(ServeMain.toJson(Map("a\"b" -> "c\\d\ne")) == expected)
     assert(ServeMain.toJson(Seq(1L, 2)) == "[1,2]")
     assert(ServeMain.toJson(null) == "null")
+    // numbers and booleans are JSON scalars, not quoted strings
+    assert(ServeMain.toJson(2.5) == "2.5")
+    assert(ServeMain.toJson(true) == "true")
+    // unsupported payload types fail loudly instead of stringifying
+    intercept[IllegalArgumentException] { ServeMain.toJson(BigDecimal(1)) }
+    intercept[IllegalArgumentException] { ServeMain.toJson(Double.NaN) }
+  }
+
+  test("closed-day answer memo evicts oldest entries past the cap") {
+    // distinct dir component isolates this test's keys from other specs
+    // sharing the JVM-wide memo
+    val dir = s"evict-test-${System.nanoTime()}"
+    var computes = 0
+    val n = ServeMain.CacheCap + 64
+    (0 until n).foreach { i =>
+      val key = ("total", s"$dir-$i", "2020-01-01")
+      ServeMain.cached(key) { computes += 1; s"answer-$i" }
+    }
+    assert(computes == n)
+    // the memo stayed bounded (single-threaded here → exactly the cap)
+    assert(ServeMain.cacheSize <= ServeMain.CacheCap, ServeMain.cacheSize)
+    // an evicted key recomputes; a resident key doesn't
+    ServeMain.cached(("total", s"$dir-0", "2020-01-01")) { computes += 1; "again" }
+    assert(computes == n + 1)
+    val before = computes
+    ServeMain.cached(("total", s"$dir-${n - 1}", "2020-01-01")) { computes += 1; "x" }
+    assert(computes == before)
   }
 }
