@@ -291,11 +291,14 @@ object SimilarityOps {
     * scans — together they are the standard 100 TB ANN architecture. */
   private val PqM = 4
   private val PqK = 16
-  /** Bits one PQ code occupies: log2(PqK). Derived, not hard-coded — the
+  /** Bits one PQ code occupies: ceil(log2 PqK) — code indices 0..K-1 need
+    * ceil bits, so floor would under-report for any non-power-of-two K
+    * (identically on both engines, keeping the gate green while the
+    * reported compression rate is wrong). Derived, not hard-coded — the
     * tuning sweep's bits_per_vec column (m_subspaces × this) must track a
-    * PqK change on BOTH the Spark and oracle sides or it silently reports
-    * the wrong compression rate while staying oracle-green. */
-  private val PqCodeBits = 31 - Integer.numberOfLeadingZeros(PqK)
+    * PqK change on BOTH the Spark and oracle sides. */
+  private val PqCodeBits =
+    (64 - java.lang.Long.numberOfLeadingZeros(PqK - 1L)).toInt
   private val SubDim = Dim / PqM
 
   /** (vec_id, m, sub, na2): the M per-subspace views of each vector, with
