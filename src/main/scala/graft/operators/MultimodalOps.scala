@@ -27,33 +27,91 @@ object MultimodalOps {
   case class AssetFeatures(asset_id: Long, modality: String, byte_len: Int,
       features: Array[Double])
 
-  /** Asset table synthesized from `documents`: payload = utf-8 bytes of the
-    * text (an opaque blob as far as the pipeline is concerned), modality
-    * round-robined, metadata derived deterministically from n_chars. */
+  // ------------------------------------------- container framing (r13)
+  // The fixture payloads carry GENUINE media wire framing — a parser
+  // that doesn't actually read magic bytes and header fields cannot
+  // answer q_mm_parse. Construction goes through HEX STRINGS on both
+  // engines (Spark unhex ∘ concat ∘ lpad∘hex == DuckDB's identical
+  // chain), which is what makes the blob byte-identical cross-engine
+  // without either side being able to copy the other's binary literals.
+  /** PNG signature + IHDR(len+type) prefix, then width/height BE u32s. */
+  private[graft] val PngPreHex = "89504E470D0A1A0A" + "0000000D" + "49484452"
+  /** bit-depth 8, color-type 2 (truecolor), compression/filter/interlace
+    * 0, then a zeroed CRC placeholder — dimension parsers don't validate
+    * CRC, and no offline engine can replay CRC-32 in SQL. */
+  private[graft] val PngPostHex = "08" + "02" + "00" + "00" + "00" + "00000000"
+  /** "WAVE" + "fmt " + fmt-chunk size 16 (LE) + PCM (1, LE16) + mono. */
+  private[graft] val WavStaticHex = "57415645" + "666D7420" + "10000000" + "0100" + "0100"
+  /** block-align 2 (LE16) + bits-per-sample 16 (LE16), then "data". */
+  private[graft] val WavTailHex = "02001000" + "64617461"
+  /** 16-byte `ftyp` box: BE size 16 + "ftyp" + "isom" + minor 0x200. */
+  private[graft] val Mp4HeaderHex = "00000010" + "66747970" + "69736F6D" + "00000200"
+  val PngHeaderBytes = 33L  // 8 sig + 4 len + 4 type + 13 data + 4 crc
+  val WavHeaderBytes = 44L  // the canonical RIFF/PCM header
+  val Mp4HeaderBytes = 16L  // the ftyp box alone
+  /** Audio sample rates round-robined into the WAV headers. */
+  val SampleRates = Seq(16000L, 22050L, 24000L, 44100L, 48000L)
+
+  private def be32Hex(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+  private def le32Hex(c: org.apache.spark.sql.Column) = {
+    val h = be32Hex(c)
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Asset table synthesized from `documents`: payload = a REAL media
+    * container (PNG / WAV / MP4-ftyp framing by modality, dimensions and
+    * sample rate written into the actual header bytes) wrapping the
+    * text's utf-8 bytes as the opaque body; modality round-robined,
+    * metadata derived deterministically from n_chars — and REDUNDANTLY
+    * present in the payload bytes, so the parse path (`q_mm_parse`,
+    * [[resizePlan]]) can be checked against the meta columns. */
   def assets(spark: SparkSession, dir: String): DataFrame =
     assetsFrom(Tables.documents(spark, dir))
 
   /** The synthesis itself, over ANY documents-shaped frame — a streaming
     * source included (assetIntakeStream's stream≡batch spec applies this
     * to a readStream, so stream and batch literally share the shape). */
-  def assetsFrom(docs: DataFrame): DataFrame =
+  def assetsFrom(docs: DataFrame): DataFrame = {
+    val modality = element_at(typedlit(Seq("image", "audio", "video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val width = col("n_chars") % 640 + 1
+    val height = col("n_chars") % 480 + 1
+    val rate = element_at(typedlit(SampleRates),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val body = col("text").cast("binary")
+    val bodyLen = length(body).cast("long")
+    val headerHex =
+      when(modality === "image",
+        concat(lit(PngPreHex), be32Hex(width), be32Hex(height),
+          lit(PngPostHex)))
+      .when(modality === "audio",
+        concat(lit("52494646"), le32Hex(bodyLen + 36L), lit(WavStaticHex),
+          le32Hex(rate), le32Hex(rate * 2), lit(WavTailHex),
+          le32Hex(bodyLen)))
+      .otherwise(lit(Mp4HeaderHex))
     docs.select(
       col("doc_id").as("asset_id"),
-      element_at(typedlit(Seq("image", "audio", "video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-      col("text").cast("binary").as("payload"),
-      (col("n_chars") % 640 + 1).as("width"),
-      (col("n_chars") % 480 + 1).as("height"),
+      modality.as("modality"),
+      concat(unhex(headerHex), body).as("payload"),
+      width.as("width"),
+      height.as("height"),
+      when(modality === "audio", rate).as("sample_rate"),
       (col("n_chars") * 40L).as("duration_ms"))
+  }
 
   /** Feature dimension produced by the (stub) decoder. */
   val FeatureDim = 8
 
   /** STUB decode/feature-extract: stands in for an image/audio decoder that
     * is not installed in this container. Deterministic per payload —
-    * an 8-bin byte histogram normalized by length. The REAL part is the
-    * batch shape around it: mapPartitions gives one iterator per partition,
-    * so a real codec/model would be initialized once per partition, not per
+    * an 8-bin byte histogram normalized by length, over the FULL container
+    * bytes (since r13 the payloads carry REAL PNG/WAV/MP4 framing — magic
+    * numbers, BE/LE header fields — so a real decoder dropped in here
+    * receives genuinely parseable containers; header PROBING is already
+    * real, see [[headerParse]]/MediaHeaderParse). The batch shape is the
+    * production one: mapPartitions gives one iterator per partition, so a
+    * real codec/model would be initialized once per partition, not per
     * row (same contract as mapInPandas batches).
     */
   // STUB: replace the body with a real decoder (e.g. JNI codec / DL model)
@@ -80,13 +138,37 @@ object MultimodalOps {
   }
 
   /** Metadata/byte-length projection — the oracle-checkable part of the
-    * multimodal plumbing (byte lengths of the binary payloads + meta). */
+    * multimodal plumbing (byte lengths of the binary payloads + meta;
+    * byte_len includes the container header the payload now carries). */
   def assetMeta(spark: SparkSession, dir: String): DataFrame =
     assets(spark, dir)
       .select(col("asset_id"), col("modality"),
         length(col("payload")).cast("long").as("byte_len"),
-        col("width"), col("height"), col("duration_ms"))
+        col("width"), col("height"), col("sample_rate"),
+        col("duration_ms"))
       .orderBy("asset_id")
+
+  /** HEADER PARSE over the payload BYTES — the native
+    * [[org.apache.spark.sql.graftext.MediaHeaderParse]] probe reading
+    * format magic, PNG BE dimensions, WAV LE sample rate and data size,
+    * and the ftyp box size, per asset. The oracle twin re-parses the
+    * identically-constructed blob from its hex image, so a synthesis/
+    * parse disagreement on ANY byte breaks the gate. Pure map-side scan:
+    * at 100 TB this is the probe pass that runs WITH the ingest read —
+    * payload bytes are consumed where they already are, never moved. */
+  def headerParse(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
+    assets(spark, dir)
+      .select(col("asset_id"), col("modality"),
+        mm_header_parse(col("payload")).as("p"))
+      .select(col("asset_id"), col("modality"),
+        col("p.format").as("format"),
+        col("p.width").as("width"),
+        col("p.height").as("height"),
+        col("p.sample_rate").as("sample_rate"),
+        col("p.body_bytes").as("body_bytes"))
+      .orderBy("asset_id")
+  }
 
   /** Feature stats through the stub decoder. Oracle-checked: the stub's
     * byte-histogram math is replayed in DuckDB over `hex(encode(text))`
@@ -156,10 +238,16 @@ object MultimodalOps {
     * engine-replayable and deterministic; pure map-side over the asset
     * scan — the 100 TB shape is a narrow projection that never touches
     * payload bytes. */
-  def resizePlan(spark: SparkSession, dir: String): DataFrame =
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
+    // dims come from the PAYLOAD BYTES via the native header probe, not
+    // from the fixture meta columns — the plan is computed the way a real
+    // pipeline computes it (probe the container, then plan the decode)
     assets(spark, dir).where(col("modality") === "image")
-      .select(col("asset_id"), col("width"), col("height"),
-        greatest(col("width"), col("height")).as("max_side"))
+      .select(col("asset_id"), mm_header_parse(col("payload")).as("p"))
+      .select(col("asset_id"),
+        col("p.width").as("width"), col("p.height").as("height"))
+      .withColumn("max_side", greatest(col("width"), col("height")))
       .withColumn("out_w",
         when(col("max_side") <= ResizeMaxSide, col("width"))
           .otherwise(greatest(lit(1L),
@@ -170,6 +258,7 @@ object MultimodalOps {
             expr(s"(height * $ResizeMaxSide) DIV max_side"))))
       .withColumn("scaled", col("max_side") > ResizeMaxSide)
       .orderBy("asset_id")
+  }
 
   /** Frame-sampling budget: at most this many frames per video. */
   val MaxFrames = 16L
@@ -243,7 +332,11 @@ object MultimodalOps {
     * `dup_bytes` = (n_copies−1) × byte_len (copies are byte-identical,
     * so one length prices them all): the bytes a dedup pass would free. */
   def assetDedup(spark: SparkSession, dir: String): DataFrame =
-    assetDedupWith(spark, dir, md5)
+    // md5 over the payload's HEX image, not the raw bytes: DuckDB 1.0 has
+    // only md5(VARCHAR), and the framed payload is no longer valid utf-8.
+    // hex() is injective, so the dedup answer is identical; the
+    // production path (x_mm_dedup_fast) still hashes the raw bytes.
+    assetDedupWith(spark, dir, c => md5(hex(c)))
 
   /** The one dedup dataflow, parameterized by the fingerprint function —
     * the chunkScrubWith/minhashLshImpl pattern: a semantics change (the
@@ -285,7 +378,7 @@ object MultimodalOps {
     * groupBy as [[assetDedup]] — payload bytes never shuffle. */
   def assetCard(spark: SparkSession, dir: String): DataFrame =
     assets(spark, dir)
-      .select(col("modality"), md5(col("payload")).as("payload_fp"),
+      .select(col("modality"), md5(hex(col("payload"))).as("payload_fp"),
         length(col("payload")).cast("long").as("byte_len"),
         col("duration_ms"))
       .groupBy(col("modality"), col("payload_fp"))
@@ -375,6 +468,7 @@ object MultimodalOps {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_parse" -> (headerParse _),
     "q_mm_meta" -> (assetMeta _),
     "q_mm_features" -> (featureStats _),
     "q_mm_feature_ann" -> (featureAnn _),
@@ -387,22 +481,64 @@ object MultimodalOps {
     "q_mm_fetch_plan" -> (fetchPlan _),
   )
 
+  /** The DuckDB image of the asset synthesis, GENERATED from the same
+    * framing constants as [[assetsFrom]] — the oracle builds the payload
+    * through the IDENTICAL hex chain (lpad∘hex for BE fields, the
+    * 4-substr pair swap for LE), so `phx` is character-for-character the
+    * hex of the Spark payload and every downstream oracle (digest,
+    * histogram, PARSE) reads the same bytes. Exposed CTEs: `assets`
+    * (modality/meta/phx) and `a` (adds byte_len = header + body). */
+  private lazy val AssetSqlCte: String = {
+    def be(e: String) = s"lpad(hex($e), 8, '0')"
+    def le(e: String) = {
+      val h = be(e)
+      s"substr($h,7,2)||substr($h,5,2)||substr($h,3,2)||substr($h,1,2)"
+    }
+    s"""ax AS (
+         SELECT doc_id AS asset_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                ELSE 'video' END AS modality,
+                n_chars % 640 + 1 AS width,
+                n_chars % 480 + 1 AS height,
+                CASE doc_id % 5 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                     WHEN 2 THEN 24000 WHEN 3 THEN 44100
+                     ELSE 48000 END AS rate,
+                n_chars * 40 AS duration_ms,
+                CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+                hex(encode(text)) AS body_hex
+         FROM documents),
+       assets AS (
+         SELECT asset_id, modality, width, height, rate, duration_ms,
+                body_len,
+                CASE modality
+                  WHEN 'image' THEN '$PngPreHex' || ${be("width")} ||
+                                    ${be("height")} || '$PngPostHex'
+                  WHEN 'audio' THEN '52494646' || ${le("body_len + 36")} ||
+                                    '$WavStaticHex' || ${le("rate")} ||
+                                    ${le("rate * 2")} || '$WavTailHex' ||
+                                    ${le("body_len")}
+                  ELSE '$Mp4HeaderHex'
+                END || body_hex AS phx
+         FROM ax),
+       a AS (
+         SELECT *, CAST(length(phx) // 2 AS BIGINT) AS byte_len
+         FROM assets)"""
+  }
+
   /** DuckDB replay of [[featureAnn]] — GENERATED over the FeatureDim bins
     * so the histogram/float-cast chain can't drift from the stub. */
-  private val FeatureAnnSql: String = {
+  private lazy val FeatureAnnSql: String = {
     val binSums = (0 until FeatureDim)
       .map(i => s"sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS c$i")
       .mkString(",\n                  ")
     val fvList = (0 until FeatureDim)
       .map(i => s"CAST(CAST(c.c$i AS DOUBLE) / e.n AS FLOAT)")
       .mkString("[", ",\n                  ", "]")
-    s"""WITH enc AS (
-           SELECT doc_id AS asset_id,
-                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                                  ELSE 'video' END AS modality,
-                  hex(encode(text)) AS hx,
-                  CAST(octet_length(encode(text)) AS INT) AS n
-           FROM documents),
+    s"""WITH $AssetSqlCte,
+         enc AS (
+           SELECT asset_id, modality, phx AS hx,
+                  CAST(byte_len AS INT) AS n
+           FROM a),
          cnt AS (
            SELECT asset_id,
                   $binSums
@@ -432,13 +568,18 @@ object MultimodalOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_mm_feature_ann" -> FeatureAnnSql,
-    // integer resize plan: same DIV/greatest/CASE arithmetic both engines
+    // resize plan now reads dims by PARSING the PNG IHDR out of the
+    // constructed blob's hex image — both engines read the same BYTES,
+    // not the same fixture arithmetic; then the same DIV/greatest/CASE
     "q_mm_resize" ->
-      s"""WITH i AS (
-           SELECT doc_id AS asset_id,
-                  n_chars % 640 + 1 AS width,
-                  n_chars % 480 + 1 AS height
-           FROM documents WHERE doc_id % 3 = 0),
+      s"""WITH $AssetSqlCte,
+         i AS (
+           SELECT asset_id,
+                  ('0x' || substr(phx, 33, 8))::BIGINT AS width,
+                  ('0x' || substr(phx, 41, 8))::BIGINT AS height
+           FROM a
+           WHERE substr(phx, 1, 16) = '89504E470D0A1A0A'
+             AND substr(phx, 25, 8) = '49484452'),
          m AS (SELECT *, greatest(width, height) AS max_side FROM i)
          SELECT asset_id, width, height, max_side,
                 CASE WHEN max_side <= $ResizeMaxSide THEN width
@@ -449,13 +590,53 @@ object MultimodalOps {
                 END AS out_h,
                 max_side > $ResizeMaxSide AS scaled
          FROM m ORDER BY asset_id""",
+    // header parse: the oracle re-parses the identically-constructed
+    // blob from its hex image — format by magic, PNG BE u32 dims, WAV
+    // LE u32 rate/data-size (the 4-substr pair swap), ftyp box size —
+    // in the SAME precedence order as the native expression
+    "q_mm_parse" ->
+      s"""WITH $AssetSqlCte,
+         p AS (
+           SELECT *,
+             substr(phx,1,16) = '89504E470D0A1A0A'
+               AND length(phx) >= 66
+               AND substr(phx,25,8) = '49484452' AS is_png,
+             substr(phx,1,8) = '52494646'
+               AND length(phx) >= 88
+               AND substr(phx,17,8) = '57415645'
+               AND substr(phx,25,8) = '666D7420' AS is_wav,
+             length(phx) >= 32
+               AND substr(phx,9,8) = '66747970'
+               AND ('0x' || substr(phx,1,8))::BIGINT
+                     BETWEEN 8 AND length(phx) // 2 AS is_mp4
+           FROM a)
+         SELECT asset_id, modality,
+                CASE WHEN is_png THEN 'png' WHEN is_wav THEN 'wav'
+                     WHEN is_mp4 THEN 'mp4' END AS format,
+                CASE WHEN is_png
+                     THEN ('0x' || substr(phx,33,8))::BIGINT END AS width,
+                CASE WHEN is_png
+                     THEN ('0x' || substr(phx,41,8))::BIGINT END AS height,
+                CASE WHEN is_wav
+                     THEN ('0x' || substr(phx,55,2) || substr(phx,53,2)
+                           || substr(phx,51,2) || substr(phx,49,2))::BIGINT
+                END AS sample_rate,
+                CASE WHEN is_png THEN byte_len - $PngHeaderBytes
+                     WHEN is_wav
+                     THEN ('0x' || substr(phx,87,2) || substr(phx,85,2)
+                           || substr(phx,83,2) || substr(phx,81,2))::BIGINT
+                     WHEN is_mp4
+                     THEN byte_len - ('0x' || substr(phx,1,8))::BIGINT
+                END AS body_bytes
+         FROM p ORDER BY asset_id""",
     // integer frame plan: uniform timestamps + proportional byte offsets
+    // (byte_len is the FULL container length, header included — ranged
+    // GETs address the container file, not the logical body)
     "q_mm_frames" ->
-      s"""WITH v AS (
-           SELECT doc_id AS asset_id,
-                  n_chars * 40 AS duration_ms,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-           FROM documents WHERE doc_id % 3 = 2),
+      s"""WITH $AssetSqlCte,
+         v AS (
+           SELECT asset_id, duration_ms, byte_len
+           FROM a WHERE modality = 'video'),
          f AS (
            SELECT asset_id, duration_ms, byte_len,
                   least($MaxFrames, duration_ms // 1000 + 1) AS n_frames
@@ -472,19 +653,16 @@ object MultimodalOps {
     // dedup; every emitted number is an exact long (or one double
     // division of two exact longs), BIGINT/DOUBLE-cast on both sides
     "q_mm_card" ->
-      """WITH a AS (
-           SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                                  ELSE 'video' END AS modality,
-                  md5(text) AS payload_fp,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-                  n_chars * 40 AS duration_ms
-           FROM documents),
+      s"""WITH $AssetSqlCte,
+         c AS (
+           SELECT modality, md5(phx) AS payload_fp, byte_len, duration_ms
+           FROM a),
          g AS (
            SELECT modality, payload_fp,
                   count(*) AS n_copies,
                   min(byte_len) AS byte_len,
                   CAST(sum(duration_ms) AS BIGINT) AS dur_sum
-           FROM a GROUP BY modality, payload_fp)
+           FROM c GROUP BY modality, payload_fp)
          SELECT modality,
                 CAST(sum(n_copies) AS BIGINT) AS n_assets,
                 count(*) AS n_payloads,
@@ -495,22 +673,19 @@ object MultimodalOps {
                   AS dup_bytes,
                 CAST(sum(dur_sum) AS BIGINT) AS total_duration_ms
          FROM g GROUP BY modality ORDER BY modality""",
-    // binary exact dedup: md5 over the SAME utf-8 payload bytes —
-    // DuckDB 1.0 has only md5(VARCHAR), which hashes the string's UTF-8
-    // bytes, i.e. exactly Spark's md5(text.cast(binary)); lowercase hex
-    // both sides; count(*)/min are BIGINT both sides
+    // binary exact dedup: both engines md5 the payload's HEX image (the
+    // same uppercase characters — DuckDB 1.0 has only md5(VARCHAR) and
+    // the framed payload is no longer valid utf-8); hex() is injective,
+    // so the groups are exactly the byte-identical payload groups
     "q_mm_dedup" ->
-      """WITH a AS (
-           SELECT doc_id AS asset_id,
-                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                                  ELSE 'video' END AS modality,
-                  md5(text) AS payload_fp,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-           FROM documents)
+      s"""WITH $AssetSqlCte,
+         d AS (
+           SELECT asset_id, modality, md5(phx) AS payload_fp, byte_len
+           FROM a)
          SELECT modality, payload_fp, min(asset_id) AS keep_id,
                 count(*) AS n_copies,
                 CAST((count(*) - 1) * min(byte_len) AS BIGINT) AS dup_bytes
-         FROM a GROUP BY modality, payload_fp
+         FROM d GROUP BY modality, payload_fp
          ORDER BY modality, keep_id""",
     // audio window plan: same capped (duration-win)//hop+1 arithmetic
     "q_mm_windows" ->
@@ -532,11 +707,10 @@ object MultimodalOps {
     // fetch coalescing: replay the frame plan, then the same
     // lag/flag/running-sum range numbering and rollup
     "q_mm_fetch_plan" ->
-      s"""WITH v AS (
-           SELECT doc_id AS asset_id,
-                  n_chars * 40 AS duration_ms,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-           FROM documents WHERE doc_id % 3 = 2),
+      s"""WITH $AssetSqlCte,
+         v AS (
+           SELECT asset_id, duration_ms, byte_len
+           FROM a WHERE modality = 'video'),
          f AS (
            SELECT asset_id, duration_ms, byte_len,
                   least($MaxFrames, duration_ms // 1000 + 1) AS n_frames
@@ -576,45 +750,41 @@ object MultimodalOps {
          FROM ri GROUP BY asset_id, range_id
          ORDER BY asset_id, range_id""",
     "q_mm_meta" ->
-      """SELECT doc_id AS asset_id,
-                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                                ELSE 'video' END AS modality,
-                octet_length(encode(text)) AS byte_len,
-                n_chars % 640 + 1 AS width,
-                n_chars % 480 + 1 AS height,
-                n_chars * 40 AS duration_ms
-         FROM documents ORDER BY asset_id""",
+      s"""WITH $AssetSqlCte
+         SELECT asset_id, modality, byte_len, width, height,
+                CASE WHEN modality = 'audio'
+                     THEN CAST(rate AS BIGINT) END AS sample_rate,
+                duration_ms
+         FROM a ORDER BY asset_id""",
     "q_mm_shards" ->
-      """WITH a AS (
-           SELECT doc_id AS asset_id,
-                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                                  ELSE 'video' END AS modality,
-                  doc_id // 100000 AS volume,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-           FROM documents),
+      s"""WITH $AssetSqlCte,
+         sh AS (
+           SELECT asset_id, modality,
+                  asset_id // 100000 AS volume, byte_len
+           FROM a),
          c AS (
            SELECT asset_id, modality, volume, byte_len,
                   CAST(coalesce(sum(byte_len) OVER (
                     PARTITION BY modality, volume ORDER BY asset_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS BIGINT) AS cum_before
-           FROM a)
+           FROM sh)
          SELECT asset_id, modality, volume, byte_len,
                 cum_before // 65536 AS shard_id,
                 cum_before % 65536 AS offset_in_shard
          FROM c ORDER BY modality, asset_id""",
-    // The stub decoder's 8-bin byte histogram, replayed byte-for-byte:
-    // hex(encode(text)) → 2-char pairs → ('0x'||pair)::INT % 8. Empty
-    // payloads keep a row with f0=f1=0 via the LEFT JOIN + greatest(n,1)
-    // — mirroring the stub's max(len,1) divisor.
+    // The stub decoder's 8-bin byte histogram, replayed byte-for-byte
+    // over the FULL container (header bytes included — the stub decodes
+    // whatever bytes arrive): phx → 2-char pairs → ('0x'||pair)::INT % 8.
+    // The LEFT JOIN + greatest(n,1) guard mirrors the stub's max(len,1)
+    // divisor (n is now always ≥ the header size, but the guard is the
+    // stub's contract, not the fixture's).
     "q_mm_features" ->
-      """WITH enc AS (
-           SELECT doc_id AS asset_id,
-                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                                  ELSE 'video' END AS modality,
-                  hex(encode(text)) AS hx,
-                  CAST(octet_length(encode(text)) AS INT) AS n
-           FROM documents),
+      s"""WITH $AssetSqlCte,
+         enc AS (
+           SELECT asset_id, modality, phx AS hx,
+                  CAST(byte_len AS INT) AS n
+           FROM a),
          cnt AS (
            SELECT asset_id,
                   sum(CASE WHEN ('0x' || substr(hx, 2*i - 1, 2))::INT % 8 = 0

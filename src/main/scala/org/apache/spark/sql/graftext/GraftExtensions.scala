@@ -212,12 +212,20 @@ object GraftExtensions {
         "literal; key xxhash64-hashed on both build and probe sides)"),
     arity("cms_estimate", 2)(exprs => CmsEstimate(exprs(0), exprs(1))))
 
+  private[graftext] val mmHeaderParse = (
+    FunctionIdentifier("mm_header_parse"),
+    info("mm_header_parse",
+      "mm_header_parse(payload) - probe a media container's magic bytes: " +
+        "struct<format, width, height, sample_rate, body_bytes> " +
+        "(PNG/WAV/MP4; all-null struct on unknown or truncated bytes)"),
+    arity("mm_header_parse", 1)(exprs => MediaHeaderParse(exprs(0))))
+
   /** The whole SQL-callable family, in registration order. */
   private[graftext] val all = Seq(
     vecDot, vecNorm, vecSub, vecQuantize, vecQuantizeStats, gramMoments,
     topkBy, pairCombos, alphaTokenCount, rollingHash31, wordNGrams,
     chainReplace, nearestCentroid, nearestCode, bloomAgg,
-    bloomMightContain, cmsEstimate)
+    bloomMightContain, cmsEstimate, mmHeaderParse)
 
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -162,6 +162,30 @@ class SqlFunctionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("mm_header_parse is callable from SQL text — and stays codegen'd") {
+    GraftExtensions.register(spark)
+    // a hand-hexed 33-byte PNG header (w=2, h=3) + 1 body byte; unhex
+    // keeps the whole chain inside SQL. CODEGEN_ONLY: an interpreted
+    // fallback of the struct-building expression is a hard failure.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.sql(
+        "SELECT p.format, p.width, p.height, p.sample_rate, p.body_bytes " +
+          "FROM (SELECT mm_header_parse(unhex(" +
+          "'89504E470D0A1A0A0000000D49484452" + // sig + len + IHDR
+          "0000000200000003080200000000000000" + // w=2 h=3 + tail + crc
+          "AB')) AS p)").head()
+      assert(r.getString(0) == "png")
+      assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+      assert(r.isNullAt(3) && r.getLong(4) == 1L)
+      // unknown magic quarantines as all-null, still under CODEGEN_ONLY
+      val q = spark.sql(
+        "SELECT p.format FROM (SELECT mm_header_parse(unhex('DEADBEEF')) AS p)")
+        .head()
+      assert(q.isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("bloom_might_contain rejects a non-constant, non-subquery filter argument") {
     GraftExtensions.register(spark)
     import spark.implicits._

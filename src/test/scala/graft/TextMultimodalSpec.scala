@@ -180,9 +180,10 @@ class TextMultimodalSpec extends SparkTestBase {
   }
 
   test("shard manifest: byte-budget bucketing with hand-computed offsets") {
-    // doc_ids 1,4,7 are all 'audio'; byte lens 40000,40000,30000 against
-    // the 65536 target → preceding-bytes 0,40000,80000 → shards 0,0,1
-    // with offsets 0,40000,14464 (80000-65536)
+    // doc_ids 1,4,7 are all 'audio'; byte lens are body + the 44-byte WAV
+    // header → 40044,40044,30044 against the 65536 target →
+    // preceding-bytes 0,40044,80088 → shards 0,0,1 with offsets
+    // 0,40044,14552 (80088-65536)
     val dir = documentsFixture(Seq(
       (1L, "a" * 40000, "en", "src0"),
       (4L, "b" * 40000, "en", "src0"),
@@ -192,8 +193,8 @@ class TextMultimodalSpec extends SparkTestBase {
         r.getAs[Long]("shard_id"), r.getAs[Long]("offset_in_shard")))
     assert(got.toSeq == Seq(
       (1L, "audio", 0L, 0L),
-      (4L, "audio", 0L, 40000L),
-      (7L, "audio", 1L, 14464L)))
+      (4L, "audio", 0L, 40044L),
+      (7L, "audio", 1L, 14552L)))
   }
 
   test("asset dedup: identical payloads merge within a modality, never across") {
@@ -211,7 +212,9 @@ class TextMultimodalSpec extends SparkTestBase {
         r.getAs[Long]("n_copies"), r.getAs[Long]("dup_bytes")))
     assert(got.toSeq == Seq(
       ("audio", 1L, 1L, 0L),
-      ("image", 3L, 2L, 10L),  // "same bytes".length = 10
+      // "same bytes" = 10 body bytes + the 33-byte PNG header (3 and 6
+      // share n_chars, so their headers — and full payloads — coincide)
+      ("image", 3L, 2L, 43L),
       ("image", 9L, 1L, 0L)))
   }
 
@@ -229,8 +232,10 @@ class TextMultimodalSpec extends SparkTestBase {
           r.getAs[Double]("dup_frac"), r.getAs[Long]("total_bytes"),
           r.getAs[Long]("dup_bytes"), r.getAs[Long]("total_duration_ms"))))
       .toMap
-    assert(got("audio") == ((1L, 1L, 0.0, 10L, 0L, 400L)))
-    assert(got("image") == ((3L, 2L, 1.0 - 2.0 / 3.0, 25L, 10L, 1000L)),
+    // byte lens now include container headers: audio "same bytes" =
+    // 10 + 44 (WAV); image "same bytes" = 10 + 33 (PNG), "other" = 5 + 33
+    assert(got("audio") == ((1L, 1L, 0.0, 54L, 0L, 400L)))
+    assert(got("image") == ((3L, 2L, 1.0 - 2.0 / 3.0, 124L, 43L, 1000L)),
       s"image card: ${got("image")}")
   }
 
@@ -268,11 +273,12 @@ class TextMultimodalSpec extends SparkTestBase {
   }
 
   test("fetch plan: adjacent frame ranges coalesce into one GET, distant ones don't") {
-    // video = doc_id % 3 == 2. byte_len = n_chars (ascii), 16 frames each.
-    // doc 2: 100000 bytes → frame offsets 6250·i; the next offset is 2154
-    // bytes past the previous range end (6250·i + 4096) > the 512 gap →
+    // video = doc_id % 3 == 2. byte_len = n_chars + the 16-byte ftyp
+    // header, 16 frames each.
+    // doc 2: 100016 bytes → frame offsets 6251·i; the next offset is 2155
+    // bytes past the previous range end (6251·i + 4096) > the 512 gap →
     // 16 separate GETs of 4096 bytes each.
-    // doc 5: 1000 bytes → every frame's [offset, offset+4096) clamps to
+    // doc 5: 1016 bytes → every frame's [offset, offset+4096) clamps to
     // byte_len → one coalesced GET of the whole asset.
     val dir = documentsFixture(Seq(
       (2L, "x" * 100000, "en", "src0"),
@@ -287,7 +293,7 @@ class TextMultimodalSpec extends SparkTestBase {
       n == 1L && b == 4096L && e == s + 4096L })
     assert(byAsset(2L).map(_._2).sorted.toSeq == (0L until 16L).toSeq,
       "range ids are dense from 0")
-    assert(byAsset(5L).toSeq == Seq((5L, 0L, 0L, 1000L, 16L, 1000L)))
+    assert(byAsset(5L).toSeq == Seq((5L, 0L, 0L, 1016L, 16L, 1016L)))
     // coverage invariant: every sampled frame's slice is inside a range
     val frames = graft.operators.MultimodalOps.framePlan(spark, dir).collect()
       .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("byte_offset")))
@@ -307,12 +313,95 @@ class TextMultimodalSpec extends SparkTestBase {
       assert(math.abs(af.features.sum - 1.0) < 1e-9,
         "normalized byte histogram must sum to 1")
     }
-    // payload byte_len equals n_chars for this ascii corpus
+    // payload byte_len equals n_chars + the modality's container header
+    // for this ascii corpus (PNG 33, WAV 44, MP4-ftyp 16)
+    val hdr = typedlit(Map(
+      "image" -> MultimodalOps.PngHeaderBytes,
+      "audio" -> MultimodalOps.WavHeaderBytes,
+      "video" -> MultimodalOps.Mp4HeaderBytes))
     val meta = MultimodalOps.assetMeta(spark, sf0001)
       .join(Tables.documents(spark, sf0001),
         col("asset_id") === col("doc_id"))
-      .where(col("byte_len") =!= col("n_chars"))
+      .where(col("byte_len") =!= col("n_chars") + element_at(hdr, col("modality")))
     assert(meta.count() == 0)
+  }
+
+  test("asset payloads are REAL containers: golden header bytes, parse round-trip") {
+    // one tiny asset per modality, headers hand-assembled independently
+    // of the synthesis code (golden bytes, not a replay)
+    val dir = documentsFixture(Seq(
+      (3L, "img", "en", "src0"),    // image: n_chars=3 → width 4, height 4
+      (1L, "au", "en", "src0"),     // audio: rate idx 1%5=1 → 22050
+      (2L, "vid!", "en", "src0")))  // video
+    val rows = MultimodalOps.assets(spark, dir)
+      .select("asset_id", "payload").collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    def hx(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    // PNG: sig + IHDR(len 13) + w=4,h=4 BE + depth8/truecolor + zero CRC,
+    // then the 3 body bytes "img"
+    assert(hx(rows(3L)) ==
+      "89504E470D0A1A0A" + "0000000D" + "49484452" +
+        "00000004" + "00000004" + "08" + "02" + "000000" + "00000000" +
+        "696D67")
+    // WAV: RIFF size=36+2 LE, PCM mono 22050 Hz (LE 0x5622 → "22560000"),
+    // byte rate 44100, data size 2, body "au"
+    assert(hx(rows(1L)) ==
+      "52494646" + "26000000" + "57415645" + "666D7420" + "10000000" +
+        "0100" + "0100" + "22560000" + "44AC0000" + "0200" + "1000" +
+        "64617461" + "02000000" + "6175")
+    // MP4: 16-byte ftyp box then the 4 body bytes
+    assert(hx(rows(2L)) ==
+      "00000010" + "66747970" + "69736F6D" + "00000200" + "76696421")
+    // and the native probe reads those bytes back
+    val parsed = MultimodalOps.headerParse(spark, dir).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[String]("format"), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)), r.getAs[Long]("body_bytes"))))
+      .toMap
+    assert(parsed(3L) == (("png", Some(4L), Some(4L), None, 3L)))
+    assert(parsed(1L) == (("wav", None, None, Some(22050L), 2L)))
+    assert(parsed(2L) == (("mp4", None, None, None, 4L)))
+  }
+
+  test("header probe: malformed/truncated/foreign bytes quarantine as all-null, never throw") {
+    import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
+    import spark.implicits._
+    val junk = Seq(
+      Array.empty[Byte],                          // empty
+      "89504E47".getBytes,                        // PNG magic as TEXT, not bytes
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'),    // truncated signature
+      "RIFFxxxxWAVE".getBytes,                    // RIFF but no fmt chunk
+      ("x" * 200).getBytes)                       // plain text
+    val out = junk.toDF("b")
+      .select(mm_header_parse($"b").as("p")).select("p.*").collect()
+    assert(out.length == junk.length)
+    out.foreach { r => (0 until r.length).foreach { i =>
+      assert(r.isNullAt(i), s"expected all-null quarantine row, got $r") } }
+  }
+
+  test("parsed header fields agree with the synthesis meta columns corpus-wide") {
+    // the synthesis invariant behind feeding resizePlan from the PARSE:
+    // what was written into the bytes is what the probe reads back
+    val joined = MultimodalOps.headerParse(spark, sf0001).alias("p")
+      .join(MultimodalOps.assets(spark, sf0001).alias("a"), "asset_id")
+    assert(joined.where(
+      (col("p.modality") === "image") && (col("format") =!= "png"
+        || col("p.width") =!= col("a.width")
+        || col("p.height") =!= col("a.height"))).count() == 0)
+    assert(joined.where(
+      (col("p.modality") === "audio") && (col("format") =!= "wav"
+        || col("p.sample_rate") =!= col("a.sample_rate"))).count() == 0)
+    assert(joined.where(
+      (col("p.modality") === "video") && (col("format") =!= "mp4")).count() == 0)
+    // header + body = total payload bytes for every modality
+    val hdr = typedlit(Map(
+      "image" -> MultimodalOps.PngHeaderBytes,
+      "audio" -> MultimodalOps.WavHeaderBytes,
+      "video" -> MultimodalOps.Mp4HeaderBytes))
+    assert(joined.where(col("body_bytes")
+      + element_at(hdr, col("p.modality"))
+      =!= length(col("a.payload")).cast("long")).count() == 0)
   }
 
   test("pii profile: planted emails/phones/IPs counted per category, traps excluded") {
