@@ -66,6 +66,121 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+
+# ------------------------------------------------------------- sketches
+# The 4 registered sketch queries have no exact cross-engine twin by
+# definition (HLL/CMS/KLL internals differ per engine) — but each sketch
+# PUBLISHES an error bound, and the exact answer is computable in DuckDB.
+# So instead of rows-only, assert estimate ∈ bound(exact): a broken sketch
+# pipeline (wrong key, wrong grouping, dropped filter) lands far outside
+# the bound, while a healthy one never leaves it.
+
+def _rel_viol(rows, exact, rel, abs_slack, what):
+    """|est - exact| must be ≤ max(abs_slack, rel·exact) per key; a key
+    present on one side only is its own violation."""
+    v = []
+    seen = set()
+    for key, est in rows:
+        seen.add(key)
+        if key not in exact:
+            v.append({"kind": "sketch-bound", "what": what, "key": str(key),
+                      "err": "key missing from exact answer"})
+            continue
+        ex = float(exact[key])
+        if abs(float(est) - ex) > max(abs_slack, rel * ex):
+            v.append({"kind": "sketch-bound", "what": what, "key": str(key),
+                      "estimate": float(est), "exact": ex,
+                      "bound": max(abs_slack, rel * ex)})
+    for key in set(exact) - seen:
+        v.append({"kind": "sketch-bound", "what": what, "key": str(key),
+                  "err": "exact key missing from sketch output"})
+    return v
+
+
+def _bound_dau_approx(con, df):
+    # approx_count_distinct(user_id, rsd=0.02): 4σ relative + small-N slack
+    exact = dict(con.execute(
+        "SELECT strftime(ts, '%Y-%m-%d'), count(DISTINCT user_id) "
+        "FROM events GROUP BY 1").fetchall())
+    return _rel_viol(zip(df["dt"], df["dau_approx"]), exact,
+                     rel=4 * 0.02, abs_slack=5, what="hll++ day dau")
+
+
+def _bound_dau_sketch_rollup(con, df):
+    # DataSketches HLL, default lgK=12 → σ ≈ 1.04/√4096 ≈ 1.6%; 4σ ≈ 6.5%.
+    # Day rows check the per-day sketches; month rows check that the
+    # UNION path still estimates the true month-level distinct.
+    days = dict(con.execute(
+        "SELECT strftime(ts, '%Y-%m-%d'), count(DISTINCT user_id) "
+        "FROM events GROUP BY 1").fetchall())
+    months = dict(con.execute(
+        "SELECT substr(strftime(ts, '%Y-%m-%d'), 1, 7), "
+        "count(DISTINCT user_id) FROM events GROUP BY 1").fetchall())
+    d = df[df["grain"] == "day"]
+    m = df[df["grain"] == "month"]
+    return (_rel_viol(zip(d["key"], d["uniques"]), days,
+                      rel=4 * 0.0163, abs_slack=5, what="hll day") +
+            _rel_viol(zip(m["key"], m["uniques"]), months,
+                      rel=4 * 0.0163, abs_slack=5, what="hll month-union"))
+
+
+def _bound_heavy_hitters_cms(con, df):
+    # CountMinSketch(eps=1e-4, conf=0.99): one-sided — NEVER underestimates
+    # (modulo the negligible xxhash64 key-collision), overestimates by at
+    # most eps·N with prob ≥ conf; 2·eps·N covers the 1% tail across 50
+    # probes. N = total token count.
+    exact = dict(con.execute(
+        "SELECT tok, count(*) FROM (SELECT unnest(string_split(text, ' ')) "
+        "AS tok FROM documents) GROUP BY tok").fetchall())
+    n_total = con.execute(
+        "SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) "
+        "AS tok FROM documents)").fetchone()[0]
+    over = 2 * 0.0001 * n_total
+    v = []
+    for tok, est in zip(df["tok"], df["est_n"]):
+        ex = exact.get(tok)
+        if ex is None:
+            v.append({"kind": "sketch-bound", "what": "cms", "key": tok,
+                      "err": "token not in exact counts"})
+        elif not (ex <= est <= ex + over):
+            v.append({"kind": "sketch-bound", "what": "cms", "key": tok,
+                      "estimate": int(est), "exact": int(ex),
+                      "bound": f"[{ex}, {ex + over}]"})
+    return v
+
+
+def _bound_len_quantiles_approx(con, df):
+    # percentile_approx(accuracy=10000) → rank error ε = 1e-4; allow 10ε
+    # of rank slack each side (quantile_disc bounds, inclusive), plus the
+    # n_docs column which is exact and must match exactly.
+    v = []
+    for _, row in df.iterrows():
+        lang = row["lang"]
+        lo50, hi50, lo90, hi90, n = con.execute(
+            "SELECT quantile_disc(n_chars, 0.499), quantile_disc(n_chars, 0.501), "
+            "quantile_disc(n_chars, 0.899), quantile_disc(n_chars, 0.901), "
+            "count(*) FROM documents WHERE lang = ?", [lang]).fetchone()
+        if n != row["n_docs"]:
+            v.append({"kind": "sketch-bound", "what": "kll n_docs",
+                      "key": lang, "estimate": int(row["n_docs"]), "exact": int(n)})
+        if not (lo50 <= row["p50_approx"] <= hi50):
+            v.append({"kind": "sketch-bound", "what": "kll p50", "key": lang,
+                      "estimate": float(row["p50_approx"]),
+                      "bound": f"[{lo50}, {hi50}]"})
+        if not (lo90 <= row["p90_approx"] <= hi90):
+            v.append({"kind": "sketch-bound", "what": "kll p90", "key": lang,
+                      "estimate": float(row["p90_approx"]),
+                      "bound": f"[{lo90}, {hi90}]"})
+    return v
+
+
+SKETCH_BOUNDS = {
+    "q_dau_approx": _bound_dau_approx,
+    "q_dau_sketch_rollup": _bound_dau_sketch_rollup,
+    "q_heavy_hitters_cms": _bound_heavy_hitters_cms,
+    "q_len_quantiles_approx": _bound_len_quantiles_approx,
+}
+
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(out)
                if os.path.isdir(f"{out}/{d}") and not d.startswith("."))
@@ -88,13 +203,32 @@ def canon(tbl):
     return df.sort_values(by=orig + masks, na_position="first",
                           kind="mergesort").reset_index(drop=True), orig
 
-n_pass = n_fail = n_noor = 0
+n_pass = n_fail = n_noor = n_bounded = 0
 for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
     got = pq.ParquetDataset(files).read()
     if name not in oracle:
-        print(f"  [rows-only] {name}: {got.num_rows} rows")
-        n_noor += 1
+        if name in SKETCH_BOUNDS:
+            try:
+                viol = SKETCH_BOUNDS[name](con, got.to_pandas())
+            except Exception as e:
+                print(f"  [FAIL] {name}: sketch-bound checker errored: {e}")
+                record_diff(name, kind="sketch-bound-error", error=str(e))
+                n_fail += 1
+                continue
+            if viol:
+                print(f"  [FAIL] {name}: {len(viol)} estimate(s) outside the "
+                      f"sketch's published error bound, e.g. {viol[0]}")
+                for rec in viol[:10]:
+                    record_diff(name, **rec)
+                n_fail += 1
+            else:
+                print(f"  [bounded-ok] {name}: {got.num_rows} rows, every "
+                      f"estimate within the sketch's published bound of exact")
+                n_bounded += 1
+        else:
+            print(f"  [rows-only] {name}: {got.num_rows} rows")
+            n_noor += 1
         continue
     try:
         exp = con.execute(oracle[name]).fetch_arrow_table()
@@ -227,6 +361,6 @@ for name in names:
 _counts.update({"pass": n_pass, "fail": n_fail, "rows_only": n_noor})
 flush_diffs()
 
-print(f"\n{n_pass} pass, {n_fail} fail, {n_noor} rows-only "
-      f"(diff artifact: {out}/_gate_diffs.json)")
+print(f"\n{n_pass} pass, {n_fail} fail, {n_noor} rows-only, "
+      f"{n_bounded} bounded-ok (diff artifact: {out}/_gate_diffs.json)")
 sys.exit(1 if n_fail else 0)

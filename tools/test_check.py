@@ -32,7 +32,8 @@ def run_case(name, spark_tbl, oracle_sql):
         os.makedirs(f"{out}/{name}")
         pq.write_table(spark_tbl, f"{out}/{name}/part-0.parquet")
         with open(f"{out}/oracle_sql.json", "w") as f:
-            json.dump({name: oracle_sql}, f)
+            # oracle_sql=None plants a no-oracle query (the sketch-bound path)
+            json.dump({name: oracle_sql} if oracle_sql else {}, f)
         p = subprocess.run(
             [sys.executable, f"{HERE}/check.py", SF, out],
             capture_output=True, text=True)
@@ -99,6 +100,35 @@ rc, outp, diffs = run_case(
               "s": pa.array(["a", "b"], pa.string())}),
     "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a'), (2, 'b')) t(k, s)")
 expect(rc == 0 and not diffs, "identical frames: clean pass, empty diffs")
+
+# 5/6. sketch bound checks (no oracle SQL — the bound checker IS the gate):
+# fabricate q_dau_approx outputs from the REAL exact answer over SF's
+# events, once within the HLL bound (exact itself) and once far outside.
+import duckdb as _dd
+_exact = _dd.connect().execute(
+    f"SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS d "
+    f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1").fetchall()
+_dts = [r[0] for r in _exact]
+_ex = [float(r[1]) for r in _exact]
+
+rc, outp, diffs = run_case(
+    "q_dau_approx",
+    pa.table({"dt": pa.array(_dts, pa.string()),
+              "dau_approx": pa.array(_ex, pa.float64())}),
+    None)  # no oracle entry → routed to the bound checker
+expect(rc == 0 and "bounded-ok" in outp,
+       "sketch in-bound: exact-valued estimates pass the bound check")
+
+rc, outp, diffs = run_case(
+    "q_dau_approx",
+    pa.table({"dt": pa.array(_dts, pa.string()),
+              # double every estimate: far outside the 4σ (8%) HLL++ bound
+              "dau_approx": pa.array([v * 2 for v in _ex], pa.float64())}),
+    None)
+expect(rc == 1, "sketch out-of-bound: hard fail")
+expect(any(d.get("kind") == "sketch-bound"
+           for d in diffs.get("q_dau_approx", [])),
+       "sketch out-of-bound: bound-violation record in the artifact")
 
 print(f"\n{'ALL GOOD' if not fails else str(len(fails)) + ' SELF-TEST FAILURES'}")
 sys.exit(1 if fails else 0)
