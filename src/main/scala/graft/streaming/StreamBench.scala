@@ -45,6 +45,20 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    // rows-per-trigger sweep knobs (the knee experiment, SCALING.md r13):
+    // SCALE replicates the input corpus with distinct ids/texts so one
+    // trigger carries scale× the rows; ONLY selects a subset of intakes
+    // (comma list; unknown names are a hard error, mirroring BENCH_ONLY)
+    val scale = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE", "1").toInt
+    val onlyNames = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val allNames = Set("curation_intake", "asset_intake",
+      "neardup_intake", "ann_intake")
+    onlyNames.foreach { names =>
+      val unknown = names -- allNames
+      require(unknown.isEmpty, s"SPARK_GRAFT_STREAM_ONLY unknown: $unknown")
+    }
+    def wanted(name: String): Boolean = onlyNames.forall(_.contains(name))
     val work = java.nio.file.Files.createTempDirectory("graft_streambench_")
       .toString
     // corpus-sized parquet copies + sink output + checkpoints live under
@@ -97,45 +111,66 @@ object StreamBench {
         if (sorted.nonEmpty) sorted.last else 0L)
     }
 
-    val docs = graft.Tables.documents(spark, sfDir)
+    /** Replicate a documents-shaped frame `scale`× with distinct ids AND
+      * distinct texts (a copy suffix), so fp/digest state and the probe
+      * work grow with the row count — replicating identical rows would
+      * let the dedup states collapse the extra volume and understate the
+      * per-row cost the sweep exists to find. */
+    def scaledDocs(df: DataFrame): DataFrame =
+      if (scale == 1) df
+      else df.withColumn("c", explode(typedlit((0 until scale).toList)))
+        .withColumn("doc_id", col("doc_id") * scale + col("c"))
+        .withColumn("text", concat(col("text"), lit(" copy"), col("c")))
+        .drop("c")
+
+    val docs = scaledDocs(graft.Tables.documents(spark, sfDir))
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Report]
 
     // 1) curation intake: full documents table through the gate + fp state
-    results("curation_intake") = measure {
-      StreamingOps.curationIntakeStream(asStream(docs, "cur_in"))
-        .writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", s"$work/cur_ckpt").start()
-    }
+    if (wanted("curation_intake"))
+      results("curation_intake") = measure {
+        StreamingOps.curationIntakeStream(asStream(docs, "cur_in"))
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$work/cur_ckpt").start()
+      }
 
     // 1b) asset intake: binary payloads fingerprinted map-side, dedup
     // state holds metadata + 8-byte digests only (the multimodal ingest
     // shape — media bytes are dropped before the state store)
-    results("asset_intake") = measure {
-      StreamingOps.assetIntakeStream(
-        asStream(graft.operators.MultimodalOps.assets(spark, sfDir), "as_in"))
-        .writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", s"$work/as_ckpt").start()
-    }
+    if (wanted("asset_intake"))
+      results("asset_intake") = measure {
+        StreamingOps.assetIntakeStream(
+          asStream(graft.operators.MultimodalOps.assetsFrom(docs), "as_in"))
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$work/as_ckpt").start()
+      }
 
     // 2) near-dup intake: corpus slice indexed offline, batch slice streamed
-    graft.operators.DedupOps.buildSnapNearDupIndex(
-      spark, sfDir, "sb_band_idx", "sb_sig")
-    spark.catalog.clearCache()
-    results("neardup_intake") = measure {
-      StreamingOps.nearDupIntakeStream(
-        asStream(docs.where(pmod(col("doc_id"), lit(10)) >= 8), "nd_in"),
-        "sb_band_idx", "sb_sig", s"$work/nd_out", s"$work/nd_ckpt")
+    if (wanted("neardup_intake")) {
+      graft.operators.DedupOps.buildSnapNearDupIndex(
+        spark, sfDir, "sb_band_idx", "sb_sig")
+      spark.catalog.clearCache()
+      results("neardup_intake") = measure {
+        StreamingOps.nearDupIntakeStream(
+          asStream(docs.where(pmod(col("doc_id"), lit(10)) >= 8), "nd_in"),
+          "sb_band_idx", "sb_sig", s"$work/nd_out", s"$work/nd_ckpt")
+      }
     }
 
     // 3) ANN intake: IVF index built offline, query vectors streamed
-    graft.operators.SimilarityOps.buildAnnIndex(spark, sfDir, s"$work/annidx")
-    spark.catalog.clearCache()
-    val queries = graft.Tables.embeddings(spark, sfDir)
-      .where(pmod(col("vec_id"), lit(10)) >= 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    results("ann_intake") = measure {
-      StreamingOps.annIntakeStream(asStream(queries, "ann_in"),
-        s"$work/annidx", s"$work/ann_out", s"$work/ann_ckpt")
+    if (wanted("ann_intake")) {
+      graft.operators.SimilarityOps.buildAnnIndex(spark, sfDir, s"$work/annidx")
+      spark.catalog.clearCache()
+      val vecs = graft.Tables.embeddings(spark, sfDir)
+        .where(pmod(col("vec_id"), lit(10)) >= 8)
+      val queries = (if (scale == 1) vecs
+        else vecs.withColumn("c", explode(typedlit((0 until scale).toList)))
+          .withColumn("vec_id", col("vec_id") * scale + col("c")).drop("c"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      results("ann_intake") = measure {
+        StreamingOps.annIntakeStream(asStream(queries, "ann_in"),
+          s"$work/annidx", s"$work/ann_out", s"$work/ann_ckpt")
+      }
     }
 
     def f(v: Double): String =
@@ -146,7 +181,8 @@ object StreamBench {
         s""","p50_batch_ms":${r.p50BatchMs},"max_batch_ms":${r.maxBatchMs}}"""
     }.mkString("{", ",", "}")
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"""{"metric":"stream_intake","streams":$streams,"sf":"$sfDir"}""")
+    println(s"""{"metric":"stream_intake","streams":$streams,""" +
+      s""""batches":$nBatches,"scale":$scale,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,6 +44,9 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(graft.operators.MultimodalOps.assetCard(spark, dir).count() == 0)
     assert(graft.operators.MultimodalOps.windowPlan(spark, dir).count() == 0)
     assert(graft.operators.MultimodalOps.fetchPlan(spark, dir).count() == 0)
+    // r13: the header probe and parse-fed resize over zero assets
+    assert(graft.operators.MultimodalOps.headerParse(spark, dir).count() == 0)
+    assert(graft.operators.MultimodalOps.resizePlan(spark, dir).count() == 0)
   }
 
   test("kmeans tuning on an empty embeddings corpus: 3 null-stat rows, no error") {
