@@ -56,7 +56,11 @@ object IngestMain {
     * consumed mid-write). */
   final class Landing(dir: String, rotateLines: Int) {
     new File(dir).mkdirs()
-    private val EpochName = raw"epoch-(\d{6})\.jsonl".r
+    // \d{6,}: the %06d name format WIDENS past 999999 (it never
+    // truncates), so 7+-digit epoch files must still count in the resume
+    // scan — missing them would restart below an existing epoch and
+    // recreate the append-to-closed-file defect this scan prevents
+    private val EpochName = raw"epoch-(\d{6,})\.jsonl".r
     private val resumeAt: Long = Option(new File(dir).list()).getOrElse(Array.empty[String])
       .collect { case EpochName(n) => n.toLong }
       .foldLeft(-1L)(math.max) + 1L

@@ -121,11 +121,34 @@ object ServeMain {
       answer
     }
 
+  /** The table's [min dt, max dt], computed ONCE per dir (parquet
+    * row-group stats make the min/max scan cheap) — the clamp that keeps
+    * a client sweeping arbitrary dates from costing one Spark job per
+    * junk date: outside the range the answer is KNOWN to be the empty
+    * one, so it's built without touching Spark. None for an empty table
+    * (every date is then out of range). ISO dates compare as strings. */
+  private val ranges =
+    new ConcurrentHashMap[String, Option[(String, String)]]()
+
+  private def dtRange(spark: SparkSession, dir: String): Option[(String, String)] =
+    ranges.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions.{col, max, min, to_date}
+      val r = graft.Tables.events(spark, dir)
+        .agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+      if (r.isNullAt(0)) None
+      else Some((r.get(0).toString, r.get(1).toString))
+    })
+
+  private def inRange(spark: SparkSession, dir: String, date: String): Boolean =
+    dtRange(spark, dir).exists { case (lo, hi) => date >= lo && date <= hi }
+
   private[serving] def totalJson(spark: SparkSession, dir: String,
       date: String): String =
     cached(("total", dir, date)) {
-      val dau = ServingOps.realtimeTotal(spark, dir, date)
-        .head().getLong(0)
+      val dau =
+        if (inRange(spark, dir, date))
+          ServingOps.realtimeTotal(spark, dir, date).head().getLong(0)
+        else 0L // out of the table's dt range: the answer is known empty
       toJson(Seq(
         // LinkedHashMap: tile order is part of the reference shape
         collection.immutable.ListMap(
@@ -136,6 +159,8 @@ object ServeMain {
 
   private def hourCurve(spark: SparkSession, dir: String,
       date: String): collection.immutable.ListMap[String, Any] = {
+    if (!inRange(spark, dir, date))
+      return collection.immutable.ListMap.empty // known-empty curve, no job
     val rows = ServingOps.realtimeHourly(spark, dir, date).collect()
     collection.immutable.ListMap(
       rows.map(r => r.getString(0) -> (r.getLong(1): Any)).toSeq: _*)

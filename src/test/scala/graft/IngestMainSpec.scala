@@ -97,5 +97,15 @@ class IngestMainSpec extends SparkTestBase {
     second.close()
     assert(scala.io.Source.fromFile(new java.io.File(dir, "epoch-000002.jsonl"))
       .mkString == "{\"n\":4}\n")
+    // epochs past 999999 widen to 7+ digits (%06d never truncates) — the
+    // resume scan must count them too, or a restart would collide below
+    val wide = new java.io.File(dir, "epoch-1000000.jsonl")
+    java.nio.file.Files.write(wide.toPath, "{\"n\":9}\n".getBytes)
+    val third = new IngestMain.Landing(dir, rotateLines = 2)
+    third.append("""{"n":10}""")
+    third.close()
+    assert(new java.io.File(dir, "epoch-1000001.jsonl").exists(),
+      new java.io.File(dir).list().toSeq.sorted)
+    assert(scala.io.Source.fromFile(wide).mkString == "{\"n\":9}\n")
   }
 }

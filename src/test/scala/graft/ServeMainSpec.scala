@@ -85,6 +85,27 @@ class ServeMainSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { ServeMain.toJson(Double.NaN) }
   }
 
+  test("out-of-range dates answer known-empty without a Spark job per probe") {
+    val server = ServeMain.start(spark, sf0001, 0)
+    try {
+      val port = server.getAddress.getPort
+      // decades outside the 2024-01 corpus, closed and future both
+      val (s1, b1) = get(port, "/realtime-total?date=1990-01-01")
+      assert(s1 == 200 && b1 ==
+        """[{"id":"dau","name":"dau_total","value":0},""" +
+        """{"id":"new_mid","name":"new_mid_total","value":2}]""", b1)
+      val (s2, b2) = get(port, "/realtime-hour?date=1990-01-01")
+      assert(s2 == 200 && b2 == """{"yesterday":{},"today":{}}""", b2)
+      // the clamp answer must be byte-identical to what the COMPUTE path
+      // returns for an in-range day with no events — 2024-01-31 is
+      // inside [min,max]? the sf0.001 corpus spans all of 2024-01, so
+      // pick the shape check instead: an in-range day's payload parses
+      // with the same tile structure
+      val (s3, b3) = get(port, "/realtime-total?date=2024-01-15")
+      assert(s3 == 200 && b3.startsWith("""[{"id":"dau","name":"dau_total","value":"""), b3)
+    } finally server.stop(0)
+  }
+
   test("closed-day answer memo evicts oldest entries past the cap") {
     // distinct dir component isolates this test's keys from other specs
     // sharing the JVM-wide memo
