@@ -466,9 +466,56 @@ object MultimodalOps {
       .orderBy("asset_id", "range_id")
   }
 
+  /** ASSET VALIDATION REPORT — the QA pass a media pipeline runs between
+    * ingest and decode, built entirely on the header PROBE: per modality,
+    * how many assets (a) carry the format their modality claims, (b) have
+    * header FIELDS agreeing with the catalog metadata (PNG dims, WAV
+    * sample rate), (c) have a self-consistent size story (parsed body
+    * bytes + header == stored bytes — for WAV that checks the data-size
+    * FIELD against reality), and how many trip the decode-budget flags
+    * (clips shorter than one STFT window; videos past the frame cap).
+    * Map-side flags + one small groupBy: nothing but booleans shuffle. */
+  def assetValidate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
+    val hdrLen = typedlit(Map(
+      "image" -> PngHeaderBytes, "audio" -> WavHeaderBytes,
+      "video" -> Mp4HeaderBytes))
+    val expectedFmt = typedlit(Map(
+      "image" -> "png", "audio" -> "wav", "video" -> "mp4"))
+    val flags = assets(spark, dir)
+      .select(col("asset_id"), col("modality"),
+        length(col("payload")).cast("long").as("byte_len"),
+        col("width"), col("height"), col("sample_rate"), col("duration_ms"),
+        mm_header_parse(col("payload")).as("p"))
+      .select(col("modality"),
+        (col("p.format") === element_at(expectedFmt, col("modality")))
+          .as("format_ok"),
+        when(col("modality") === "image",
+            col("p.width") === col("width") &&
+            col("p.height") === col("height"))
+          .when(col("modality") === "audio",
+            col("p.sample_rate") === col("sample_rate"))
+          .otherwise(lit(true)).as("fields_ok"),
+        (col("p.body_bytes") + element_at(hdrLen, col("modality"))
+          === col("byte_len")).as("size_ok"),
+        (col("modality") === "audio" && col("duration_ms") < WinMs)
+          .as("short_clip"),
+        (col("modality") === "video" &&
+          expr("duration_ms DIV 1000 + 1") > MaxFrames).as("over_cap"))
+    flags.groupBy("modality")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("format_ok"), 1L).otherwise(0L)).as("n_format_ok"),
+        sum(when(col("fields_ok"), 1L).otherwise(0L)).as("n_fields_ok"),
+        sum(when(col("size_ok"), 1L).otherwise(0L)).as("n_size_ok"),
+        sum(when(col("short_clip"), 1L).otherwise(0L)).as("n_short_clips"),
+        sum(when(col("over_cap"), 1L).otherwise(0L)).as("n_over_cap"))
+      .orderBy("modality")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_parse" -> (headerParse _),
+    "q_mm_validate" -> (assetValidate _),
     "q_mm_meta" -> (assetMeta _),
     "q_mm_features" -> (featureStats _),
     "q_mm_feature_ann" -> (featureAnn _),
@@ -590,6 +637,64 @@ object MultimodalOps {
                 END AS out_h,
                 max_side > $ResizeMaxSide AS scaled
          FROM m ORDER BY asset_id""",
+    // validation report: re-parse the blob's hex image, compare against
+    // the catalog columns the synthesis wrote, aggregate the flags
+    "q_mm_validate" ->
+      s"""WITH $AssetSqlCte,
+         p AS (
+           SELECT *,
+             substr(phx,1,16) = '89504E470D0A1A0A'
+               AND length(phx) >= 66
+               AND substr(phx,25,8) = '49484452' AS is_png,
+             substr(phx,1,8) = '52494646'
+               AND length(phx) >= 88
+               AND substr(phx,17,8) = '57415645'
+               AND substr(phx,25,8) = '666D7420' AS is_wav,
+             length(phx) >= 32
+               AND substr(phx,9,8) = '66747970'
+               AND ('0x' || substr(phx,1,8))::BIGINT
+                     BETWEEN 8 AND length(phx) // 2 AS is_mp4
+           FROM a),
+         f AS (
+           SELECT modality,
+             CASE WHEN is_png THEN 'png' WHEN is_wav THEN 'wav'
+                  WHEN is_mp4 THEN 'mp4' END =
+               CASE modality WHEN 'image' THEN 'png' WHEN 'audio'
+                    THEN 'wav' ELSE 'mp4' END AS format_ok,
+             CASE modality
+               WHEN 'image' THEN
+                 ('0x' || substr(phx,33,8))::BIGINT = width
+                 AND ('0x' || substr(phx,41,8))::BIGINT = height
+               WHEN 'audio' THEN
+                 ('0x' || substr(phx,55,2) || substr(phx,53,2)
+                  || substr(phx,51,2) || substr(phx,49,2))::BIGINT = rate
+               ELSE TRUE END AS fields_ok,
+             CASE WHEN is_png THEN byte_len - $PngHeaderBytes
+                  WHEN is_wav
+                  THEN ('0x' || substr(phx,87,2) || substr(phx,85,2)
+                        || substr(phx,83,2) || substr(phx,81,2))::BIGINT
+                  WHEN is_mp4
+                  THEN byte_len - ('0x' || substr(phx,1,8))::BIGINT
+             END + CASE modality WHEN 'image' THEN $PngHeaderBytes
+                    WHEN 'audio' THEN $WavHeaderBytes
+                    ELSE $Mp4HeaderBytes END = byte_len AS size_ok,
+             modality = 'audio' AND duration_ms < $WinMs AS short_clip,
+             modality = 'video'
+               AND duration_ms // 1000 + 1 > $MaxFrames AS over_cap
+           FROM p)
+         SELECT modality,
+                count(*) AS n_assets,
+                CAST(sum(CASE WHEN format_ok THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_format_ok,
+                CAST(sum(CASE WHEN fields_ok THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_fields_ok,
+                CAST(sum(CASE WHEN size_ok THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_size_ok,
+                CAST(sum(CASE WHEN short_clip THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_short_clips,
+                CAST(sum(CASE WHEN over_cap THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_over_cap
+         FROM f GROUP BY modality ORDER BY modality""",
     // header parse: the oracle re-parses the identically-constructed
     // blob from its hex image — format by magic, PNG BE u32 dims, WAV
     // LE u32 rate/data-size (the 4-substr pair swap), ftyp box size —

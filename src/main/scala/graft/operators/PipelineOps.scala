@@ -885,7 +885,40 @@ object PipelineOps {
          FROM cum CROSS JOIN tot
          ORDER BY score DESC"""
 
+  /** Per-source document cap (RefinedWeb/C4-style domain frequency
+    * capping: no single domain may dominate the mixture). */
+  val SourceCapK = 20
+
+  /** SOURCE FREQUENCY CAP: keep at most [[SourceCapK]] docs per source —
+    * deterministic survivors (the K lowest doc_ids) — and emit the
+    * per-doc keep decision. The scale design is the point: the naive
+    * `row_number() OVER (PARTITION BY source ORDER BY doc_id) <= K`
+    * shuffles and SORTS every row of a skewed partition onto one task
+    * (the biggest domain IS the biggest skew at 100 TB); here the
+    * survivor set is computed by the native partial top-k aggregate
+    * (map-side K-element buffers, shuffle O(sources·K)) and the
+    * decision is a broadcast join back — no sort, no skewed window.
+    * Oracle replays the window form: identical answers. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftext.TopKColumns.topk_by
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    // score = -doc_id keeps the LOWEST ids (doc_id < 2^53: exact as double)
+    val kept = docs.groupBy(col("source").as("k_source"))
+      .agg(topk_by(negate(col("doc_id").cast("double")),
+        col("doc_id"), SourceCapK).as("top"))
+      .select(col("k_source"), explode(col("top")).as("t"))
+      .select(col("k_source"), col("t.id").as("kept_id"))
+    docs.join(broadcast(kept),
+        docs("source") === kept("k_source") && docs("doc_id") === kept("kept_id"),
+        "left")
+      .select(col("doc_id"), col("source"),
+        col("kept_id").isNotNull.as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_cap" -> (sourceCap _),
     "q_corpus_shuffle" -> (corpusShuffle _),
     "q_dataset_card" -> (datasetCard _),
     "q_perceptron" -> (perceptronTrain _),
@@ -978,6 +1011,16 @@ object PipelineOps {
            JOIN dup ON dup.doc_id = d.doc_id)"""
 
   val oracleSql: Map[String, String] = Map(
+    // the window form the Spark side deliberately AVOIDS (skew-safe
+    // partial top-k there) — same survivor set by construction
+    "q_source_cap" ->
+      s"""WITH r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS rn
+           FROM documents)
+         SELECT doc_id, source, rn <= $SourceCapK AS kept
+         FROM r ORDER BY doc_id""",
     "q_corpus_shuffle" ->
       """SELECT doc_id, shard, pos_in_shard FROM (
            SELECT doc_id,

@@ -230,4 +230,26 @@ class PipelineOpsSpec extends SparkTestBase {
       (3L, 3L, 2L, 130L, 40L, Seq.fill(40)("w").mkString(" ")),
       (4L, 3L, 0L, 130L, 130L, clean)))
   }
+
+  test("source cap: K lowest ids survive per source; plan has no skewed window") {
+    import org.apache.spark.sql.functions.col
+    // source A: 25 docs (ids 100..124) — cap K=20 binds, survivors are
+    // the 20 LOWEST ids; source B: 3 docs — under the cap, all kept
+    val rows = (100L to 124L).map(i => (i, s"d$i", "en", "A")) ++
+      Seq((10L, "x", "en", "B"), (11L, "y", "en", "B"), (12L, "z", "en", "B"))
+    val dir = documentsFixture(rows)
+    val df = graft.operators.PipelineOps.sourceCap(spark, dir)
+    val got = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert((100L to 119L).forall(got(_)), "lowest 20 of A kept")
+    assert((120L to 124L).forall(!got(_)), "A's 5 highest dropped")
+    assert(Seq(10L, 11L, 12L).forall(got(_)), "B under the cap: all kept")
+    // the scale claim is structural: survivor selection must be the
+    // partial top-k aggregate, never a row_number window over a skewed
+    // source partition (which sorts the biggest domain on one task)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(plan.toLowerCase.contains("topkbyscore"), "partial top-k missing")
+    assert(plan.contains("BroadcastHashJoin"), "decision join must broadcast")
+  }
 }

@@ -364,6 +364,26 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(parsed(2L) == (("mp4", None, None, None, 4L)))
   }
 
+  test("asset validation: synthesized corpus is all-consistent; budget flags fire on planted cases") {
+    // audio doc 1: 5 chars → 200 ms < one 400 ms window → short_clip;
+    // video doc 2: 500 chars → 20,000 ms → 21 > 16 frames → over_cap;
+    // image doc 3 and the rest: fully consistent, no flags
+    val dir = documentsFixture(Seq(
+      (1L, "abcde", "en", "src0"),
+      (2L, "v" * 500, "en", "src0"),
+      (3L, "some image body", "en", "src0"),
+      (4L, "a" * 20, "en", "src0")))   // audio, 800 ms: no flag
+    val got = MultimodalOps.assetValidate(spark, dir).collect()
+      .map(r => r.getAs[String]("modality") ->
+        ((r.getAs[Long]("n_assets"), r.getAs[Long]("n_format_ok"),
+          r.getAs[Long]("n_fields_ok"), r.getAs[Long]("n_size_ok"),
+          r.getAs[Long]("n_short_clips"), r.getAs[Long]("n_over_cap"))))
+      .toMap
+    assert(got("audio") == ((2L, 2L, 2L, 2L, 1L, 0L)), got("audio"))
+    assert(got("video") == ((1L, 1L, 1L, 1L, 0L, 1L)), got("video"))
+    assert(got("image") == ((1L, 1L, 1L, 1L, 0L, 0L)), got("image"))
+  }
+
   test("header probe: malformed/truncated/foreign bytes quarantine as all-null, never throw") {
     import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
     import spark.implicits._
