@@ -897,7 +897,13 @@ object PipelineOps {
     * (the biggest domain IS the biggest skew at 100 TB); here the
     * survivor set is computed by the native partial top-k aggregate
     * (map-side K-element buffers, shuffle O(sources·K)) and the
-    * decision is a broadcast join back — no sort, no skewed window.
+    * decision is a join back — no sort, no skewed window. The join is
+    * deliberately UNHINTED: with a catalog's worth of sources the
+    * sources·K survivor set auto-broadcasts, but at web scale `source`
+    * is millions of domains and the survivor set outgrows any
+    * broadcast — AQE then picks the shuffled hash join on the same
+    * plan, which is the correct shape there (both sides hash on the
+    * same keys; still no sort anywhere).
     * Oracle replays the window form: identical answers. */
   def sourceCap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftext.TopKColumns.topk_by
@@ -909,7 +915,7 @@ object PipelineOps {
         col("doc_id"), SourceCapK).as("top"))
       .select(col("k_source"), explode(col("top")).as("t"))
       .select(col("k_source"), col("t.id").as("kept_id"))
-    docs.join(broadcast(kept),
+    docs.join(kept,
         docs("source") === kept("k_source") && docs("doc_id") === kept("kept_id"),
         "left")
       .select(col("doc_id"), col("source"),
