@@ -46,13 +46,25 @@ object MultimodalOps {
   private[graft] val WavTailHex = "02001000" + "64617461"
   /** 16-byte `ftyp` box: BE size 16 + "ftyp" + "isom" + minor 0x200. */
   private[graft] val Mp4HeaderHex = "00000010" + "66747970" + "69736F6D" + "00000200"
+  /** JPEG: SOI, then a canonical 18-byte JFIF APP0 segment (len 16,
+    * "JFIF\0", version 1.1, aspect-ratio units, 1:1 density, no thumb). */
+  private[graft] val JpegApp0Hex =
+    "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+      "0001" + "0001" + "00" + "00"
+  /** SOF0 (baseline) prefix: marker, segment length 17, precision 8 —
+    * the BE16 height and width follow, then the 3-component spec. */
+  private[graft] val JpegSof0PreHex = "FFC0" + "0011" + "08"
+  /** YCbCr component spec: (id, sampling, q-table) × 3 — 2x2/1x1/1x1. */
+  private[graft] val JpegSofCompHex = "03" + "012200" + "021101" + "031101"
   val PngHeaderBytes = 33L  // 8 sig + 4 len + 4 type + 13 data + 4 crc
   val WavHeaderBytes = 44L  // the canonical RIFF/PCM header
   val Mp4HeaderBytes = 16L  // the ftyp box alone
+  val JpegHeaderBytes = 39L // SOI(2) + APP0(18) + SOF0(19)
   /** Audio sample rates round-robined into the WAV headers. */
   val SampleRates = Seq(16000L, 22050L, 24000L, 44100L, 48000L)
 
   private def be32Hex(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+  private def be16Hex(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
   private def le32Hex(c: org.apache.spark.sql.Column) = {
     val h = be32Hex(c)
     concat(substring(h, 7, 2), substring(h, 5, 2),
@@ -82,9 +94,15 @@ object MultimodalOps {
     val body = col("text").cast("binary")
     val bodyLen = length(body).cast("long")
     val headerHex =
-      when(modality === "image",
+      // image assets split across the two dominant wire formats: even
+      // image ids are PNG (u32 BE dims in IHDR), odd ones JPEG (u16 BE
+      // dims in SOF0, HEIGHT first — the format's own field order)
+      when(modality === "image" && col("doc_id") % 6 === 0,
         concat(lit(PngPreHex), be32Hex(width), be32Hex(height),
           lit(PngPostHex)))
+      .when(modality === "image",
+        concat(lit(JpegApp0Hex), lit(JpegSof0PreHex),
+          be16Hex(height), be16Hex(width), lit(JpegSofCompHex)))
       .when(modality === "audio",
         concat(lit("52494646"), le32Hex(bodyLen + 36L), lit(WavStaticHex),
           le32Hex(rate), le32Hex(rate * 2), lit(WavTailHex),
@@ -477,26 +495,30 @@ object MultimodalOps {
     * Map-side flags + one small groupBy: nothing but booleans shuffle. */
   def assetValidate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
+    // header size by PARSED format (image splits across png/jpeg)
     val hdrLen = typedlit(Map(
-      "image" -> PngHeaderBytes, "audio" -> WavHeaderBytes,
-      "video" -> Mp4HeaderBytes))
-    val expectedFmt = typedlit(Map(
-      "image" -> "png", "audio" -> "wav", "video" -> "mp4"))
+      "png" -> PngHeaderBytes, "jpeg" -> JpegHeaderBytes,
+      "wav" -> WavHeaderBytes, "mp4" -> Mp4HeaderBytes))
     val flags = assets(spark, dir)
       .select(col("asset_id"), col("modality"),
         length(col("payload")).cast("long").as("byte_len"),
         col("width"), col("height"), col("sample_rate"), col("duration_ms"),
         mm_header_parse(col("payload")).as("p"))
       .select(col("modality"),
-        (col("p.format") === element_at(expectedFmt, col("modality")))
-          .as("format_ok"),
+        // the format each asset SHOULD carry: image ids split across
+        // png (even image ids) and jpeg (odd), audio wav, video mp4
+        (col("p.format") ===
+          when(col("modality") === "image",
+            when(col("asset_id") % 6 === 0, "png").otherwise("jpeg"))
+          .when(col("modality") === "audio", lit("wav"))
+          .otherwise(lit("mp4"))).as("format_ok"),
         when(col("modality") === "image",
             col("p.width") === col("width") &&
             col("p.height") === col("height"))
           .when(col("modality") === "audio",
             col("p.sample_rate") === col("sample_rate"))
           .otherwise(lit(true)).as("fields_ok"),
-        (col("p.body_bytes") + element_at(hdrLen, col("modality"))
+        (col("p.body_bytes") + element_at(hdrLen, col("p.format"))
           === col("byte_len")).as("size_ok"),
         (col("modality") === "audio" && col("duration_ms") < WinMs)
           .as("short_clip"),
@@ -557,13 +579,18 @@ object MultimodalOps {
        assets AS (
          SELECT asset_id, modality, width, height, rate, duration_ms,
                 body_len,
-                CASE modality
-                  WHEN 'image' THEN '$PngPreHex' || ${be("width")} ||
-                                    ${be("height")} || '$PngPostHex'
-                  WHEN 'audio' THEN '52494646' || ${le("body_len + 36")} ||
-                                    '$WavStaticHex' || ${le("rate")} ||
-                                    ${le("rate * 2")} || '$WavTailHex' ||
-                                    ${le("body_len")}
+                CASE WHEN modality = 'image' AND asset_id % 6 = 0
+                     THEN '$PngPreHex' || ${be("width")} ||
+                          ${be("height")} || '$PngPostHex'
+                     WHEN modality = 'image'
+                     THEN '$JpegApp0Hex' || '$JpegSof0PreHex' ||
+                          lpad(hex(height), 4, '0') ||
+                          lpad(hex(width), 4, '0') || '$JpegSofCompHex'
+                     WHEN modality = 'audio'
+                     THEN '52494646' || ${le("body_len + 36")} ||
+                          '$WavStaticHex' || ${le("rate")} ||
+                          ${le("rate * 2")} || '$WavTailHex' ||
+                          ${le("body_len")}
                   ELSE '$Mp4HeaderHex'
                 END || body_hex AS phx
          FROM ax),
@@ -622,11 +649,18 @@ object MultimodalOps {
       s"""WITH $AssetSqlCte,
          i AS (
            SELECT asset_id,
-                  ('0x' || substr(phx, 33, 8))::BIGINT AS width,
-                  ('0x' || substr(phx, 41, 8))::BIGINT AS height
+                  CASE WHEN substr(phx, 1, 4) = 'FFD8'
+                       THEN ('0x' || substr(phx, 55, 4))::BIGINT
+                       ELSE ('0x' || substr(phx, 33, 8))::BIGINT
+                  END AS width,
+                  CASE WHEN substr(phx, 1, 4) = 'FFD8'
+                       THEN ('0x' || substr(phx, 51, 4))::BIGINT
+                       ELSE ('0x' || substr(phx, 41, 8))::BIGINT
+                  END AS height
            FROM a
            WHERE substr(phx, 1, 16) = '89504E470D0A1A0A'
-             AND substr(phx, 25, 8) = '49484452'),
+              OR (substr(phx, 1, 4) = 'FFD8'
+                  AND substr(phx, 41, 4) = 'FFC0')),
          m AS (SELECT *, greatest(width, height) AS max_side FROM i)
          SELECT asset_id, width, height, max_side,
                 CASE WHEN max_side <= $ResizeMaxSide THEN width
@@ -653,19 +687,27 @@ object MultimodalOps {
              length(phx) >= 32
                AND substr(phx,9,8) = '66747970'
                AND ('0x' || substr(phx,1,8))::BIGINT
-                     BETWEEN 8 AND length(phx) // 2 AS is_mp4
+                     BETWEEN 8 AND length(phx) // 2 AS is_mp4,
+             substr(phx,1,4) = 'FFD8'
+               AND length(phx) >= 78
+               AND substr(phx,41,4) = 'FFC0' AS is_jpeg
            FROM a),
          f AS (
            SELECT modality,
              CASE WHEN is_png THEN 'png' WHEN is_wav THEN 'wav'
-                  WHEN is_mp4 THEN 'mp4' END =
-               CASE modality WHEN 'image' THEN 'png' WHEN 'audio'
-                    THEN 'wav' ELSE 'mp4' END AS format_ok,
-             CASE modality
-               WHEN 'image' THEN
+                  WHEN is_mp4 THEN 'mp4' WHEN is_jpeg THEN 'jpeg' END =
+               CASE WHEN modality = 'image' AND asset_id % 6 = 0 THEN 'png'
+                    WHEN modality = 'image' THEN 'jpeg'
+                    WHEN modality = 'audio' THEN 'wav'
+                    ELSE 'mp4' END AS format_ok,
+             CASE WHEN modality = 'image' AND is_png THEN
                  ('0x' || substr(phx,33,8))::BIGINT = width
                  AND ('0x' || substr(phx,41,8))::BIGINT = height
-               WHEN 'audio' THEN
+               WHEN modality = 'image' THEN
+                 is_jpeg
+                 AND ('0x' || substr(phx,55,4))::BIGINT = width
+                 AND ('0x' || substr(phx,51,4))::BIGINT = height
+               WHEN modality = 'audio' THEN
                  ('0x' || substr(phx,55,2) || substr(phx,53,2)
                   || substr(phx,51,2) || substr(phx,49,2))::BIGINT = rate
                ELSE TRUE END AS fields_ok,
@@ -675,9 +717,12 @@ object MultimodalOps {
                         || substr(phx,83,2) || substr(phx,81,2))::BIGINT
                   WHEN is_mp4
                   THEN byte_len - ('0x' || substr(phx,1,8))::BIGINT
-             END + CASE modality WHEN 'image' THEN $PngHeaderBytes
-                    WHEN 'audio' THEN $WavHeaderBytes
-                    ELSE $Mp4HeaderBytes END = byte_len AS size_ok,
+                  WHEN is_jpeg THEN byte_len - $JpegHeaderBytes
+             END + CASE WHEN is_png THEN $PngHeaderBytes
+                    WHEN is_jpeg THEN $JpegHeaderBytes
+                    WHEN is_wav THEN $WavHeaderBytes
+                    WHEN is_mp4 THEN $Mp4HeaderBytes END
+               = byte_len AS size_ok,
              modality = 'audio' AND duration_ms < $WinMs AS short_clip,
              modality = 'video'
                AND duration_ms // 1000 + 1 > $MaxFrames AS over_cap
@@ -713,15 +758,25 @@ object MultimodalOps {
              length(phx) >= 32
                AND substr(phx,9,8) = '66747970'
                AND ('0x' || substr(phx,1,8))::BIGINT
-                     BETWEEN 8 AND length(phx) // 2 AS is_mp4
+                     BETWEEN 8 AND length(phx) // 2 AS is_mp4,
+             -- fixed-offset image of the walker: the constructed layout
+             -- is always SOI + APP0(16) + SOF0, so SOF0 sits at byte 20
+             substr(phx,1,4) = 'FFD8'
+               AND length(phx) >= 78
+               AND substr(phx,41,4) = 'FFC0' AS is_jpeg
            FROM a)
          SELECT asset_id, modality,
                 CASE WHEN is_png THEN 'png' WHEN is_wav THEN 'wav'
-                     WHEN is_mp4 THEN 'mp4' END AS format,
+                     WHEN is_mp4 THEN 'mp4'
+                     WHEN is_jpeg THEN 'jpeg' END AS format,
                 CASE WHEN is_png
-                     THEN ('0x' || substr(phx,33,8))::BIGINT END AS width,
+                     THEN ('0x' || substr(phx,33,8))::BIGINT
+                     WHEN is_jpeg
+                     THEN ('0x' || substr(phx,55,4))::BIGINT END AS width,
                 CASE WHEN is_png
-                     THEN ('0x' || substr(phx,41,8))::BIGINT END AS height,
+                     THEN ('0x' || substr(phx,41,8))::BIGINT
+                     WHEN is_jpeg
+                     THEN ('0x' || substr(phx,51,4))::BIGINT END AS height,
                 CASE WHEN is_wav
                      THEN ('0x' || substr(phx,55,2) || substr(phx,53,2)
                            || substr(phx,51,2) || substr(phx,49,2))::BIGINT
@@ -732,6 +787,7 @@ object MultimodalOps {
                            || substr(phx,83,2) || substr(phx,81,2))::BIGINT
                      WHEN is_mp4
                      THEN byte_len - ('0x' || substr(phx,1,8))::BIGINT
+                     WHEN is_jpeg THEN byte_len - $JpegHeaderBytes
                 END AS body_bytes
          FROM p ORDER BY asset_id""",
     // integer frame plan: uniform timestamps + proportional byte offsets

@@ -217,7 +217,7 @@ object GraftExtensions {
     info("mm_header_parse",
       "mm_header_parse(payload) - probe a media container's magic bytes: " +
         "struct<format, width, height, sample_rate, body_bytes> " +
-        "(PNG/WAV/MP4; all-null struct on unknown or truncated bytes)"),
+        "(PNG/JPEG/WAV/MP4; all-null struct on unknown or truncated bytes)"),
     arity("mm_header_parse", 1)(exprs => MediaHeaderParse(exprs(0))))
 
   /** The whole SQL-callable family, in registration order. */

@@ -32,6 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - MP4: an `ftyp` box leads the file — body_bytes = payload length
   *    minus the box's own BE u32 size at byte 0; dimensions live in
   *    `moov/tkhd`, beyond a header probe, so width/height stay null.
+  *  - JPEG: SOI then a marker-segment WALK (APPn/COM segments are
+  *    skipped via their own BE16 lengths — encoders insert them freely)
+  *    to the first SOF0-SOF3 frame header, whose payload carries height
+  *    then width as BE u16s; body_bytes = everything after that SOF
+  *    segment. Hitting SOS/EOI first = dims missing = quarantine.
   * Anything else (truncated or foreign magic) → all-null struct: the
   * quarantine row, never an exception — corrupt bytes at 100 TB are data,
   * not errors.
@@ -76,6 +81,7 @@ object MediaHeaderParse {
   private val Png = UTF8String.fromString("png")
   private val Wav = UTF8String.fromString("wav")
   private val Mp4 = UTF8String.fromString("mp4")
+  private val Jpeg = UTF8String.fromString("jpeg")
 
   /** The quarantine row: unknown magic, truncated header, or null input. */
   private val UnknownRow: InternalRow = InternalRow(null, null, null, null, null)
@@ -122,7 +128,39 @@ object MediaHeaderParse {
       if (boxSize >= 8 && boxSize <= n)
         InternalRow(Mp4, null, null, null, n - boxSize)
       else UnknownRow
+    // JPEG: SOI, then WALK the marker segments (each FF-marker carries a
+    // BE16 length) until a SOF frame header yields the dimensions — a
+    // fixed-offset read would break on any extra APPn/COM segment, which
+    // real encoders insert freely
+    } else if (n >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      jpegSof(b, n)
     } else UnknownRow
+  }
+
+  /** Walk JPEG segments from just past SOI to the first SOF0-SOF3 frame
+    * header; height/width are the BE16s at payload offsets 1/3 (after
+    * the precision byte). Stops (quarantines) at SOS/EOI, a non-marker
+    * byte, or a truncated segment — dims must appear BEFORE entropy
+    * data, so hitting the scan means a malformed header. */
+  private def jpegSof(b: Array[Byte], n: Int): InternalRow = {
+    var i = 2
+    while (i + 4 <= n && (b(i) & 0xFF) == 0xFF) {
+      val marker = b(i + 1) & 0xFF
+      val segLen = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+      if (segLen < 2 || i + 2 + segLen > n) return UnknownRow
+      if (marker >= 0xC0 && marker <= 0xC3) { // SOF0-SOF3 (baseline..lossless)
+        if (segLen < 7) return UnknownRow
+        val height = (((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)).toLong
+        val width = (((b(i + 7) & 0xFF) << 8) | (b(i + 8) & 0xFF)).toLong
+        // body = everything after the SOF segment: with the canonical
+        // SOI+APP0+SOF0 prefix that is payload minus the 39-byte header
+        return InternalRow(Jpeg, width, height, null,
+          (n - (i + 2 + segLen)).toLong)
+      }
+      if (marker == 0xDA || marker == 0xD9) return UnknownRow // SOS/EOI first
+      i += 2 + segLen
+    }
+    UnknownRow
   }
 }
 

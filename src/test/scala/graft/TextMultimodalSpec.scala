@@ -198,44 +198,47 @@ class TextMultimodalSpec extends SparkTestBase {
   }
 
   test("asset dedup: identical payloads merge within a modality, never across") {
-    // 3 and 6 are both image (%3=0) with identical bytes → one group,
-    // keep = min id, dup_bytes = one copy's length; 1 (audio) has the
-    // SAME bytes but a different modality → its own group (modality is
-    // the blocking key, like `source` in the text dedups); 9 is unique
+    // 6 and 12 are both PNG images (%6=0) with identical bytes → one
+    // group, keep = min id, dup_bytes = one copy's length; 3 is an
+    // image with the SAME body but JPEG framing (%6=3) → different
+    // payload bytes, its own group — the container IS part of the
+    // bytes; 1 (audio) has the same body in WAV framing → own group
+    // (modality blocks anyway, like `source` in the text dedups)
     val dir = documentsFixture(Seq(
-      (3L, "same bytes", "en", "src0"),
       (6L, "same bytes", "en", "src0"),
-      (1L, "same bytes", "en", "src0"),
-      (9L, "other", "en", "src0")))
+      (12L, "same bytes", "en", "src0"),
+      (3L, "same bytes", "en", "src0"),
+      (1L, "same bytes", "en", "src0")))
     val got = graft.operators.MultimodalOps.assetDedup(spark, dir).collect()
       .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
         r.getAs[Long]("n_copies"), r.getAs[Long]("dup_bytes")))
     assert(got.toSeq == Seq(
       ("audio", 1L, 1L, 0L),
-      // "same bytes" = 10 body bytes + the 33-byte PNG header (3 and 6
-      // share n_chars, so their headers — and full payloads — coincide)
-      ("image", 3L, 2L, 43L),
-      ("image", 9L, 1L, 0L)))
+      // jpeg copy of the same body: distinct payload, never merged
+      ("image", 3L, 1L, 0L),
+      // "same bytes" = 10 body bytes + the 33-byte PNG header
+      ("image", 6L, 2L, 43L)))
   }
 
   test("asset card: hand-computed counts, duplicate fraction and recoverable bytes") {
-    // same planted corpus as the dedup spec: image = {3, 6 (dup of 3), 9},
-    // audio = {1}; "same bytes" is 10 chars, "other" 5
+    // same planted corpus as the dedup spec: image = {6, 12 (png dup of
+    // 6), 3 (jpeg — same body, different container → distinct payload)},
+    // audio = {1}; "same bytes" is 10 chars
     val dir = documentsFixture(Seq(
-      (3L, "same bytes", "en", "src0"),
       (6L, "same bytes", "en", "src0"),
-      (1L, "same bytes", "en", "src0"),
-      (9L, "other", "en", "src0")))
+      (12L, "same bytes", "en", "src0"),
+      (3L, "same bytes", "en", "src0"),
+      (1L, "same bytes", "en", "src0")))
     val got = graft.operators.MultimodalOps.assetCard(spark, dir).collect()
       .map(r => r.getAs[String]("modality") ->
         ((r.getAs[Long]("n_assets"), r.getAs[Long]("n_payloads"),
           r.getAs[Double]("dup_frac"), r.getAs[Long]("total_bytes"),
           r.getAs[Long]("dup_bytes"), r.getAs[Long]("total_duration_ms"))))
       .toMap
-    // byte lens now include container headers: audio "same bytes" =
-    // 10 + 44 (WAV); image "same bytes" = 10 + 33 (PNG), "other" = 5 + 33
+    // byte lens include container headers: audio = 10 + 44 (WAV);
+    // png images = 10 + 33 each; the jpeg copy = 10 + 39
     assert(got("audio") == ((1L, 1L, 0.0, 54L, 0L, 400L)))
-    assert(got("image") == ((3L, 2L, 1.0 - 2.0 / 3.0, 124L, 43L, 1000L)),
+    assert(got("image") == ((3L, 2L, 1.0 - 2.0 / 3.0, 135L, 43L, 1200L)),
       s"image card: ${got("image")}")
   }
 
@@ -313,24 +316,27 @@ class TextMultimodalSpec extends SparkTestBase {
       assert(math.abs(af.features.sum - 1.0) < 1e-9,
         "normalized byte histogram must sum to 1")
     }
-    // payload byte_len equals n_chars + the modality's container header
-    // for this ascii corpus (PNG 33, WAV 44, MP4-ftyp 16)
-    val hdr = typedlit(Map(
-      "image" -> MultimodalOps.PngHeaderBytes,
-      "audio" -> MultimodalOps.WavHeaderBytes,
-      "video" -> MultimodalOps.Mp4HeaderBytes))
+    // payload byte_len equals n_chars + the container header for this
+    // ascii corpus (PNG 33 / JPEG 39 split by image-id parity, WAV 44,
+    // MP4-ftyp 16)
+    val hdr = when(col("modality") === "image",
+        when(col("asset_id") % 6 === 0, MultimodalOps.PngHeaderBytes)
+          .otherwise(MultimodalOps.JpegHeaderBytes))
+      .when(col("modality") === "audio", MultimodalOps.WavHeaderBytes)
+      .otherwise(MultimodalOps.Mp4HeaderBytes)
     val meta = MultimodalOps.assetMeta(spark, sf0001)
       .join(Tables.documents(spark, sf0001),
         col("asset_id") === col("doc_id"))
-      .where(col("byte_len") =!= col("n_chars") + element_at(hdr, col("modality")))
+      .where(col("byte_len") =!= col("n_chars") + hdr)
     assert(meta.count() == 0)
   }
 
   test("asset payloads are REAL containers: golden header bytes, parse round-trip") {
-    // one tiny asset per modality, headers hand-assembled independently
-    // of the synthesis code (golden bytes, not a replay)
+    // one tiny asset per container format, headers hand-assembled
+    // independently of the synthesis code (golden bytes, not a replay)
     val dir = documentsFixture(Seq(
-      (3L, "img", "en", "src0"),    // image: n_chars=3 → width 4, height 4
+      (6L, "img", "en", "src0"),    // image %6=0 → PNG; w=4, h=4
+      (3L, "jpg", "en", "src0"),    // image %6=3 → JPEG; w=4, h=4
       (1L, "au", "en", "src0"),     // audio: rate idx 1%5=1 → 22050
       (2L, "vid!", "en", "src0")))  // video
     val rows = MultimodalOps.assets(spark, dir)
@@ -340,10 +346,18 @@ class TextMultimodalSpec extends SparkTestBase {
     def hx(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
     // PNG: sig + IHDR(len 13) + w=4,h=4 BE + depth8/truecolor + zero CRC,
     // then the 3 body bytes "img"
-    assert(hx(rows(3L)) ==
+    assert(hx(rows(6L)) ==
       "89504E470D0A1A0A" + "0000000D" + "49484452" +
         "00000004" + "00000004" + "08" + "02" + "000000" + "00000000" +
         "696D67")
+    // JPEG: SOI + JFIF APP0(16) + SOF0(len 17, prec 8, h=4,w=4 BE16,
+    // 3-component spec), then the 3 body bytes "jpg"
+    assert(hx(rows(3L)) ==
+      "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+        "0001" + "0001" + "00" + "00" +
+        "FFC0" + "0011" + "08" + "0004" + "0004" +
+        "03" + "012200" + "021101" + "031101" +
+        "6A7067")
     // WAV: RIFF size=36+2 LE, PCM mono 22050 Hz (LE 0x5622 → "22560000"),
     // byte rate 44100, data size 2, body "au"
     assert(hx(rows(1L)) ==
@@ -359,9 +373,38 @@ class TextMultimodalSpec extends SparkTestBase {
         ((r.getAs[String]("format"), Option(r.get(3)), Option(r.get(4)),
           Option(r.get(5)), r.getAs[Long]("body_bytes"))))
       .toMap
-    assert(parsed(3L) == (("png", Some(4L), Some(4L), None, 3L)))
+    assert(parsed(6L) == (("png", Some(4L), Some(4L), None, 3L)))
+    assert(parsed(3L) == (("jpeg", Some(4L), Some(4L), None, 3L)))
     assert(parsed(1L) == (("wav", None, None, Some(22050L), 2L)))
     assert(parsed(2L) == (("mp4", None, None, None, 4L)))
+  }
+
+  test("jpeg probe genuinely WALKS markers: extra COM segment, SOS-first, truncation") {
+    import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
+    import spark.implicits._
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val app0 = "FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" +
+      "0001" + "0001" + "0000"
+    val sof = "FFC0" + "0011" + "08" + "0140" + "00F0" + // h=320, w=240
+      "03" + "012200" + "021101" + "031101"
+    val payloads = Seq(
+      // a COM segment (len 6: 4 text bytes) BETWEEN APP0 and SOF0 — a
+      // fixed-offset reader returns garbage here; the walker must skip
+      // it via the segment's own length field and still find the dims
+      app0 + "FFFE" + "0006" + "41424344" + sof + "AABB",
+      // SOS before any SOF: dims unreadable → quarantine
+      app0 + "FFDA" + "0008" + "010100003F00" + "11",
+      // truncated mid-segment: the declared APP0 length runs past the end
+      "FFD8" + "FFE00010" + "4A46")
+    val out = payloads.map(unhex).toDF("b")
+      .select(mm_header_parse($"b").as("p")).select("p.*").collect()
+      .map(r => (Option(r.get(0)).map(_.toString),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(4))))
+    assert(out(0) == ((Some("jpeg"), Some(240L), Some(320L), Some(2L))),
+      s"walker failed: ${out(0)}")
+    assert(out(1) == ((None, None, None, None)), s"SOS-first: ${out(1)}")
+    assert(out(2) == ((None, None, None, None)), s"truncated: ${out(2)}")
   }
 
   test("asset validation: synthesized corpus is all-consistent; budget flags fire on planted cases") {
@@ -405,8 +448,10 @@ class TextMultimodalSpec extends SparkTestBase {
     // what was written into the bytes is what the probe reads back
     val joined = MultimodalOps.headerParse(spark, sf0001).alias("p")
       .join(MultimodalOps.assets(spark, sf0001).alias("a"), "asset_id")
+    val expectedImageFmt =
+      when(col("asset_id") % 6 === 0, "png").otherwise("jpeg")
     assert(joined.where(
-      (col("p.modality") === "image") && (col("format") =!= "png"
+      (col("p.modality") === "image") && (col("format") =!= expectedImageFmt
         || col("p.width") =!= col("a.width")
         || col("p.height") =!= col("a.height"))).count() == 0)
     assert(joined.where(
@@ -414,13 +459,14 @@ class TextMultimodalSpec extends SparkTestBase {
         || col("p.sample_rate") =!= col("a.sample_rate"))).count() == 0)
     assert(joined.where(
       (col("p.modality") === "video") && (col("format") =!= "mp4")).count() == 0)
-    // header + body = total payload bytes for every modality
+    // header + body = total payload bytes, header sized by PARSED format
     val hdr = typedlit(Map(
-      "image" -> MultimodalOps.PngHeaderBytes,
-      "audio" -> MultimodalOps.WavHeaderBytes,
-      "video" -> MultimodalOps.Mp4HeaderBytes))
+      "png" -> MultimodalOps.PngHeaderBytes,
+      "jpeg" -> MultimodalOps.JpegHeaderBytes,
+      "wav" -> MultimodalOps.WavHeaderBytes,
+      "mp4" -> MultimodalOps.Mp4HeaderBytes))
     assert(joined.where(col("body_bytes")
-      + element_at(hdr, col("p.modality"))
+      + element_at(hdr, col("format"))
       =!= length(col("a.payload")).cast("long")).count() == 0)
   }
 
