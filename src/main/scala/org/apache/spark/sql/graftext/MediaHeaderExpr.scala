@@ -146,19 +146,25 @@ object MediaHeaderParse {
     var i = 2
     while (i + 4 <= n && (b(i) & 0xFF) == 0xFF) {
       val marker = b(i + 1) & 0xFF
-      val segLen = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-      if (segLen < 2 || i + 2 + segLen > n) return UnknownRow
-      if (marker >= 0xC0 && marker <= 0xC3) { // SOF0-SOF3 (baseline..lossless)
-        if (segLen < 7) return UnknownRow
-        val height = (((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)).toLong
-        val width = (((b(i + 7) & 0xFF) << 8) | (b(i + 8) & 0xFF)).toLong
-        // body = everything after the SOF segment: with the canonical
-        // SOI+APP0+SOF0 prefix that is payload minus the 39-byte header
-        return InternalRow(Jpeg, width, height, null,
-          (n - (i + 2 + segLen)).toLong)
+      if (marker == 0xFF) { // 0xFF fill byte before a marker (legal padding)
+        i += 1
+      } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        i += 2 // TEM/RSTn: standalone markers, no length field
+      } else {
+        val segLen = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+        if (segLen < 2 || i + 2 + segLen > n) return UnknownRow
+        if (marker >= 0xC0 && marker <= 0xC3) { // SOF0-SOF3 (baseline..lossless)
+          if (segLen < 7) return UnknownRow
+          val height = (((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)).toLong
+          val width = (((b(i + 7) & 0xFF) << 8) | (b(i + 8) & 0xFF)).toLong
+          // body = everything after the SOF segment: with the canonical
+          // SOI+APP0+SOF0 prefix that is payload minus the 39-byte header
+          return InternalRow(Jpeg, width, height, null,
+            (n - (i + 2 + segLen)).toLong)
+        }
+        if (marker == 0xDA || marker == 0xD9) return UnknownRow // SOS/EOI first
+        i += 2 + segLen
       }
-      if (marker == 0xDA || marker == 0xD9) return UnknownRow // SOS/EOI first
-      i += 2 + segLen
     }
     UnknownRow
   }

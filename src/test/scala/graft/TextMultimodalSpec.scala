@@ -396,7 +396,10 @@ class TextMultimodalSpec extends SparkTestBase {
       // SOS before any SOF: dims unreadable → quarantine
       app0 + "FFDA" + "0008" + "010100003F00" + "11",
       // truncated mid-segment: the declared APP0 length runs past the end
-      "FFD8" + "FFE00010" + "4A46")
+      "FFD8" + "FFE00010" + "4A46",
+      // 0xFF fill bytes before the SOF marker + a standalone TEM marker:
+      // both legal JPEG padding forms the walker must step over
+      app0 + "FF01" + "FFFF" + sof + "CC")
     val out = payloads.map(unhex).toDF("b")
       .select(mm_header_parse($"b").as("p")).select("p.*").collect()
       .map(r => (Option(r.get(0)).map(_.toString),
@@ -405,6 +408,8 @@ class TextMultimodalSpec extends SparkTestBase {
       s"walker failed: ${out(0)}")
     assert(out(1) == ((None, None, None, None)), s"SOS-first: ${out(1)}")
     assert(out(2) == ((None, None, None, None)), s"truncated: ${out(2)}")
+    assert(out(3) == ((Some("jpeg"), Some(240L), Some(320L), Some(1L))),
+      s"fill/TEM padding: ${out(3)}")
   }
 
   test("asset validation: synthesized corpus is all-consistent; budget flags fire on planted cases") {
