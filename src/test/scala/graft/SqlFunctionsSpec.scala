@@ -178,6 +178,15 @@ class SqlFunctionsSpec extends SparkTestBase {
       assert(r.getString(0) == "png")
       assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
       assert(r.isNullAt(3) && r.getLong(4) == 1L)
+      // the JPEG walker from SQL text: SOI + APP0 + SOF0 (h=2, w=3) + 1 body byte
+      val j = spark.sql(
+        "SELECT p.format, p.width, p.height, p.body_bytes " +
+          "FROM (SELECT mm_header_parse(unhex(" +
+          "'FFD8FFE000104A46494600010100000100010000" + // SOI + JFIF APP0
+          "FFC00011080002000303012200021101031101" +    // SOF0: h=2, w=3
+          "BB')) AS p)").head()
+      assert(j.getString(0) == "jpeg" && j.getLong(1) == 3L &&
+        j.getLong(2) == 2L && j.getLong(3) == 1L)
       // unknown magic quarantines as all-null, still under CODEGEN_ONLY
       val q = spark.sql(
         "SELECT p.format FROM (SELECT mm_header_parse(unhex('DEADBEEF')) AS p)")
