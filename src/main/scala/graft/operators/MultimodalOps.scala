@@ -218,7 +218,10 @@ object MultimodalOps {
     import org.apache.spark.sql.expressions.Window
     val feats = extractFeatures(spark, dir).toDF()
       .select(col("asset_id"), col("modality"),
-        expr("transform(features, x -> cast(x as float))").as("fv"))
+        // array-level cast, NOT transform(x -> cast): Cast on an array
+        // stays inside whole-stage codegen; the lambda form is the one
+        // interpreted HOF the engine's invariant bans on per-asset paths
+        col("features").cast("array<float>").as("fv"))
       .withColumn("nrm", VectorOps.norm(col("fv")))
       // zero-norm vectors (empty payloads) produce NaN cosines, which
       // ORDER BY DESC would rank FIRST — a junk asset would beat every

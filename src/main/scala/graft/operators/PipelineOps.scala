@@ -915,8 +915,12 @@ object PipelineOps {
         col("doc_id"), SourceCapK).as("top"))
       .select(col("k_source"), explode(col("top")).as("t"))
       .select(col("k_source"), col("t.id").as("kept_id"))
+    // <=> (null-safe) on source: groupBy already produced a NULL-source
+    // survivor group (matching the oracle window's NULL partition), and a
+    // plain === would strand those survivors — every NULL-source doc
+    // would come back kept=false. Same hash-join shape either way.
     docs.join(kept,
-        docs("source") === kept("k_source") && docs("doc_id") === kept("kept_id"),
+        docs("source") <=> kept("k_source") && docs("doc_id") === kept("kept_id"),
         "left")
       .select(col("doc_id"), col("source"),
         col("kept_id").isNotNull.as("kept"))

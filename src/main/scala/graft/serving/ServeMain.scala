@@ -121,26 +121,43 @@ object ServeMain {
       answer
     }
 
-  /** The table's [min dt, max dt], computed ONCE per dir (parquet
-    * row-group stats make the min/max scan cheap) — the clamp that keeps
-    * a client sweeping arbitrary dates from costing one Spark job per
-    * junk date: outside the range the answer is KNOWN to be the empty
-    * one, so it's built without touching Spark. None for an empty table
-    * (every date is then out of range). ISO dates compare as strings. */
+  /** The table's [min dt, max dt] — the clamp that keeps a client
+    * sweeping arbitrary dates from costing one Spark job per junk date:
+    * below the min the answer is KNOWN to be the empty one, so it's
+    * built without touching Spark. None for an empty table. ISO dates
+    * compare as strings.
+    *
+    * Only the LOWER bound is a settled fact worth memoizing forever: in
+    * the live ingest → route → serve deployment new days keep landing,
+    * so a date ABOVE the cached max (or any date against a cached
+    * empty-table answer) re-runs the cheap min/max scan (parquet
+    * row-group stats) before concluding empty — otherwise the first
+    * request after midnight would be permanently answered 0/{} from a
+    * stale ceiling, contradicting the "open days compute every call"
+    * rule in [[cached]]. Dates at-or-below the cached max never rescan. */
   private val ranges =
     new ConcurrentHashMap[String, Option[(String, String)]]()
 
+  private def scanRange(spark: SparkSession, dir: String): Option[(String, String)] = {
+    import org.apache.spark.sql.functions.{col, max, min, to_date}
+    val r = graft.Tables.events(spark, dir)
+      .agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+    if (r.isNullAt(0)) None
+    else Some((r.get(0).toString, r.get(1).toString))
+  }
+
   private def dtRange(spark: SparkSession, dir: String): Option[(String, String)] =
-    ranges.computeIfAbsent(dir, _ => {
-      import org.apache.spark.sql.functions.{col, max, min, to_date}
-      val r = graft.Tables.events(spark, dir)
-        .agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
-      if (r.isNullAt(0)) None
-      else Some((r.get(0).toString, r.get(1).toString))
-    })
+    ranges.computeIfAbsent(dir, _ => scanRange(spark, dir))
 
   private def inRange(spark: SparkSession, dir: String, date: String): Boolean =
-    dtRange(spark, dir).exists { case (lo, hi) => date >= lo && date <= hi }
+    dtRange(spark, dir) match {
+      case Some((lo, _)) if date < lo => false // settled: days below min never appear
+      case Some((_, hi)) if date <= hi => true
+      case _ => // above the cached max, or cached-empty: refresh before saying no
+        val fresh = scanRange(spark, dir)
+        ranges.put(dir, fresh)
+        fresh.exists { case (lo, hi) => date >= lo && date <= hi }
+    }
 
   private[serving] def totalJson(spark: SparkSession, dir: String,
       date: String): String =

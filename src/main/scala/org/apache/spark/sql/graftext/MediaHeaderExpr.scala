@@ -122,12 +122,15 @@ object MediaHeaderParse {
         b(12) == 'f'.toByte && b(13) == 'm'.toByte &&
         b(14) == 't'.toByte && b(15) == ' '.toByte) {
       InternalRow(Wav, null, null, le32(b, 24), le32(b, 40))
-    // MP4 family: a leading ftyp box; its BE size bounds the header
-    } else if (n >= 16 && tagAt(b, 4, "ftyp")) {
-      val boxSize = be32(b, 0)
-      if (boxSize >= 8 && boxSize <= n)
-        InternalRow(Mp4, null, null, null, n - boxSize)
-      else UnknownRow
+    // MP4 family: a leading ftyp box whose BE size is VALID (8..n). The
+    // size check lives in the branch CONDITION, not the body, so the
+    // precedence definition is one boolean per format exactly like the
+    // oracle's CASE: an adversarial FFD8-prefixed payload that also has
+    // 'ftyp' at byte 4 with a junk box size falls THROUGH to the JPEG
+    // walk on both engines instead of being quarantined only here.
+    } else if (n >= 16 && tagAt(b, 4, "ftyp") &&
+        { val s = be32(b, 0); s >= 8 && s <= n }) {
+      InternalRow(Mp4, null, null, null, n - be32(b, 0))
     // JPEG: SOI, then WALK the marker segments (each FF-marker carries a
     // BE16 length) until a SOF frame header yields the dimensions — a
     // fixed-offset read would break on any extra APPn/COM segment, which
