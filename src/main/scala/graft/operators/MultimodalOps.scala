@@ -1,24 +1,36 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
 /** Multimodal-column handling for a training-data pipeline: image/audio/
-  * video payloads as opaque `binary` columns with typed metadata, plus a
-  * batch feature-extraction stage, the exact binary dedup + per-modality
-  * dataset card, and the integer PLANNING ops (resize geometry, video
-  * frame sampling, audio STFT windows, fetch coalescing, shard packing)
-  * that decide WHAT media work happens before any byte is decoded.
+  * video payloads as opaque `binary` columns with typed metadata, a REAL
+  * batch decode stage (PNG inflate+unfilter, JPEG via the JDK codec, WAV
+  * PCM), the exact binary dedup + per-modality dataset card, and the
+  * integer PLANNING ops (resize geometry, video frame sampling, audio
+  * STFT windows, fetch coalescing, shard packing) that decide WHAT media
+  * work happens before any byte is decoded.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB — but all the Spark-side plumbing is
-  * real and tested: the asset schema, the binary payloads, the typed meta
-  * struct, and the partition-batched extraction (mapPartitions over a typed
-  * Dataset — the Scala analogue of mapInPandas: one iterator per partition,
-  * amortizing model/codec init once per partition, which is exactly the
-  * shape a real decoder needs at 100 TB).
+  * Since round 14 the fixture payloads are FULLY VALID media containers —
+  * the PNG carries a stored-deflate IDAT with a correct Adler-32 and a
+  * per-row Up-filtered vertical gradient, the JPEG is a complete baseline
+  * grayscale image (DQT, custom DHT, an entropy-coded scan) that the JDK
+  * codec decodes, and the WAV has been real PCM all along. The decode
+  * stage reads REAL pixels and samples; the DuckDB oracle replays the
+  * decoded statistics ARITHMETICALLY from the same generator functions
+  * (the raster is a deterministic integer function of the doc), so the
+  * gate cross-checks an actual codec path against closed-form math.
+  * The one modality without a JDK decoder is MP4 video — its decode row
+  * is the documented quarantine (n_units = 0), while its planning ops
+  * (frames, fetch, shards) stay fully covered.
+  *
+  * The batch shape is the production one throughout: mapPartitions gives
+  * one iterator per partition, so codec state (ImageIO cache config,
+  * reusable Inflater) is initialized once per partition, not per row —
+  * the Scala analogue of mapInPandas batches, and exactly the shape a
+  * 100 TB decode fan-out needs.
   */
 object MultimodalOps {
 
@@ -26,20 +38,40 @@ object MultimodalOps {
       width: Long, height: Long, duration_ms: Long)
   case class AssetFeatures(asset_id: Long, modality: String, byte_len: Int,
       features: Array[Double])
+  /** Integer-exact decode outcome: sums, not means — the single double
+    * divisions happen in the DataFrame where the oracle can mirror them
+    * expression-for-expression. n_units = pixels (image) / samples
+    * (audio); 0 with null stats = the quarantine row (no decoder, or a
+    * malformed container). */
+  case class DecodedStats(asset_id: Long, modality: String, format: String,
+      byte_len: Long, width: Option[Long], height: Option[Long],
+      sample_rate: Option[Long], duration_ms: Long, n_units: Long,
+      u_min: Option[Long], u_max: Option[Long],
+      u_sum: Option[Long], u_sumsq: Option[Long])
+  /** One audio energy window: integer sum-of-squares over the window's
+    * decoded PCM samples (exact; the RMS is one sqrt away and would not
+    * be bit-replayable, the sum is). */
+  case class EnergyWindow(asset_id: Long, n_windows: Long, win_idx: Long,
+      n_samples: Long, energy: Long, max_abs: Long)
 
-  // ------------------------------------------- container framing (r13)
+  // ------------------------------------------- container framing
   // The fixture payloads carry GENUINE media wire framing — a parser
   // that doesn't actually read magic bytes and header fields cannot
-  // answer q_mm_parse. Construction goes through HEX STRINGS on both
-  // engines (Spark unhex ∘ concat ∘ lpad∘hex == DuckDB's identical
-  // chain), which is what makes the blob byte-identical cross-engine
-  // without either side being able to copy the other's binary literals.
+  // answer q_mm_parse, and a decoder that doesn't actually inflate /
+  // entropy-decode cannot answer q_mm_decode. Construction goes through
+  // HEX STRINGS on both engines (Spark unhex ∘ concat ∘ lpad ∘ hex ==
+  // DuckDB's identical chain), which is what makes the blob
+  // byte-identical cross-engine without either side being able to copy
+  // the other's binary literals. CRC-32 fields are ZEROED (a zlib CRC
+  // is not closed-form SQL; the JDK PNG reader verifiably ignores chunk
+  // CRCs — probed in MediaDecodeSpec), while the zlib Adler-32 IS
+  // emitted correctly via its closed form over the generated raster.
   /** PNG signature + IHDR(len+type) prefix, then width/height BE u32s. */
   private[graft] val PngPreHex = "89504E470D0A1A0A" + "0000000D" + "49484452"
-  /** bit-depth 8, color-type 2 (truecolor), compression/filter/interlace
-    * 0, then a zeroed CRC placeholder — dimension parsers don't validate
-    * CRC, and no offline engine can replay CRC-32 in SQL. */
-  private[graft] val PngPostHex = "08" + "02" + "00" + "00" + "00" + "00000000"
+  /** bit-depth 8, color-type 0 (grayscale — one byte per pixel, so the
+    * raster is an exact integer function of (w, h, v0)), compression/
+    * filter/interlace 0, then a zeroed IHDR CRC. */
+  private[graft] val PngPostHex = "08" + "00" + "00" + "00" + "00" + "00000000"
   /** "WAVE" + "fmt " + fmt-chunk size 16 (LE) + PCM (1, LE16) + mono. */
   private[graft] val WavStaticHex = "57415645" + "666D7420" + "10000000" + "0100" + "0100"
   /** block-align 2 (LE16) + bits-per-sample 16 (LE16), then "data". */
@@ -51,113 +83,497 @@ object MultimodalOps {
   private[graft] val JpegApp0Hex =
     "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
       "0001" + "0001" + "00" + "00"
-  /** SOF0 (baseline) prefix: marker, segment length 17, precision 8 —
-    * the BE16 height and width follow, then the 3-component spec. */
-  private[graft] val JpegSof0PreHex = "FFC0" + "0011" + "08"
-  /** YCbCr component spec: (id, sampling, q-table) × 3 — 2x2/1x1/1x1. */
-  private[graft] val JpegSofCompHex = "03" + "012200" + "021101" + "031101"
+  /** DQT: one 8-bit table, id 0, ALL ONES — with q=1 a DC-only block
+    * round-trips EXACTLY through quantization, which is what makes the
+    * decoded raster arithmetically predictable (ITU T.81 §B.2.4.1). */
+  private[graft] val JpegDqtHex = "FFDB" + "0043" + "00" + ("01" * 64)
+  /** SOF0 (baseline) prefix: marker, length 11, precision 8 — BE16
+    * height and width follow, then the single-component (grayscale,
+    * 1x1 sampling, q-table 0) spec. */
+  private[graft] val JpegSof0PreHex = "FFC0" + "000B" + "08"
+  /** component COUNT (1), then the component spec: id 1, 1x1 sampling,
+    * q-table 0 — four bytes, completing the declared 11-byte payload. */
+  private[graft] val JpegSofCompHex = "01" + "01" + "11" + "00"
+  /** DHT, DC class: BITS declares twelve 4-bit codes, so canonical
+    * Huffman assigns category c the code c (0000..1011) — category 0
+    * (the "DC diff = 0" of every block after the first) is 4 bits. */
+  private[graft] val JpegDhtDcHex =
+    "FFC4" + "001F" + "00" + "000000" + "0C" + ("00" * 12) +
+      "000102030405060708090A0B"
+  /** DHT, AC class: a single 4-bit code for symbol 0x00 = EOB. Each
+    * block after the first encodes as cat0(4 bits) + EOB(4 bits) — one
+    * 0x00 byte per MCU, so the scan is a pure repeat() both engines can
+    * generate. */
+  private[graft] val JpegDhtAcHex =
+    "FFC4" + "0014" + "10" + "000000" + "01" + ("00" * 12) + "00"
+  /** SOS: one component, DC/AC table 0, full spectral range. */
+  private[graft] val JpegSosHex = "FFDA" + "0008" + "01" + "0100" + "00" + "3F" + "00"
   val PngHeaderBytes = 33L  // 8 sig + 4 len + 4 type + 13 data + 4 crc
   val WavHeaderBytes = 44L  // the canonical RIFF/PCM header
   val Mp4HeaderBytes = 16L  // the ftyp box alone
-  val JpegHeaderBytes = 39L // SOI(2) + APP0(18) + SOF0(19)
+  /** SOI(2) + APP0(18) + DQT(69) + SOF0(13): the walker's header stops
+    * at the end of the SOF segment; DHTs/SOS/scan are "body". */
+  val JpegHeaderBytes = 102L
   /** Audio sample rates round-robined into the WAV headers. */
   val SampleRates = Seq(16000L, 22050L, 24000L, 44100L, 48000L)
+  /** PNG dims are thumbnail-class so the whole raster h·(w+1) fits ONE
+    * stored-deflate block (≤ 65535 bytes): 192·257 = 49,344. JPEGs keep
+    * the full 640/480-class dims — their scan is one byte per 8×8 MCU,
+    * so size scales with blocks, not pixels. Both straddle the 224
+    * resize boundary, keeping the resize plan's two arms exercised. */
+  val PngMaxW = 256L
+  val PngMaxH = 192L
 
-  private def be32Hex(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
-  private def be16Hex(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
-  private def le32Hex(c: org.apache.spark.sql.Column) = {
+  private def be32Hex(c: Column) = lpad(hex(c), 8, "0")
+  private def be16Hex(c: Column) = lpad(hex(c), 4, "0")
+  private def le32Hex(c: Column) = {
     val h = be32Hex(c)
     concat(substring(h, 7, 2), substring(h, 5, 2),
       substring(h, 3, 2), substring(h, 1, 2))
   }
+  private def le16Hex(c: Column) = {
+    val h = be16Hex(c)
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def rep(s: Column, n: Column) = call_function("repeat", s, n)
 
-  /** Asset table synthesized from `documents`: payload = a REAL media
-    * container (PNG / WAV / MP4-ftyp framing by modality, dimensions and
-    * sample rate written into the actual header bytes) wrapping the
-    * text's utf-8 bytes as the opaque body; modality round-robined,
-    * metadata derived deterministically from n_chars — and REDUNDANTLY
-    * present in the payload bytes, so the parse path (`q_mm_parse`,
-    * [[resizePlan]]) can be checked against the meta columns. */
+  /** Asset table synthesized from `documents`: payload = a REAL,
+    * DECODABLE media container. Images split by id parity into PNG
+    * (grayscale, stored-deflate IDAT, per-row Up-filter encoding the
+    * vertical gradient pixel(x,y) = (v0 + y) mod 256) and JPEG (baseline
+    * grayscale, all-ones quant table, custom DHT whose per-MCU emission
+    * is exactly one 0x00 byte — every pixel decodes to the constant vj).
+    * v0/vj derive from md5(text), so byte-identical texts still produce
+    * byte-identical payloads (the dedup structure documents' text dups
+    * induce survives the synthesis). Audio is a valid PCM WAV whose data
+    * chunk is the text's utf-8 bytes (LE16 samples); video is an
+    * ftyp-framed opaque body (no JDK video codec exists — its decode row
+    * is the quarantine). Dimensions and sample rate are written into the
+    * actual header bytes AND mirrored in catalog columns, so the parse
+    * path is checkable against the metadata. */
   def assets(spark: SparkSession, dir: String): DataFrame =
     assetsFrom(Tables.documents(spark, dir))
 
   /** The synthesis itself, over ANY documents-shaped frame — a streaming
     * source included (assetIntakeStream's stream≡batch spec applies this
-    * to a readStream, so stream and batch literally share the shape). */
+    * to a readStream, so stream and batch literally share the shape).
+    * All pure deterministic column expressions: hex chains, repeat(),
+    * and the Adler-32 CLOSED FORM (derived below, pinned against
+    * java.util.zip.Adler32 in MediaDecodeSpec) — no UDFs, no explode. */
   def assetsFrom(docs: DataFrame): DataFrame = {
     val modality = element_at(typedlit(Seq("image", "audio", "video")),
       (col("doc_id") % 3 + 1).cast("int"))
-    val width = col("n_chars") % 640 + 1
-    val height = col("n_chars") % 480 + 1
+    val isPng = modality === "image" && col("doc_id") % 6 === 0
+    val width = when(isPng, col("n_chars") % PngMaxW + 1)
+      .otherwise(col("n_chars") % 640 + 1)
+    val height = when(isPng, col("n_chars") % PngMaxH + 1)
+      .otherwise(col("n_chars") % 480 + 1)
     val rate = element_at(typedlit(SampleRates),
       (col("doc_id") % 5 + 1).cast("int"))
     val body = col("text").cast("binary")
     val bodyLen = length(body).cast("long")
+
+    val staged = docs
+      .withColumn("_mod", modality)
+      .withColumn("_w", width.cast("long"))
+      .withColumn("_h", height.cast("long"))
+      // gradient base (PNG) and gray level (JPEG) from the text digest:
+      // v0 ∈ [0,255]; vj ∈ [144,159] — vj's DC diff 8·(vj−128) is an
+      // 8-bit category-8 value, which byte-aligns the scan prefix
+      .withColumn("_v0", conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long"))
+      .withColumn("_vj", conv(substring(md5(col("text")), 1, 1), 16, 10).cast("long") + 144L)
+      // PNG raster size: one filter byte + w pixels per row
+      .withColumn("_r", expr("_h * (_w + 1)"))
+      // Adler-32 closed form over the generated raster. Bytes: row 0 is
+      // [0, v0×w]; rows 1..h-1 are [2, 1×w]. s1 = 1 + Σb. s2 = R + Σᵢ
+      // (R−i+1)·bᵢ, split into the v0 run, the filter-2 bytes, and the
+      // all-ones body (mod 65521; max term ≈ 255·R² ≈ 6.2e11, safe in
+      // BIGINT). Pinned against java.util.zip.Adler32 in the spec.
+      .withColumn("_s1", expr("(1 + _w * _v0 + (_h - 1) * (_w + 2)) % 65521"))
+      .withColumn("_s2", expr(
+        """(_r
+            + _v0 * (_w * _r - (_w * (_w + 1)) DIV 2)
+            + 2 * ((_h - 1) * _r - (_w + 1) * ((_h * (_h - 1)) DIV 2))
+            + (_w * ((_h - 1) * _r - (_w + 1) * ((_h * (_h - 1)) DIV 2))
+               - (_h - 1) * ((_w * (_w + 1)) DIV 2))) % 65521"""))
+      // JPEG MCU count and the byte-aligned scan prefix: 16 bits =
+      // [cat8 code 1000][8 diff bits of D=8·(vj−128)][EOB 0000]
+      .withColumn("_nmcu", expr("((_w + 7) DIV 8) * ((_h + 7) DIV 8)"))
+      .withColumn("_scanpre", lpad(hex(expr("32768 + (8 * (_vj - 128)) * 16")), 4, "0"))
+
+    val pngHex = concat(
+      lit(PngPreHex), be32Hex(col("_w")), be32Hex(col("_h")), lit(PngPostHex),
+      // IDAT: len = zlib bytes (2 hdr + 5 stored-block framing + R + 4 adler)
+      be32Hex(expr("_r + 11")), lit("49444154"),
+      lit("7801"), lit("01"), le16Hex(col("_r")), le16Hex(expr("65535 - _r")),
+      // raster: row0 = filter 0 + v0×w; rows 1.. = filter 2 (Up) + 1×w —
+      // the decoder reconstructs the (v0+y) mod 256 vertical gradient
+      lit("00"), rep(lpad(hex(col("_v0")), 2, "0"), col("_w")),
+      rep(concat(lit("02"), rep(lit("01"), col("_w"))), expr("_h - 1")),
+      lpad(hex(col("_s2")), 4, "0"), lpad(hex(col("_s1")), 4, "0"),
+      lit("00000000"),                       // IDAT CRC (zeroed; reader ignores)
+      lit("00000000"), lit("49454E44"), lit("00000000"))  // IEND
+
+    val jpegHex = concat(
+      lit(JpegApp0Hex), lit(JpegDqtHex),
+      lit(JpegSof0PreHex), be16Hex(col("_h")), be16Hex(col("_w")), lit(JpegSofCompHex),
+      lit(JpegDhtDcHex), lit(JpegDhtAcHex), lit(JpegSosHex),
+      col("_scanpre"), rep(lit("00"), expr("_nmcu - 1")), lit("FFD9"))
+
     val headerHex =
-      // image assets split across the two dominant wire formats: even
-      // image ids are PNG (u32 BE dims in IHDR), odd ones JPEG (u16 BE
-      // dims in SOF0, HEIGHT first — the format's own field order)
-      when(modality === "image" && col("doc_id") % 6 === 0,
-        concat(lit(PngPreHex), be32Hex(width), be32Hex(height),
-          lit(PngPostHex)))
-      .when(modality === "image",
-        concat(lit(JpegApp0Hex), lit(JpegSof0PreHex),
-          be16Hex(height), be16Hex(width), lit(JpegSofCompHex)))
-      .when(modality === "audio",
+      when(col("_mod") === "image" && col("doc_id") % 6 === 0, pngHex)
+      .when(col("_mod") === "image", jpegHex)
+      .when(col("_mod") === "audio",
         concat(lit("52494646"), le32Hex(bodyLen + 36L), lit(WavStaticHex),
           le32Hex(rate), le32Hex(rate * 2), lit(WavTailHex),
           le32Hex(bodyLen)))
       .otherwise(lit(Mp4HeaderHex))
-    docs.select(
+    // images are SELF-CONTAINED containers (trailing junk after IEND/EOI
+    // would make them invalid); audio/video wrap the text bytes as body
+    val payload =
+      when(col("_mod") === "image", unhex(headerHex))
+        .otherwise(concat(unhex(headerHex), body))
+    staged.select(
       col("doc_id").as("asset_id"),
-      modality.as("modality"),
-      concat(unhex(headerHex), body).as("payload"),
-      width.as("width"),
-      height.as("height"),
-      when(modality === "audio", rate).as("sample_rate"),
+      col("_mod").as("modality"),
+      payload.as("payload"),
+      col("_w").as("width"),
+      col("_h").as("height"),
+      when(col("_mod") === "audio", rate).as("sample_rate"),
       (col("n_chars") * 40L).as("duration_ms"))
   }
 
-  /** Feature dimension produced by the (stub) decoder. */
+  // ------------------------------------------------------------- decode
+  /** Feature dimension produced by the decode stage. */
   val FeatureDim = 8
 
-  /** STUB decode/feature-extract: stands in for an image/audio decoder that
-    * is not installed in this container. Deterministic per payload —
-    * an 8-bin byte histogram normalized by length, over the FULL container
-    * bytes (since r13 the payloads carry REAL PNG/WAV/MP4 framing — magic
-    * numbers, BE/LE header fields — so a real decoder dropped in here
-    * receives genuinely parseable containers; header PROBING is already
-    * real, see [[headerParse]]/MediaHeaderParse). The batch shape is the
-    * production one: mapPartitions gives one iterator per partition, so a
-    * real codec/model would be initialized once per partition, not per
-    * row (same contract as mapInPandas batches).
-    */
-  // STUB: replace the body with a real decoder (e.g. JNI codec / DL model)
-  // when the runtime has one; keep the per-partition init pattern.
-  private def stubDecodeBatch(batch: Iterator[Asset]): Iterator[AssetFeatures] = {
-    // (real code would init the codec/model HERE, once per partition)
-    batch.map { a =>
-      val hist = new Array[Double](FeatureDim)
-      var i = 0
-      while (i < a.payload.length) {
-        hist((a.payload(i) & 0xFF) % FeatureDim) += 1.0
-        i += 1
-      }
-      val n = math.max(a.payload.length, 1).toDouble
-      AssetFeatures(a.asset_id, a.modality, a.payload.length,
-        hist.map(_ / n))
+  private def be32i(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+  private def le32i(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+  private def tag(b: Array[Byte], o: Int, t: String): Boolean =
+    o + t.length <= b.length && t.indices.forall(i => b(o + i) == t.charAt(i).toByte)
+
+  private final class Stats {
+    var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    var sum = 0L; var sumsq = 0L
+    def add(v: Long): Unit = {
+      n += 1; if (v < mn) mn = v; if (v > mx) mx = v
+      sum += v; sumsq += v * v
     }
   }
 
-  /** Partition-batched feature extraction over the asset table. */
-  def extractFeatures(spark: SparkSession, dir: String): Dataset[AssetFeatures] = {
-    import spark.implicits._
-    assets(spark, dir).as[Asset].mapPartitions(stubDecodeBatch)
+  /** PNG decode: chunk walk → Inflater over the concatenated IDATs →
+    * full 5-filter reconstruction (None/Sub/Up/Average/Paeth, PNG spec
+    * §9) for the 8-bit grayscale layout the fixture writes. Returns the
+    * reconstructed pixel rows or None (quarantine) on any structural
+    * violation — corrupt bytes at 100 TB are data, not exceptions. */
+  private def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 45 || !tag(b, 12, "IHDR")) return None
+    val w = be32i(b, 16).toInt; val h = be32i(b, 20).toInt
+    if (w <= 0 || h <= 0 || b(24) != 8 || b(25) != 0) return None // 8-bit gray only
+    // collect IDAT payloads
+    val zs = new java.io.ByteArrayOutputStream()
+    var o = 33
+    var done = false
+    while (!done && o + 8 <= b.length) {
+      val len = be32i(b, o).toInt
+      if (len < 0 || o + 12 + len > b.length) return None
+      if (tag(b, o + 4, "IDAT")) zs.write(b, o + 8, len)
+      else if (tag(b, o + 4, "IEND")) done = true
+      o += 12 + len
+    }
+    val raster = new Array[Byte](h * (w + 1))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(zs.toByteArray)
+    var got = 0
+    try {
+      while (got < raster.length && !inf.finished()) {
+        val k = inf.inflate(raster, got, raster.length - got)
+        if (k == 0 && inf.needsInput()) return None // truncated stream
+        got += k
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (got < raster.length) return None
+    // unfilter in place into a pixel buffer (bpp = 1)
+    val px = new Array[Byte](h * w)
+    var y = 0
+    while (y < h) {
+      val ft = raster(y * (w + 1)) & 0xFF
+      var x = 0
+      while (x < w) {
+        val raw = raster(y * (w + 1) + 1 + x) & 0xFF
+        val a = if (x > 0) px(y * w + x - 1) & 0xFF else 0          // left
+        val u = if (y > 0) px((y - 1) * w + x) & 0xFF else 0        // up
+        val c = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xFF else 0
+        val rec = ft match {
+          case 0 => raw
+          case 1 => raw + a
+          case 2 => raw + u
+          case 3 => raw + (a + u) / 2
+          case 4 => // Paeth predictor
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c)
+            raw + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+          case _ => return None
+        }
+        px(y * w + x) = (rec & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
   }
 
-  /** Metadata/byte-length projection — the oracle-checkable part of the
-    * multimodal plumbing (byte lengths of the binary payloads + meta;
-    * byte_len includes the container header the payload now carries). */
+  /** One asset → integer-exact decoded statistics. PNG via the chunk/
+    * inflate/unfilter path above; JPEG via the JDK codec (javax.imageio
+    * — a REAL Huffman + IDCT decode); WAV via LE16 PCM parsing of the
+    * data chunk; MP4 quarantines (the JDK ships no video codec). */
+  private def decodeOne(a: Asset): DecodedStats = {
+    val b = a.payload
+    val n = b.length
+    def quarantine(fmt: String) = DecodedStats(a.asset_id, a.modality, fmt,
+      n.toLong, None, None, None, a.duration_ms, 0L, None, None, None, None)
+    def ofStats(fmt: String, s: Stats, w: Option[Long], h: Option[Long],
+        rate: Option[Long]) =
+      if (s.n == 0) DecodedStats(a.asset_id, a.modality, fmt, n.toLong,
+        w, h, rate, a.duration_ms, 0L, None, None, None, None)
+      else DecodedStats(a.asset_id, a.modality, fmt, n.toLong, w, h, rate,
+        a.duration_ms, s.n, Some(s.mn), Some(s.mx), Some(s.sum), Some(s.sumsq))
+
+    if (n >= 33 && (b(0) & 0xFF) == 0x89 && tag(b, 1, "PNG")) {
+      decodePng(b) match {
+        case None => quarantine("png")
+        case Some((w, h, px)) =>
+          val s = new Stats
+          var i = 0
+          while (i < px.length) { s.add(px(i) & 0xFFL); i += 1 }
+          ofStats("png", s, Some(w.toLong), Some(h.toLong), None)
+      }
+    } else if (n >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE") &&
+        tag(b, 12, "fmt ")) {
+      val rate = le32i(b, 24)
+      val dataSize = le32i(b, 40)
+      val avail = math.min(dataSize, (n - 44).toLong).toInt
+      val s = new Stats
+      var k = 0
+      while (2 * k + 1 < avail) {
+        s.add((((b(45 + 2 * k) & 0xFF) << 8) | (b(44 + 2 * k) & 0xFF)).toShort.toLong)
+        k += 1
+      }
+      ofStats("wav", s, None, None, Some(rate))
+    } else if (n >= 16 && tag(b, 4, "ftyp") &&
+        { val sz = be32i(b, 0); sz >= 8 && sz <= n }) {
+      quarantine("mp4") // no JDK video codec: the documented decode gap
+    } else if (n >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        catch { case _: Exception => null }
+      if (img == null) quarantine("jpeg")
+      else {
+        val ra = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        val s = new Stats
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          ra.getSamples(0, y, w, 1, 0, row)
+          var x = 0
+          while (x < w) { s.add(row(x).toLong); x += 1 }
+          y += 1
+        }
+        ofStats("jpeg", s, Some(w.toLong), Some(h.toLong), None)
+      }
+    } else quarantine("unknown")
+  }
+
+  /** Partition-batched decode over the asset table: one iterator per
+    * partition, codec config initialized ONCE per partition (the
+    * mapInPandas batch contract). ImageIO's disk cache is disabled —
+    * per-row temp files on 1000 executors would be an I/O disaster. */
+  private def decodeBatch(batch: Iterator[Asset]): Iterator[DecodedStats] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+    batch.map(decodeOne)
+  }
+
+  /** Test bridge: the corrupt-container quarantine spec drives the
+    * private decode path with hand-broken payloads. */
+  private[graft] def decodeBatchForTest(batch: Iterator[Asset]): Iterator[DecodedStats] =
+    decodeBatch(batch)
+
+  /** The decode stage as a typed Dataset — REAL pixels and samples. */
+  def decodeStats(spark: SparkSession, dir: String): Dataset[DecodedStats] = {
+    import spark.implicits._
+    assets(spark, dir).as[Asset].mapPartitions(decodeBatch)
+  }
+
+  /** DECODE REPORT: per-asset decoded statistics — unit counts, integer
+    * min/max, and the mean / mean-square as single double divisions of
+    * exact longs (bit-identical cross-engine). The oracle replays these
+    * ARITHMETICALLY from the generator functions: PNG from the gradient
+    * closed form, JPEG from the constant-gray construction, WAV by
+    * re-slicing the PCM bytes from the payload hex — so the real codec
+    * path (inflate, Huffman+IDCT, PCM) is checked against independent
+    * math, not against itself. Map-side scan + sort: payload bytes are
+    * consumed where they already are, never shuffled. */
+  def decodeReport(spark: SparkSession, dir: String): DataFrame =
+    decodeStats(spark, dir).toDF()
+      .select(col("asset_id"), col("modality"), col("format"), col("byte_len"),
+        col("n_units"), col("u_min"), col("u_max"),
+        when(col("n_units") > 0, col("u_sum").cast("double") / col("n_units"))
+          .as("u_mean"),
+        when(col("n_units") > 0, col("u_sumsq").cast("double") / col("n_units"))
+          .as("u_ms"))
+      .orderBy("asset_id")
+
+  /** The 8-dim feature vector assembled FROM the decoded statistics —
+    * every component a fixed chain of double divisions of exact integers
+    * (mirrored expression-for-expression in the oracle). Images embed
+    * brightness stats + geometry; audio embeds level/energy stats +
+    * rate; the no-decoder modalities embed size/duration. No component
+    * chain shares a divisor order the oracle doesn't replicate. */
+  private def featureCols: Seq[Column] = {
+    val img = col("modality") === "image" && col("n_units") > 0
+    val aud = col("modality") === "audio" && col("n_units") > 0
+    def d(c: Column) = c.cast("double")
+    Seq(
+      when(img, d(col("u_sum")) / col("n_units") / 255.0)
+        .when(aud, d(col("u_sum")) / col("n_units") / 32768.0)
+        .otherwise(d(col("byte_len")) / 1000000.0),
+      when(img, d(col("u_min")) / 255.0)
+        .when(aud, d(col("u_sumsq")) / col("n_units") / 1.073741824e9)
+        .otherwise(d(col("duration_ms")) / 1000000.0),
+      when(img, d(col("u_max")) / 255.0)
+        .when(aud, d(col("u_min")) / 32768.0).otherwise(lit(0.0)),
+      when(img, d(col("width")) / 1024.0)
+        .when(aud, d(col("u_max")) / 32768.0).otherwise(lit(0.0)),
+      when(img, d(col("height")) / 1024.0)
+        .when(aud, d(col("n_units")) / 1000000.0).otherwise(lit(0.0)),
+      when(img, d(col("n_units")) / 1000000.0)
+        .when(aud, d(col("sample_rate")) / 48000.0).otherwise(lit(0.0)),
+      when(img, d(col("u_sumsq")) / col("n_units") / 65025.0)
+        .when(aud, d(col("byte_len")) / 1000000.0).otherwise(lit(0.0)),
+      lit(0.0))
+  }
+
+  /** Partition-batched feature extraction over the asset table — the
+    * decode → featurize stage, now over REAL decoded pixels/samples. */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[AssetFeatures] = {
+    import spark.implicits._
+    decodeStats(spark, dir).toDF()
+      .select(col("asset_id"), col("modality"),
+        col("byte_len").cast("int").as("byte_len"),
+        array(featureCols: _*).as("features"))
+      .as[AssetFeatures]
+  }
+
+  // ----------------------------------------------------- audio energy
+  /** Energy window geometry, in SAMPLE space: 64-sample windows, 50%
+    * overlap — the STFT hop shape at the grain the fixture's PCM bodies
+    * actually fill. ([[windowPlan]]'s ms-grain windows are the I/O plan
+    * against the catalog duration; the fixture's data chunk is far
+    * shorter than its nominal duration, so windowing the DECODED samples
+    * is what yields non-degenerate energies.) */
+  val EnergyWin = 64L
+  val EnergyHop = 32L
+  /** Peak-amplitude floor under which a window is flagged silent. */
+  val SilenceAbs = 256L
+
+  private def energyBatch(batch: Iterator[Asset]): Iterator[EnergyWindow] =
+    batch.flatMap { a =>
+      val b = a.payload
+      val valid = b.length >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE")
+      val avail = if (!valid) 0
+        else math.min(le32i(b, 40), (b.length - 44).toLong).toInt
+      val nSamp = avail / 2
+      def sample(k: Int): Long =
+        (((b(45 + 2 * k) & 0xFF) << 8) | (b(44 + 2 * k) & 0xFF)).toShort.toLong
+      val nWin =
+        if (nSamp >= EnergyWin) math.min(MaxWindows, (nSamp - EnergyWin) / EnergyHop + 1)
+        else 1L
+      (0L until nWin).iterator.map { i =>
+        val start = (i * EnergyHop).toInt
+        val end = math.min(start + EnergyWin, nSamp.toLong).toInt
+        var k = start; var e = 0L; var mx = 0L
+        while (k < end) {
+          val s = sample(k); e += s * s
+          val ab = math.abs(s); if (ab > mx) mx = ab
+          k += 1
+        }
+        EnergyWindow(a.asset_id, nWin, i, math.max(end - start, 0).toLong, e, mx)
+      }
+    }
+
+  /** PER-WINDOW PCM ENERGY over the decoded audio samples: integer
+    * sum-of-squares + peak amplitude per overlapping window (≤
+    * [[MaxWindows]], ≥ 1 — an empty data chunk still reports one silent
+    * window). The audio twin of the image decode stats: a REAL sample
+    * pass, oracled by re-slicing the same PCM bytes from the payload hex
+    * in SQL. Map-side flatMap (≤ 64 rows per asset) + the contract sort;
+    * sample bytes never shuffle — only the per-window integers do. */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir).where(col("modality") === "audio").as[Asset]
+      .mapPartitions(energyBatch).toDF()
+      .select(col("asset_id"), col("n_windows"), col("win_idx"),
+        col("n_samples"), col("energy"),
+        (col("max_abs") < SilenceAbs).as("silence"))
+      .orderBy("asset_id", "win_idx")
+  }
+
+  // ------------------------------------- interleaved image-text packing
+  /** Fixed token cost charged per image in an interleaved sequence (the
+    * vision-encoder patch budget an MMC4/OBELICS-style packer accounts
+    * for, cf. Zhu et al. 2023 §3). */
+  val ImageTokens = 64L
+  /** Token budget per interleaved training sequence. */
+  val SeqBudget = 2048L
+
+  /** INTERLEAVED IMAGE-TEXT SEQUENCE PACKING (the MMC4/OBELICS shape):
+    * documents stream in doc_id order; a document whose asset is an
+    * image contributes that image BEFORE its text (image-then-caption),
+    * each image costing a flat [[ImageTokens]], text costing its
+    * whitespace token count. Items pack into sequences by the same
+    * offset-bucket approximation as `q_pack_sequences`: seq =
+    * floor(tokens-before / budget), so a sequence may overflow by at
+    * most one item but the whole manifest is ONE window pass. Windows
+    * are PARTITIONED BY VOLUME (asset_id ranges), so packing
+    * parallelizes at 100 TB instead of serializing on a global running
+    * sum; document order is preserved within each volume, which is the
+    * interleaving contract. Every doc and every image appears exactly
+    * once (the conservation spec pins it). */
+  def packMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val textItems = docs.select(
+      col("doc_id"), lit(1L).as("kord"), lit("text").as("kind"),
+      col("doc_id").as("ref_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val imageItems = docs.where(col("doc_id") % 3 === 0).select(
+      col("doc_id"), lit(0L).as("kord"), lit("image").as("kind"),
+      col("doc_id").as("ref_id"), lit(ImageTokens).as("n_toks"))
+    val items = imageItems.unionAll(textItems)
+      .withColumn("volume", expr(s"doc_id DIV $VolumeAssets"))
+    val wCum = Window.partitionBy("volume").orderBy("doc_id", "kord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val packed = items
+      .withColumn("cum", sum(col("n_toks")).over(wCum))
+      .withColumn("seq_id", expr(s"(cum - n_toks) DIV $SeqBudget"))
+    val wPos = Window.partitionBy("volume", "seq_id").orderBy("doc_id", "kord")
+    packed
+      .withColumn("position", row_number().over(wPos).cast("long"))
+      .select(col("volume"), col("seq_id"), col("position"), col("kind"),
+        col("ref_id"), col("n_toks"))
+      .orderBy("volume", "seq_id", "position")
+  }
+
+  // ------------------------------------------------------ header probe
+  /** Metadata/byte-length projection — the catalog side of the plumbing
+    * (byte lengths of the binary payloads + meta columns as written). */
   def assetMeta(spark: SparkSession, dir: String): DataFrame =
     assets(spark, dir)
       .select(col("asset_id"), col("modality"),
@@ -169,11 +585,12 @@ object MultimodalOps {
   /** HEADER PARSE over the payload BYTES — the native
     * [[org.apache.spark.sql.graftext.MediaHeaderParse]] probe reading
     * format magic, PNG BE dimensions, WAV LE sample rate and data size,
-    * and the ftyp box size, per asset. The oracle twin re-parses the
-    * identically-constructed blob from its hex image, so a synthesis/
-    * parse disagreement on ANY byte breaks the gate. Pure map-side scan:
-    * at 100 TB this is the probe pass that runs WITH the ingest read —
-    * payload bytes are consumed where they already are, never moved. */
+    * the ftyp box size, and the JPEG SOF dims via a marker walk, per
+    * asset. The oracle twin re-parses the identically-constructed blob
+    * from its hex image, so a synthesis/parse disagreement on ANY byte
+    * breaks the gate. Pure map-side scan: at 100 TB this is the probe
+    * pass that runs WITH the ingest read — payload bytes are consumed
+    * where they already are, never moved. */
   def headerParse(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
     assets(spark, dir)
@@ -188,32 +605,29 @@ object MultimodalOps {
       .orderBy("asset_id")
   }
 
-  /** Feature stats through the stub decoder. Oracle-checked: the stub's
-    * byte-histogram math is replayed in DuckDB over `hex(encode(text))`
-    * byte pairs, and the f0/f1 values are raw count/len double divisions —
-    * the same exact integers divided the same way on both sides, so they
-    * are BIT-identical (no rounding needed; rounding would only add a
-    * half-up-vs-half-even parity hazard). */
-  def featureStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Decoded-feature stats — the oracle-checkable projection of the
+    * decode stage (f0/f1 of [[featureCols]]: brightness / level means
+    * and their normalizations, exact division chains both engines
+    * replay). */
+  def featureStats(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF()
       .select(col("asset_id"), col("modality"), col("byte_len"),
         element_at(col("features"), 1).as("f0"),
         element_at(col("features"), 2).as("f1"))
       .orderBy("asset_id")
-  }
 
-  /** End-to-end multimodal retrieval: stub-decoded features → cosine
-    * top-3 within each modality block (the decode → embed → ANN pipeline
-    * a multimodal training set needs, with the modality playing the
-    * ANN-block role). Feature vectors come from the typed Dataset path
-    * and are cast to float[] for the native dot expression.
-    * Driver-oracle-checked end-to-end: DuckDB replays the byte-histogram
-    * features (as q_mm_features), the double→float cast (same IEEE
-    * round-to-nearest in both engines) and the cosine ranking
-    * (list_cosine_similarity — parity proven by q_ann_bruteforce); the
-    * zero-norm exclusion is exactly `byte_len > 0` (a non-empty payload
-    * always fills some bin). */
+  /** End-to-end multimodal retrieval: decoded features → cosine top-3
+    * within each modality block (the decode → embed → ANN pipeline a
+    * multimodal training set needs, with the modality playing the
+    * ANN-block role). Feature vectors come from the decode stage and are
+    * cast to float[] for the native dot expression.
+    * Driver-oracle-checked end-to-end: DuckDB replays the decoded stats
+    * arithmetically, the double→float cast (same IEEE round-to-nearest
+    * in both engines) and the cosine ranking (list_cosine_similarity —
+    * parity proven by q_ann_bruteforce). Every feature vector has a
+    * strictly positive norm (images carry w>0, audio carries rate>0,
+    * fallbacks carry byte_len>0), and the nrm>0 guard stays as the
+    * production zero-vector fence. */
   def featureAnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val feats = extractFeatures(spark, dir).toDF()
@@ -223,9 +637,6 @@ object MultimodalOps {
         // interpreted HOF the engine's invariant bans on per-asset paths
         col("features").cast("array<float>").as("fv"))
       .withColumn("nrm", VectorOps.norm(col("fv")))
-      // zero-norm vectors (empty payloads) produce NaN cosines, which
-      // ORDER BY DESC would rank FIRST — a junk asset would beat every
-      // real neighbor. Exclude them from both sides of the retrieval.
       .where(col("nrm") > 0.0)
     val q = feats.where(col("asset_id") < 10)
       .select(col("asset_id").as("query_id"), col("modality").as("q_mod"),
@@ -253,7 +664,7 @@ object MultimodalOps {
 
   /** RESIZE PLAN for image assets: the output geometry each image gets
     * under an aspect-preserving max-side-224 policy — the planning half
-    * of the resize stage (the pixel work is the stub decoder's job; WHAT
+    * of the resize stage (the pixel work is the decode stage's job; WHAT
     * to decode into is this). Integer arithmetic only (scaled dims are
     * `(side·224) DIV max_side`, floored, clamped to ≥1), so the plan is
     * engine-replayable and deterministic; pure map-side over the asset
@@ -364,8 +775,7 @@ object MultimodalOps {
     * pricing, the blocking key) can never half-apply to the md5/xxhash
     * pair. */
   private def assetDedupWith(spark: SparkSession, dir: String,
-      fp: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
-      : DataFrame =
+      fp: Column => Column): DataFrame =
     assets(spark, dir)
       .select(col("asset_id"), col("modality"),
         fp(col("payload")).as("payload_fp"),
@@ -434,7 +844,9 @@ object MultimodalOps {
     * (hop < window, the STFT shape) where frames are point samples.
     * Short clips (< one window) still get one zero-padded window; the
     * explode fans out ≤ [[MaxWindows]] rows per asset. All integer
-    * arithmetic, engine-replayable; map-side over the asset scan. */
+    * arithmetic, engine-replayable; map-side over the asset scan. The
+    * DECODED per-window statistics live in [[audioEnergy]], which
+    * windows the actual PCM samples. */
   def windowPlan(spark: SparkSession, dir: String): DataFrame =
     assets(spark, dir).where(col("modality") === "audio")
       .select(col("asset_id"), col("duration_ms"))
@@ -490,7 +902,7 @@ object MultimodalOps {
   /** ASSET VALIDATION REPORT — the QA pass a media pipeline runs between
     * ingest and decode, built entirely on the header PROBE: per modality,
     * how many assets (a) carry the format their modality claims, (b) have
-    * header FIELDS agreeing with the catalog metadata (PNG dims, WAV
+    * header FIELDS agreeing with the catalog metadata (PNG/JPEG dims, WAV
     * sample rate), (c) have a self-consistent size story (parsed body
     * bytes + header == stored bytes — for WAV that checks the data-size
     * FIELD against reality), and how many trip the decode-budget flags
@@ -542,8 +954,11 @@ object MultimodalOps {
     "q_mm_parse" -> (headerParse _),
     "q_mm_validate" -> (assetValidate _),
     "q_mm_meta" -> (assetMeta _),
+    "q_mm_decode" -> (decodeReport _),
     "q_mm_features" -> (featureStats _),
     "q_mm_feature_ann" -> (featureAnn _),
+    "q_mm_energy" -> (audioEnergy _),
+    "q_mm_pack" -> (packMultimodal _),
     "q_mm_shards" -> (shardManifest _),
     "q_mm_resize" -> (resizePlan _),
     "q_mm_frames" -> (framePlan _),
@@ -556,78 +971,189 @@ object MultimodalOps {
   /** The DuckDB image of the asset synthesis, GENERATED from the same
     * framing constants as [[assetsFrom]] — the oracle builds the payload
     * through the IDENTICAL hex chain (lpad∘hex for BE fields, the
-    * 4-substr pair swap for LE), so `phx` is character-for-character the
-    * hex of the Spark payload and every downstream oracle (digest,
-    * histogram, PARSE) reads the same bytes. Exposed CTEs: `assets`
-    * (modality/meta/phx) and `a` (adds byte_len = header + body). */
+    * 4-substr pair swap for LE, repeat() for the raster and the JPEG
+    * scan, the same Adler-32 closed form), so `phx` is
+    * character-for-character the hex of the Spark payload and every
+    * downstream oracle (digest, PARSE, decode replay) reads the same
+    * bytes. Exposed CTEs: `assets` (modality/meta/generators/phx) and
+    * `a` (adds byte_len = header + body). */
   private lazy val AssetSqlCte: String = {
     def be(e: String) = s"lpad(hex($e), 8, '0')"
     def le(e: String) = {
       val h = be(e)
       s"substr($h,7,2)||substr($h,5,2)||substr($h,3,2)||substr($h,1,2)"
     }
+    def le16(e: String) = {
+      val h = s"lpad(hex($e), 4, '0')"
+      s"substr($h,3,2)||substr($h,1,2)"
+    }
     s"""ax AS (
          SELECT doc_id AS asset_id,
                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                                 ELSE 'video' END AS modality,
-                n_chars % 640 + 1 AS width,
-                n_chars % 480 + 1 AS height,
+                CASE WHEN doc_id % 6 = 0 THEN n_chars % $PngMaxW + 1
+                     ELSE n_chars % 640 + 1 END AS width,
+                CASE WHEN doc_id % 6 = 0 THEN n_chars % $PngMaxH + 1
+                     ELSE n_chars % 480 + 1 END AS height,
                 CASE doc_id % 5 WHEN 0 THEN 16000 WHEN 1 THEN 22050
                      WHEN 2 THEN 24000 WHEN 3 THEN 44100
                      ELSE 48000 END AS rate,
                 n_chars * 40 AS duration_ms,
                 CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
-                hex(encode(text)) AS body_hex
+                hex(encode(text)) AS body_hex,
+                ('0x' || substr(md5(text), 1, 2))::BIGINT AS v0,
+                144 + ('0x' || substr(md5(text), 1, 1))::BIGINT AS vj
          FROM documents),
+       px AS (
+         SELECT *, height * (width + 1) AS r,
+                ((width + 7) // 8) * ((height + 7) // 8) AS nmcu
+         FROM ax),
+       pz AS (
+         SELECT *,
+                (1 + width * v0 + (height - 1) * (width + 2)) % 65521 AS s1,
+                (r + v0 * (width * r - (width * (width + 1)) // 2)
+                   + 2 * ((height - 1) * r
+                          - (width + 1) * ((height * (height - 1)) // 2))
+                   + (width * ((height - 1) * r
+                               - (width + 1) * ((height * (height - 1)) // 2))
+                      - (height - 1) * ((width * (width + 1)) // 2)))
+                  % 65521 AS s2
+         FROM px),
        assets AS (
          SELECT asset_id, modality, width, height, rate, duration_ms,
-                body_len,
-                CASE WHEN modality = 'image' AND asset_id % 6 = 0
-                     THEN '$PngPreHex' || ${be("width")} ||
-                          ${be("height")} || '$PngPostHex'
-                     WHEN modality = 'image'
-                     THEN '$JpegApp0Hex' || '$JpegSof0PreHex' ||
-                          lpad(hex(height), 4, '0') ||
-                          lpad(hex(width), 4, '0') || '$JpegSofCompHex'
-                     WHEN modality = 'audio'
-                     THEN '52494646' || ${le("body_len + 36")} ||
-                          '$WavStaticHex' || ${le("rate")} ||
-                          ${le("rate * 2")} || '$WavTailHex' ||
-                          ${le("body_len")}
-                  ELSE '$Mp4HeaderHex'
-                END || body_hex AS phx
-         FROM ax),
+                body_len, body_hex, v0, vj, r, nmcu,
+                CASE WHEN modality = 'image' AND asset_id % 6 = 0 THEN
+                       '$PngPreHex' || ${be("width")} || ${be("height")}
+                       || '$PngPostHex'
+                       || ${be("r + 11")} || '49444154'
+                       || '780101' || ${le16("r")} || ${le16("65535 - r")}
+                       || '00' || repeat(lpad(hex(v0), 2, '0'), width)
+                       || repeat('02' || repeat('01', width), height - 1)
+                       || lpad(hex(s2), 4, '0') || lpad(hex(s1), 4, '0')
+                       || '0000000000000000' || '49454E44' || '00000000'
+                     WHEN modality = 'image' THEN
+                       '$JpegApp0Hex' || '$JpegDqtHex'
+                       || '$JpegSof0PreHex' || lpad(hex(height), 4, '0')
+                       || lpad(hex(width), 4, '0') || '$JpegSofCompHex'
+                       || '$JpegDhtDcHex' || '$JpegDhtAcHex' || '$JpegSosHex'
+                       || lpad(hex(32768 + (8 * (vj - 128)) * 16), 4, '0')
+                       || repeat('00', nmcu - 1) || 'FFD9'
+                     WHEN modality = 'audio' THEN
+                       '52494646' || ${le("body_len + 36")} || '$WavStaticHex'
+                       || ${le("rate")} || ${le("rate * 2")} || '$WavTailHex'
+                       || ${le("body_len")} || body_hex
+                  ELSE '$Mp4HeaderHex' || body_hex
+                END AS phx
+         FROM pz),
        a AS (
          SELECT *, CAST(length(phx) // 2 AS BIGINT) AS byte_len
          FROM assets)"""
   }
 
-  /** DuckDB replay of [[featureAnn]] — GENERATED over the FeatureDim bins
-    * so the histogram/float-cast chain can't drift from the stub. */
+  /** Decode replay on top of [[AssetSqlCte]]: per-asset integer stats
+    * computed ARITHMETICALLY from the generators — the PNG gradient's
+    * run decomposition (at most one mod-256 wrap since h ≤ 192 < 256;
+    * sums via arithmetic series, sums of squares via the square-pyramid
+    * closed form m(m+1)(2m+1)/6, which is exact at m = −1 too), the
+    * JPEG constant gray, and the WAV PCM re-sliced from the payload hex
+    * (LE16 sign-corrected). Exposes `dstats`. */
+  private lazy val DecodeSqlCte: String =
+    s"""$AssetSqlCte,
+       wavs AS (
+         SELECT asset_id, count(*) AS n, min(sv) AS mn, max(sv) AS mx,
+                CAST(sum(sv) AS BIGINT) AS s,
+                CAST(sum(sv * sv) AS BIGINT) AS sq
+         FROM (
+           SELECT asset_id, CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS sv
+           FROM (
+             SELECT a.asset_id,
+                    ('0x' || substr(body_hex, 4*u.k - 1, 2)
+                          || substr(body_hex, 4*u.k - 3, 2))::BIGINT AS x
+             FROM a, unnest(generate_series(1, body_len // 2)) AS u(k)
+             WHERE modality = 'audio'))
+         GROUP BY asset_id),
+       d0 AS (
+         SELECT *, least(height, 256 - v0) AS la,
+                height - least(height, 256 - v0) AS lb
+         FROM a),
+       dstats AS (
+         SELECT d0.asset_id, d0.modality, d0.byte_len, d0.width, d0.height,
+                d0.rate, d0.duration_ms,
+                CASE WHEN d0.modality = 'image' AND d0.asset_id % 6 = 0
+                       THEN 'png'
+                     WHEN d0.modality = 'image' THEN 'jpeg'
+                     WHEN d0.modality = 'audio' THEN 'wav'
+                     ELSE 'mp4' END AS format,
+                CAST(CASE WHEN d0.modality = 'image' THEN width * height
+                          WHEN d0.modality = 'audio' THEN coalesce(w.n, 0)
+                          ELSE 0 END AS BIGINT) AS n_units,
+                CAST(CASE WHEN d0.modality = 'image' AND d0.asset_id % 6 = 0
+                            THEN CASE WHEN lb > 0 THEN 0 ELSE v0 END
+                          WHEN d0.modality = 'image' THEN vj
+                          WHEN d0.modality = 'audio' THEN w.mn
+                     END AS BIGINT) AS u_min,
+                CAST(CASE WHEN d0.modality = 'image' AND d0.asset_id % 6 = 0
+                            THEN CASE WHEN lb > 0 THEN 255
+                                      ELSE v0 + height - 1 END
+                          WHEN d0.modality = 'image' THEN vj
+                          WHEN d0.modality = 'audio' THEN w.mx
+                     END AS BIGINT) AS u_max,
+                CAST(CASE WHEN d0.modality = 'image' AND d0.asset_id % 6 = 0
+                            THEN width * (la * v0 + (la * (la - 1)) // 2
+                                          + (lb * (lb - 1)) // 2)
+                          WHEN d0.modality = 'image'
+                            THEN width * height * vj
+                          WHEN d0.modality = 'audio' THEN w.s
+                     END AS BIGINT) AS u_sum,
+                CAST(CASE WHEN d0.modality = 'image' AND d0.asset_id % 6 = 0
+                            THEN width *
+                              (((v0 + la - 1) * (v0 + la) * (2*(v0 + la) - 1)) // 6
+                               - ((v0 - 1) * v0 * (2*v0 - 1)) // 6
+                               + ((lb - 1) * lb * (2*lb - 1)) // 6)
+                          WHEN d0.modality = 'image'
+                            THEN width * height * vj * vj
+                          WHEN d0.modality = 'audio' THEN w.sq
+                     END AS BIGINT) AS u_sumsq
+         FROM d0 LEFT JOIN wavs w ON w.asset_id = d0.asset_id)"""
+
+  /** The 8 feature components as DuckDB expressions over `dstats` —
+    * generated alongside [[featureCols]] so the two lists cannot drift
+    * (same CASE arms, same left-associated division chains). */
+  private def featureSqlComps: Seq[String] = {
+    val img = "modality = 'image' AND n_units > 0"
+    val aud = "modality = 'audio' AND n_units > 0"
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    Seq(
+      s"CASE WHEN $img THEN ${d("u_sum")}/n_units/255.0" +
+        s" WHEN $aud THEN ${d("u_sum")}/n_units/32768.0" +
+        s" ELSE ${d("byte_len")}/1000000.0 END",
+      s"CASE WHEN $img THEN ${d("u_min")}/255.0" +
+        s" WHEN $aud THEN ${d("u_sumsq")}/n_units/1073741824.0" +
+        s" ELSE ${d("duration_ms")}/1000000.0 END",
+      s"CASE WHEN $img THEN ${d("u_max")}/255.0" +
+        s" WHEN $aud THEN ${d("u_min")}/32768.0 ELSE 0.0 END",
+      s"CASE WHEN $img THEN ${d("width")}/1024.0" +
+        s" WHEN $aud THEN ${d("u_max")}/32768.0 ELSE 0.0 END",
+      s"CASE WHEN $img THEN ${d("height")}/1024.0" +
+        s" WHEN $aud THEN ${d("n_units")}/1000000.0 ELSE 0.0 END",
+      s"CASE WHEN $img THEN ${d("n_units")}/1000000.0" +
+        s" WHEN $aud THEN ${d("rate")}/48000.0 ELSE 0.0 END",
+      s"CASE WHEN $img THEN ${d("u_sumsq")}/n_units/65025.0" +
+        s" WHEN $aud THEN ${d("byte_len")}/1000000.0 ELSE 0.0 END",
+      "0.0")
+  }
+
+  /** DuckDB replay of [[featureAnn]] — the decoded feature vector,
+    * float-cast, cosine-ranked within modality. */
   private lazy val FeatureAnnSql: String = {
-    val binSums = (0 until FeatureDim)
-      .map(i => s"sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS c$i")
-      .mkString(",\n                  ")
-    val fvList = (0 until FeatureDim)
-      .map(i => s"CAST(CAST(c.c$i AS DOUBLE) / e.n AS FLOAT)")
+    val fvList = featureSqlComps
+      .map(c => s"CAST($c AS FLOAT)")
       .mkString("[", ",\n                  ", "]")
-    s"""WITH $AssetSqlCte,
-         enc AS (
-           SELECT asset_id, modality, phx AS hx,
-                  CAST(byte_len AS INT) AS n
-           FROM a),
-         cnt AS (
-           SELECT asset_id,
-                  $binSums
-           FROM (SELECT asset_id,
-                        ('0x' || substr(hx, 2*i - 1, 2))::INT % $FeatureDim AS bin
-                 FROM enc, unnest(generate_series(1, n)) AS u(i))
-           GROUP BY asset_id),
+    s"""WITH $DecodeSqlCte,
          f AS (
-           SELECT e.asset_id, e.modality,
+           SELECT asset_id, modality,
                   $fvList AS v
-           FROM enc e JOIN cnt c USING (asset_id)
-           WHERE e.n > 0),
+           FROM dstats),
          q AS (
            SELECT asset_id AS query_id, modality AS q_mod, v AS qv
            FROM f WHERE asset_id < 10),
@@ -645,25 +1171,106 @@ object MultimodalOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_mm_feature_ann" -> FeatureAnnSql,
-    // resize plan now reads dims by PARSING the PNG IHDR out of the
-    // constructed blob's hex image — both engines read the same BYTES,
-    // not the same fixture arithmetic; then the same DIV/greatest/CASE
+    // decoded-stat replay: codec output (inflate / Huffman+IDCT / PCM)
+    // vs independent generator arithmetic
+    "q_mm_decode" ->
+      s"""WITH $DecodeSqlCte
+         SELECT asset_id, modality, format, byte_len, n_units, u_min, u_max,
+                CASE WHEN n_units > 0
+                     THEN CAST(u_sum AS DOUBLE) / n_units END AS u_mean,
+                CASE WHEN n_units > 0
+                     THEN CAST(u_sumsq AS DOUBLE) / n_units END AS u_ms
+         FROM dstats ORDER BY asset_id""",
+    "q_mm_features" ->
+      s"""WITH $DecodeSqlCte
+         SELECT asset_id, modality, CAST(byte_len AS INT) AS byte_len,
+                ${featureSqlComps(0)} AS f0,
+                ${featureSqlComps(1)} AS f1
+         FROM dstats ORDER BY asset_id""",
+    // per-window PCM energy: the same LE16 sample slices, window spec,
+    // and integer sums — empty windows via the LEFT JOIN + coalesce
+    "q_mm_energy" ->
+      s"""WITH $AssetSqlCte,
+         au AS (
+           SELECT asset_id, body_len // 2 AS n, body_hex
+           FROM a WHERE modality = 'audio'),
+         w AS (
+           SELECT asset_id, n,
+                  CASE WHEN n >= $EnergyWin
+                       THEN least($MaxWindows, (n - $EnergyWin) // $EnergyHop + 1)
+                       ELSE 1 END AS n_windows
+           FROM au),
+         wi AS (
+           SELECT asset_id, n, CAST(n_windows AS BIGINT) AS n_windows,
+                  CAST(u.i AS BIGINT) AS win_idx
+           FROM w, unnest(generate_series(0, n_windows - 1)) AS u(i)),
+         sm AS (
+           SELECT asset_id, k,
+                  CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS sv
+           FROM (
+             SELECT au.asset_id, CAST(u.k AS BIGINT) AS k,
+                    ('0x' || substr(body_hex, 4*u.k - 1, 2)
+                          || substr(body_hex, 4*u.k - 3, 2))::BIGINT AS x
+             FROM au, unnest(generate_series(1, n)) AS u(k))),
+         j AS (
+           SELECT wi.asset_id, wi.n_windows, wi.win_idx,
+                  CAST(count(sm.k) AS BIGINT) AS n_samples,
+                  CAST(coalesce(sum(sm.sv * sm.sv), 0) AS BIGINT) AS energy,
+                  coalesce(max(abs(sm.sv)), 0) AS max_abs
+           FROM wi LEFT JOIN sm
+             ON sm.asset_id = wi.asset_id
+            AND sm.k > wi.win_idx * $EnergyHop
+            AND sm.k <= wi.win_idx * $EnergyHop + $EnergyWin
+           GROUP BY wi.asset_id, wi.n_windows, wi.win_idx)
+         SELECT asset_id, n_windows, win_idx, n_samples, energy,
+                max_abs < $SilenceAbs AS silence
+         FROM j ORDER BY asset_id, win_idx""",
+    // interleaved image-text packing: same item union, per-volume
+    // running sum, offset-bucket sequence ids, in-sequence positions
+    "q_mm_pack" ->
+      s"""WITH it AS (
+           SELECT doc_id, 1 AS kord, 'text' AS kind, doc_id AS ref_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 0 AS kord, 'image' AS kind, doc_id AS ref_id,
+                  CAST($ImageTokens AS BIGINT) AS n_toks
+           FROM documents WHERE doc_id % 3 = 0),
+         v AS (SELECT *, doc_id // $VolumeAssets AS volume FROM it),
+         c AS (
+           SELECT *, sum(n_toks) OVER (
+                    PARTITION BY volume ORDER BY doc_id, kord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM v),
+         s AS (SELECT *, (cum - n_toks) // $SeqBudget AS seq_id FROM c)
+         SELECT CAST(volume AS BIGINT) AS volume,
+                CAST(seq_id AS BIGINT) AS seq_id,
+                CAST(row_number() OVER (
+                  PARTITION BY volume, seq_id ORDER BY doc_id, kord)
+                  AS BIGINT) AS position,
+                kind, ref_id, n_toks
+         FROM s ORDER BY volume, seq_id, position""",
+    // resize plan reads dims by PARSING them out of the constructed
+    // blob's hex image (PNG IHDR BE u32s; JPEG SOF0 BE u16s at the
+    // constructed layout's offsets — SOI+APP0+DQT put SOF0 at byte 89,
+    // so marker/height/width live at hex chars 179/189/193) — both
+    // engines read the same BYTES, then the same DIV/greatest/CASE
     "q_mm_resize" ->
       s"""WITH $AssetSqlCte,
          i AS (
            SELECT asset_id,
                   CASE WHEN substr(phx, 1, 4) = 'FFD8'
-                       THEN ('0x' || substr(phx, 55, 4))::BIGINT
+                       THEN ('0x' || substr(phx, 193, 4))::BIGINT
                        ELSE ('0x' || substr(phx, 33, 8))::BIGINT
                   END AS width,
                   CASE WHEN substr(phx, 1, 4) = 'FFD8'
-                       THEN ('0x' || substr(phx, 51, 4))::BIGINT
+                       THEN ('0x' || substr(phx, 189, 4))::BIGINT
                        ELSE ('0x' || substr(phx, 41, 8))::BIGINT
                   END AS height
            FROM a
            WHERE substr(phx, 1, 16) = '89504E470D0A1A0A'
               OR (substr(phx, 1, 4) = 'FFD8'
-                  AND substr(phx, 41, 4) = 'FFC0')),
+                  AND substr(phx, 179, 4) = 'FFC0')),
          m AS (SELECT *, greatest(width, height) AS max_side FROM i)
          SELECT asset_id, width, height, max_side,
                 CASE WHEN max_side <= $ResizeMaxSide THEN width
@@ -692,8 +1299,8 @@ object MultimodalOps {
                AND ('0x' || substr(phx,1,8))::BIGINT
                      BETWEEN 8 AND length(phx) // 2 AS is_mp4,
              substr(phx,1,4) = 'FFD8'
-               AND length(phx) >= 78
-               AND substr(phx,41,4) = 'FFC0' AS is_jpeg
+               AND length(phx) >= 196
+               AND substr(phx,179,4) = 'FFC0' AS is_jpeg
            FROM a),
          f AS (
            SELECT modality,
@@ -708,8 +1315,8 @@ object MultimodalOps {
                  AND ('0x' || substr(phx,41,8))::BIGINT = height
                WHEN modality = 'image' THEN
                  is_jpeg
-                 AND ('0x' || substr(phx,55,4))::BIGINT = width
-                 AND ('0x' || substr(phx,51,4))::BIGINT = height
+                 AND ('0x' || substr(phx,193,4))::BIGINT = width
+                 AND ('0x' || substr(phx,189,4))::BIGINT = height
                WHEN modality = 'audio' THEN
                  ('0x' || substr(phx,55,2) || substr(phx,53,2)
                   || substr(phx,51,2) || substr(phx,49,2))::BIGINT = rate
@@ -745,7 +1352,8 @@ object MultimodalOps {
          FROM f GROUP BY modality ORDER BY modality""",
     // header parse: the oracle re-parses the identically-constructed
     // blob from its hex image — format by magic, PNG BE u32 dims, WAV
-    // LE u32 rate/data-size (the 4-substr pair swap), ftyp box size —
+    // LE u32 rate/data-size (the 4-substr pair swap), ftyp box size,
+    // JPEG SOF0 BE u16 dims at the constructed layout's offsets —
     // in the SAME precedence order as the native expression
     "q_mm_parse" ->
       s"""WITH $AssetSqlCte,
@@ -762,11 +1370,9 @@ object MultimodalOps {
                AND substr(phx,9,8) = '66747970'
                AND ('0x' || substr(phx,1,8))::BIGINT
                      BETWEEN 8 AND length(phx) // 2 AS is_mp4,
-             -- fixed-offset image of the walker: the constructed layout
-             -- is always SOI + APP0(16) + SOF0, so SOF0 sits at byte 20
              substr(phx,1,4) = 'FFD8'
-               AND length(phx) >= 78
-               AND substr(phx,41,4) = 'FFC0' AS is_jpeg
+               AND length(phx) >= 196
+               AND substr(phx,179,4) = 'FFC0' AS is_jpeg
            FROM a)
          SELECT asset_id, modality,
                 CASE WHEN is_png THEN 'png' WHEN is_wav THEN 'wav'
@@ -775,11 +1381,11 @@ object MultimodalOps {
                 CASE WHEN is_png
                      THEN ('0x' || substr(phx,33,8))::BIGINT
                      WHEN is_jpeg
-                     THEN ('0x' || substr(phx,55,4))::BIGINT END AS width,
+                     THEN ('0x' || substr(phx,193,4))::BIGINT END AS width,
                 CASE WHEN is_png
                      THEN ('0x' || substr(phx,41,8))::BIGINT
                      WHEN is_jpeg
-                     THEN ('0x' || substr(phx,51,4))::BIGINT END AS height,
+                     THEN ('0x' || substr(phx,189,4))::BIGINT END AS height,
                 CASE WHEN is_wav
                      THEN ('0x' || substr(phx,55,2) || substr(phx,53,2)
                            || substr(phx,51,2) || substr(phx,49,2))::BIGINT
@@ -839,7 +1445,7 @@ object MultimodalOps {
          FROM g GROUP BY modality ORDER BY modality""",
     // binary exact dedup: both engines md5 the payload's HEX image (the
     // same uppercase characters — DuckDB 1.0 has only md5(VARCHAR) and
-    // the framed payload is no longer valid utf-8); hex() is injective,
+    // the framed payload is not valid utf-8); hex() is injective,
     // so the groups are exactly the byte-identical payload groups
     "q_mm_dedup" ->
       s"""WITH $AssetSqlCte,
@@ -937,30 +1543,5 @@ object MultimodalOps {
                 cum_before // 65536 AS shard_id,
                 cum_before % 65536 AS offset_in_shard
          FROM c ORDER BY modality, asset_id""",
-    // The stub decoder's 8-bin byte histogram, replayed byte-for-byte
-    // over the FULL container (header bytes included — the stub decodes
-    // whatever bytes arrive): phx → 2-char pairs → ('0x'||pair)::INT % 8.
-    // The LEFT JOIN + greatest(n,1) guard mirrors the stub's max(len,1)
-    // divisor (n is now always ≥ the header size, but the guard is the
-    // stub's contract, not the fixture's).
-    "q_mm_features" ->
-      s"""WITH $AssetSqlCte,
-         enc AS (
-           SELECT asset_id, modality, phx AS hx,
-                  CAST(byte_len AS INT) AS n
-           FROM a),
-         cnt AS (
-           SELECT asset_id,
-                  sum(CASE WHEN ('0x' || substr(hx, 2*i - 1, 2))::INT % 8 = 0
-                           THEN 1 ELSE 0 END) AS c0,
-                  sum(CASE WHEN ('0x' || substr(hx, 2*i - 1, 2))::INT % 8 = 1
-                           THEN 1 ELSE 0 END) AS c1
-           FROM enc, unnest(generate_series(1, n)) AS u(i)
-           GROUP BY asset_id)
-         SELECT e.asset_id, e.modality, e.n AS byte_len,
-                CAST(coalesce(c.c0, 0) AS DOUBLE) / greatest(e.n, 1) AS f0,
-                CAST(coalesce(c.c1, 0) AS DOUBLE) / greatest(e.n, 1) AS f1
-         FROM enc e LEFT JOIN cnt c USING (asset_id)
-         ORDER BY asset_id""",
   )
 }

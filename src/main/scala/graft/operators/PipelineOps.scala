@@ -807,6 +807,144 @@ object PipelineOps {
       .orderBy(col("score").desc)
   }
 
+  // --------------------------------------------- hashed-feature classifier
+  /** Hashed-feature dimensionality for [[qualityClfTrain]] — small enough
+    * that the unrolled integer weight chain stays readable, large enough
+    * that the bag-of-words signal separates the planted fixtures. */
+  private[graft] val ClfDim = 6
+  private[operators] val ClfIters = 3
+
+  /** FASTTEXT-SHAPED QUALITY CLASSIFIER: the batch perceptron trained on
+    * HASHING-TRICK bag-of-words features instead of hand-built rule
+    * components — the CCNet/fastText production shape (Joulin et al.
+    * 2016; Wenzek et al. 2020 train exactly this: a linear classifier
+    * over hashed token bags scoring web text for LM pretraining). The
+    * label is the corpus quality rule (the rule plays the "high-quality
+    * reference corpus" role CCNet gives Wikipedia, so no human labels
+    * enter the pipeline), the features are md5-bucket token counts (the
+    * same portable hash `q_hash_embed` uses, [[ClfDim]] buckets + bias),
+    * and the update is the exact integer batch rule w += Σ_mis y·x — the
+    * whole trajectory is integer arithmetic, cross-engine exact.
+    *
+    * CONTENT GRAIN + WEIGHTED GRADIENT: the bucket histogram and the
+    * label are functions of the text alone, so the tokenize/explode
+    * aggregation runs once per DISTINCT text; each fp row carries its
+    * replica count m and contributes m× to every gradient sum —
+    * integer-identical to doc-grain training (the oracle replays at doc
+    * grain, proving the equivalence) while a replica-heavy corpus never
+    * re-tokenizes a copy. Per iteration: ONE map-side partial-aggregated
+    * reduction (the exchange carries partial rows, not the corpus);
+    * weights ride as 1-row broadcast frames (the documented scalar-
+    * attach pattern). Output: per-step misclassification mass +
+    * post-update weights. */
+  def qualityClfTrain(spark: SparkSession, dir: String): DataFrame =
+    qualityClfSteps(spark, dir).reduce(_ unionAll _).orderBy("step")
+
+  /** fp-grain training frame: replica mass m, hashed bucket counts
+    * x1..x[[ClfDim]], rule label y. */
+  private def clfFeats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grp = DedupOps.fpGrain(docs, "fp", "m")
+    val aggs = (0 until ClfDim).map(i =>
+      sum(when(col("dim") === i, 1L).otherwise(0L)).as(s"x${i + 1}"))
+    val buckets = grp
+      .select(col("fp"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("fp"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % ClfDim).as("dim"))
+      .groupBy("fp")
+      .agg(aggs.head, aggs.tail: _*)
+    val t = split(col("text"), " ")
+    val lab = grp.select(col("fp"), col("m").cast("long").as("m"),
+        size(t).cast("long").as("n1"),
+        size(array_distinct(t)).cast("long").as("n2"),
+        TextOps.stopwordCount(t).cast("long").as("n3"))
+      .withColumn("y",
+        when(TextOps.qualityOk(col("n1"), col("n2"), col("n3")), 1L)
+          .otherwise(-1L))
+      .select("fp", "m", "y")
+    lab.join(buckets, Seq("fp"))
+  }
+
+  /** The unrolled trajectory: per-step (step, n_mis, w0..w[[ClfDim]]). */
+  private def qualityClfSteps(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    val feats = clfFeats(spark, dir).cache()
+    val wCols = (0 to ClfDim).map(i => s"w$i")
+    var w = spark.range(1).select(wCols.map(c => lit(0L).as(c)): _*)
+    (1 to ClfIters).map { i =>
+      val j = feats.crossJoin(broadcast(w))
+      val margin = col("y") * (col("w0") +
+        (1 to ClfDim).map(k => col(s"w$k") * col(s"x$k")).reduce(_ + _))
+      def g(e: org.apache.spark.sql.Column) =
+        coalesce(sum(when(margin <= 0, e * col("m")).otherwise(0L)), lit(0L))
+      // max() of a broadcast-constant column = the value itself; it rides
+      // the same aggregation so the previous weights need no second join
+      val pw = wCols.map(c => coalesce(max(col(c)), lit(0L)).as(s"p$c"))
+      val gs = g(lit(1L)).as("n_mis") +: g(col("y")).as("g0") +:
+        (1 to ClfDim).map(k => g(col("y") * col(s"x$k")).as(s"g$k"))
+      val all = pw ++ gs
+      val s = j.agg(all.head, all.tail: _*)
+        .select(lit(i).as("step") +: col("n_mis") +:
+          (0 to ClfDim).map(k => (col(s"pw$k") + col(s"g$k")).as(s"w$k")): _*)
+      w = s.select(wCols.map(col): _*)
+      s
+    }
+  }
+
+  /** DuckDB replay of [[qualityClfTrain]] at DOC grain — the grain
+    * equivalence (fp rows × m == doc rows) is exactly what the hash
+    * match proves. Generated from the same ClfDim/ClfIters constants. */
+  private def qualityClfSql: String = {
+    val dims = 0 until ClfDim
+    def mis(w: String) =
+      s"y*($w.w0 + " + dims.map(i => s"$w.w${i + 1}*x${i + 1}").mkString(" + ") + ") <= 0"
+    def g(w: String, e: String) =
+      s"coalesce(sum(CASE WHEN ${mis(w)} THEN $e ELSE 0 END), 0)"
+    val bucketSums = dims.map(i =>
+      s"CAST(sum(CASE WHEN dim = $i THEN 1 ELSE 0 END) AS BIGINT) AS x${i + 1}")
+      .mkString(",\n                ")
+    val steps = (1 to ClfIters).map { i =>
+      val w = s"wt${i - 1}"
+      val wUpd = (s"CAST(coalesce(max($w.w0), 0) + ${g(w, "y")} AS BIGINT) AS w0") +:
+        dims.map(k =>
+          s"CAST(coalesce(max($w.w${k + 1}), 0) + ${g(w, s"y*x${k + 1}")} AS BIGINT) AS w${k + 1}")
+      s"""cs$i AS (
+           SELECT CAST(${g(w, "1")} AS BIGINT) AS n_mis,
+                  ${wUpd.mkString(",\n                  ")}
+           FROM l CROSS JOIN wt${i - 1}),
+         wt$i AS (SELECT ${(0 to ClfDim).map(k => s"w$k").mkString(", ")} FROM cs$i)"""
+    }.mkString(",\n         ")
+    val out = (1 to ClfIters).map(i =>
+      s"SELECT $i AS step, n_mis, ${(0 to ClfDim).map(k => s"w$k").mkString(", ")} FROM cs$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH e AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(tok), 1, 8))::BIGINT % $ClfDim AS dim
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         b AS (
+           SELECT doc_id,
+                $bucketSums
+           FROM e GROUP BY doc_id),
+         l0 AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n1,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n2,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the', 'a'))) AS BIGINT) AS n3
+           FROM documents),
+         l AS (
+           SELECT b.doc_id, ${dims.map(i => s"x${i + 1}").mkString(", ")},
+                  CASE WHEN n1 >= 10 AND CAST(n3 AS DOUBLE)/n1 < 0.3
+                            AND CAST(n2 AS DOUBLE)/n1 > 0.2
+                       THEN 1 ELSE -1 END AS y
+           FROM b JOIN l0 USING (doc_id)),
+         wt0 AS (SELECT ${(0 to ClfDim).map(k => s"CAST(0 AS BIGINT) AS w$k").mkString(", ")}),
+         $steps
+         $out
+         ORDER BY step"""
+  }
+
   /** Shared WITH-body for the perceptron oracles: features f, labels l,
     * and the unrolled wt0→wtN weight chain — generated from the same
     * PerceptronIters constant as the Scala loop. CASTs: DuckDB
@@ -932,6 +1070,7 @@ object PipelineOps {
     "q_corpus_shuffle" -> (corpusShuffle _),
     "q_dataset_card" -> (datasetCard _),
     "q_perceptron" -> (perceptronTrain _),
+    "q_quality_clf" -> (qualityClfTrain _),
     "q_threshold_sweep" -> (thresholdSweep _),
     "q_null_profile" -> (nullProfile _),
     "q_pii_redact" -> (piiRedact _),
@@ -1043,6 +1182,7 @@ object PipelineOps {
            FROM documents)
          ORDER BY shard, pos_in_shard""",
     "q_perceptron" -> perceptronSql,
+    "q_quality_clf" -> qualityClfSql,
     "q_threshold_sweep" -> thresholdSweepSql,
     "q_dataset_card" ->
       """WITH s AS (

@@ -256,4 +256,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), "survivor set should auto-broadcast here")
     assert(!plan.contains("SortMergeJoin"), "no sort anywhere in the cap")
   }
+
+  test("quality classifier: separable planted corpus reaches zero errors; NULL-source docs train too") {
+    import graft.operators.PipelineOps
+    // craft tokens by their ACTUAL md5 bucket so the two classes live in
+    // disjoint hashed dimensions: positives are 12 distinct bucket-known
+    // tokens (quality rule: >=10 tokens, distinct ratio, few stopwords
+    // -> y=+1); negatives are 3-token docs (rule: too short -> y=-1)
+    def bucket(tok: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16) % PipelineOps.ClfDim).toInt
+    }
+    val toks = (0 until 4000).map(i => s"tk$i")
+    val pos = toks.filter(t => bucket(t) < 3).take(24)
+    val neg = toks.filter(t => bucket(t) >= 3).take(6)
+    assert(pos.size == 24 && neg.size == 6, "bucket mining must find tokens")
+    val docs = Seq(
+      (0L, pos.take(12).mkString(" "), "en", "s"),
+      (1L, pos.drop(12).mkString(" "), "en", "s"),
+      (2L, neg.take(3).mkString(" "), "en", "s"),
+      (3L, neg.drop(3).mkString(" "), "en", "s"),
+      // a replica of doc 0: the fp-grain gradient must weight it (m=2)
+      (4L, pos.take(12).mkString(" "), "en", "s"))
+    val dir = documentsFixture(docs)
+    val got = PipelineOps.qualityClfTrain(spark, dir).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_mis")).toMap
+    // step 1 starts from w=0: every margin is 0 <= 0, so the whole mass
+    // (5 docs, replica counted) is misclassified; the first update alone
+    // separates the planted classes, so steps 2 and 3 are clean
+    assert(got(1) == 5L, s"step-1 mass: $got")
+    assert(got(2) == 0L && got(3) == 0L, s"separable corpus must converge: $got")
+    // determinism: the trajectory is exact integer arithmetic
+    val again = PipelineOps.qualityClfTrain(spark, dir).collect().map(_.toSeq).toSeq
+    assert(again == PipelineOps.qualityClfTrain(spark, dir).collect().map(_.toSeq).toSeq)
+  }
 }

@@ -57,6 +57,8 @@ class PlanLintSpec extends SparkTestBase {
   //  - q_perceptron / q_threshold_sweep: the 1-row weight frame broadcast
   //    into each unrolled gradient iteration (the in-engine trainer's
   //    scalar attach); the sweep adds a 1-row total-positives attach
+  //  - q_quality_clf: the same 1-row weight frame (ClfDim+1 longs)
+  //    broadcast into each unrolled hashed-feature gradient iteration
   private val scalarCrossJoins = Set("q_tfidf", "q_mixture_resample",
     "q_token_budget",
     // q_curation_funnel: the 1-row corpus-total aggregate cross-joined
@@ -86,7 +88,7 @@ class PlanLintSpec extends SparkTestBase {
     // single-row centroid broadcasts at both levels)
     "q_embed_neardup",
     "q_index_drift", "q_embed_pca", "q_embed_project",
-    "q_perceptron", "q_threshold_sweep",
+    "q_perceptron", "q_threshold_sweep", "q_quality_clf",
     // q_lsh_tuning: the 1-row true-pair-total aggregate cross-joined
     // into the 3-row geometry frame
     "q_lsh_tuning",

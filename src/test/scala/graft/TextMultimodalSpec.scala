@@ -214,10 +214,11 @@ class TextMultimodalSpec extends SparkTestBase {
         r.getAs[Long]("n_copies"), r.getAs[Long]("dup_bytes")))
     assert(got.toSeq == Seq(
       ("audio", 1L, 1L, 0L),
-      // jpeg copy of the same body: distinct payload, never merged
+      // jpeg copy of the same text: distinct payload, never merged
       ("image", 3L, 1L, 0L),
-      // "same bytes" = 10 body bytes + the 33-byte PNG header
-      ("image", 6L, 2L, 43L)))
+      // "same bytes" (10 chars) → an 11×11 PNG: raster 11·12 = 132
+      // bytes + 68 container bytes = 200 per copy
+      ("image", 6L, 2L, 200L)))
   }
 
   test("asset card: hand-computed counts, duplicate fraction and recoverable bytes") {
@@ -235,10 +236,11 @@ class TextMultimodalSpec extends SparkTestBase {
           r.getAs[Double]("dup_frac"), r.getAs[Long]("total_bytes"),
           r.getAs[Long]("dup_bytes"), r.getAs[Long]("total_duration_ms"))))
       .toMap
-    // byte lens include container headers: audio = 10 + 44 (WAV);
-    // png images = 10 + 33 each; the jpeg copy = 10 + 39
+    // byte lens are full container sizes: audio = 10 + 44 (WAV);
+    // the 11×11 PNGs = 200 each (132-byte raster + 68 framing); the
+    // 11×11 JPEG = 170 + 4 MCU scan bytes = 174
     assert(got("audio") == ((1L, 1L, 0.0, 54L, 0L, 400L)))
-    assert(got("image") == ((3L, 2L, 1.0 - 2.0 / 3.0, 135L, 43L, 1200L)),
+    assert(got("image") == ((3L, 2L, 1.0 - 2.0 / 3.0, 574L, 200L, 1200L)),
       s"image card: ${got("image")}")
   }
 
@@ -306,28 +308,30 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("multimodal: features deterministic across runs, histogram sums to 1") {
+  test("multimodal: decoded features deterministic, payload sizes follow the container math") {
     val f1 = MultimodalOps.featureStats(spark, sf0001).collect()
     val f2 = MultimodalOps.featureStats(spark, sf0001).collect()
-    assert(f1.toSeq == f2.toSeq, "stub decode must be deterministic")
+    assert(f1.toSeq == f2.toSeq, "decode must be deterministic")
     val feats = MultimodalOps.extractFeatures(spark, sf0001).limit(10).collect()
     feats.foreach { af =>
       assert(af.features.length == MultimodalOps.FeatureDim)
-      assert(math.abs(af.features.sum - 1.0) < 1e-9,
-        "normalized byte histogram must sum to 1")
+      assert(af.features.forall(v => !v.isNaN && !v.isInfinite))
     }
-    // payload byte_len equals n_chars + the container header for this
-    // ascii corpus (PNG 33 / JPEG 39 split by image-id parity, WAV 44,
-    // MP4-ftyp 16)
-    val hdr = when(col("modality") === "image",
-        when(col("asset_id") % 6 === 0, MultimodalOps.PngHeaderBytes)
-          .otherwise(MultimodalOps.JpegHeaderBytes))
-      .when(col("modality") === "audio", MultimodalOps.WavHeaderBytes)
-      .otherwise(MultimodalOps.Mp4HeaderBytes)
+    // payload byte_len follows the container arithmetic for this ascii
+    // corpus: PNG = raster h·(w+1) + 68 framing bytes; JPEG = 170 +
+    // one scan byte per MCU; WAV/MP4 wrap the text (n_chars + header)
+    val expected = when(col("modality") === "image",
+        when(col("asset_id") % 6 === 0,
+          expr(s"""(n_chars % ${MultimodalOps.PngMaxH} + 1)
+                   * (n_chars % ${MultimodalOps.PngMaxW} + 2) + 68"""))
+          .otherwise(expr(
+            """170 + ((n_chars % 640 + 8) DIV 8) * ((n_chars % 480 + 8) DIV 8)""")))
+      .when(col("modality") === "audio", col("n_chars") + MultimodalOps.WavHeaderBytes)
+      .otherwise(col("n_chars") + MultimodalOps.Mp4HeaderBytes)
     val meta = MultimodalOps.assetMeta(spark, sf0001)
       .join(Tables.documents(spark, sf0001),
         col("asset_id") === col("doc_id"))
-      .where(col("byte_len") =!= col("n_chars") + hdr)
+      .where(col("byte_len") =!= expected)
     assert(meta.count() == 0)
   }
 
@@ -344,20 +348,40 @@ class TextMultimodalSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("payload"))
       .toMap
     def hx(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
-    // PNG: sig + IHDR(len 13) + w=4,h=4 BE + depth8/truecolor + zero CRC,
-    // then the 3 body bytes "img"
+    def md5b(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    // PNG for "img" (3 chars → 4×4 grayscale): sig + IHDR + ONE stored-
+    // deflate block carrying the Up-filtered gradient raster, with the
+    // Adler-32 computed by java.util.zip (independent of the closed
+    // form the synthesis uses), zeroed CRCs, IEND
+    val v0 = md5b("img")(0) & 0xFF
+    val raster =
+      (Seq(0, v0, v0, v0, v0) ++
+        Seq.fill(3)(Seq(2, 1, 1, 1, 1)).flatten).map(_.toByte).toArray
+    val ad = new java.util.zip.Adler32(); ad.update(raster)
     assert(hx(rows(6L)) ==
       "89504E470D0A1A0A" + "0000000D" + "49484452" +
-        "00000004" + "00000004" + "08" + "02" + "000000" + "00000000" +
-        "696D67")
-    // JPEG: SOI + JFIF APP0(16) + SOF0(len 17, prec 8, h=4,w=4 BE16,
-    // 3-component spec), then the 3 body bytes "jpg"
+        "00000004" + "00000004" + "08" + "00" + "000000" + "00000000" +
+        "0000001F" + "49444154" +                       // IDAT len 20+11
+        "7801" + "01" + "1400" + "EBFF" +               // stored block, LEN/NLEN
+        hx(raster) + "%08X".format(ad.getValue) +       // raster + real Adler
+        "00000000" +                                    // IDAT CRC (zeroed)
+        "00000000" + "49454E44" + "00000000")           // IEND
+    // JPEG for "jpg" (4×4 → ONE MCU): SOI + APP0 + all-ones DQT + SOF0
+    // (grayscale) + the two custom DHTs + SOS + a 2-byte scan
+    // [cat8 code | 8 bits of D=8·(vj−128) | EOB] + EOI
+    val vj = 144 + ((md5b("jpg")(0) & 0xFF) >> 4)
+    val scan = 0x8000 | ((8 * (vj - 128)) << 4)
     assert(hx(rows(3L)) ==
       "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
         "0001" + "0001" + "00" + "00" +
-        "FFC0" + "0011" + "08" + "0004" + "0004" +
-        "03" + "012200" + "021101" + "031101" +
-        "6A7067")
+        "FFDB" + "0043" + "00" + ("01" * 64) +
+        "FFC0" + "000B" + "08" + "0004" + "0004" + "01" + "01" + "11" + "00" +
+        "FFC4" + "001F" + "00" + "000000" + "0C" + ("00" * 12) +
+        "000102030405060708090A0B" +
+        "FFC4" + "0014" + "10" + "000000" + "01" + ("00" * 12) + "00" +
+        "FFDA" + "0008" + "01" + "0100" + "00" + "3F" + "00" +
+        "%04X".format(scan) + "FFD9")
     // WAV: RIFF size=36+2 LE, PCM mono 22050 Hz (LE 0x5622 → "22560000"),
     // byte rate 44100, data size 2, body "au"
     assert(hx(rows(1L)) ==
@@ -367,14 +391,16 @@ class TextMultimodalSpec extends SparkTestBase {
     // MP4: 16-byte ftyp box then the 4 body bytes
     assert(hx(rows(2L)) ==
       "00000010" + "66747970" + "69736F6D" + "00000200" + "76696421")
-    // and the native probe reads those bytes back
+    // and the native probe reads those bytes back: png body = raster +
+    // 35 chunk-framing bytes; jpeg body = 171 total − the 102-byte
+    // SOI+APP0+DQT+SOF header
     val parsed = MultimodalOps.headerParse(spark, dir).collect()
       .map(r => r.getAs[Long]("asset_id") ->
         ((r.getAs[String]("format"), Option(r.get(3)), Option(r.get(4)),
           Option(r.get(5)), r.getAs[Long]("body_bytes"))))
       .toMap
-    assert(parsed(6L) == (("png", Some(4L), Some(4L), None, 3L)))
-    assert(parsed(3L) == (("jpeg", Some(4L), Some(4L), None, 3L)))
+    assert(parsed(6L) == (("png", Some(4L), Some(4L), None, 55L)))
+    assert(parsed(3L) == (("jpeg", Some(4L), Some(4L), None, 69L)))
     assert(parsed(1L) == (("wav", None, None, Some(22050L), 2L)))
     assert(parsed(2L) == (("mp4", None, None, None, 4L)))
   }
