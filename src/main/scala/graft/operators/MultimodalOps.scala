@@ -470,6 +470,100 @@ object MultimodalOps {
       .as[AssetFeatures]
   }
 
+  // ------------------------------------------------- perceptual hash
+  /** One image's perceptual hash, computed from REAL decoded pixels. */
+  case class PHashRow(asset_id: Long, format: String, phash: String)
+
+  /** 8×8 average-hash over a decoded grayscale image: grid cell (gx,gy)
+    * covers the DIV-partitioned pixel block, its bit fires when the
+    * cell's mean exceeds the global mean — evaluated as the
+    * cross-multiplied INTEGER comparison cellSum·nPix > totalSum·cellPix
+    * (exact, tie = 0, empty cells of tiny images = 0), so both engines
+    * agree bit-for-bit. Byte gy packs bits LSB-first by gx; the hash is
+    * the 16-char uppercase hex of the 8 bytes. */
+  private def phashOf(w: Int, h: Int, px: (Int, Int) => Long): String = {
+    var total = 0L
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { total += px(x, y); x += 1 }; y += 1 }
+    val nPix = w.toLong * h
+    val bytes = new Array[Int](8)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+        var cs = 0L
+        var yy = y0
+        while (yy < y1) { var xx = x0; while (xx < x1) { cs += px(xx, yy); xx += 1 }; yy += 1 }
+        val cp = (x1 - x0).toLong * (y1 - y0)
+        if (cs * nPix > total * cp) bytes(gy) |= 1 << gx
+        gx += 1
+      }
+      gy += 1
+    }
+    bytes.map("%02X".format(_)).mkString
+  }
+
+  private def phashBatch(batch: Iterator[Asset]): Iterator[PHashRow] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    batch.flatMap { a =>
+      val b = a.payload
+      if (b.length >= 33 && (b(0) & 0xFF) == 0x89 && tag(b, 1, "PNG")) {
+        decodePng(b).map { case (w, h, px) =>
+          PHashRow(a.asset_id, "png", phashOf(w, h, (x, y) => px(y * w + x) & 0xFFL))
+        }
+      } else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          catch { case _: Exception => null }
+        if (img == null) None
+        else {
+          val ra = img.getRaster
+          Some(PHashRow(a.asset_id, "jpeg",
+            phashOf(img.getWidth, img.getHeight, (x, y) => ra.getSample(x, y, 0).toLong)))
+        }
+      } else None // undecodable image: no hash row (quarantined upstream)
+    }
+  }
+
+  /** PERCEPTUAL IMAGE HASH (aHash — the LAION/DataComp near-dup
+    * workhorse): per image asset, the 8×8 block-average hash computed
+    * from the DECODED pixels (inflate+unfilter for PNG, the JDK codec
+    * for JPEG). Block averaging over the DIV grid IS the "resize to 8×8
+    * then threshold at the mean" aHash definition, done in exact integer
+    * arithmetic. The oracle replays the hash ARITHMETICALLY: the PNG
+    * gradient's block sums reduce to G(v0+y1)−G(v0+y0) per cell with
+    * G(m) = 32640·(m DIV 256) + r(r−1)/2 (r = m mod 256), and a
+    * constant-gray JPEG hashes to all-zero (every cell mean equals the
+    * global mean — the classic aHash flat-image collision, preserved
+    * rather than papered over). Map-side scan + contract sort: pixels
+    * are consumed where the payload sits; only 16-char hashes move. */
+  def imageHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir).where(col("modality") === "image").as[Asset]
+      .mapPartitions(phashBatch).toDF()
+      .select(col("asset_id"), col("format"), col("phash"))
+      .orderBy("asset_id")
+  }
+
+  /** PERCEPTUAL DEDUP CLASSES: group images by their aHash — the
+    * decision stage of a perceptual dedup pass (keep the lowest id per
+    * class, count members and how many distinct FORMATS collide in the
+    * class — byte-distinct files that look alike are exactly what
+    * perceptual dedup exists to find). One shuffle of 8-byte hashes;
+    * pixel work stays map-side in [[imageHashes]]. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir).where(col("modality") === "image").as[Asset]
+      .mapPartitions(phashBatch).toDF()
+      .groupBy(col("phash"))
+      .agg(min(col("asset_id")).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("format")).as("n_formats"))
+      .orderBy("keep_id")
+  }
+
   // ----------------------------------------------------- audio energy
   /** Energy window geometry, in SAMPLE space: 64-sample windows, 50%
     * overlap — the STFT hop shape at the grain the fixture's PCM bodies
@@ -958,6 +1052,8 @@ object MultimodalOps {
     "q_mm_features" -> (featureStats _),
     "q_mm_feature_ann" -> (featureAnn _),
     "q_mm_energy" -> (audioEnergy _),
+    "q_mm_phash" -> (imageHashes _),
+    "q_mm_phash_dedup" -> (phashDedup _),
     "q_mm_pack" -> (packMultimodal _),
     "q_mm_shards" -> (shardManifest _),
     "q_mm_resize" -> (resizePlan _),
@@ -1169,8 +1265,57 @@ object MultimodalOps {
          WHERE rank <= 3 ORDER BY query_id, rank"""
   }
 
+  /** The PNG gradient's aHash, generated cell by cell from the same
+    * 8×8 DIV grid as [[phashOf]] — block sums via the prefix closed
+    * form G(m) = 32640·(m DIV 256) + r(r−1)/2 over (v0+y) mod 256,
+    * bits via the identical cross-multiplied integer comparison.
+    * Expects `width`, `height`, `v0` and `ptotal` in scope. */
+  private lazy val PngPhashSqlExpr: String = {
+    def g(m: String) =
+      s"(32640*(($m) // 256) + ((($m) % 256) * ((($m) % 256) - 1)) // 2)"
+    (0 until 8).map { gy =>
+      val y0 = s"($gy*height)//8"; val y1 = s"(${gy + 1}*height)//8"
+      val bits = (0 until 8).map { gx =>
+        val x0 = s"($gx*width)//8"; val x1 = s"(${gx + 1}*width)//8"
+        val cs = s"(($x1) - ($x0)) * (${g(s"v0 + ($y1)")} - ${g(s"v0 + ($y0)")})"
+        val cp = s"((($x1) - ($x0)) * (($y1) - ($y0)))"
+        s"CASE WHEN ($cs) * (width*height) > ptotal * $cp THEN ${1 << gx} ELSE 0 END"
+      }.mkString("\n                    + ")
+      s"lpad(hex($bits), 2, '0')"
+    }.mkString("\n                || ")
+  }
+
+  /** Shared hash CTE for the two phash oracles: per image asset, the
+    * arithmetic aHash (gradient closed form for PNG; a constant-gray
+    * JPEG's cells all equal the global mean → all-zero). */
+  private lazy val PhashSqlCte: String = {
+    def g(m: String) =
+      s"(32640*(($m) // 256) + ((($m) % 256) * ((($m) % 256) - 1)) // 2)"
+    s"""im AS (
+         SELECT asset_id, width, height, v0,
+                CASE WHEN asset_id % 6 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+                width * (${g("v0 + height")} - ${g("v0")}) AS ptotal
+         FROM a WHERE modality = 'image'),
+       hs AS (
+         SELECT asset_id, format,
+                CASE WHEN format = 'png' THEN
+                  $PngPhashSqlExpr
+                ELSE '0000000000000000' END AS phash
+         FROM im)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_mm_feature_ann" -> FeatureAnnSql,
+    "q_mm_phash" ->
+      s"""WITH $AssetSqlCte,
+         $PhashSqlCte
+         SELECT asset_id, format, phash FROM hs ORDER BY asset_id""",
+    "q_mm_phash_dedup" ->
+      s"""WITH $AssetSqlCte,
+         $PhashSqlCte
+         SELECT phash, min(asset_id) AS keep_id, count(*) AS n_members,
+                CAST(count(DISTINCT format) AS BIGINT) AS n_formats
+         FROM hs GROUP BY phash ORDER BY keep_id""",
     // decoded-stat replay: codec output (inflate / Huffman+IDCT / PCM)
     // vs independent generator arithmetic
     "q_mm_decode" ->

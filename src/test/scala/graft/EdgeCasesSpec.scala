@@ -47,6 +47,15 @@ class EdgeCasesSpec extends SparkTestBase {
     // r13: the header probe and parse-fed resize over zero assets
     assert(graft.operators.MultimodalOps.headerParse(spark, dir).count() == 0)
     assert(graft.operators.MultimodalOps.resizePlan(spark, dir).count() == 0)
+    // r14: the decode stage, energy windows, interleaved packing, and
+    // the hashed-feature trainer over zero docs — the trainer still
+    // emits its 3-step trajectory (all-zero gradients), like kmeans
+    // tuning's literal-driven rows
+    assert(graft.operators.MultimodalOps.decodeReport(spark, dir).count() == 0)
+    assert(graft.operators.MultimodalOps.audioEnergy(spark, dir).count() == 0)
+    assert(graft.operators.MultimodalOps.packMultimodal(spark, dir).count() == 0)
+    val clf = graft.operators.PipelineOps.qualityClfTrain(spark, dir).collect()
+    assert(clf.length == 3 && clf.forall(_.getAs[Long]("n_mis") == 0L))
   }
 
   test("kmeans tuning on an empty embeddings corpus: 3 null-stat rows, no error") {

@@ -196,4 +196,51 @@ class MediaDecodeSpec extends SparkTestBase {
       assert(tot - last < MultimodalOps.SeqBudget, s"pre-overflow budget in $k")
     }
   }
+
+  test("perceptual hash: engine aHash equals an independent ImageIO-pixel recomputation") {
+    // mixed PNG (gradient) and JPEG (constant) images, including tiny
+    // dims with empty grid cells; the reference hash is recomputed here
+    // from ImageIO's OWN decode of the same payload bytes
+    val dir = documentsFixture(Seq(
+      (6L, "p" * 300, "en", "s"),
+      (12L, "q" * 7, "en", "s"),      // 8x8 PNG
+      (18L, "r" * 192, "en", "s"),    // 1-row PNG (empty cells)
+      (3L, "j" * 100, "en", "s"),     // JPEG
+      (9L, "k" * 5, "en", "s")))      // tiny JPEG
+    val payloads = MultimodalOps.assets(spark, dir)
+      .select("asset_id", "payload").collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    def refHash(b: Array[Byte]): String = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      assert(img != null)
+      val w = img.getWidth; val h = img.getHeight; val ra = img.getRaster
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) total += ra.getSample(x, y, 0)
+      val bytes = new Array[Int](8)
+      for (gy <- 0 until 8; gx <- 0 until 8) {
+        val (x0, x1) = (gx * w / 8, (gx + 1) * w / 8)
+        val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
+        var cs = 0L
+        for (y <- y0 until y1; x <- x0 until x1) cs += ra.getSample(x, y, 0)
+        if (cs * w.toLong * h > total * ((x1 - x0).toLong * (y1 - y0)))
+          bytes(gy) |= 1 << gx
+      }
+      bytes.map("%02X".format(_)).mkString
+    }
+    val got = MultimodalOps.imageHashes(spark, dir).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[String]("format"), r.getAs[String]("phash")))).toMap
+    assert(got.keySet == payloads.keySet)
+    got.foreach { case (id, (_, ph)) =>
+      assert(ph == refHash(payloads(id)), s"asset $id") }
+    // constant-gray JPEGs are the classic aHash flat-image collision:
+    // all-zero hash, so byte-distinct JPEGs land in one perceptual class
+    assert(got(3L)._2 == "0000000000000000" && got(9L)._2 == "0000000000000000")
+    val classes = MultimodalOps.phashDedup(spark, dir).collect()
+      .map(r => (r.getAs[String]("phash"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("n_formats")))
+    val flat = classes.find(_._1 == "0000000000000000").get
+    assert(flat._3 >= 2L, "byte-distinct flat images must share a class")
+  }
 }
