@@ -608,14 +608,49 @@ object MultimodalOps {
     * pass, oracled by re-slicing the same PCM bytes from the payload hex
     * in SQL. Map-side flatMap (≤ 64 rows per asset) + the contract sort;
     * sample bytes never shuffle — only the per-window integers do. */
-  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    assets(spark, dir).where(col("modality") === "audio").as[Asset]
-      .mapPartitions(energyBatch).toDF()
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame =
+    energyFrame(spark, dir)
       .select(col("asset_id"), col("n_windows"), col("win_idx"),
         col("n_samples"), col("energy"),
         (col("max_abs") < SilenceAbs).as("silence"))
       .orderBy("asset_id", "win_idx")
+
+  /** The raw per-window energy frame (pre-contract-sort), shared by
+    * [[audioEnergy]] and [[audioFingerprint]]. */
+  private def energyFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir).where(col("modality") === "audio").as[Asset]
+      .mapPartitions(energyBatch).toDF()
+  }
+
+  /** Bits of the audio fingerprint (windows beyond this don't vote). */
+  val AudioFpBits = 32L
+
+  /** AUDIO FINGERPRINT — the audio twin of [[imageHashes]], the
+    * energy-DELTA sign signature at the heart of audio-matching systems
+    * (Haitsma-Kalker 2002 / Shazam-family reduce band energies to
+    * inter-frame delta signs; one band here since the fixture is mono
+    * PCM): bit i fires when window i+1 carries more energy than window
+    * i, packed LSB-first over the first [[AudioFpBits]] windows into an
+    * 8-hex-char code. Integer-exact (energies are exact sums of
+    * squares; ties = 0), so the oracle replays it bit-for-bit via the
+    * same lead() chain. Clips with one window fingerprint to all-zero —
+    * the flat-audio collision class, mirroring aHash's flat-image one.
+    * One lead() window + one groupBy per asset, all partitioned by
+    * asset_id: ≤64 integer rows per asset shuffle, samples never do. */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("asset_id").orderBy("win_idx")
+    energyFrame(spark, dir)
+      .withColumn("nxt", lead(col("energy"), 1).over(w))
+      .groupBy(col("asset_id"))
+      .agg(max(col("n_windows")).as("n_windows"),
+        coalesce(sum(when(col("win_idx") < AudioFpBits && col("nxt") > col("energy"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(win_idx AS INT))"))
+          .otherwise(0L)), lit(0L)).as("fp_num"))
+      .select(col("asset_id"), col("n_windows"),
+        lpad(hex(col("fp_num")), 8, "0").as("afp"))
+      .orderBy("asset_id")
   }
 
   // ------------------------------------- interleaved image-text packing
@@ -1052,6 +1087,7 @@ object MultimodalOps {
     "q_mm_features" -> (featureStats _),
     "q_mm_feature_ann" -> (featureAnn _),
     "q_mm_energy" -> (audioEnergy _),
+    "q_mm_audio_fp" -> (audioFingerprint _),
     "q_mm_phash" -> (imageHashes _),
     "q_mm_phash_dedup" -> (phashDedup _),
     "q_mm_pack" -> (packMultimodal _),
@@ -1304,6 +1340,42 @@ object MultimodalOps {
          FROM im)"""
   }
 
+  /** Shared window-energy chain for the two audio oracles: window spec,
+    * LE16 sample re-slice, per-window integer sums — ends with
+    * `j(asset_id, n_windows, win_idx, n_samples, energy, max_abs)`. */
+  private lazy val EnergySqlCte: String =
+    s"""au AS (
+           SELECT asset_id, body_len // 2 AS n, body_hex
+           FROM a WHERE modality = 'audio'),
+         w AS (
+           SELECT asset_id, n,
+                  CASE WHEN n >= $EnergyWin
+                       THEN least($MaxWindows, (n - $EnergyWin) // $EnergyHop + 1)
+                       ELSE 1 END AS n_windows
+           FROM au),
+         wi AS (
+           SELECT asset_id, n, CAST(n_windows AS BIGINT) AS n_windows,
+                  CAST(u.i AS BIGINT) AS win_idx
+           FROM w, unnest(generate_series(0, n_windows - 1)) AS u(i)),
+         sm AS (
+           SELECT asset_id, k,
+                  CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS sv
+           FROM (
+             SELECT au.asset_id, CAST(u.k AS BIGINT) AS k,
+                    ('0x' || substr(body_hex, 4*u.k - 1, 2)
+                          || substr(body_hex, 4*u.k - 3, 2))::BIGINT AS x
+             FROM au, unnest(generate_series(1, n)) AS u(k))),
+         j AS (
+           SELECT wi.asset_id, wi.n_windows, wi.win_idx,
+                  CAST(count(sm.k) AS BIGINT) AS n_samples,
+                  CAST(coalesce(sum(sm.sv * sm.sv), 0) AS BIGINT) AS energy,
+                  coalesce(max(abs(sm.sv)), 0) AS max_abs
+           FROM wi LEFT JOIN sm
+             ON sm.asset_id = wi.asset_id
+            AND sm.k > wi.win_idx * $EnergyHop
+            AND sm.k <= wi.win_idx * $EnergyHop + $EnergyWin
+           GROUP BY wi.asset_id, wi.n_windows, wi.win_idx)"""
+
   val oracleSql: Map[String, String] = Map(
     "q_mm_feature_ann" -> FeatureAnnSql,
     "q_mm_phash" ->
@@ -1336,40 +1408,26 @@ object MultimodalOps {
     // and integer sums — empty windows via the LEFT JOIN + coalesce
     "q_mm_energy" ->
       s"""WITH $AssetSqlCte,
-         au AS (
-           SELECT asset_id, body_len // 2 AS n, body_hex
-           FROM a WHERE modality = 'audio'),
-         w AS (
-           SELECT asset_id, n,
-                  CASE WHEN n >= $EnergyWin
-                       THEN least($MaxWindows, (n - $EnergyWin) // $EnergyHop + 1)
-                       ELSE 1 END AS n_windows
-           FROM au),
-         wi AS (
-           SELECT asset_id, n, CAST(n_windows AS BIGINT) AS n_windows,
-                  CAST(u.i AS BIGINT) AS win_idx
-           FROM w, unnest(generate_series(0, n_windows - 1)) AS u(i)),
-         sm AS (
-           SELECT asset_id, k,
-                  CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS sv
-           FROM (
-             SELECT au.asset_id, CAST(u.k AS BIGINT) AS k,
-                    ('0x' || substr(body_hex, 4*u.k - 1, 2)
-                          || substr(body_hex, 4*u.k - 3, 2))::BIGINT AS x
-             FROM au, unnest(generate_series(1, n)) AS u(k))),
-         j AS (
-           SELECT wi.asset_id, wi.n_windows, wi.win_idx,
-                  CAST(count(sm.k) AS BIGINT) AS n_samples,
-                  CAST(coalesce(sum(sm.sv * sm.sv), 0) AS BIGINT) AS energy,
-                  coalesce(max(abs(sm.sv)), 0) AS max_abs
-           FROM wi LEFT JOIN sm
-             ON sm.asset_id = wi.asset_id
-            AND sm.k > wi.win_idx * $EnergyHop
-            AND sm.k <= wi.win_idx * $EnergyHop + $EnergyWin
-           GROUP BY wi.asset_id, wi.n_windows, wi.win_idx)
+         $EnergySqlCte
          SELECT asset_id, n_windows, win_idx, n_samples, energy,
                 max_abs < $SilenceAbs AS silence
          FROM j ORDER BY asset_id, win_idx""",
+    // energy-delta fingerprint: the same window energies, one lead()
+    // per asset, LSB-first bit packing over the first AudioFpBits
+    "q_mm_audio_fp" ->
+      s"""WITH $AssetSqlCte,
+         $EnergySqlCte,
+         ld AS (
+           SELECT asset_id, n_windows, win_idx, energy,
+                  lead(energy) OVER (
+                    PARTITION BY asset_id ORDER BY win_idx) AS nxt
+           FROM j)
+         SELECT asset_id, max(n_windows) AS n_windows,
+                lpad(hex(CAST(coalesce(sum(
+                  CASE WHEN win_idx < $AudioFpBits AND nxt > energy
+                       THEN (CAST(1 AS BIGINT) << CAST(win_idx AS INT))
+                       ELSE 0 END), 0) AS BIGINT)), 8, '0') AS afp
+         FROM ld GROUP BY asset_id ORDER BY asset_id""",
     // interleaved image-text packing: same item union, per-volume
     // running sum, offset-bucket sequence ids, in-sequence positions
     "q_mm_pack" ->

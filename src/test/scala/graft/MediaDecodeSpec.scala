@@ -136,6 +136,19 @@ class MediaDecodeSpec extends SparkTestBase {
     val tiny = MultimodalOps.audioEnergy(spark,
       documentsFixture(Seq((4L, "ab", "en", "s")))).collect()
     assert(tiny.length == 1 && tiny.head.getAs[Long]("n_samples") == 1L)
+    // fingerprint: LSB-first energy-delta signs over the same windows,
+    // recomputed manually from the slices
+    val energies = got.sortBy(_._1).map(_._3).toList
+    val expFp = energies.zip(energies.tail).zipWithIndex.collect {
+      case ((a, b), i) if i < MultimodalOps.AudioFpBits && b > a => 1L << i
+    }.sum
+    val fp = MultimodalOps.audioFingerprint(spark, dir).collect().head
+    assert(fp.getAs[Long]("n_windows") == expWins.toLong &&
+      fp.getAs[String]("afp") == "%08X".format(expFp), s"afp: $fp")
+    // one-window clip: no delta → the all-zero flat-audio class
+    val tinyFp = MultimodalOps.audioFingerprint(spark,
+      documentsFixture(Seq((4L, "ab", "en", "s")))).collect().head
+    assert(tinyFp.getAs[String]("afp") == "00000000")
   }
 
   test("corrupt containers quarantine (n_units = 0), never throw") {
