@@ -247,14 +247,30 @@ object MultimodalOps {
   /** Feature dimension produced by the decode stage. */
   val FeatureDim = 8
 
-  private def be32i(b: Array[Byte], o: Int): Long =
-    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
-      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
-  private def le32i(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
-      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
-  private def tag(b: Array[Byte], o: Int, t: String): Boolean =
-    o + t.length <= b.length && t.indices.forall(i => b(o + i) == t.charAt(i).toByte)
+  // ONE wire-parsing vocabulary for probe and decoder alike — the
+  // graftext header expression exposes its bounds-checked byte helpers
+  // so a parsing fix can never land in only one of the two readers
+  import org.apache.spark.sql.graftext.MediaHeaderParse.{be32, le32, tagAt => tag}
+
+  /** Decoder-side caps on parsed PNG geometry: dimensions and raster
+    * size a single task will materialize. Hostile headers (e.g. a
+    * 65535×65535 IHDR whose raster size wraps Int, or a multi-GB
+    * allocation) must QUARANTINE, not throw/OOM — corrupt bytes at
+    * 100 TB are data, not exceptions. */
+  private val MaxPngSide = 1 << 14
+
+  // ---- the ONE definition of "valid PCM WAV → samples", shared by the
+  // decode stats and the energy windows so the two reports can never
+  // disagree on what counts as audio or how a sample is read
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE") &&
+      tag(b, 12, "fmt ")
+  /** LE16 sample count: the data-size FIELD clamped to the bytes that
+    * actually exist (a lying header must not index past the payload). */
+  private def wavSampleCount(b: Array[Byte]): Int =
+    (math.min(le32(b, 40), (b.length - 44).toLong) / 2).toInt
+  private def wavSample(b: Array[Byte], k: Int): Long =
+    (((b(45 + 2 * k) & 0xFF) << 8) | (b(44 + 2 * k) & 0xFF)).toShort.toLong
 
   private final class Stats {
     var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
@@ -272,17 +288,22 @@ object MultimodalOps {
     * violation — corrupt bytes at 100 TB are data, not exceptions. */
   private def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 45 || !tag(b, 12, "IHDR")) return None
-    val w = be32i(b, 16).toInt; val h = be32i(b, 20).toInt
-    if (w <= 0 || h <= 0 || b(24) != 8 || b(25) != 0) return None // 8-bit gray only
-    // collect IDAT payloads
+    val wl = be32(b, 16); val hl = be32(b, 20)
+    // side caps keep h*(w+1) far from Int wrap AND bound the per-task
+    // allocation a hostile IHDR could demand
+    if (wl <= 0 || hl <= 0 || wl > MaxPngSide || hl > MaxPngSide ||
+      b(24) != 8 || b(25) != 0) return None // 8-bit gray only
+    val w = wl.toInt; val h = hl.toInt
+    // collect IDAT payloads; chunk lengths are u32s from the wire — kept
+    // as Long so a length near 2^31 cannot wrap the bounds check
     val zs = new java.io.ByteArrayOutputStream()
-    var o = 33
+    var o = 33L
     var done = false
     while (!done && o + 8 <= b.length) {
-      val len = be32i(b, o).toInt
-      if (len < 0 || o + 12 + len > b.length) return None
-      if (tag(b, o + 4, "IDAT")) zs.write(b, o + 8, len)
-      else if (tag(b, o + 4, "IEND")) done = true
+      val len = be32(b, o.toInt)
+      if (o + 12 + len > b.length) return None
+      if (tag(b, o.toInt + 4, "IDAT")) zs.write(b, o.toInt + 8, len.toInt)
+      else if (tag(b, o.toInt + 4, "IEND")) done = true
       o += 12 + len
     }
     val raster = new Array[Byte](h * (w + 1))
@@ -353,20 +374,14 @@ object MultimodalOps {
           while (i < px.length) { s.add(px(i) & 0xFFL); i += 1 }
           ofStats("png", s, Some(w.toLong), Some(h.toLong), None)
       }
-    } else if (n >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE") &&
-        tag(b, 12, "fmt ")) {
-      val rate = le32i(b, 24)
-      val dataSize = le32i(b, 40)
-      val avail = math.min(dataSize, (n - 44).toLong).toInt
+    } else if (isWav(b)) {
       val s = new Stats
+      val nSamp = wavSampleCount(b)
       var k = 0
-      while (2 * k + 1 < avail) {
-        s.add((((b(45 + 2 * k) & 0xFF) << 8) | (b(44 + 2 * k) & 0xFF)).toShort.toLong)
-        k += 1
-      }
-      ofStats("wav", s, None, None, Some(rate))
+      while (k < nSamp) { s.add(wavSample(b, k)); k += 1 }
+      ofStats("wav", s, None, None, Some(le32(b, 24)))
     } else if (n >= 16 && tag(b, 4, "ftyp") &&
-        { val sz = be32i(b, 0); sz >= 8 && sz <= n }) {
+        { val sz = be32(b, 0); sz >= 8 && sz <= n }) {
       quarantine("mp4") // no JDK video codec: the documented decode gap
     } else if (n >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
       val img =
@@ -579,12 +594,11 @@ object MultimodalOps {
   private def energyBatch(batch: Iterator[Asset]): Iterator[EnergyWindow] =
     batch.flatMap { a =>
       val b = a.payload
-      val valid = b.length >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE")
-      val avail = if (!valid) 0
-        else math.min(le32i(b, 40), (b.length - 44).toLong).toInt
-      val nSamp = avail / 2
-      def sample(k: Int): Long =
-        (((b(45 + 2 * k) & 0xFF) << 8) | (b(44 + 2 * k) & 0xFF)).toShort.toLong
+      // same validity + sample definition as decodeOne (shared helpers):
+      // an asset the decode report quarantines yields the one silent
+      // window here, never junk energies parsed from non-WAV bytes
+      val nSamp = if (isWav(b)) wavSampleCount(b) else 0
+      def sample(k: Int): Long = wavSample(b, k)
       val nWin =
         if (nSamp >= EnergyWin) math.min(MaxWindows, (nSamp - EnergyWin) / EnergyHop + 1)
         else 1L

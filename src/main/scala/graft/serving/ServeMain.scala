@@ -153,7 +153,16 @@ object ServeMain {
     dtRange(spark, dir) match {
       case Some((lo, _)) if date < lo => false // settled: days below min never appear
       case Some((_, hi)) if date <= hi => true
-      case _ => // above the cached max, or cached-empty: refresh before saying no
+      // above the cached max (or cached-empty): refresh before saying no —
+      // but ONLY for dates that could plausibly have landed (≤ today UTC).
+      // A junk-date sweep of futures must stay scan-free, or the refresh
+      // reintroduces the one-Spark-job-per-junk-date cost the clamp
+      // exists to prevent; genuinely new days are ≤ today by definition,
+      // and closed days' answers are memoized by [[cached]] after the
+      // first computation, so the rescan rate stays bounded.
+      case _ if date > java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString =>
+        false
+      case _ =>
         val fresh = scanRange(spark, dir)
         ranges.put(dir, fresh)
         fresh.exists { case (lo, hi) => date >= lo && date <= hi }

@@ -86,17 +86,24 @@ object MediaHeaderParse {
   /** The quarantine row: unknown magic, truncated header, or null input. */
   private val UnknownRow: InternalRow = InternalRow(null, null, null, null, null)
 
-  /** Big-endian u32 at byte offset `o` (caller checked bounds). */
-  private def be32(b: Array[Byte], o: Int): Long =
+  /** Big-endian u32 at byte offset `o` (caller checked bounds). The
+    * three byte helpers are the ONE wire-parsing vocabulary — the decode
+    * stage (graft.operators.MultimodalOps) reads through them too, so an
+    * endianness or bounds fix lands in probe and decoder at once. */
+  def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
       ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
 
   /** Little-endian u32 at byte offset `o`. */
-  private def le32(b: Array[Byte], o: Int): Long =
+  def le32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
       ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
 
-  private def tagAt(b: Array[Byte], o: Int, t: String): Boolean = {
+  /** ASCII tag test at byte offset `o`, BOUNDS-CHECKED (a probe feeding
+    * on arbitrary payloads must treat truncation as mismatch, never as
+    * an exception). */
+  def tagAt(b: Array[Byte], o: Int, t: String): Boolean = {
+    if (o < 0 || o + t.length > b.length) return false
     var i = 0
     while (i < t.length) {
       if (b(o + i) != t.charAt(i).toByte) return false
@@ -161,7 +168,8 @@ object MediaHeaderParse {
           val height = (((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)).toLong
           val width = (((b(i + 7) & 0xFF) << 8) | (b(i + 8) & 0xFF)).toLong
           // body = everything after the SOF segment: with the canonical
-          // SOI+APP0+SOF0 prefix that is payload minus the 39-byte header
+          // synthesized SOI+APP0+DQT+SOF0 prefix that is payload minus
+          // the 102-byte header (JpegHeaderBytes)
           return InternalRow(Jpeg, width, height, null,
             (n - (i + 2 + segLen)).toLong)
         }

@@ -166,15 +166,22 @@ class MediaDecodeSpec extends SparkTestBase {
       documentsFixture(Seq((3L, "jpeg body", "en", "s"))))
       .select("payload").collect().head.getAs[Array[Byte]](0).take(120)
     val foreign = "not media at all".getBytes("UTF-8")
+    // a HOSTILE header: valid signature/IHDR framing claiming 65535×65535
+    // — h·(w+1) wraps Int and the raster allocation would be multi-GB;
+    // the decoder must quarantine on the dimension cap, not throw/OOM
+    val hostilePng = goodPng.clone()
+    (16 until 24).foreach { i =>
+      hostilePng(i) = (if (i % 4 < 2) 0x00 else 0xFF).toByte }
     val ds = Seq(
       MultimodalOps.Asset(1L, "image", brokenPng, 1, 1, 0),
       MultimodalOps.Asset(2L, "image", truncatedJpeg, 1, 1, 0),
-      MultimodalOps.Asset(3L, "video", foreign, 1, 1, 0)).toDS()
+      MultimodalOps.Asset(3L, "video", foreign, 1, 1, 0),
+      MultimodalOps.Asset(4L, "image", hostilePng, 1, 1, 0)).toDS()
     val out = ds.mapPartitions(MultimodalOps.decodeBatchForTest).collect()
       .map(s => s.asset_id -> s).toMap
     assert(out.values.forall(s => s.n_units == 0L && s.u_sum.isEmpty))
     assert(out(1L).format == "png" && out(2L).format == "jpeg" &&
-      out(3L).format == "unknown")
+      out(3L).format == "unknown" && out(4L).format == "png")
   }
 
   test("q_mm_pack conserves every document and every image exactly once, in order") {
