@@ -485,6 +485,50 @@ object MultimodalOps {
       .as[AssetFeatures]
   }
 
+  // ------------------------------------------- incremental decode cache
+  /** INCREMENTAL DECODE against a persisted ledger (the q_snap_dedup
+    * split: assets with id%10 < 8 are the already-processed snapshot,
+    * the rest are the arriving batch): a batch payload whose digest the
+    * ledger already holds is SERVED FROM CACHE — the anti-join happens
+    * BEFORE the decode, and the decode runs once per DISTINCT new
+    * payload (copies ride a count, identical bytes decode identically).
+    * At 100 TB decode is the expensive stage; this is the "never decode
+    * the same bytes twice" contract every media pipeline ends up
+    * needing, expressed as dataflow: digest → anti-join → digest-grain
+    * representative → mapPartitions decode → stats + copy counts.
+    * Payload bytes cross the digest-grain exchange only for NEW digests
+    * (the shuffled rows are the representatives, one per digest). */
+  def snapshotDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = assets(spark, dir)
+    val ledger = all.where(pmod(col("asset_id"), lit(10)) < 8)
+      .select(md5(hex(col("payload"))).as("fp")).distinct()
+    // digest-grain representative: all columns are payload-determined
+    // (identical digest ⇒ identical container ⇒ identical meta), so min()
+    // picks deterministically without a second scan
+    val fresh = all.where(pmod(col("asset_id"), lit(10)) >= 8)
+      .withColumn("fp", md5(hex(col("payload"))))
+      .join(ledger, Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min(col("asset_id")).as("asset_id"),
+        count(lit(1)).as("n_batch_copies"),
+        min(col("modality")).as("modality"),
+        min(col("payload")).as("payload"),
+        min(col("width")).as("width"),
+        min(col("height")).as("height"),
+        min(col("duration_ms")).as("duration_ms"))
+    val counts = fresh.select(col("fp").as("payload_fp"),
+      col("asset_id").as("rep_id"), col("n_batch_copies"))
+    val decoded = fresh
+      .select(col("asset_id"), col("modality"), col("payload"),
+        col("width"), col("height"), col("duration_ms"))
+      .as[Asset].mapPartitions(decodeBatch).toDF()
+    decoded.join(counts, decoded("asset_id") === counts("rep_id"))
+      .select(col("payload_fp"), col("asset_id"), col("n_batch_copies"),
+        col("modality"), col("format"), col("n_units"), col("u_sum"))
+      .orderBy("asset_id")
+  }
+
   // ------------------------------------------------- perceptual hash
   /** One image's perceptual hash, computed from REAL decoded pixels. */
   case class PHashRow(asset_id: Long, format: String, phash: String)
@@ -1102,6 +1146,7 @@ object MultimodalOps {
     "q_mm_feature_ann" -> (featureAnn _),
     "q_mm_energy" -> (audioEnergy _),
     "q_mm_audio_fp" -> (audioFingerprint _),
+    "q_snap_decode" -> (snapshotDecode _),
     "q_mm_phash" -> (imageHashes _),
     "q_mm_phash_dedup" -> (phashDedup _),
     "q_mm_pack" -> (packMultimodal _),
@@ -1426,6 +1471,24 @@ object MultimodalOps {
          SELECT asset_id, n_windows, win_idx, n_samples, energy,
                 max_abs < $SilenceAbs AS silence
          FROM j ORDER BY asset_id, win_idx""",
+    // incremental decode: ledger digests (id%10<8) anti-joined away,
+    // digest-grain representatives decoded, stats from the same dstats
+    // replay (identical payloads decode identically by construction)
+    "q_snap_decode" ->
+      s"""WITH $DecodeSqlCte,
+         cfp AS (
+           SELECT DISTINCT md5(phx) AS fp FROM a WHERE asset_id % 10 < 8),
+         bb AS (
+           SELECT md5(phx) AS fp, min(asset_id) AS asset_id,
+                  count(*) AS n_batch_copies
+           FROM a WHERE asset_id % 10 >= 8 GROUP BY md5(phx)),
+         nw AS (
+           SELECT bb.* FROM bb LEFT JOIN cfp ON bb.fp = cfp.fp
+           WHERE cfp.fp IS NULL)
+         SELECT nw.fp AS payload_fp, nw.asset_id, nw.n_batch_copies,
+                d.modality, d.format, d.n_units, d.u_sum
+         FROM nw JOIN dstats d ON d.asset_id = nw.asset_id
+         ORDER BY nw.asset_id""",
     // energy-delta fingerprint: the same window energies, one lead()
     // per asset, LSB-first bit packing over the first AudioFpBits
     "q_mm_audio_fp" ->

@@ -184,6 +184,29 @@ class MediaDecodeSpec extends SparkTestBase {
       out(3L).format == "unknown" && out(4L).format == "png")
   }
 
+  test("incremental decode: ledger digests served from cache, new digests decoded once per payload") {
+    // ledger = id%10 < 8, batch = the rest. Asset 8 repeats the ledger
+    // video byte-for-byte (same text, same container) → excluded; three
+    // batch copies of a NEW clip decode ONCE with n_batch_copies = 3;
+    // a new jpeg decodes with real pixel counts
+    val dir = documentsFixture(Seq(
+      (2L, "cached clip", "en", "s"),    // ledger video
+      (8L, "cached clip", "en", "s"),    // batch video, digest in ledger
+      (29L, "fresh clip", "en", "s"),    // batch video ×3 (29/59/89)
+      (59L, "fresh clip", "en", "s"),
+      (89L, "fresh clip", "en", "s"),
+      (9L, "fresh pic", "en", "s")))     // batch jpeg, new digest
+    val got = MultimodalOps.snapshotDecode(spark, dir).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("n_batch_copies"), r.getAs[String]("modality"),
+          r.getAs[String]("format"), r.getAs[Long]("n_units"))))
+      .toMap
+    assert(got.keySet == Set(9L, 29L), s"served-from-cache leak: $got")
+    assert(got(29L) == ((3L, "video", "mp4", 0L)))
+    val n = "fresh pic".length
+    assert(got(9L) == ((1L, "image", "jpeg", (n % 640 + 1).toLong * (n % 480 + 1))))
+  }
+
   test("q_mm_pack conserves every document and every image exactly once, in order") {
     val packed = MultimodalOps.packMultimodal(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("volume"), r.getAs[Long]("seq_id"),
