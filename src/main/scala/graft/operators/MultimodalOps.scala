@@ -498,6 +498,27 @@ object MultimodalOps {
     * representative → mapPartitions decode → stats + copy counts.
     * Payload bytes cross the digest-grain exchange only for NEW digests
     * (the shuffled rows are the representatives, one per digest). */
+  /** Digest-grain decode input: the representative asset plus the
+    * bookkeeping (fp, copy count) that must survive the decode without a
+    * second scan — joining counts back AFTER the decode would recompute
+    * the synthesis + anti-join, doubling the batch read at 100 TB. */
+  private[operators] case class SnapAsset(fp: String, n_batch_copies: Long,
+      asset_id: Long, modality: String, payload: Array[Byte],
+      width: Long, height: Long, duration_ms: Long)
+  private[operators] case class SnapDecoded(payload_fp: String, asset_id: Long,
+      n_batch_copies: Long, modality: String, format: String,
+      n_units: Long, u_sum: Option[Long])
+
+  private def snapDecodeBatch(batch: Iterator[SnapAsset]): Iterator[SnapDecoded] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+    batch.map { sa =>
+      val d = decodeOne(Asset(sa.asset_id, sa.modality, sa.payload,
+        sa.width, sa.height, sa.duration_ms))
+      SnapDecoded(sa.fp, sa.asset_id, sa.n_batch_copies,
+        d.modality, d.format, d.n_units, d.u_sum)
+    }
+  }
+
   def snapshotDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = assets(spark, dir)
@@ -505,25 +526,20 @@ object MultimodalOps {
       .select(md5(hex(col("payload"))).as("fp")).distinct()
     // digest-grain representative: all columns are payload-determined
     // (identical digest ⇒ identical container ⇒ identical meta), so min()
-    // picks deterministically without a second scan
-    val fresh = all.where(pmod(col("asset_id"), lit(10)) >= 8)
+    // picks deterministically without a second scan; the copy count
+    // rides THROUGH the decode so the whole query is ONE batch pass
+    all.where(pmod(col("asset_id"), lit(10)) >= 8)
       .withColumn("fp", md5(hex(col("payload"))))
       .join(ledger, Seq("fp"), "left_anti")
       .groupBy("fp")
-      .agg(min(col("asset_id")).as("asset_id"),
-        count(lit(1)).as("n_batch_copies"),
+      .agg(count(lit(1)).as("n_batch_copies"),
+        min(col("asset_id")).as("asset_id"),
         min(col("modality")).as("modality"),
         min(col("payload")).as("payload"),
         min(col("width")).as("width"),
         min(col("height")).as("height"),
         min(col("duration_ms")).as("duration_ms"))
-    val counts = fresh.select(col("fp").as("payload_fp"),
-      col("asset_id").as("rep_id"), col("n_batch_copies"))
-    val decoded = fresh
-      .select(col("asset_id"), col("modality"), col("payload"),
-        col("width"), col("height"), col("duration_ms"))
-      .as[Asset].mapPartitions(decodeBatch).toDF()
-    decoded.join(counts, decoded("asset_id") === counts("rep_id"))
+      .as[SnapAsset].mapPartitions(snapDecodeBatch).toDF()
       .select(col("payload_fp"), col("asset_id"), col("n_batch_copies"),
         col("modality"), col("format"), col("n_units"), col("u_sum"))
       .orderBy("asset_id")
