@@ -463,9 +463,12 @@ object CoreOps {
       .agg(count(lit(1)).as("n_events"),
         count(col("event_type")).as("_nn"),
         concat_ws(",",
-          transform(
-            array_sort(collect_list(struct(col("event_id"), col("event_type")))),
-            s => s.getField("event_type"))).as("_seq"))
+          // field extraction via the codegen'd GetArrayStructFields path —
+          // NOT transform(s -> s.getField(...)), which is an interpreted
+          // HOF (the engine-wide no-HOF invariant; parity pinned in
+          // VectorExprSpec against the lambda form)
+          array_sort(collect_list(struct(col("event_id"), col("event_type"))))
+            .getField("event_type")).as("_seq"))
       // concat_ws never returns null but DuckDB's string_agg is NULL when
       // zero non-null values exist — align the all-null-group edge
       .select(col("user_id"), col("n_events"),

@@ -313,7 +313,12 @@ object MultimodalOps {
     try {
       while (got < raster.length && !inf.finished()) {
         val k = inf.inflate(raster, got, raster.length - got)
-        if (k == 0 && inf.needsInput()) return None // truncated stream
+        // ANY zero-progress iteration is corrupt, not just needsInput():
+        // a zlib header with FDICT set (e.g. 0x78 0x20 — passes FCHECK)
+        // makes inflate() return 0 with needsInput()==false forever via
+        // needsDictionary(); treating only truncation as fatal left a
+        // reachable infinite loop a crafted payload could hang a task on
+        if (k == 0) return None // truncated / preset-dictionary / stuck
         got += k
       }
     } catch { case _: java.util.zip.DataFormatException => return None }
@@ -524,21 +529,27 @@ object MultimodalOps {
     val all = assets(spark, dir)
     val ledger = all.where(pmod(col("asset_id"), lit(10)) < 8)
       .select(md5(hex(col("payload"))).as("fp")).distinct()
-    // digest-grain representative: all columns are payload-determined
-    // (identical digest ⇒ identical container ⇒ identical meta), so min()
-    // picks deterministically without a second scan; the copy count
-    // rides THROUGH the decode so the whole query is ONE batch pass
+    // digest-grain representative: ONE ACTUAL ROW per digest — the min
+    // over a struct LED by the unique asset_id picks the min-asset_id
+    // row wholesale (exactly the row the oracle's min(asset_id) join
+    // replays), rather than fabricating a row from independent
+    // per-column mins that need not co-occur if a real catalog ever let
+    // two same-payload rows carry different meta; the copy count rides
+    // THROUGH the decode so the whole query is ONE batch pass
     all.where(pmod(col("asset_id"), lit(10)) >= 8)
       .withColumn("fp", md5(hex(col("payload"))))
       .join(ledger, Seq("fp"), "left_anti")
       .groupBy("fp")
       .agg(count(lit(1)).as("n_batch_copies"),
-        min(col("asset_id")).as("asset_id"),
-        min(col("modality")).as("modality"),
-        min(col("payload")).as("payload"),
-        min(col("width")).as("width"),
-        min(col("height")).as("height"),
-        min(col("duration_ms")).as("duration_ms"))
+        min(struct(col("asset_id"), col("modality"), col("payload"),
+          col("width"), col("height"), col("duration_ms"))).as("rep"))
+      .select(col("fp"), col("n_batch_copies"),
+        col("rep.asset_id").as("asset_id"),
+        col("rep.modality").as("modality"),
+        col("rep.payload").as("payload"),
+        col("rep.width").as("width"),
+        col("rep.height").as("height"),
+        col("rep.duration_ms").as("duration_ms"))
       .as[SnapAsset].mapPartitions(snapDecodeBatch).toDF()
       .select(col("payload_fp"), col("asset_id"), col("n_batch_copies"),
         col("modality"), col("format"), col("n_units"), col("u_sum"))

@@ -154,13 +154,17 @@ object ServeMain {
       case Some((lo, _)) if date < lo => false // settled: days below min never appear
       case Some((_, hi)) if date <= hi => true
       // above the cached max (or cached-empty): refresh before saying no —
-      // but ONLY for dates that could plausibly have landed (≤ today UTC).
-      // A junk-date sweep of futures must stay scan-free, or the refresh
+      // but ONLY for dates that could plausibly have landed (≤ today+1
+      // UTC: the one-day tolerance absorbs producer clock skew near
+      // midnight and timezone-ahead writers, which a hard ≤-today clamp
+      // would answer known-empty without ever rescanning). A junk-date
+      // sweep of far futures must stay scan-free, or the refresh
       // reintroduces the one-Spark-job-per-junk-date cost the clamp
-      // exists to prevent; genuinely new days are ≤ today by definition,
-      // and closed days' answers are memoized by [[cached]] after the
-      // first computation, so the rescan rate stays bounded.
-      case _ if date > java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString =>
+      // exists to prevent; genuinely new days are ≤ today+1 by
+      // definition, and closed days' answers are memoized by [[cached]]
+      // after the first computation, so the rescan rate stays bounded.
+      case _ if date > java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+          .plusDays(1).toString =>
         false
       case _ =>
         val fresh = scanRange(spark, dir)

@@ -184,6 +184,31 @@ class MediaDecodeSpec extends SparkTestBase {
       out(3L).format == "unknown" && out(4L).format == "png")
   }
 
+  test("FDICT zlib header quarantines instead of hanging the inflate loop") {
+    import spark.implicits._
+    // 0x78 0x20 passes the zlib FCHECK (0x7820 % 31 == 0) with FDICT set:
+    // Inflater.inflate() then returns 0 forever with needsInput()==false
+    // and finished()==false (it wants a preset dictionary). The decoder
+    // must treat ANY zero-progress iteration as corrupt and quarantine —
+    // a crafted payload must cost one pass, not a hung task
+    val goodPng = MultimodalOps.assets(spark,
+      documentsFixture(Seq((6L, "ok body", "en", "s"))))
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    val fdictPng = goodPng.clone()
+    fdictPng(41) = 0x78.toByte // zlib CMF (unchanged)
+    fdictPng(42) = 0x20.toByte // FLG with FDICT bit set, FCHECK valid
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[MultimodalOps.DecodedStats] {
+        def call() = MultimodalOps.decodeBatchForTest(Iterator(
+          MultimodalOps.Asset(1L, "image", fdictPng, 1, 1, 0))).next()
+      })
+      val s = fut.get(30, java.util.concurrent.TimeUnit.SECONDS) // hang = fail
+      assert(s.format == "png" && s.n_units == 0L && s.u_sum.isEmpty,
+        s"FDICT payload must quarantine: $s")
+    } finally done.shutdownNow()
+  }
+
   test("incremental decode: ledger digests served from cache, new digests decoded once per payload") {
     // ledger = id%10 < 8, batch = the rest. Asset 8 repeats the ledger
     // video byte-for-byte (same text, same container) → excluded; three

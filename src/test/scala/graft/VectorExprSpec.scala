@@ -109,6 +109,30 @@ class VectorExprSpec extends SparkTestBase {
     assert(got(1).isNullAt(1), "null element: HOF is null")
   }
 
+  test("sorted-struct-array getField matches the transform(getField) HOF form") {
+    // q_event_profile's projection: extracting one field from a sorted
+    // array of structs must use the codegen'd GetArrayStructFields path;
+    // this pins it output-identical to the interpreted-HOF form it
+    // replaced (the engine-wide no-HOF invariant)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq((3L, "c"), (1L, "a"), (2L, "b"))),
+      (2L, Seq((5L, "x"))),
+      (3L, Seq.empty[(Long, String)]))
+      .toDF("id", "evs")
+      .select(col("id"), transform(col("evs"),
+        e => struct(e.getField("_1").as("event_id"),
+          e.getField("_2").as("event_type"))).as("evs"))
+    val sorted = array_sort(col("evs"))
+    val got = df.select(
+      concat_ws(",", sorted.getField("event_type")).as("native"),
+      concat_ws(",",
+        transform(sorted, s => s.getField("event_type"))).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), s"parity: $r"))
+    assert(got.map(_.getString(0)).toSeq == Seq("a,b,c", "x", ""))
+  }
+
   test("native nearest_centroid matches the array_min(transform(...)) formulation") {
     import graft.functions.VectorFunctions.nearest_centroid
     import spark.implicits._
