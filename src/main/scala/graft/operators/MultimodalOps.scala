@@ -78,6 +78,18 @@ object MultimodalOps {
   private[graft] val WavTailHex = "02001000" + "64617461"
   /** 16-byte `ftyp` box: BE size 16 + "ftyp" + "isom" + minor 0x200. */
   private[graft] val Mp4HeaderHex = "00000010" + "66747970" + "69736F6D" + "00000200"
+  /** Planted `free` box inside moov (16 bytes: header + 8 zero bytes) —
+    * a walker that doesn't skip unknown boxes by their OWN size fields
+    * cannot reach the sample tables behind it. */
+  private[graft] val Mp4FreeHex = "00000010" + "66726565" + ("00" * 8)
+  /** `mdhd` v0 prefix: size 32 + type + version/flags + ctime + mtime +
+    * timescale 1000 (ticks = milliseconds); BE32 duration and the
+    * language/pre_defined tail ("und", 0) are appended per asset. */
+  private[graft] val Mp4MdhdPreHex =
+    "00000020" + "6D646864" + "00000000" + "00000000" + "00000000" + "000003E8"
+  /** Planted `udta` box closing moov (12 bytes) — the trailing-sibling
+    * skip case. */
+  private[graft] val Mp4UdtaHex = "0000000C" + "75647461" + "00000000"
   /** JPEG: SOI, then a canonical 18-byte JFIF APP0 segment (len 16,
     * "JFIF\0", version 1.1, aspect-ratio units, 1:1 density, no thumb). */
   private[graft] val JpegApp0Hex =
@@ -146,11 +158,15 @@ object MultimodalOps {
     * v0/vj derive from md5(text), so byte-identical texts still produce
     * byte-identical payloads (the dedup structure documents' text dups
     * induce survives the synthesis). Audio is a valid PCM WAV whose data
-    * chunk is the text's utf-8 bytes (LE16 samples); video is an
-    * ftyp-framed opaque body (no JDK video codec exists — its decode row
-    * is the quarantine). Dimensions and sample rate are written into the
-    * actual header bytes AND mirrored in catalog columns, so the parse
-    * path is checkable against the metadata. */
+    * chunk is the text's utf-8 bytes (LE16 samples); video is a
+    * STRUCTURALLY COMPLETE MP4 — ftyp + moov(trak/mdia/mdhd/minf/stbl
+    * with real stts/stsc/stsz/stco tables, plus planted free/udta boxes
+    * a walker must skip) + mdat, so the frame plan derives byte offsets
+    * from the PARSED sample tables (no JDK video codec exists — only the
+    * pixel decode row stays quarantined). Dimensions, sample rate and
+    * media duration are written into the actual header bytes AND
+    * mirrored in catalog columns, so the parse path is checkable against
+    * the metadata. */
   def assets(spark: SparkSession, dir: String): DataFrame =
     assetsFrom(Tables.documents(spark, dir))
 
@@ -200,6 +216,17 @@ object MultimodalOps {
       // [cat8 code 1000][8 diff bits of D=8·(vj−128)][EOB 0000]
       .withColumn("_nmcu", expr("((_w + 7) DIV 8) * ((_h + 7) DIV 8)"))
       .withColumn("_scanpre", lpad(hex(expr("32768 + (8 * (_vj - 128)) * 16")), 4, "0"))
+      // MP4 sample-table generators: one sample per second of nominal
+      // duration (+1 so even the shortest clip has a table), per-sample
+      // sizes ALTERNATING between two doc-derived values — stsz stays
+      // repeat()-generable as (szA‖szB) pairs yet is genuinely
+      // non-uniform, so a frame plan must read the table, not divide
+      .withColumn("_dur", expr("n_chars * 40"))
+      .withColumn("_nsmp", expr("_dur DIV 1000 + 1"))
+      .withColumn("_sdelta", expr("_dur DIV _nsmp")) // stts tick delta (timescale 1000)
+      .withColumn("_sza", expr("20 + _v0 % 60"))
+      .withColumn("_szb", expr("20 + _vj % 60"))
+      .withColumn("_stotal", expr("(_nsmp DIV 2) * (_sza + _szb) + (_nsmp % 2) * _sza"))
 
     val pngHex = concat(
       lit(PngPreHex), be32Hex(col("_w")), be32Hex(col("_h")), lit(PngPostHex),
@@ -220,6 +247,39 @@ object MultimodalOps {
       lit(JpegDhtDcHex), lit(JpegDhtAcHex), lit(JpegSosHex),
       col("_scanpre"), rep(lit("00"), expr("_nmcu - 1")), lit("FFD9"))
 
+    // MP4: a complete box tree — ftyp, moov{free, trak{mdia{mdhd,
+    // minf{stbl{stts, stsc, stsz, stco}}}}, udta}, mdat. Box sizes are
+    // functions of the sample count n (stbl = 100+4n, moov = 192+4n;
+    // mdat payload starts at byte 216+4n — the stco chunk offset). The
+    // mdat leads with the text digest (16 bytes, keeping payload dedup
+    // structure text-determined) padded with zeros to the stsz sum.
+    val mp4Hex = concat(
+      lit(Mp4HeaderHex),
+      be32Hex(expr("192 + 4 * _nsmp")), lit("6D6F6F76"),          // moov
+      lit(Mp4FreeHex),                                            // planted skip
+      be32Hex(expr("156 + 4 * _nsmp")), lit("7472616B"),          // trak
+      be32Hex(expr("148 + 4 * _nsmp")), lit("6D646961"),          // mdia
+      lit(Mp4MdhdPreHex), be32Hex(col("_dur")), lit("55C40000"),  // mdhd
+      be32Hex(expr("108 + 4 * _nsmp")), lit("6D696E66"),          // minf
+      be32Hex(expr("100 + 4 * _nsmp")), lit("7374626C"),          // stbl
+      // stts: ONE run of n samples at delta ticks each
+      lit("00000018" + "73747473" + "00000000" + "00000001"),
+      be32Hex(col("_nsmp")), be32Hex(col("_sdelta")),
+      // stsc: ONE chunk carrying all n samples (desc id 1)
+      lit("0000001C" + "73747363" + "00000000" + "00000001" + "00000001"),
+      be32Hex(col("_nsmp")), lit("00000001"),
+      // stsz: per-sample sizes, szA/szB alternating (odd n: trailing szA)
+      be32Hex(expr("20 + 4 * _nsmp")), lit("7374737A" + "00000000" + "00000000"),
+      be32Hex(col("_nsmp")),
+      rep(concat(be32Hex(col("_sza")), be32Hex(col("_szb"))), expr("_nsmp DIV 2")),
+      when(expr("_nsmp % 2 = 1"), be32Hex(col("_sza"))).otherwise(lit("")),
+      // stco: the one chunk starts where mdat's payload does
+      lit("00000014" + "7374636F" + "00000000" + "00000001"),
+      be32Hex(expr("216 + 4 * _nsmp")),
+      lit(Mp4UdtaHex),                                            // planted skip
+      be32Hex(expr("8 + _stotal")), lit("6D646174"),              // mdat
+      upper(md5(col("text"))), rep(lit("00"), expr("_stotal - 16")))
+
     val headerHex =
       when(col("_mod") === "image" && col("doc_id") % 6 === 0, pngHex)
       .when(col("_mod") === "image", jpegHex)
@@ -227,12 +287,13 @@ object MultimodalOps {
         concat(lit("52494646"), le32Hex(bodyLen + 36L), lit(WavStaticHex),
           le32Hex(rate), le32Hex(rate * 2), lit(WavTailHex),
           le32Hex(bodyLen)))
-      .otherwise(lit(Mp4HeaderHex))
-    // images are SELF-CONTAINED containers (trailing junk after IEND/EOI
-    // would make them invalid); audio/video wrap the text bytes as body
+      .otherwise(mp4Hex)
+    // images and videos are SELF-CONTAINED containers (trailing junk
+    // after IEND/EOI would invalidate an image; the MP4 box tree must
+    // tile the file exactly); audio wraps the text bytes as PCM body
     val payload =
-      when(col("_mod") === "image", unhex(headerHex))
-        .otherwise(concat(unhex(headerHex), body))
+      when(col("_mod") === "audio", concat(unhex(headerHex), body))
+        .otherwise(unhex(headerHex))
     staged.select(
       col("doc_id").as("asset_id"),
       col("_mod").as("modality"),
@@ -799,12 +860,14 @@ object MultimodalOps {
   /** HEADER PARSE over the payload BYTES — the native
     * [[org.apache.spark.sql.graftext.MediaHeaderParse]] probe reading
     * format magic, PNG BE dimensions, WAV LE sample rate and data size,
-    * the ftyp box size, and the JPEG SOF dims via a marker walk, per
-    * asset. The oracle twin re-parses the identically-constructed blob
-    * from its hex image, so a synthesis/parse disagreement on ANY byte
-    * breaks the gate. Pure map-side scan: at 100 TB this is the probe
-    * pass that runs WITH the ingest read — payload bytes are consumed
-    * where they already are, never moved. */
+    * the MP4 box tree (mdat bytes, stsz sample count, mdhd duration via
+    * the [[org.apache.spark.sql.graftext.Mp4Boxes]] walker), and the
+    * JPEG SOF dims via a marker walk, per asset. The oracle twin
+    * re-parses the identically-constructed blob from its hex image, so a
+    * synthesis/parse disagreement on ANY byte breaks the gate. Pure
+    * map-side scan: at 100 TB this is the probe pass that runs WITH the
+    * ingest read — payload bytes are consumed where they already are,
+    * never moved. */
   def headerParse(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
     assets(spark, dir)
@@ -815,7 +878,9 @@ object MultimodalOps {
         col("p.width").as("width"),
         col("p.height").as("height"),
         col("p.sample_rate").as("sample_rate"),
-        col("p.body_bytes").as("body_bytes"))
+        col("p.body_bytes").as("body_bytes"),
+        col("p.n_samples").as("n_samples"),
+        col("p.media_ms").as("media_ms"))
       .orderBy("asset_id")
   }
 
@@ -909,33 +974,60 @@ object MultimodalOps {
   /** Frame-sampling budget: at most this many frames per video. */
   val MaxFrames = 16L
 
-  /** FRAME-SAMPLE PLAN for video assets: which timestamps to sample
-    * (uniform, ≤[[MaxFrames]], at least one) and WHICH BYTE OFFSET of
-    * the payload each maps to — at 100 TB frame sampling is first an
-    * I/O plan (which byte ranges to fetch from object storage) before it
-    * is a decode. All integer arithmetic (`(idx·duration) DIV n`,
-    * proportional byte offset with a zero-duration guard), replayable;
-    * the explode fans out ≤16 rows per asset — bounded, map-side. */
-  def framePlan(spark: SparkSession, dir: String): DataFrame =
-    framePlanWithLen(spark, dir)
-      .select(col("asset_id"), col("n_frames"), col("frame_idx"),
-        col("t_ms"), col("byte_offset"))
-      .orderBy("asset_id", "frame_idx")
+  /** One planned frame fetch, derived entirely from the PARSED MP4
+    * sample tables: `sample_idx` is the stts-ordered sample the frame
+    * maps to, `t_ms` its decoding timestamp (mdhd timescale converted),
+    * `byte_offset`/`sample_bytes` the exact stco/stsc/stsz extent a
+    * ranged GET would read. */
+  case class FrameRow(asset_id: Long, n_samples: Long, n_frames: Long,
+      frame_idx: Long, sample_idx: Long, t_ms: Long, byte_offset: Long,
+      sample_bytes: Long)
 
-  /** [[framePlan]] before its final projection, keeping `byte_len` — so
-    * [[fetchPlan]] doesn't need a SECOND payload-bearing scan + join just
-    * to recover a length the plan already computed. */
-  private def framePlanWithLen(spark: SparkSession, dir: String): DataFrame =
-    assets(spark, dir).where(col("modality") === "video")
-      .select(col("asset_id"), col("duration_ms"),
-        length(col("payload")).cast("long").as("byte_len"))
-      .withColumn("n_frames",
-        expr(s"least($MaxFrames, duration_ms DIV 1000 + 1)"))
-      .withColumn("frame_idx",
-        explode(sequence(lit(0L), col("n_frames") - 1)))
-      .withColumn("t_ms", expr("(frame_idx * duration_ms) DIV n_frames"))
-      .withColumn("byte_offset",
-        expr("(t_ms * byte_len) DIV greatest(duration_ms, 1)"))
+  /** Per-partition frame planning: parse the box tree once per payload,
+    * select ≤[[MaxFrames]] uniformly-strided samples from the table.
+    * A malformed tree or an empty/zero-timescale table emits NOTHING —
+    * the quarantine contract (corrupt bytes cost one pass, not a row of
+    * fabricated offsets). */
+  private def frameBatch(batch: Iterator[Asset]): Iterator[FrameRow] =
+    batch.flatMap { a =>
+      org.apache.spark.sql.graftext.Mp4Boxes.parse(a.payload) match {
+        case Some(t) if t.nSamples > 0 && t.timescale > 0 =>
+          val n = t.nSamples
+          val nf = math.min(MaxFrames, n.toLong)
+          (0L until nf).iterator.map { i =>
+            val s = ((i * n) / nf).toInt // uniform stride over the table
+            FrameRow(a.asset_id, n.toLong, nf, i, s.toLong,
+              t.timesTs(s) * 1000L / t.timescale, t.offsets(s), t.sizes(s))
+          }
+        case _ => Iterator.empty
+      }
+    }
+
+  /** The typed frame plan shared by [[framePlan]] and [[fetchPlan]] —
+    * one payload-bearing scan, never two. */
+  private def frameFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir).where(col("modality") === "video").as[Asset]
+      .mapPartitions(frameBatch).toDF()
+  }
+
+  /** FRAME-SAMPLE PLAN for video assets: which samples to fetch
+    * (uniform stride over the stts order, ≤[[MaxFrames]]) and the EXACT
+    * byte extent of each — offset from stco + the stsz prefix within the
+    * chunk, size from stsz, timestamp from stts/mdhd. At 100 TB frame
+    * sampling is first an I/O plan (which byte ranges to GET from object
+    * storage) before it is a decode, and an I/O plan is only as good as
+    * its offsets: these come from the PARSED sample tables, not a
+    * proportional approximation. Map-side mapPartitions over the asset
+    * scan, ≤16 rows per asset; payload bytes are consumed where they
+    * sit. The oracle re-reads delta/chunk-offset/sizes from the same hex
+    * layout and replays the stride/prefix arithmetic in closed form. */
+  def framePlan(spark: SparkSession, dir: String): DataFrame =
+    frameFrame(spark, dir)
+      .select(col("asset_id"), col("n_samples"), col("n_frames"),
+        col("frame_idx"), col("sample_idx"), col("t_ms"),
+        col("byte_offset"), col("sample_bytes"))
+      .orderBy("asset_id", "frame_idx")
 
   /** Manifest volume width: shards are scoped per (modality, volume =
     * asset_id DIV width), so the packing window never sorts more than one
@@ -1075,29 +1167,31 @@ object MultimodalOps {
         col("start_ms"), col("end_ms"))
       .orderBy("asset_id", "win_idx")
 
-  /** Bytes one frame fetch reads (container-level slice around the
-    * sampled timestamp) and the gap under which two fetches coalesce
-    * into one object-store GET. */
-  val FrameBytes = 4096L
+  /** Gap under which two sample fetches coalesce into one object-store
+    * GET (paying ≤ gap wasted bytes to save a round trip). */
   val CoalesceGap = 512L
 
-  /** FETCH PLAN: coalesce [[framePlan]]'s per-frame byte ranges into
+  /** FETCH PLAN: coalesce [[framePlan]]'s per-sample byte ranges into
     * object-store GET requests — at 100 TB, frame sampling is an I/O
     * problem before it is a decode problem, and issuing one ranged GET
     * per frame (16 per video) would 16× the request bill for bytes that
-    * are usually adjacent. Ranges [off, off+FrameBytes) merge when the
-    * next start is within [[CoalesceGap]] of the previous end (paying
-    * ≤ gap wasted bytes to save a round trip — the classic vectored-IO
-    * trade). Frame offsets are monotone per asset (timestamps are), so
-    * one lag() flags range starts and a running sum numbers them: two
-    * window passes + one groupBy, ALL partitioned by asset — no global
-    * shuffle beyond the hash on asset_id. */
+    * are usually adjacent. Each frame's range is its sample's REAL
+    * extent [offset, offset + stsz size); ranges merge when the next
+    * start is within [[CoalesceGap]] of the previous end — so a short
+    * clip (every sample selected, extents back-to-back in the chunk)
+    * collapses to ONE GET, while a long clip whose stride skips more
+    * than the gap's worth of samples pays one GET per frame. The classic
+    * vectored-IO trade, now priced off the actual tables. Sample offsets
+    * are monotone per asset (chunk order), so one lag() flags range
+    * starts and a running sum numbers them: two window passes + one
+    * groupBy, ALL partitioned by asset — no global shuffle beyond the
+    * hash on asset_id. */
   def fetchPlan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byIdx = Window.partitionBy("asset_id").orderBy("frame_idx")
-    val ranges = framePlanWithLen(spark, dir)
+    val ranges = frameFrame(spark, dir)
       .select(col("asset_id"), col("frame_idx"), col("byte_offset"),
-        expr(s"least(byte_offset + $FrameBytes, byte_len)").as("byte_end"))
+        (col("byte_offset") + col("sample_bytes")).as("byte_end"))
       .withColumn("prev_end", lag(col("byte_end"), 1).over(byIdx))
       .withColumn("new_range",
         when(col("prev_end").isNull ||
@@ -1117,17 +1211,20 @@ object MultimodalOps {
     * ingest and decode, built entirely on the header PROBE: per modality,
     * how many assets (a) carry the format their modality claims, (b) have
     * header FIELDS agreeing with the catalog metadata (PNG/JPEG dims, WAV
-    * sample rate), (c) have a self-consistent size story (parsed body
-    * bytes + header == stored bytes — for WAV that checks the data-size
-    * FIELD against reality), and how many trip the decode-budget flags
-    * (clips shorter than one STFT window; videos past the frame cap).
-    * Map-side flags + one small groupBy: nothing but booleans shuffle. */
+    * sample rate, MP4 mdhd duration), (c) have a self-consistent size
+    * story (parsed body bytes + header == stored bytes — for WAV that
+    * checks the data-size FIELD against reality; for MP4 that the stsz
+    * sample table accounts for every mdat byte), and how many trip the
+    * decode-budget flags (clips shorter than one STFT window; videos
+    * whose PARSED sample table exceeds the frame cap). Map-side flags +
+    * one small groupBy: nothing but booleans shuffle. */
   def assetValidate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftext.MediaColumns.mm_header_parse
-    // header size by PARSED format (image splits across png/jpeg)
+    // header size by PARSED format (image splits across png/jpeg); MP4
+    // has no constant header — its size story is table-vs-mdat below
     val hdrLen = typedlit(Map(
       "png" -> PngHeaderBytes, "jpeg" -> JpegHeaderBytes,
-      "wav" -> WavHeaderBytes, "mp4" -> Mp4HeaderBytes))
+      "wav" -> WavHeaderBytes))
     val flags = assets(spark, dir)
       .select(col("asset_id"), col("modality"),
         length(col("payload")).cast("long").as("byte_len"),
@@ -1146,13 +1243,19 @@ object MultimodalOps {
             col("p.height") === col("height"))
           .when(col("modality") === "audio",
             col("p.sample_rate") === col("sample_rate"))
-          .otherwise(lit(true)).as("fields_ok"),
-        (col("p.body_bytes") + element_at(hdrLen, col("p.format"))
-          === col("byte_len")).as("size_ok"),
+          // video: the mdhd duration (timescale-converted by the probe)
+          // must match the catalog duration
+          .otherwise(col("p.media_ms") === col("duration_ms")).as("fields_ok"),
+        when(col("p.format") === "mp4",
+            // the stsz table accounts for every mdat byte — a lying
+            // table (or an mdat the tables don't cover) fails here
+            col("p.body_bytes") === col("p.table_bytes"))
+          .otherwise(col("p.body_bytes") + element_at(hdrLen, col("p.format"))
+            === col("byte_len")).as("size_ok"),
         (col("modality") === "audio" && col("duration_ms") < WinMs)
           .as("short_clip"),
         (col("modality") === "video" &&
-          expr("duration_ms DIV 1000 + 1") > MaxFrames).as("over_cap"))
+          col("p.n_samples") > MaxFrames).as("over_cap"))
     flags.groupBy("modality")
       .agg(count(lit(1)).as("n_assets"),
         sum(when(col("format_ok"), 1L).otherwise(0L)).as("n_format_ok"),
@@ -1219,15 +1322,21 @@ object MultimodalOps {
                 n_chars * 40 AS duration_ms,
                 CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
                 hex(encode(text)) AS body_hex,
+                upper(md5(text)) AS thash,
                 ('0x' || substr(md5(text), 1, 2))::BIGINT AS v0,
                 144 + ('0x' || substr(md5(text), 1, 1))::BIGINT AS vj
          FROM documents),
        px AS (
          SELECT *, height * (width + 1) AS r,
-                ((width + 7) // 8) * ((height + 7) // 8) AS nmcu
+                ((width + 7) // 8) * ((height + 7) // 8) AS nmcu,
+                duration_ms // 1000 + 1 AS nsmp,
+                duration_ms // (duration_ms // 1000 + 1) AS sdelta,
+                20 + v0 % 60 AS sza,
+                20 + vj % 60 AS szb
          FROM ax),
        pz AS (
          SELECT *,
+                (nsmp // 2) * (sza + szb) + (nsmp % 2) * sza AS stotal,
                 (1 + width * v0 + (height - 1) * (width + 2)) % 65521 AS s1,
                 (r + v0 * (width * r - (width * (width + 1)) // 2)
                    + 2 * ((height - 1) * r
@@ -1240,6 +1349,7 @@ object MultimodalOps {
        assets AS (
          SELECT asset_id, modality, width, height, rate, duration_ms,
                 body_len, body_hex, v0, vj, r, nmcu,
+                nsmp, sdelta, sza, szb, stotal,
                 CASE WHEN modality = 'image' AND asset_id % 6 = 0 THEN
                        '$PngPreHex' || ${be("width")} || ${be("height")}
                        || '$PngPostHex'
@@ -1260,7 +1370,28 @@ object MultimodalOps {
                        '52494646' || ${le("body_len + 36")} || '$WavStaticHex'
                        || ${le("rate")} || ${le("rate * 2")} || '$WavTailHex'
                        || ${le("body_len")} || body_hex
-                  ELSE '$Mp4HeaderHex' || body_hex
+                  ELSE
+                       '$Mp4HeaderHex'
+                       || ${be("192 + 4*nsmp")} || '6D6F6F76'
+                       || '$Mp4FreeHex'
+                       || ${be("156 + 4*nsmp")} || '7472616B'
+                       || ${be("148 + 4*nsmp")} || '6D646961'
+                       || '$Mp4MdhdPreHex' || ${be("duration_ms")} || '55C40000'
+                       || ${be("108 + 4*nsmp")} || '6D696E66'
+                       || ${be("100 + 4*nsmp")} || '7374626C'
+                       || '000000187374747300000000' || '00000001'
+                       || ${be("nsmp")} || ${be("sdelta")}
+                       || '0000001C7374736300000000' || '00000001' || '00000001'
+                       || ${be("nsmp")} || '00000001'
+                       || ${be("20 + 4*nsmp")} || '7374737A' || '0000000000000000'
+                       || ${be("nsmp")}
+                       || repeat(${be("sza")} || ${be("szb")}, nsmp // 2)
+                       || CASE WHEN nsmp % 2 = 1 THEN ${be("sza")} ELSE '' END
+                       || '000000147374636F00000000' || '00000001'
+                       || ${be("216 + 4*nsmp")}
+                       || '$Mp4UdtaHex'
+                       || ${be("8 + stotal")} || '6D646174'
+                       || thash || repeat('00', stotal - 16)
                 END AS phx
          FROM pz),
        a AS (
@@ -1627,22 +1758,33 @@ object MultimodalOps {
                WHEN modality = 'audio' THEN
                  ('0x' || substr(phx,55,2) || substr(phx,53,2)
                   || substr(phx,51,2) || substr(phx,49,2))::BIGINT = rate
-               ELSE TRUE END AS fields_ok,
-             CASE WHEN is_png THEN byte_len - $PngHeaderBytes
-                  WHEN is_wav
-                  THEN ('0x' || substr(phx,87,2) || substr(phx,85,2)
-                        || substr(phx,83,2) || substr(phx,81,2))::BIGINT
-                  WHEN is_mp4
-                  THEN byte_len - ('0x' || substr(phx,1,8))::BIGINT
-                  WHEN is_jpeg THEN byte_len - $JpegHeaderBytes
-             END + CASE WHEN is_png THEN $PngHeaderBytes
-                    WHEN is_jpeg THEN $JpegHeaderBytes
-                    WHEN is_wav THEN $WavHeaderBytes
-                    WHEN is_mp4 THEN $Mp4HeaderBytes END
-               = byte_len AS size_ok,
+               ELSE -- video: the mdhd duration (ticks×1000/timescale,
+                    -- both read from the wire) must match the catalog
+                 ('0x' || substr(phx,161,8))::BIGINT * 1000
+                   // ('0x' || substr(phx,153,8))::BIGINT = duration_ms
+               END AS fields_ok,
+             CASE WHEN is_mp4 THEN
+                 -- the stsz sample table (closed-form sum of the
+                 -- alternating sizes) accounts for every mdat byte
+                 -- (the mdat size field read from the wire, minus header)
+                 ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT - 8 = stotal
+               ELSE
+                 CASE WHEN is_png THEN byte_len - $PngHeaderBytes
+                      WHEN is_wav
+                      THEN ('0x' || substr(phx,87,2) || substr(phx,85,2)
+                            || substr(phx,83,2) || substr(phx,81,2))::BIGINT
+                      WHEN is_jpeg THEN byte_len - $JpegHeaderBytes
+                 END + CASE WHEN is_png THEN $PngHeaderBytes
+                        WHEN is_jpeg THEN $JpegHeaderBytes
+                        WHEN is_wav THEN $WavHeaderBytes END
+                   = byte_len
+               END AS size_ok,
              modality = 'audio' AND duration_ms < $WinMs AS short_clip,
-             modality = 'video'
-               AND duration_ms // 1000 + 1 > $MaxFrames AS over_cap
+             -- CASE, not AND: the stsz-count slice only exists in video
+             -- payloads, and DuckDB's AND does not short-circuit the cast
+             CASE WHEN modality = 'video'
+                  THEN ('0x' || substr(phx, 345, 8))::BIGINT > $MaxFrames
+                  ELSE FALSE END AS over_cap
            FROM p)
          SELECT modality,
                 count(*) AS n_assets,
@@ -1659,9 +1801,13 @@ object MultimodalOps {
          FROM f GROUP BY modality ORDER BY modality""",
     // header parse: the oracle re-parses the identically-constructed
     // blob from its hex image — format by magic, PNG BE u32 dims, WAV
-    // LE u32 rate/data-size (the 4-substr pair swap), ftyp box size,
-    // JPEG SOF0 BE u16 dims at the constructed layout's offsets —
-    // in the SAME precedence order as the native expression
+    // LE u32 rate/data-size (the 4-substr pair swap), the MP4 box tree's
+    // mdat size / stsz count / mdhd duration+timescale at the
+    // constructed layout's (nsmp-dependent) offsets, and JPEG SOF0 BE
+    // u16 dims — in the SAME precedence order as the native expression.
+    // MP4 field positions in hex chars: mdhd timescale@153, duration@161
+    // (bytes 76/80), stsz count@345 (byte 172), mdat size@417+8n (byte
+    // 208+4n) — the box layout is ftyp(16) moov(192+4n) mdat(8+total)
     "q_mm_parse" ->
       s"""WITH $AssetSqlCte,
          p AS (
@@ -1702,29 +1848,45 @@ object MultimodalOps {
                      THEN ('0x' || substr(phx,87,2) || substr(phx,85,2)
                            || substr(phx,83,2) || substr(phx,81,2))::BIGINT
                      WHEN is_mp4
-                     THEN byte_len - ('0x' || substr(phx,1,8))::BIGINT
+                     THEN ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT - 8
                      WHEN is_jpeg THEN byte_len - $JpegHeaderBytes
-                END AS body_bytes
+                END AS body_bytes,
+                CASE WHEN is_mp4
+                     THEN ('0x' || substr(phx, 345, 8))::BIGINT
+                END AS n_samples,
+                CASE WHEN is_mp4
+                     THEN ('0x' || substr(phx, 161, 8))::BIGINT * 1000
+                          // ('0x' || substr(phx, 153, 8))::BIGINT
+                END AS media_ms
          FROM p ORDER BY asset_id""",
-    // integer frame plan: uniform timestamps + proportional byte offsets
-    // (byte_len is the FULL container length, header included — ranged
-    // GETs address the container file, not the logical body)
+    // sample-table frame plan: the scalar wire fields (stts delta at hex
+    // char 249, stco chunk offset at 385+8n, stsz count at 345) are READ
+    // from the constructed layout — proving the tables sit where the
+    // walker reads them — while the per-sample prefix sums replay the
+    // alternating-size closed form P(s) = (s DIV 2)(szA+szB) + (s%2)·szA,
+    // independent of the walker's entry-by-entry accumulation
     "q_mm_frames" ->
       s"""WITH $AssetSqlCte,
          v AS (
-           SELECT asset_id, duration_ms, byte_len
+           SELECT asset_id, nsmp, sza, szb,
+                  CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
+                  ('0x' || substr(phx, 249, 8))::BIGINT AS delta_w,
+                  ('0x' || substr(phx, 385 + 8*nsmp, 8))::BIGINT AS chunk_off,
+                  ('0x' || substr(phx, 345, 8))::BIGINT AS nsmp_w
            FROM a WHERE modality = 'video'),
-         f AS (
-           SELECT asset_id, duration_ms, byte_len,
-                  least($MaxFrames, duration_ms // 1000 + 1) AS n_frames
-           FROM v),
          g AS (
-           SELECT asset_id, n_frames, CAST(u.i AS BIGINT) AS frame_idx,
-                  (u.i * duration_ms) // n_frames AS t_ms,
-                  duration_ms, byte_len
-           FROM f, unnest(generate_series(0, n_frames - 1)) AS u(i))
-         SELECT asset_id, n_frames, frame_idx, t_ms,
-                (t_ms * byte_len) // greatest(duration_ms, 1) AS byte_offset
+           SELECT asset_id, CAST(nsmp_w AS BIGINT) AS n_samples, n_frames,
+                  CAST(u.i AS BIGINT) AS frame_idx,
+                  CAST((u.i * nsmp) // n_frames AS BIGINT) AS s,
+                  sza, szb, delta_w, chunk_off
+           FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i))
+         SELECT asset_id, n_samples, n_frames, frame_idx,
+                s AS sample_idx,
+                s * delta_w AS t_ms,
+                chunk_off + (s // 2) * (sza + szb) + (s % 2) * sza
+                  AS byte_offset,
+                CAST(CASE WHEN s % 2 = 0 THEN sza ELSE szb END AS BIGINT)
+                  AS sample_bytes
          FROM g ORDER BY asset_id, frame_idx""",
     // per-modality dataset card off the same digest-grain rollup as the
     // dedup; every emitted number is an exact long (or one double
@@ -1781,27 +1943,26 @@ object MultimodalOps {
                 least(u.i * $HopMs + $WinMs, duration_ms) AS end_ms
          FROM w, unnest(generate_series(0, n_windows - 1)) AS u(i)
          ORDER BY asset_id, win_idx""",
-    // fetch coalescing: replay the frame plan, then the same
+    // fetch coalescing: replay the sample-table frame plan (wire-read
+    // stco base + closed-form stsz prefix), then the same
     // lag/flag/running-sum range numbering and rollup
     "q_mm_fetch_plan" ->
       s"""WITH $AssetSqlCte,
          v AS (
-           SELECT asset_id, duration_ms, byte_len
+           SELECT asset_id, nsmp, sza, szb,
+                  CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
+                  ('0x' || substr(phx, 385 + 8*nsmp, 8))::BIGINT AS chunk_off
            FROM a WHERE modality = 'video'),
-         f AS (
-           SELECT asset_id, duration_ms, byte_len,
-                  least($MaxFrames, duration_ms // 1000 + 1) AS n_frames
-           FROM v),
          g AS (
-           SELECT asset_id, byte_len, CAST(u.i AS BIGINT) AS frame_idx,
-                  (u.i * duration_ms) // n_frames AS t_ms,
-                  duration_ms
-           FROM f, unnest(generate_series(0, n_frames - 1)) AS u(i)),
+           SELECT asset_id, CAST(u.i AS BIGINT) AS frame_idx,
+                  (u.i * nsmp) // n_frames AS s, sza, szb, chunk_off
+           FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i)),
          o AS (
            SELECT asset_id, frame_idx,
-                  (t_ms * byte_len) // greatest(duration_ms, 1) AS byte_offset,
-                  least((t_ms * byte_len) // greatest(duration_ms, 1)
-                        + $FrameBytes, byte_len) AS byte_end
+                  chunk_off + (s // 2) * (sza + szb) + (s % 2) * sza
+                    AS byte_offset,
+                  chunk_off + (s // 2) * (sza + szb) + (s % 2) * sza
+                    + CASE WHEN s % 2 = 0 THEN sza ELSE szb END AS byte_end
            FROM g),
          r AS (
            SELECT asset_id, frame_idx, byte_offset, byte_end,

@@ -29,9 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    u32 at byte 24, body_bytes the data-chunk size field (LE u32 at
   *    byte 40) — read from the FIELD, as a parser must, not inferred
   *    from the payload length.
-  *  - MP4: an `ftyp` box leads the file — body_bytes = payload length
-  *    minus the box's own BE u32 size at byte 0; dimensions live in
-  *    `moov/tkhd`, beyond a header probe, so width/height stay null.
+  *  - MP4: an `ftyp` box leads the file; the full box tree is then
+  *    walked by [[Mp4Boxes]] (moov/trak/mdia/minf/stbl) — body_bytes =
+  *    the actual `mdat` payload bytes, n_samples/table_bytes from the
+  *    `stsz` sample-size table, media_ms from `mdhd` duration/timescale.
+  *    A leading-ftyp payload whose box tree is malformed keeps
+  *    format "mp4" with ALL fields null (the tree-level quarantine).
+  *    Dimensions live in `tkhd`/`stsd`, beyond this probe → null.
   *  - JPEG: SOI then a marker-segment WALK (APPn/COM segments are
   *    skipped via their own BE16 lengths — encoders insert them freely)
   *    to the first SOF0-SOF3 frame header, whose payload carries height
@@ -76,7 +80,12 @@ object MediaHeaderParse {
     StructField("width", LongType, nullable = true),
     StructField("height", LongType, nullable = true),
     StructField("sample_rate", LongType, nullable = true),
-    StructField("body_bytes", LongType, nullable = true)))
+    StructField("body_bytes", LongType, nullable = true),
+    // MP4 sample-table fields (null for every other format): stsz entry
+    // count, stsz byte sum, and the mdhd duration in milliseconds
+    StructField("n_samples", LongType, nullable = true),
+    StructField("table_bytes", LongType, nullable = true),
+    StructField("media_ms", LongType, nullable = true)))
 
   private val Png = UTF8String.fromString("png")
   private val Wav = UTF8String.fromString("wav")
@@ -84,7 +93,8 @@ object MediaHeaderParse {
   private val Jpeg = UTF8String.fromString("jpeg")
 
   /** The quarantine row: unknown magic, truncated header, or null input. */
-  private val UnknownRow: InternalRow = InternalRow(null, null, null, null, null)
+  private val UnknownRow: InternalRow =
+    InternalRow(null, null, null, null, null, null, null, null)
 
   /** Big-endian u32 at byte offset `o` (caller checked bounds). The
     * three byte helpers are the ONE wire-parsing vocabulary — the decode
@@ -123,21 +133,33 @@ object MediaHeaderParse {
         (b(0) & 0xFF) == 0x89 && tagAt(b, 1, "PNG") &&
         b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A &&
         tagAt(b, 12, "IHDR")) {
-      InternalRow(Png, be32(b, 16), be32(b, 20), null, (n - 33).toLong)
+      InternalRow(Png, be32(b, 16), be32(b, 20), null, (n - 33).toLong,
+        null, null, null)
     // WAV: RIFF/WAVE/fmt — rate and data size read from their fields
     } else if (n >= 44 && tagAt(b, 0, "RIFF") && tagAt(b, 8, "WAVE") &&
         b(12) == 'f'.toByte && b(13) == 'm'.toByte &&
         b(14) == 't'.toByte && b(15) == ' '.toByte) {
-      InternalRow(Wav, null, null, le32(b, 24), le32(b, 40))
+      InternalRow(Wav, null, null, le32(b, 24), le32(b, 40), null, null, null)
     // MP4 family: a leading ftyp box whose BE size is VALID (8..n). The
     // size check lives in the branch CONDITION, not the body, so the
     // precedence definition is one boolean per format exactly like the
     // oracle's CASE: an adversarial FFD8-prefixed payload that also has
     // 'ftyp' at byte 4 with a junk box size falls THROUGH to the JPEG
     // walk on both engines instead of being quarantined only here.
+    // A valid leading ftyp then hands the FULL box tree to the
+    // [[Mp4Boxes]] walker: the sample tables are what a video I/O plan
+    // addresses, so the probe surfaces them; a malformed tree keeps the
+    // format (the magic was genuine) with null fields — the tree-level
+    // quarantine, distinguishable from a healthy zero-sample file.
     } else if (n >= 16 && tagAt(b, 4, "ftyp") &&
         { val s = be32(b, 0); s >= 8 && s <= n }) {
-      InternalRow(Mp4, null, null, null, n - be32(b, 0))
+      Mp4Boxes.parse(b) match {
+        case Some(t) =>
+          InternalRow(Mp4, null, null, null, t.mdatBytes,
+            t.nSamples.toLong, t.tableBytes,
+            if (t.timescale > 0) t.durationTs * 1000L / t.timescale else null)
+        case None => InternalRow(Mp4, null, null, null, null, null, null, null)
+      }
     // JPEG: SOI, then WALK the marker segments (each FF-marker carries a
     // BE16 length) until a SOF frame header yields the dimensions — a
     // fixed-offset read would break on any extra APPn/COM segment, which
@@ -171,7 +193,7 @@ object MediaHeaderParse {
           // synthesized SOI+APP0+DQT+SOF0 prefix that is payload minus
           // the 102-byte header (JpegHeaderBytes)
           return InternalRow(Jpeg, width, height, null,
-            (n - (i + 2 + segLen)).toLong)
+            (n - (i + 2 + segLen)).toLong, null, null, null)
         }
         if (marker == 0xDA || marker == 0xD9) return UnknownRow // SOS/EOI first
         i += 2 + segLen

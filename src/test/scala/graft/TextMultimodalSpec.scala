@@ -277,34 +277,73 @@ class TextMultimodalSpec extends SparkTestBase {
       assert(b._4 - a._4 == 160L && a._5 > b._4, "hop < window → overlap") }
   }
 
-  test("fetch plan: adjacent frame ranges coalesce into one GET, distant ones don't") {
-    // video = doc_id % 3 == 2. byte_len = n_chars + the 16-byte ftyp
-    // header, 16 frames each.
-    // doc 2: 100016 bytes → frame offsets 6251·i; the next offset is 2155
-    // bytes past the previous range end (6251·i + 4096) > the 512 gap →
-    // 16 separate GETs of 4096 bytes each.
-    // doc 5: 1016 bytes → every frame's [offset, offset+4096) clamps to
-    // byte_len → one coalesced GET of the whole asset.
+  test("frame plan offsets are stco/stsz-exact; fetch ranges coalesce by the real gaps") {
+    // video = doc_id % 3 == 2. The EXPECTED offsets are computed here
+    // from the synthesis closed forms (szA/szB from md5(text), prefix
+    // P(s) = (s DIV 2)(szA+szB) + (s%2)szA, mdat start 216+4n) —
+    // independent arithmetic the walker's entry-by-entry table
+    // accumulation must reproduce.
+    // doc 2: 100,000 chars → 4,000,000 ms → n = 4001 samples, 16 frames
+    //   at stride ~250 samples → inter-frame gaps of ~250 sample sizes
+    //   ≫ 512 → 16 separate GETs of exactly one sample each.
+    // doc 5: 1,000 chars → 40,000 ms → n = 41 samples, 16 frames at
+    //   stride ≤ 3 → gaps of ≤ 2 skipped samples (< 512 B) → ONE GET.
     val dir = documentsFixture(Seq(
       (2L, "x" * 100000, "en", "src0"),
       (5L, "y" * 1000, "en", "src0")))
+    def md5b(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    def gens(text: String, nChars: Long) = {
+      val v0 = md5b(text)(0) & 0xFF
+      val vj = 144 + ((md5b(text)(0) & 0xFF) >> 4)
+      val n = (nChars * 40) / 1000 + 1
+      val szA = 20 + v0 % 60; val szB = 20 + vj % 60
+      (n, (nChars * 40) / n, szA.toLong, szB.toLong)
+    }
+    def prefix(s: Long, szA: Long, szB: Long) = (s / 2) * (szA + szB) + (s % 2) * szA
+    val expected = Map(
+      2L -> gens("x" * 100000, 100000L),
+      5L -> gens("y" * 1000, 1000L))
+    val frames = graft.operators.MultimodalOps.framePlan(spark, dir).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("n_samples"),
+        r.getAs[Long]("frame_idx"), r.getAs[Long]("sample_idx"),
+        r.getAs[Long]("t_ms"), r.getAs[Long]("byte_offset"),
+        r.getAs[Long]("sample_bytes")))
+    frames.foreach { case (id, nS, fi, s, tMs, off, sz) =>
+      val (n, delta, szA, szB) = expected(id)
+      assert(nS == n, s"n_samples $id")
+      assert(s == fi * n / math.min(16L, n), s"stride $id/$fi")
+      assert(tMs == s * delta, s"t_ms $id/$fi")
+      assert(off == 216 + 4 * n + prefix(s, szA, szB),
+        s"offset $id/$fi: walker vs closed form")
+      assert(sz == (if (s % 2 == 0) szA else szB), s"size $id/$fi")
+    }
+    assert(frames.count(_._1 == 2L) == 16 && frames.count(_._1 == 5L) == 16)
     val got = graft.operators.MultimodalOps.fetchPlan(spark, dir).collect()
       .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("range_id"),
         r.getAs[Long]("range_start"), r.getAs[Long]("range_end"),
         r.getAs[Long]("n_frames"), r.getAs[Long]("io_bytes")))
     val byAsset = got.groupBy(_._1)
+    // doc 2: one GET per frame, each exactly its sample's extent
     assert(byAsset(2L).length == 16)
     assert(byAsset(2L).forall { case (_, _, s, e, n, b) =>
-      n == 1L && b == 4096L && e == s + 4096L })
+      n == 1L && b == e - s }, byAsset(2L).mkString(","))
     assert(byAsset(2L).map(_._2).sorted.toSeq == (0L until 16L).toSeq,
       "range ids are dense from 0")
-    assert(byAsset(5L).toSeq == Seq((5L, 0L, 0L, 1016L, 16L, 1016L)))
-    // coverage invariant: every sampled frame's slice is inside a range
-    val frames = graft.operators.MultimodalOps.framePlan(spark, dir).collect()
-      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("byte_offset")))
-    frames.foreach { case (id, off) =>
+    // doc 5: everything coalesces into one GET spanning first→last sample
+    val (n5, _, szA5, szB5) = expected(5L)
+    val lastS = 15L * n5 / 16L
+    assert(byAsset(5L).toSeq == Seq((5L, 0L,
+      216 + 4 * n5 + prefix(0, szA5, szB5),
+      216 + 4 * n5 + prefix(lastS, szA5, szB5)
+        + (if (lastS % 2 == 0) szA5 else szB5),
+      16L,
+      prefix(lastS, szA5, szB5) - prefix(0, szA5, szB5)
+        + (if (lastS % 2 == 0) szA5 else szB5))), byAsset(5L).mkString(","))
+    // coverage invariant: every sampled frame's extent is inside a range
+    frames.foreach { case (id, _, _, _, _, off, sz) =>
       assert(byAsset(id).exists { case (_, _, s, e, _, _) =>
-        s <= off && off < e || (off == e && e == s) }, s"frame $id@$off uncovered")
+        s <= off && off + sz <= e }, s"frame $id@$off+$sz uncovered")
     }
   }
 
@@ -319,7 +358,16 @@ class TextMultimodalSpec extends SparkTestBase {
     }
     // payload byte_len follows the container arithmetic for this ascii
     // corpus: PNG = raster h·(w+1) + 68 framing bytes; JPEG = 170 +
-    // one scan byte per MCU; WAV/MP4 wrap the text (n_chars + header)
+    // one scan byte per MCU; WAV wraps the text (n_chars + header);
+    // MP4 = 216 fixed box bytes + 4 per stsz entry + the alternating-
+    // size sample total (szA/szB from the text digest)
+    val mp4Len = expr(
+      """216 + 4 * ((n_chars * 40) DIV 1000 + 1)
+         + (((n_chars * 40) DIV 1000 + 1) DIV 2)
+           * ((20 + CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) % 60)
+              + (20 + (144 + CAST(conv(substring(md5(text),1,1),16,10) AS BIGINT)) % 60))
+         + (((n_chars * 40) DIV 1000 + 1) % 2)
+           * (20 + CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) % 60)""")
     val expected = when(col("modality") === "image",
         when(col("asset_id") % 6 === 0,
           expr(s"""(n_chars % ${MultimodalOps.PngMaxH} + 1)
@@ -327,7 +375,7 @@ class TextMultimodalSpec extends SparkTestBase {
           .otherwise(expr(
             """170 + ((n_chars % 640 + 8) DIV 8) * ((n_chars % 480 + 8) DIV 8)""")))
       .when(col("modality") === "audio", col("n_chars") + MultimodalOps.WavHeaderBytes)
-      .otherwise(col("n_chars") + MultimodalOps.Mp4HeaderBytes)
+      .otherwise(mp4Len)
     val meta = MultimodalOps.assetMeta(spark, sf0001)
       .join(Tables.documents(spark, sf0001),
         col("asset_id") === col("doc_id"))
@@ -388,21 +436,50 @@ class TextMultimodalSpec extends SparkTestBase {
       "52494646" + "26000000" + "57415645" + "666D7420" + "10000000" +
         "0100" + "0100" + "22560000" + "44AC0000" + "0200" + "1000" +
         "64617461" + "02000000" + "6175")
-    // MP4: 16-byte ftyp box then the 4 body bytes
+    // MP4 for "vid!" (4 chars → 160 ms → ONE sample of szA bytes): the
+    // complete box tree, sizes and table fields hand-assembled — ftyp,
+    // moov{free, trak{mdia{mdhd(timescale 1000, duration 160),
+    // minf{stbl{stts(1×160), stsc(1 chunk), stsz([szA]), stco(220)}}}},
+    // udta}, mdat(digest + zero padding)
+    val vv0 = md5b("vid!")(0) & 0xFF
+    val szA = 20 + vv0 % 60
     assert(hx(rows(2L)) ==
-      "00000010" + "66747970" + "69736F6D" + "00000200" + "76696421")
+      "00000010" + "66747970" + "69736F6D" + "00000200" +
+        "000000C4" + "6D6F6F76" +                                // moov 196
+        "00000010" + "66726565" + ("00" * 8) +                   // free
+        "000000A0" + "7472616B" +                                // trak 160
+        "00000098" + "6D646961" +                                // mdia 152
+        "00000020" + "6D646864" + "00000000" + "00000000" +      // mdhd
+        "00000000" + "000003E8" + "000000A0" + "55C40000" +      //   ts/dur
+        "00000070" + "6D696E66" +                                // minf 112
+        "00000068" + "7374626C" +                                // stbl 104
+        "00000018" + "73747473" + "00000000" + "00000001" +      // stts
+        "00000001" + "000000A0" +                                //   1 × 160
+        "0000001C" + "73747363" + "00000000" + "00000001" +      // stsc
+        "00000001" + "00000001" + "00000001" +                   //   1 chunk
+        "00000018" + "7374737A" + "00000000" + "00000000" +      // stsz
+        "00000001" + "%08X".format(szA) +                        //   [szA]
+        "00000014" + "7374636F" + "00000000" + "00000001" +      // stco
+        "000000DC" +                                             //   @220
+        "0000000C" + "75647461" + "00000000" +                   // udta
+        "%08X".format(8 + szA) + "6D646174" +                    // mdat
+        md5b("vid!").map("%02X".format(_)).mkString +            //   digest
+        ("00" * (szA - 16)))                                     //   padding
     // and the native probe reads those bytes back: png body = raster +
     // 35 chunk-framing bytes; jpeg body = 171 total − the 102-byte
-    // SOI+APP0+DQT+SOF header
+    // SOI+APP0+DQT+SOF header; mp4 body = the mdat payload with the
+    // stsz count and mdhd duration surfaced
     val parsed = MultimodalOps.headerParse(spark, dir).collect()
       .map(r => r.getAs[Long]("asset_id") ->
         ((r.getAs[String]("format"), Option(r.get(3)), Option(r.get(4)),
-          Option(r.get(5)), r.getAs[Long]("body_bytes"))))
+          Option(r.get(5)), r.getAs[Long]("body_bytes"),
+          Option(r.get(7)), Option(r.get(8)))))
       .toMap
-    assert(parsed(6L) == (("png", Some(4L), Some(4L), None, 55L)))
-    assert(parsed(3L) == (("jpeg", Some(4L), Some(4L), None, 69L)))
-    assert(parsed(1L) == (("wav", None, None, Some(22050L), 2L)))
-    assert(parsed(2L) == (("mp4", None, None, None, 4L)))
+    assert(parsed(6L) == (("png", Some(4L), Some(4L), None, 55L, None, None)))
+    assert(parsed(3L) == (("jpeg", Some(4L), Some(4L), None, 69L, None, None)))
+    assert(parsed(1L) == (("wav", None, None, Some(22050L), 2L, None, None)))
+    assert(parsed(2L) == (("mp4", None, None, None, szA.toLong,
+      Some(1L), Some(160L))))
   }
 
   test("jpeg probe genuinely WALKS markers: extra COM segment, SOS-first, truncation") {
@@ -489,14 +566,23 @@ class TextMultimodalSpec extends SparkTestBase {
       (col("p.modality") === "audio") && (col("format") =!= "wav"
         || col("p.sample_rate") =!= col("a.sample_rate"))).count() == 0)
     assert(joined.where(
-      (col("p.modality") === "video") && (col("format") =!= "mp4")).count() == 0)
+      (col("p.modality") === "video") && (col("format") =!= "mp4"
+        // the parsed sample table mirrors the synthesis: one sample per
+        // second (+1), mdhd duration = catalog duration, and the mdat
+        // payload starts right after the 216+4n bytes of box framing
+        || col("n_samples") =!= expr("a.duration_ms DIV 1000 + 1")
+        || col("media_ms") =!= col("a.duration_ms")
+        || col("body_bytes") =!=
+          length(col("a.payload")).cast("long") - (lit(216L) + lit(4L) * col("n_samples"))))
+      .count() == 0)
     // header + body = total payload bytes, header sized by PARSED format
+    // (mp4 has no constant header — its size story is the box framing
+    // identity asserted above)
     val hdr = typedlit(Map(
       "png" -> MultimodalOps.PngHeaderBytes,
       "jpeg" -> MultimodalOps.JpegHeaderBytes,
-      "wav" -> MultimodalOps.WavHeaderBytes,
-      "mp4" -> MultimodalOps.Mp4HeaderBytes))
-    assert(joined.where(col("body_bytes")
+      "wav" -> MultimodalOps.WavHeaderBytes))
+    assert(joined.where(col("p.modality") =!= "video" && col("body_bytes")
       + element_at(hdr, col("format"))
       =!= length(col("a.payload")).cast("long")).count() == 0)
   }
