@@ -846,6 +846,71 @@ object MultimodalOps {
       .orderBy("volume", "seq_id", "position")
   }
 
+  // ------------------------------------------- cross-modal alignment
+  /** Quantization scale applied to the decoded feature components —
+    * alignment runs on floor(component · scale) integers so the score
+    * is exact on both engines. */
+  val AlignScale = 1024L
+  /** keep iff cos(asset features, caption embedding) ≥ 3/10 — compared
+    * in integers (dot > 0 ∧ dot²·den² ≥ num²·n1·n2), never on a rounded
+    * cosine. */
+  val AlignTauNum = 3L
+  val AlignTauDen = 10L
+
+  /** CROSS-MODAL ALIGNMENT SCORING — the CLIP/CLAP-filter shape of
+    * DataComp/LAION curation (Schuhmann 2021, Gadre 2023): every asset
+    * is paired with its caption document (the `q_mm_pack` pairing:
+    * asset_id = doc_id), the asset side embeds as its DECODED feature
+    * vector quantized to integers, the caption side as an
+    * 8-bucket hashing-trick token histogram (the `q_hash_embed` recipe
+    * at [[FeatureDim]] buckets), and the pair keeps iff the cosine
+    * clears τ. Everything the score touches is integer-exact — the dot,
+    * both norms, and the keep comparison (cross-multiplied, no rounded
+    * cosine in the decision) — so the DuckDB twin replays it
+    * bit-for-bit; the reported `align_cos` double is one division by
+    * one sqrt of exact longs. Scale shape: one map-side decode scan
+    * (features), one token explode + doc-grain 8-way conditional
+    * aggregation, one equi-join on the pair key — no pair blow-up, no
+    * broadcast of anything corpus-sized. */
+  def crossModalAlign(spark: SparkSession, dir: String): DataFrame =
+    alignJoin(extractFeatures(spark, dir).toDF(),
+      Tables.documents(spark, dir))
+
+  /** The alignment dataflow over explicit frames — the spec drives this
+    * with planted matched/mismatched caption pairs. `feats` needs
+    * (asset_id, modality, features array<double>); `docs` needs
+    * (doc_id, text). */
+  private[graft] def alignJoin(feats: DataFrame, docs: DataFrame): DataFrame = {
+    val dims = 1 to FeatureDim
+    val q = feats.select(
+      col("asset_id") +: col("modality") +:
+        dims.map(k => floor(element_at(col("features"), k) * AlignScale)
+          .cast("long").as(s"q$k")): _*)
+    val bkt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % FeatureDim).as("dim"))
+    val tAggs = dims.map(k =>
+      sum(when(col("dim") === (k - 1), 1L).otherwise(0L)).as(s"t$k"))
+    val t = bkt.groupBy("doc_id").agg(tAggs.head, tAggs.tail: _*)
+    val dot = dims.map(k => col(s"q$k") * col(s"t$k")).reduce(_ + _)
+    val n1 = dims.map(k => col(s"q$k") * col(s"q$k")).reduce(_ + _)
+    val n2 = dims.map(k => col(s"t$k") * col(s"t$k")).reduce(_ + _)
+    q.join(t, col("asset_id") === col("doc_id"))
+      .select(col("asset_id"), col("modality"),
+        dot.as("dot"), n1.as("n1"), n2.as("n2"))
+      .select(col("asset_id"), col("modality"),
+        col("dot"), col("n1"), col("n2"),
+        when(col("n1") > 0 && col("n2") > 0,
+          col("dot").cast("double") /
+            sqrt((col("n1") * col("n2")).cast("double"))).as("align_cos"),
+        (col("dot") > 0 &&
+          col("dot") * col("dot") * lit(AlignTauDen * AlignTauDen) >=
+            lit(AlignTauNum * AlignTauNum) * col("n1") * col("n2")).as("keep"))
+      .orderBy("asset_id")
+  }
+
   // ------------------------------------------------------ header probe
   /** Metadata/byte-length projection — the catalog side of the plumbing
     * (byte lengths of the binary payloads + meta columns as written). */
@@ -1280,6 +1345,7 @@ object MultimodalOps {
     "q_mm_phash" -> (imageHashes _),
     "q_mm_phash_dedup" -> (phashDedup _),
     "q_mm_pack" -> (packMultimodal _),
+    "q_mm_align" -> (crossModalAlign _),
     "q_mm_shards" -> (shardManifest _),
     "q_mm_resize" -> (resizePlan _),
     "q_mm_frames" -> (framePlan _),
@@ -1593,8 +1659,51 @@ object MultimodalOps {
             AND sm.k <= wi.win_idx * $EnergyHop + $EnergyWin
            GROUP BY wi.asset_id, wi.n_windows, wi.win_idx)"""
 
+  /** DuckDB replay of [[crossModalAlign]]: the quantized feature vector
+    * from the decode-replay arithmetic, the token histogram from the
+    * q_hash_embed recipe, the same integer dot/norms and
+    * cross-multiplied keep. Generated from [[featureSqlComps]] so the
+    * quantization can't drift from the Spark component list. */
+  private lazy val AlignSql: String = {
+    val dims = 1 to FeatureDim
+    val qCols = dims.map(k =>
+      s"CAST(floor((${featureSqlComps(k - 1)}) * $AlignScale) AS BIGINT) AS q$k")
+      .mkString(",\n                  ")
+    val tCols = dims.map(k =>
+      s"CAST(sum(CASE WHEN dim = ${k - 1} THEN 1 ELSE 0 END) AS BIGINT) AS t$k")
+      .mkString(",\n                  ")
+    val dot = dims.map(k => s"q$k*t$k").mkString(" + ")
+    val n1 = dims.map(k => s"q$k*q$k").mkString(" + ")
+    val n2 = dims.map(k => s"t$k*t$k").mkString(" + ")
+    s"""WITH $DecodeSqlCte,
+         q AS (
+           SELECT asset_id, modality,
+                  $qCols
+           FROM dstats),
+         bk AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(tok), 1, 8))::BIGINT % $FeatureDim AS dim
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         t AS (
+           SELECT doc_id,
+                  $tCols
+           FROM bk GROUP BY doc_id),
+         j AS (
+           SELECT q.asset_id, q.modality,
+                  $dot AS dot, $n1 AS n1, $n2 AS n2
+           FROM q JOIN t ON t.doc_id = q.asset_id)
+         SELECT asset_id, modality, dot, n1, n2,
+                CASE WHEN n1 > 0 AND n2 > 0
+                     THEN dot / sqrt(CAST(n1*n2 AS DOUBLE)) END AS align_cos,
+                dot > 0 AND dot*dot*${AlignTauDen * AlignTauDen}
+                  >= ${AlignTauNum * AlignTauNum}*n1*n2 AS keep
+         FROM j ORDER BY asset_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_mm_feature_ann" -> FeatureAnnSql,
+    "q_mm_align" -> AlignSql,
     "q_mm_phash" ->
       s"""WITH $AssetSqlCte,
          $PhashSqlCte

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -205,10 +205,46 @@ object PipelineOps {
     * mergeable sketch). Exact `percentile` buffers every value per group
     * on one reducer — fine at dashboard scale, fatal on a trillion rows;
     * the sketch is fixed-size per partition and merges map-side, so the
-    * shuffle carries sketches, not data. No DuckDB oracle (the sketch is
-    * engine-specific); the spec bounds the approx values' rank error
-    * against the exact path instead. */
-  def lengthQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    * shuffle carries sketches, not data.
+    *
+    * REGISTERED FORM IS SELF-CHECKING: the returned quantile VALUES are
+    * engine-specific (no DuckDB twin), but their RANKS are checkable
+    * exactly — `pXX_ok` asserts the approx value's exact rank interval
+    * [count(<v)+1, count(≤v)] overlaps (q ± 10ε)·n (ε = 1/accuracy =
+    * 1e-4, the sketch's guarantee with 10× slack), computed by joining
+    * the langs-sized approx frame back over the corpus (broadcast — one
+    * extra scan, the price of verification). Every output column is
+    * deterministic, so the driver's hash gate covers the sketch; a
+    * rank-violating value flips the boolean and hash-fails. The
+    * value-emitting production projection lives in
+    * [[lengthQuantilesApproxValues]] (rank-error-bounded in ScalaTest). */
+  def lengthQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
+    val appr = docs.groupBy("lang")
+      .agg(
+        expr("percentile_approx(n_chars, 0.5, 10000)").as("_p50"),
+        expr("percentile_approx(n_chars, 0.9, 10000)").as("_p90"),
+        count(lit(1)).as("n_docs"))
+    val tol = 10 * 1.0e-4 // 10ε rank slack
+    def ok(q: Double, le: Column, lt: Column): Column =
+      le.cast("double") >= lit(q - tol) * col("n_docs") &&
+        lt.cast("double") <= lit(q + tol) * col("n_docs")
+    docs.join(broadcast(appr), Seq("lang"))
+      .groupBy("lang")
+      .agg(max(col("n_docs")).as("n_docs"),
+        sum(when(col("n_chars") <= col("_p50"), 1L).otherwise(0L)).as("_le50"),
+        sum(when(col("n_chars") < col("_p50"), 1L).otherwise(0L)).as("_lt50"),
+        sum(when(col("n_chars") <= col("_p90"), 1L).otherwise(0L)).as("_le90"),
+        sum(when(col("n_chars") < col("_p90"), 1L).otherwise(0L)).as("_lt90"))
+      .select(col("lang"), col("n_docs"),
+        ok(0.5, col("_le50"), col("_lt50")).as("p50_ok"),
+        ok(0.9, col("_le90"), col("_lt90")).as("p90_ok"))
+      .orderBy("lang")
+  }
+
+  /** The value-emitting production projection of [[lengthQuantilesApprox]]
+    * — the per-lang approximate quantiles a 100 TB run would publish. */
+  def lengthQuantilesApproxValues(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy("lang")
       .agg(
@@ -1445,6 +1481,13 @@ object PipelineOps {
     "q_len_quantiles" ->
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
                 quantile_cont(n_chars, 0.9) AS p90, count(*) AS n_docs
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // the KLL sketch's exact twin: DuckDB computes the per-lang counts
+    // and asserts TRUE — a Spark approx value whose exact rank leaves
+    // the (q ± 10ε)·n window flips its boolean and hash-fails
+    "q_len_quantiles_approx" ->
+      """SELECT lang, count(*) AS n_docs,
+                TRUE AS p50_ok, TRUE AS p90_ok
          FROM documents GROUP BY lang ORDER BY lang""",
     "q_dq_checks" ->
       """SELECT * FROM (

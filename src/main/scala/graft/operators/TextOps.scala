@@ -700,10 +700,17 @@ object TextOps {
     * and any candidate set can then be point-estimated against it
     * map-side. Candidates here are tokens with doc-frequency ≥ 2 docs — at
     * scale they'd come from a sample; estimates are one-sided
-    * (est ≥ true, est ≤ true + ε·N at the sketch's confidence — spec
-    * asserts both against the exact counts). Spark-only: the sketch's
-    * murmur hashing has no DuckDB twin (rows-only check; CmsSpec carries
-    * the correctness). */
+    * (est ≥ true, est ≤ true + ε·N at the sketch's confidence).
+    *
+    * REGISTERED FORM IS SELF-CHECKING: the exact count rides the same
+    * token aggregation the candidates need anyway, and `cms_ok` folds
+    * the one-sided bound (exact ≤ est ≤ exact + 2εN, N attached as a
+    * 1-row broadcast total) into a boolean — every output column is
+    * deterministic (ordered by exact count, not by estimate), so the
+    * driver's hash gate covers the sketch end-to-end; an out-of-bound
+    * estimate flips the boolean and hash-fails. The estimate-emitting
+    * production projection lives in [[heavyHittersCmsEstimate]]
+    * (error-bounded in SketchSpec). */
   def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SketchFunctions._
     // cached: the sketch-build action and the candidate aggregation both
@@ -713,6 +720,33 @@ object TextOps {
       .cache()
     // eps=1e-4 → width 27k counters ≈ 1.5 MB at depth 7: fixed size no
     // matter the corpus. Driver fetch of ONE aggregated row (the sketch).
+    val skBytes = toks
+      .agg(count_min_sketch(xxhash64(col("tok")), lit(0.0001), lit(0.99), lit(42))
+        .as("sk"))
+      .head().getAs[Array[Byte]](0)
+    toks.groupBy("tok")
+      .agg(count(lit(1)).as("n_exact"),
+        count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("_n_total"))))
+      .select(col("tok"), col("n_exact"),
+        cms_estimate(skBytes, xxhash64(col("tok"))).as("_est"),
+        ceil(col("_n_total").cast("double") * 0.0002).as("_over")) // 2·ε·N
+      .select(col("tok"), col("n_exact"),
+        (col("_est") >= col("n_exact") &&
+          col("_est") <= col("n_exact") + col("_over")).as("cms_ok"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(50)
+  }
+
+  /** The estimate-emitting production projection of [[heavyHittersCms]]
+    * — candidates point-estimated against the sketch, no exact counts
+    * (what a 100 TB run emits); one-sided error bounded in SketchSpec. */
+  def heavyHittersCmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .cache()
     val skBytes = toks
       .agg(count_min_sketch(xxhash64(col("tok")), lit(0.0001), lit(0.99), lit(42))
         .as("sk"))
@@ -1131,8 +1165,19 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // q_heavy_hitters_cms intentionally omitted: the sketch's murmur
-    // hashing has no DuckDB twin — CmsSpec pins est vs exact bounds.
+    // the CMS query's exact twin: DuckDB computes the exact candidate
+    // counts and asserts TRUE — a Spark estimate outside the folded
+    // one-sided bound flips cms_ok and hash-fails (the estimate ITSELF
+    // has no DuckDB twin; the checked projection does)
+    "q_heavy_hitters_cms" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         c AS (
+           SELECT tok, count(*) AS n_exact, count(DISTINCT doc_id) AS df
+           FROM tk GROUP BY tok)
+         SELECT tok, n_exact, TRUE AS cms_ok FROM c WHERE df >= 2
+         ORDER BY n_exact DESC, tok LIMIT 50""",
     // floor-log2 via binary digit length (to_base == Spark's bin) — exact
     // integer bits, no libm
     "q_surprisal" ->

@@ -137,7 +137,7 @@ class AnalyticOpsSpec extends SparkTestBase {
 
   test("approx quantiles: returned values' rank error is within the sketch accuracy") {
     import graft.operators.PipelineOps
-    val approx = PipelineOps.lengthQuantilesApprox(spark, sf0001).collect()
+    val approx = PipelineOps.lengthQuantilesApproxValues(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val docs = Tables.documents(spark, sf0001)
       .select(col("lang"), col("n_chars")).collect()

@@ -72,7 +72,7 @@ class CoreOpsSpec extends SparkTestBase {
   test("approx DAU within the configured HLL error of exact DAU") {
     val exact = CoreOps.dauTotal(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = CoreOps.dauApprox(spark, sf0001)
+    val approx = CoreOps.dauApproxEstimate(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (dt, a) =>

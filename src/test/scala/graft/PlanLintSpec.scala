@@ -92,6 +92,10 @@ class PlanLintSpec extends SparkTestBase {
     // q_lsh_tuning: the 1-row true-pair-total aggregate cross-joined
     // into the 3-row geometry frame
     "q_lsh_tuning",
+    // q_heavy_hitters_cms: the 1-row total-token count (the 2εN bound
+    // term of the self-checking cms_ok column) cross-joined into the
+    // candidate frame
+    "q_heavy_hitters_cms",
     "q_dataset_card")
 
   // bench-only fast-path aliases (x_*) are linted alongside the registry:

@@ -36,7 +36,7 @@ class SketchSpec extends SparkTestBase {
   test("CMS estimates are one-sided and within eps*N of exact counts") {
     val exact = TextOps.heavyHitters(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val est = TextOps.heavyHittersCms(spark, sf0001).collect()
+    val est = TextOps.heavyHittersCmsEstimate(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // total token count N bounds the CMS overestimate: est <= true + eps*N
     val n = spark.read.parquet(s"$sf0001/documents.parquet")

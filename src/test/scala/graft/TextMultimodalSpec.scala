@@ -515,6 +515,40 @@ class TextMultimodalSpec extends SparkTestBase {
       s"fill/TEM padding: ${out(3)}")
   }
 
+  test("cross-modal alignment: matched caption keeps, mismatched caption drops") {
+    import spark.implicits._
+    // words bucketed under the same md5 hashing-trick recipe the
+    // operator uses, computed here independently via MessageDigest
+    def bucket(w: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(4).map("%02X".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % MultimodalOps.FeatureDim
+    }
+    val words = (0 until 500).map(i => s"w$i")
+    val b0 = words.filter(bucket(_) == 0L).take(3) // land in bucket 0
+    val b1 = words.filter(bucket(_) == 1L).take(3) // land in bucket 1
+    assert(b0.size == 3 && b1.size == 3)
+    // both assets put ALL feature mass in component 1 (bucket 0): the
+    // matched caption's tokens hash there (cos = 1), the mismatched
+    // caption's hash elsewhere (dot = 0) — the CLIP-filter decision
+    val feats = Seq(
+      (1L, "image", Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (2L, "image", Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("asset_id", "modality", "features")
+    val docs = Seq(
+      (1L, b0.mkString(" ")),
+      (2L, b1.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = MultimodalOps.alignJoin(feats, docs).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("dot"), r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Double]("align_cos"), r.getAs[Boolean]("keep"))))
+      .toMap
+    val s = MultimodalOps.AlignScale
+    assert(got(1L) == ((3 * s, s * s, 9L, 1.0, true)), s"matched: ${got(1L)}")
+    assert(got(2L) == ((0L, s * s, 9L, 0.0, false)), s"mismatched: ${got(2L)}")
+  }
+
   test("asset validation: synthesized corpus is all-consistent; budget flags fire on planted cases") {
     // audio doc 1: 5 chars → 200 ms < one 400 ms window → short_clip;
     // video doc 2: 500 chars → 20,000 ms → 21 > 16 frames → over_cap;

@@ -97,15 +97,6 @@ def _rel_viol(rows, exact, rel, abs_slack, what):
     return v
 
 
-def _bound_dau_approx(con, df):
-    # approx_count_distinct(user_id, rsd=0.02): 4σ relative + small-N slack
-    exact = dict(con.execute(
-        "SELECT strftime(ts, '%Y-%m-%d'), count(DISTINCT user_id) "
-        "FROM events GROUP BY 1").fetchall())
-    return _rel_viol(zip(df["dt"], df["dau_approx"]), exact,
-                     rel=4 * 0.02, abs_slack=5, what="hll++ day dau")
-
-
 def _bound_dau_sketch_rollup(con, df):
     # DataSketches HLL, default lgK=12 → σ ≈ 1.04/√4096 ≈ 1.6%; 4σ ≈ 6.5%.
     # Day rows check the per-day sketches; month rows check that the
@@ -124,61 +115,13 @@ def _bound_dau_sketch_rollup(con, df):
                       rel=4 * 0.0163, abs_slack=5, what="hll month-union"))
 
 
-def _bound_heavy_hitters_cms(con, df):
-    # CountMinSketch(eps=1e-4, conf=0.99): one-sided — NEVER underestimates
-    # (modulo the negligible xxhash64 key-collision), overestimates by at
-    # most eps·N with prob ≥ conf; 2·eps·N covers the 1% tail across 50
-    # probes. N = total token count.
-    exact = dict(con.execute(
-        "SELECT tok, count(*) FROM (SELECT unnest(string_split(text, ' ')) "
-        "AS tok FROM documents) GROUP BY tok").fetchall())
-    n_total = con.execute(
-        "SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) "
-        "AS tok FROM documents)").fetchone()[0]
-    over = 2 * 0.0001 * n_total
-    v = []
-    for tok, est in zip(df["tok"], df["est_n"]):
-        ex = exact.get(tok)
-        if ex is None:
-            v.append({"kind": "sketch-bound", "what": "cms", "key": tok,
-                      "err": "token not in exact counts"})
-        elif not (ex <= est <= ex + over):
-            v.append({"kind": "sketch-bound", "what": "cms", "key": tok,
-                      "estimate": int(est), "exact": int(ex),
-                      "bound": f"[{ex}, {ex + over}]"})
-    return v
-
-
-def _bound_len_quantiles_approx(con, df):
-    # percentile_approx(accuracy=10000) → rank error ε = 1e-4; allow 10ε
-    # of rank slack each side (quantile_disc bounds, inclusive), plus the
-    # n_docs column which is exact and must match exactly.
-    v = []
-    for _, row in df.iterrows():
-        lang = row["lang"]
-        lo50, hi50, lo90, hi90, n = con.execute(
-            "SELECT quantile_disc(n_chars, 0.499), quantile_disc(n_chars, 0.501), "
-            "quantile_disc(n_chars, 0.899), quantile_disc(n_chars, 0.901), "
-            "count(*) FROM documents WHERE lang = ?", [lang]).fetchone()
-        if n != row["n_docs"]:
-            v.append({"kind": "sketch-bound", "what": "kll n_docs",
-                      "key": lang, "estimate": int(row["n_docs"]), "exact": int(n)})
-        if not (lo50 <= row["p50_approx"] <= hi50):
-            v.append({"kind": "sketch-bound", "what": "kll p50", "key": lang,
-                      "estimate": float(row["p50_approx"]),
-                      "bound": f"[{lo50}, {hi50}]"})
-        if not (lo90 <= row["p90_approx"] <= hi90):
-            v.append({"kind": "sketch-bound", "what": "kll p90", "key": lang,
-                      "estimate": float(row["p90_approx"]),
-                      "bound": f"[{lo90}, {hi90}]"})
-    return v
-
-
+# Since round 15 the only oracle-less query is the mergeable-sketch
+# rollup (q_dau_approx / q_heavy_hitters_cms / q_len_quantiles_approx now
+# register self-checking exact+boolean projections and go through the
+# normal hash gate); its estimates are still HARD-checked here against
+# DuckDB exact answers.
 SKETCH_BOUNDS = {
-    "q_dau_approx": _bound_dau_approx,
     "q_dau_sketch_rollup": _bound_dau_sketch_rollup,
-    "q_heavy_hitters_cms": _bound_heavy_hitters_cms,
-    "q_len_quantiles_approx": _bound_len_quantiles_approx,
 }
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))

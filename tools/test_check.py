@@ -101,33 +101,42 @@ rc, outp, diffs = run_case(
     "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a'), (2, 'b')) t(k, s)")
 expect(rc == 0 and not diffs, "identical frames: clean pass, empty diffs")
 
-# 5/6. sketch bound checks (no oracle SQL — the bound checker IS the gate):
-# fabricate q_dau_approx outputs from the REAL exact answer over SF's
-# events, once within the HLL bound (exact itself) and once far outside.
+# 5/6. sketch bound checks (no oracle SQL — the bound checker IS the
+# gate): fabricate q_dau_sketch_rollup outputs (the one remaining
+# oracle-less query since round 15) from the REAL exact answers over
+# SF's events, once within the HLL bound (exact itself) and once far
+# outside — both grains, so the day AND month-union checks are proven.
 import duckdb as _dd
-_exact = _dd.connect().execute(
+_days = _dd.connect().execute(
     f"SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS d "
     f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1").fetchall()
-_dts = [r[0] for r in _exact]
-_ex = [float(r[1]) for r in _exact]
+_months = _dd.connect().execute(
+    f"SELECT substr(strftime(ts, '%Y-%m-%d'), 1, 7) AS m, "
+    f"count(DISTINCT user_id) AS d "
+    f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1").fetchall()
+_grain = ["day"] * len(_days) + ["month"] * len(_months)
+_keys = [r[0] for r in _days] + [r[0] for r in _months]
+_ex = [float(r[1]) for r in _days] + [float(r[1]) for r in _months]
 
 rc, outp, diffs = run_case(
-    "q_dau_approx",
-    pa.table({"dt": pa.array(_dts, pa.string()),
-              "dau_approx": pa.array(_ex, pa.float64())}),
+    "q_dau_sketch_rollup",
+    pa.table({"grain": pa.array(_grain, pa.string()),
+              "key": pa.array(_keys, pa.string()),
+              "uniques": pa.array(_ex, pa.float64())}),
     None)  # no oracle entry → routed to the bound checker
 expect(rc == 0 and "bounded-ok" in outp,
        "sketch in-bound: exact-valued estimates pass the bound check")
 
 rc, outp, diffs = run_case(
-    "q_dau_approx",
-    pa.table({"dt": pa.array(_dts, pa.string()),
-              # double every estimate: far outside the 4σ (8%) HLL++ bound
-              "dau_approx": pa.array([v * 2 for v in _ex], pa.float64())}),
+    "q_dau_sketch_rollup",
+    pa.table({"grain": pa.array(_grain, pa.string()),
+              "key": pa.array(_keys, pa.string()),
+              # double every estimate: far outside the 4σ (6.5%) HLL bound
+              "uniques": pa.array([v * 2 for v in _ex], pa.float64())}),
     None)
 expect(rc == 1, "sketch out-of-bound: hard fail")
 expect(any(d.get("kind") == "sketch-bound"
-           for d in diffs.get("q_dau_approx", [])),
+           for d in diffs.get("q_dau_sketch_rollup", [])),
        "sketch out-of-bound: bound-violation record in the artifact")
 
 print(f"\n{'ALL GOOD' if not fails else str(len(fails)) + ' SELF-TEST FAILURES'}")
