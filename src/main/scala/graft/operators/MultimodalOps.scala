@@ -586,10 +586,23 @@ object MultimodalOps {
   }
 
   def snapshotDecode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val all = assets(spark, dir)
     val ledger = all.where(pmod(col("asset_id"), lit(10)) < 8)
       .select(md5(hex(col("payload"))).as("fp")).distinct()
+    snapshotDecodeFrom(all.where(pmod(col("asset_id"), lit(10)) >= 8), ledger)
+      .orderBy("asset_id")
+  }
+
+  /** The incremental-decode core over explicit frames — shared by the
+    * batch [[snapshotDecode]] and the streaming decode intake
+    * ([[graft.streaming.StreamingOps.decodeIntakeStream]] drives it per
+    * micro-batch against the accumulated output ledger), so stream and
+    * batch literally cannot disagree. `batch` needs asset-shaped columns;
+    * `ledgerFps` needs one `fp` column of already-decoded md5 digests. */
+  private[graft] def snapshotDecodeFrom(batch: DataFrame,
+      ledgerFps: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
     // digest-grain representative: ONE ACTUAL ROW per digest — the min
     // over a struct LED by the unique asset_id picks the min-asset_id
     // row wholesale (exactly the row the oracle's min(asset_id) join
@@ -597,9 +610,9 @@ object MultimodalOps {
     // per-column mins that need not co-occur if a real catalog ever let
     // two same-payload rows carry different meta; the copy count rides
     // THROUGH the decode so the whole query is ONE batch pass
-    all.where(pmod(col("asset_id"), lit(10)) >= 8)
+    batch
       .withColumn("fp", md5(hex(col("payload"))))
-      .join(ledger, Seq("fp"), "left_anti")
+      .join(ledgerFps, Seq("fp"), "left_anti")
       .groupBy("fp")
       .agg(count(lit(1)).as("n_batch_copies"),
         min(struct(col("asset_id"), col("modality"), col("payload"),
@@ -614,7 +627,6 @@ object MultimodalOps {
       .as[SnapAsset].mapPartitions(snapDecodeBatch).toDF()
       .select(col("payload_fp"), col("asset_id"), col("n_batch_copies"),
         col("modality"), col("format"), col("n_units"), col("u_sum"))
-      .orderBy("asset_id")
   }
 
   // ------------------------------------------------- perceptual hash

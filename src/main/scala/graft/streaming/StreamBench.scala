@@ -53,7 +53,7 @@ object StreamBench {
     val onlyNames = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val allNames = Set("curation_intake", "asset_intake",
-      "neardup_intake", "ann_intake")
+      "neardup_intake", "ann_intake", "decode_intake")
     onlyNames.foreach { names =>
       val unknown = names -- allNames
       require(unknown.isEmpty, s"SPARK_GRAFT_STREAM_ONLY unknown: $unknown")
@@ -143,6 +143,18 @@ object StreamBench {
           asStream(graft.operators.MultimodalOps.assetsFrom(docs), "as_in"))
           .writeStream.outputMode("append").format("noop")
           .option("checkpointLocation", s"$work/as_ckpt").start()
+      }
+
+    // 1c) decode intake: the incremental decode cache online — per batch
+    // a digest anti-join against the accumulated output ledger, then REAL
+    // codec work (PNG inflate / JPEG imageio / WAV PCM) on only the new
+    // distinct payloads, landing epoch-partitioned decoded stats. The
+    // expensive stage of a media pipeline measured in its streaming shape.
+    if (wanted("decode_intake"))
+      results("decode_intake") = measure {
+        StreamingOps.decodeIntakeStream(
+          asStream(graft.operators.MultimodalOps.assetsFrom(docs), "dec_in"),
+          s"$work/dec_out", s"$work/dec_ckpt")
       }
 
     // 2) near-dup intake: corpus slice indexed offline, batch slice streamed

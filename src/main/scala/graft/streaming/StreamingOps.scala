@@ -465,6 +465,48 @@ object StreamingOps {
         col("width"), col("height"), col("duration_ms"))
       .dropDuplicates("modality", "payload_fp")
 
+  /** STREAMING DECODE INTAKE — the ONLINE form of the incremental decode
+    * cache (`q_snap_decode`): asset micro-batches arrive, each batch's
+    * payload digests are ANTI-JOINED against the accumulated ledger of
+    * already-decoded digests BEFORE any codec runs, and only the new
+    * DISTINCT payloads decode (copies ride a count) — "never decode the
+    * same bytes twice" holding ACROSS epochs, not just within one batch.
+    *
+    * The ledger is the sink's own output: each epoch's decoded stats land
+    * in an `epoch=<batchId>` partition of `outPath`, and the next batch
+    * reads the accumulated `payload_fp`s back (only 16-byte digests — the
+    * decoded-stats table is metadata-sized however many payload bytes
+    * flowed past). A REPLAYED micro-batch (checkpoint rollback) excludes
+    * its OWN epoch partition from the ledger read before re-deciding —
+    * otherwise its prior output would anti-join away exactly the digests
+    * it must re-emit — and then rewrites that partition via dynamic
+    * partition overwrite (the idempotent-sink discipline every intake
+    * here follows). The per-batch dataflow is LITERALLY the batch
+    * operator ([[graft.operators.MultimodalOps.snapshotDecodeFrom]]), so
+    * stream and batch cannot disagree; per-digest results depend only on
+    * (payload, ledger), so any micro-batch partitioning of the stream
+    * yields exactly the one-shot batch rows (spec-asserted). */
+  def decodeIntakeStream(assetStream: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    assetStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val ledger =
+          if (new java.io.File(outPath).exists())
+            spark.read.parquet(outPath)
+              .where(col("epoch") =!= batchId) // replay: self-exclusion
+              .select(col("payload_fp").as("fp")).distinct()
+          else spark.emptyDataset[String](
+            org.apache.spark.sql.Encoders.STRING).toDF("fp")
+        val out = graft.operators.MultimodalOps
+          .snapshotDecodeFrom(batch, ledger)
+        graft.operators.ScaleOps.overwriteByPartition(
+          out.withColumn("epoch", lit(batchId)), "epoch", outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   def curationIntakeStream(docs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.{rolling_hash31, word_ngrams}
     val t = split(col("text"), " ")

@@ -652,4 +652,44 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == oneShot,
       "micro-batch partitioning must not change any doc's best partner")
   }
+
+  test("streaming decode intake: the ledger accumulates across epochs and epoch 1 equals the one-shot snapshot decode") {
+    import graft.operators.MultimodalOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decintake_").toString
+    val docs = Tables.documents(spark, sf0001)
+    // play the corpus as two micro-batches matching the batch operator's
+    // ledger/batch split: epoch 0 = the q_snap_decode ledger slice
+    // (id%10 < 8), epoch 1 = its batch slice — so epoch 1's output must
+    // be EXACTLY the one-shot snapshotDecode rows (same anti-join, same
+    // representatives, same decoded stats)
+    docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      .write.parquet(s"$tmp/in/part_a.parquet")
+    docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      .write.parquet(s"$tmp/in/part_b.parquet")
+    // deterministic arrival order (the file source breaks mtime ties by
+    // path, but make the intent explicit)
+    new java.io.File(s"$tmp/in/part_a.parquet").setLastModified(1000000L)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+    val q = graft.streaming.StreamingOps.decodeIntakeStream(
+      MultimodalOps.assetsFrom(stream), s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    // never decode the same bytes twice: each digest in exactly one epoch
+    assert(out.groupBy("payload_fp").count().where(col("count") > 1)
+      .count() == 0, "a digest decoded in more than one epoch")
+    val epoch1 = out.where(col("epoch") === 1).drop("epoch")
+      .collect().map(_.toSeq).toSet
+    val oneShot = MultimodalOps.snapshotDecode(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(oneShot.nonEmpty, "fixture corpus must produce new digests")
+    assert(epoch1 == oneShot,
+      "the streamed epoch must equal the one-shot incremental decode")
+    // and epoch 0 decoded the ledger slice's distinct digests
+    val nLedger = MultimodalOps.assets(spark, sf0001)
+      .where(pmod(col("asset_id"), lit(10)) < 8)
+      .select(md5(hex(col("payload")))).distinct().count()
+    assert(out.where(col("epoch") === 0).count() == nLedger)
+  }
 }
