@@ -711,19 +711,29 @@ object TextOps {
     * estimate flips the boolean and hash-fails. The estimate-emitting
     * production projection lives in [[heavyHittersCmsEstimate]]
     * (error-bounded in SketchSpec). */
-  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE token-stream + sketch build shared by the checked and the
+    * estimate-only CMS projections — an eps/confidence/seed change can
+    * never half-apply. `toks` is cached: the sketch-build action and the
+    * candidate aggregation both consume the exploded token stream
+    * (Verify/Bench clear caches per query). eps=1e-4 → width 27k
+    * counters ≈ 1.5 MB at depth 7: fixed size no matter the corpus.
+    * Driver fetch of ONE aggregated row (the sketch). */
+  private def cmsTokensAndSketch(spark: SparkSession,
+      dir: String): (DataFrame, Array[Byte]) = {
     import graft.functions.SketchFunctions._
-    // cached: the sketch-build action and the candidate aggregation both
-    // consume the exploded token stream (Verify/Bench clear caches per query)
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .cache()
-    // eps=1e-4 → width 27k counters ≈ 1.5 MB at depth 7: fixed size no
-    // matter the corpus. Driver fetch of ONE aggregated row (the sketch).
     val skBytes = toks
       .agg(count_min_sketch(xxhash64(col("tok")), lit(0.0001), lit(0.99), lit(42))
         .as("sk"))
       .head().getAs[Array[Byte]](0)
+    (toks, skBytes)
+  }
+
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val (toks, skBytes) = cmsTokensAndSketch(spark, dir)
     toks.groupBy("tok")
       .agg(count(lit(1)).as("n_exact"),
         count_distinct(col("doc_id")).as("df"))
@@ -741,16 +751,11 @@ object TextOps {
 
   /** The estimate-emitting production projection of [[heavyHittersCms]]
     * — candidates point-estimated against the sketch, no exact counts
-    * (what a 100 TB run emits); one-sided error bounded in SketchSpec. */
+    * (what a 100 TB run emits); one-sided error bounded in SketchSpec;
+    * bench-timed as `x_heavy_hitters_cms_est`. */
   def heavyHittersCmsEstimate(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SketchFunctions._
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .cache()
-    val skBytes = toks
-      .agg(count_min_sketch(xxhash64(col("tok")), lit(0.0001), lit(0.99), lit(42))
-        .as("sk"))
-      .head().getAs[Array[Byte]](0)
+    val (toks, skBytes) = cmsTokensAndSketch(spark, dir)
     toks.groupBy("tok").agg(count_distinct(col("doc_id")).as("df"))
       .where(col("df") >= 2)
       .select(col("tok"), cms_estimate(skBytes, xxhash64(col("tok"))).as("est_n"))

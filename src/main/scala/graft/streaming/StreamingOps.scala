@@ -483,21 +483,36 @@ object StreamingOps {
     * partition overwrite (the idempotent-sink discipline every intake
     * here follows). The per-batch dataflow is LITERALLY the batch
     * operator ([[graft.operators.MultimodalOps.snapshotDecodeFrom]]), so
-    * stream and batch cannot disagree; per-digest results depend only on
-    * (payload, ledger), so any micro-batch partitioning of the stream
-    * yields exactly the one-shot batch rows (spec-asserted). */
+    * stream and batch cannot disagree on any single (batch, ledger) pair.
+    *
+    * Copy-count semantics across epochs (deliberate, spec-pinned): a
+    * digest's row is emitted by its FIRST epoch with that epoch's copy
+    * count; copies arriving in LATER epochs are cache hits and are
+    * dropped without incrementing anything — the same convention as the
+    * batch operator, where batch copies of an already-ledgered digest
+    * don't appear at all. So the decoded-stats SET and every per-digest
+    * statistic are partitioning-independent, while `n_batch_copies`
+    * counts only the first epoch's arrivals (a cumulative per-digest
+    * arrival count is a different operator — a groupBy over the raw
+    * intake — not a property of the decode cache). */
   def decodeIntakeStream(assetStream: DataFrame, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     assetStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // the ledger read must treat a footerless sink as EMPTY, not
+        // fatal: a crash mid-write of epoch 0 (or an empty first epoch)
+        // leaves outPath existing with zero parquet files, and a plain
+        // read would throw schema-inference AnalysisException on every
+        // replay — permanently crash-looping the recovery the
+        // checkpoint exists to provide
         val ledger =
-          if (new java.io.File(outPath).exists())
-            spark.read.parquet(outPath)
-              .where(col("epoch") =!= batchId) // replay: self-exclusion
-              .select(col("payload_fp").as("fp")).distinct()
-          else spark.emptyDataset[String](
-            org.apache.spark.sql.Encoders.STRING).toDF("fp")
+          (try Some(spark.read.parquet(outPath))
+           catch { case _: org.apache.spark.sql.AnalysisException => None })
+            .map(_.where(col("epoch") =!= batchId) // replay: self-exclusion
+              .select(col("payload_fp").as("fp")).distinct())
+            .getOrElse(spark.emptyDataset[String](
+              org.apache.spark.sql.Encoders.STRING).toDF("fp"))
         val out = graft.operators.MultimodalOps
           .snapshotDecodeFrom(batch, ledger)
         graft.operators.ScaleOps.overwriteByPartition(

@@ -236,7 +236,13 @@ object Mp4Boxes {
       while (k < stscPer(run) && s < n) {
         offsets(s) = off
         val sz = sizes(s)
-        if (off < 0 || sz < 0 || off + sz > fileEnd) return None // extent past EOF
+        // extent-past-EOF check in overflow-safe form: `off + sz` can
+        // wrap negative for a hostile co64 offset near Long.MaxValue,
+        // which would pass a naive `off + sz > fileEnd` — compare
+        // against fileEnd - sz instead (both operands already
+        // non-negative-checked, so the subtraction cannot wrap)
+        if (off < 0 || sz < 0 || sz > fileEnd || off > fileEnd - sz)
+          return None
         off += sz; tableBytes += sz
         s += 1; k += 1
       }

@@ -123,6 +123,30 @@ class Mp4BoxesSpec extends AnyFunSuite {
     // a lying stco COUNT demanding more entries than the box holds
     assert(mutated { b => b(stcoAt + 12) = 0x7F; b }.isEmpty,
       "stco entry count past the box must quarantine")
+    // a co64 offset near Long.MaxValue: off + sz would WRAP NEGATIVE and
+    // sneak past a naive `off + sz > fileEnd` — must still quarantine
+    val (goldBytes, _, _) = golden()
+    val co64File = {
+      val stcoStart = indexOfTag(goldBytes, "stco")
+      val pre = goldBytes.take(stcoStart)
+      val post = goldBytes.drop(stcoStart + 24) // old stco box was 24 B
+      val hostile = box("co64", u32(0) ++ u32(2) ++
+        u64(0x7FFFFFFFFFFFFF00L) ++ u64(0x7FFFFFFFFFFFFF00L))
+      // splice in; fix the three enclosing container sizes (+8 bytes each)
+      val spliced = pre ++ hostile ++ post
+      def bump(tag: String): Unit = {
+        val at = indexOfTag(spliced, tag)
+        val old = ((spliced(at) & 0xFF) << 24) | ((spliced(at + 1) & 0xFF) << 16) |
+          ((spliced(at + 2) & 0xFF) << 8) | (spliced(at + 3) & 0xFF)
+        val nw = old + 8
+        spliced(at) = (nw >> 24).toByte; spliced(at + 1) = (nw >> 16).toByte
+        spliced(at + 2) = (nw >> 8).toByte; spliced(at + 3) = nw.toByte
+      }
+      Seq("moov", "trak", "mdia", "minf", "stbl").foreach(bump)
+      spliced
+    }
+    assert(Mp4Boxes.parse(co64File).isEmpty,
+      "overflowing co64 extent must quarantine, not wrap past the EOF check")
     // foreign bytes / no ftyp
     assert(Mp4Boxes.parse("not an mp4 at all".getBytes).isEmpty)
     assert(Mp4Boxes.parse(null).isEmpty)

@@ -662,13 +662,22 @@ class StreamingSpec extends SparkTestBase {
     // (id%10 < 8), epoch 1 = its batch slice — so epoch 1's output must
     // be EXACTLY the one-shot snapshotDecode rows (same anti-join, same
     // representatives, same decoded stats)
-    docs.where(pmod(col("doc_id"), lit(10)) < 8)
+    // coalesce(1): ONE part file per slice, so maxFilesPerTrigger=1
+    // maps slices to epochs 1:1 (a multi-part write would split a slice
+    // across epochs and break the epoch↔slice identity asserted below)
+    docs.where(pmod(col("doc_id"), lit(10)) < 8).coalesce(1)
       .write.parquet(s"$tmp/in/part_a.parquet")
-    docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+    docs.where(pmod(col("doc_id"), lit(10)) >= 8).coalesce(1)
       .write.parquet(s"$tmp/in/part_b.parquet")
-    // deterministic arrival order (the file source breaks mtime ties by
-    // path, but make the intent explicit)
-    new java.io.File(s"$tmp/in/part_a.parquet").setLastModified(1000000L)
+    // deterministic arrival order: the file source orders by the PART
+    // FILES' mtimes (directory mtimes are irrelevant) — back-date every
+    // file under part_a so the ledger slice provably lands first
+    def backdate(dir: String, t: Long): Unit = {
+      val d = new java.io.File(dir)
+      d.listFiles().foreach(f => f.setLastModified(t))
+      d.setLastModified(t); ()
+    }
+    backdate(s"$tmp/in/part_a.parquet", 1000000L)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
     val q = graft.streaming.StreamingOps.decodeIntakeStream(
@@ -691,5 +700,41 @@ class StreamingSpec extends SparkTestBase {
       .where(pmod(col("asset_id"), lit(10)) < 8)
       .select(md5(hex(col("payload")))).distinct().count()
     assert(out.where(col("epoch") === 0).count() == nLedger)
+  }
+
+  test("decode intake copy counts: a digest's first epoch counts its arrivals, later copies are cache hits") {
+    import graft.operators.MultimodalOps
+    // the documented cross-epoch semantics: docs 29/59 (same text →
+    // byte-identical video payloads) arrive in epoch 0 → ONE row with
+    // n_batch_copies = 2; doc 89 (a third copy) arrives in epoch 1 →
+    // cache hit, NO new row and no count increment; doc 119 (new text)
+    // arrives in epoch 1 → its own row with count 1
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decstraddle_").toString
+    val e0 = documentsFixture(Seq(
+      (29L, "straddle clip", "en", "s"), (59L, "straddle clip", "en", "s")))
+    val e1 = documentsFixture(Seq(
+      (89L, "straddle clip", "en", "s"), (119L, "fresh clip", "en", "s")))
+    spark.read.parquet(s"$e0/documents.parquet").coalesce(1)
+      .write.parquet(s"$tmp/in/part_a.parquet")
+    spark.read.parquet(s"$e1/documents.parquet").coalesce(1)
+      .write.parquet(s"$tmp/in/part_b.parquet")
+    val d = new java.io.File(s"$tmp/in/part_a.parquet")
+    d.listFiles().foreach(f => f.setLastModified(1000000L))
+    val schema = Tables.documents(spark, sf0001).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+    val q = graft.streaming.StreamingOps.decodeIntakeStream(
+      MultimodalOps.assetsFrom(stream), s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        // epoch is a PARTITION column: the directory-name inference
+        // types it INT, so read it numerically, not as Long
+        ((r.getAs[Number]("epoch").longValue, r.getAs[Long]("n_batch_copies"))))
+      .toMap
+    assert(out.keySet == Set(29L, 119L), s"cache-hit leak or loss: $out")
+    assert(out(29L) == ((0L, 2L)), "first epoch counts ITS arrivals")
+    assert(out(119L) == ((1L, 1L)), "a genuinely new digest still decodes")
   }
 }
