@@ -253,6 +253,10 @@ object MultimodalOps {
     // mdat payload starts at byte 216+4n — the stco chunk offset). The
     // mdat leads with the text digest (16 bytes, keeping payload dedup
     // structure text-determined) padded with zeros to the stsz sum.
+    // Videos split into TWO layout variants so the GATE (not just the
+    // golden spec) exercises the chunk-mapping walk: ids ≡ 2 (mod 6)
+    // get this single-chunk layout; ids ≡ 5 (mod 6) with ≥ 3 samples
+    // get the two-chunk variant below.
     val mp4Hex = concat(
       lit(Mp4HeaderHex),
       be32Hex(expr("192 + 4 * _nsmp")), lit("6D6F6F76"),          // moov
@@ -280,6 +284,44 @@ object MultimodalOps {
       be32Hex(expr("8 + _stotal")), lit("6D646174"),              // mdat
       upper(md5(col("text"))), rep(lit("00"), expr("_stotal - 16")))
 
+    // TWO-CHUNK variant (video ids ≡ 5 mod 6 with ≥ 3 samples): chunk 1
+    // carries samples 0-1, chunks 2+ the rest (two stsc runs, two stco
+    // offsets), with FOUR DEAD SLACK BYTES (0x5A) between the chunks
+    // inside mdat — bytes no table covers, so a reader that assumes
+    // chunk contiguity (ignoring stco[1]) lands every chunk-2 sample
+    // exactly 4 bytes early and the offset oracles catch it. Layout
+    // deltas vs the single-chunk form: stsc 28→40, stco 20→24 → moov =
+    // 208+4n; chunk 1 at byte 232+4n, chunk 2 at +szA+szB+4; mdat
+    // payload = stotal + 4.
+    val mp4HexTwoChunk = concat(
+      lit(Mp4HeaderHex),
+      be32Hex(expr("208 + 4 * _nsmp")), lit("6D6F6F76"),          // moov
+      lit(Mp4FreeHex),
+      be32Hex(expr("172 + 4 * _nsmp")), lit("7472616B"),          // trak
+      be32Hex(expr("164 + 4 * _nsmp")), lit("6D646961"),          // mdia
+      lit(Mp4MdhdPreHex), be32Hex(col("_dur")), lit("55C40000"),  // mdhd
+      be32Hex(expr("124 + 4 * _nsmp")), lit("6D696E66"),          // minf
+      be32Hex(expr("116 + 4 * _nsmp")), lit("7374626C"),          // stbl
+      lit("00000018" + "73747473" + "00000000" + "00000001"),     // stts
+      be32Hex(col("_nsmp")), be32Hex(col("_sdelta")),
+      // stsc: run 1 = (first_chunk 1, 2 samples), run 2 = (2, n-2)
+      lit("00000028" + "73747363" + "00000000" + "00000002" +
+        "00000001" + "00000002" + "00000001" + "00000002"),
+      be32Hex(expr("_nsmp - 2")), lit("00000001"),
+      be32Hex(expr("20 + 4 * _nsmp")), lit("7374737A" + "00000000" + "00000000"),
+      be32Hex(col("_nsmp")),
+      rep(concat(be32Hex(col("_sza")), be32Hex(col("_szb"))), expr("_nsmp DIV 2")),
+      when(expr("_nsmp % 2 = 1"), be32Hex(col("_sza"))).otherwise(lit("")),
+      // stco: two chunk offsets straddling the 4 slack bytes
+      lit("00000018" + "7374636F" + "00000000" + "00000002"),
+      be32Hex(expr("232 + 4 * _nsmp")),
+      be32Hex(expr("232 + 4 * _nsmp + _sza + _szb + 4")),
+      lit(Mp4UdtaHex),
+      be32Hex(expr("12 + _stotal")), lit("6D646174"),             // mdat
+      upper(md5(col("text"))), rep(lit("00"), expr("_sza + _szb - 16")),
+      lit("5A5A5A5A"),                                            // dead slack
+      rep(lit("00"), expr("_stotal - _sza - _szb")))
+
     val headerHex =
       when(col("_mod") === "image" && col("doc_id") % 6 === 0, pngHex)
       .when(col("_mod") === "image", jpegHex)
@@ -287,6 +329,7 @@ object MultimodalOps {
         concat(lit("52494646"), le32Hex(bodyLen + 36L), lit(WavStaticHex),
           le32Hex(rate), le32Hex(rate * 2), lit(WavTailHex),
           le32Hex(bodyLen)))
+      .when(col("doc_id") % 6 === 5 && col("_nsmp") >= 3, mp4HexTwoChunk)
       .otherwise(mp4Hex)
     // images and videos are SELF-CONTAINED containers (trailing junk
     // after IEND/EOI would invalidate an image; the MP4 box tree must
@@ -1291,7 +1334,8 @@ object MultimodalOps {
     * sample rate, MP4 mdhd duration), (c) have a self-consistent size
     * story (parsed body bytes + header == stored bytes — for WAV that
     * checks the data-size FIELD against reality; for MP4 that the stsz
-    * sample table accounts for every mdat byte), and how many trip the
+    * sample table FITS in mdat, with the uncovered editing-slack bytes
+    * reported as n_slack_bytes), and how many trip the
     * decode-budget flags (clips shorter than one STFT window; videos
     * whose PARSED sample table exceeds the frame cap). Map-side flags +
     * one small groupBy: nothing but booleans shuffle. */
@@ -1324,11 +1368,16 @@ object MultimodalOps {
           // must match the catalog duration
           .otherwise(col("p.media_ms") === col("duration_ms")).as("fields_ok"),
         when(col("p.format") === "mp4",
-            // the stsz table accounts for every mdat byte — a lying
-            // table (or an mdat the tables don't cover) fails here
-            col("p.body_bytes") === col("p.table_bytes"))
+            // the stsz table must FIT in mdat (real muxers leave editing
+            // slack mdat bytes no table covers, so ≤, not ==; a lying
+            // table claiming more media than exists fails here, and the
+            // uncovered bytes are REPORTED as n_slack_bytes below)
+            col("p.table_bytes") <= col("p.body_bytes"))
           .otherwise(col("p.body_bytes") + element_at(hdrLen, col("p.format"))
             === col("byte_len")).as("size_ok"),
+        when(col("p.format") === "mp4",
+          col("p.body_bytes") - col("p.table_bytes")).otherwise(0L)
+          .as("slack_bytes"),
         (col("modality") === "audio" && col("duration_ms") < WinMs)
           .as("short_clip"),
         (col("modality") === "video" &&
@@ -1338,6 +1387,7 @@ object MultimodalOps {
         sum(when(col("format_ok"), 1L).otherwise(0L)).as("n_format_ok"),
         sum(when(col("fields_ok"), 1L).otherwise(0L)).as("n_fields_ok"),
         sum(when(col("size_ok"), 1L).otherwise(0L)).as("n_size_ok"),
+        sum(coalesce(col("slack_bytes"), lit(0L))).as("n_slack_bytes"),
         sum(when(col("short_clip"), 1L).otherwise(0L)).as("n_short_clips"),
         sum(when(col("over_cap"), 1L).otherwise(0L)).as("n_over_cap"))
       .orderBy("modality")
@@ -1448,6 +1498,35 @@ object MultimodalOps {
                        '52494646' || ${le("body_len + 36")} || '$WavStaticHex'
                        || ${le("rate")} || ${le("rate * 2")} || '$WavTailHex'
                        || ${le("body_len")} || body_hex
+                     WHEN modality = 'video' AND asset_id % 6 = 5
+                          AND nsmp >= 3 THEN
+                       -- the TWO-CHUNK variant: 2 stsc runs, 2 stco
+                       -- offsets, 4 dead slack bytes between the chunks
+                       '$Mp4HeaderHex'
+                       || ${be("208 + 4*nsmp")} || '6D6F6F76'
+                       || '$Mp4FreeHex'
+                       || ${be("172 + 4*nsmp")} || '7472616B'
+                       || ${be("164 + 4*nsmp")} || '6D646961'
+                       || '$Mp4MdhdPreHex' || ${be("duration_ms")} || '55C40000'
+                       || ${be("124 + 4*nsmp")} || '6D696E66'
+                       || ${be("116 + 4*nsmp")} || '7374626C'
+                       || '000000187374747300000000' || '00000001'
+                       || ${be("nsmp")} || ${be("sdelta")}
+                       || '000000287374736300000000' || '00000002'
+                       || '00000001' || '00000002' || '00000001' || '00000002'
+                       || ${be("nsmp - 2")} || '00000001'
+                       || ${be("20 + 4*nsmp")} || '7374737A' || '0000000000000000'
+                       || ${be("nsmp")}
+                       || repeat(${be("sza")} || ${be("szb")}, nsmp // 2)
+                       || CASE WHEN nsmp % 2 = 1 THEN ${be("sza")} ELSE '' END
+                       || '000000187374636F00000000' || '00000002'
+                       || ${be("232 + 4*nsmp")}
+                       || ${be("232 + 4*nsmp + sza + szb + 4")}
+                       || '$Mp4UdtaHex'
+                       || ${be("12 + stotal")} || '6D646174'
+                       || thash || repeat('00', sza + szb - 16)
+                       || '5A5A5A5A'
+                       || repeat('00', stotal - sza - szb)
                   ELSE
                        '$Mp4HeaderHex'
                        || ${be("192 + 4*nsmp")} || '6D6F6F76'
@@ -1473,7 +1552,8 @@ object MultimodalOps {
                 END AS phx
          FROM pz),
        a AS (
-         SELECT *, CAST(length(phx) // 2 AS BIGINT) AS byte_len
+         SELECT *, CAST(length(phx) // 2 AS BIGINT) AS byte_len,
+                modality = 'video' AND asset_id % 6 = 5 AND nsmp >= 3 AS vb
          FROM assets)"""
   }
 
@@ -1886,9 +1966,11 @@ object MultimodalOps {
                END AS fields_ok,
              CASE WHEN is_mp4 THEN
                  -- the stsz sample table (closed-form sum of the
-                 -- alternating sizes) accounts for every mdat byte
-                 -- (the mdat size field read from the wire, minus header)
-                 ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT - 8 = stotal
+                 -- alternating sizes) FITS in mdat (the size field read
+                 -- from the wire, minus header); uncovered slack bytes
+                 -- are reported, not failed
+                 stotal <= ('0x' || substr(phx,
+                   CASE WHEN vb THEN 449 ELSE 417 END + 8*nsmp, 8))::BIGINT - 8
                ELSE
                  CASE WHEN is_png THEN byte_len - $PngHeaderBytes
                       WHEN is_wav
@@ -1900,11 +1982,18 @@ object MultimodalOps {
                         WHEN is_wav THEN $WavHeaderBytes END
                    = byte_len
                END AS size_ok,
+             CASE WHEN is_mp4 THEN
+                 ('0x' || substr(phx,
+                   CASE WHEN vb THEN 449 ELSE 417 END + 8*nsmp, 8))::BIGINT
+                   - 8 - stotal
+               ELSE 0 END AS slack_bytes,
              modality = 'audio' AND duration_ms < $WinMs AS short_clip,
              -- CASE, not AND: the stsz-count slice only exists in video
              -- payloads, and DuckDB's AND does not short-circuit the cast
              CASE WHEN modality = 'video'
-                  THEN ('0x' || substr(phx, 345, 8))::BIGINT > $MaxFrames
+                  THEN ('0x' || substr(phx,
+                         CASE WHEN vb THEN 369 ELSE 345 END, 8))::BIGINT
+                       > $MaxFrames
                   ELSE FALSE END AS over_cap
            FROM p)
          SELECT modality,
@@ -1915,6 +2004,7 @@ object MultimodalOps {
                   AS n_fields_ok,
                 CAST(sum(CASE WHEN size_ok THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_size_ok,
+                CAST(sum(slack_bytes) AS BIGINT) AS n_slack_bytes,
                 CAST(sum(CASE WHEN short_clip THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_short_clips,
                 CAST(sum(CASE WHEN over_cap THEN 1 ELSE 0 END) AS BIGINT)
@@ -1969,11 +2059,14 @@ object MultimodalOps {
                      THEN ('0x' || substr(phx,87,2) || substr(phx,85,2)
                            || substr(phx,83,2) || substr(phx,81,2))::BIGINT
                      WHEN is_mp4
-                     THEN ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT - 8
+                     THEN ('0x' || substr(phx,
+                            CASE WHEN vb THEN 449 ELSE 417 END + 8*nsmp,
+                            8))::BIGINT - 8
                      WHEN is_jpeg THEN byte_len - $JpegHeaderBytes
                 END AS body_bytes,
                 CASE WHEN is_mp4
-                     THEN ('0x' || substr(phx, 345, 8))::BIGINT
+                     THEN ('0x' || substr(phx,
+                            CASE WHEN vb THEN 369 ELSE 345 END, 8))::BIGINT
                 END AS n_samples,
                 CASE WHEN is_mp4
                      THEN ('0x' || substr(phx, 161, 8))::BIGINT * 1000
@@ -1989,23 +2082,36 @@ object MultimodalOps {
     "q_mm_frames" ->
       s"""WITH $AssetSqlCte,
          v AS (
-           SELECT asset_id, nsmp, sza, szb,
+           SELECT asset_id, nsmp, sza, szb, vb,
                   CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
                   ('0x' || substr(phx, 249, 8))::BIGINT AS delta_w,
-                  ('0x' || substr(phx, 385 + 8*nsmp, 8))::BIGINT AS chunk_off,
-                  ('0x' || substr(phx, 345, 8))::BIGINT AS nsmp_w
+                  ('0x' || substr(phx,
+                    CASE WHEN vb THEN 409 ELSE 385 END + 8*nsmp,
+                    8))::BIGINT AS chunk1_off,
+                  CASE WHEN vb THEN
+                    ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT
+                  END AS chunk2_off,
+                  ('0x' || substr(phx,
+                    CASE WHEN vb THEN 369 ELSE 345 END, 8))::BIGINT AS nsmp_w
            FROM a WHERE modality = 'video'),
          g AS (
            SELECT asset_id, CAST(nsmp_w AS BIGINT) AS n_samples, n_frames,
                   CAST(u.i AS BIGINT) AS frame_idx,
                   CAST((u.i * nsmp) // n_frames AS BIGINT) AS s,
-                  sza, szb, delta_w, chunk_off
+                  sza, szb, vb, delta_w, chunk1_off, chunk2_off
            FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i))
          SELECT asset_id, n_samples, n_frames, frame_idx,
                 s AS sample_idx,
                 s * delta_w AS t_ms,
-                chunk_off + (s // 2) * (sza + szb) + (s % 2) * sza
-                  AS byte_offset,
+                -- two-chunk files: samples 0-1 at chunk 1, the rest at
+                -- chunk 2 (wire-read base) + the prefix MINUS chunk 1's
+                -- two sizes; single-chunk: one base + the full prefix
+                CASE WHEN vb AND s >= 2 THEN
+                  chunk2_off + (s // 2) * (sza + szb) + (s % 2) * sza
+                    - (sza + szb)
+                ELSE
+                  chunk1_off + (s // 2) * (sza + szb) + (s % 2) * sza
+                END AS byte_offset,
                 CAST(CASE WHEN s % 2 = 0 THEN sza ELSE szb END AS BIGINT)
                   AS sample_bytes
          FROM g ORDER BY asset_id, frame_idx""",
@@ -2070,21 +2176,34 @@ object MultimodalOps {
     "q_mm_fetch_plan" ->
       s"""WITH $AssetSqlCte,
          v AS (
-           SELECT asset_id, nsmp, sza, szb,
+           SELECT asset_id, nsmp, sza, szb, vb,
                   CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
-                  ('0x' || substr(phx, 385 + 8*nsmp, 8))::BIGINT AS chunk_off
+                  ('0x' || substr(phx,
+                    CASE WHEN vb THEN 409 ELSE 385 END + 8*nsmp,
+                    8))::BIGINT AS chunk1_off,
+                  CASE WHEN vb THEN
+                    ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT
+                  END AS chunk2_off
            FROM a WHERE modality = 'video'),
          g AS (
            SELECT asset_id, CAST(u.i AS BIGINT) AS frame_idx,
-                  (u.i * nsmp) // n_frames AS s, sza, szb, chunk_off
+                  (u.i * nsmp) // n_frames AS s, sza, szb, vb,
+                  chunk1_off, chunk2_off
            FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i)),
-         o AS (
+         o0 AS (
            SELECT asset_id, frame_idx,
-                  chunk_off + (s // 2) * (sza + szb) + (s % 2) * sza
-                    AS byte_offset,
-                  chunk_off + (s // 2) * (sza + szb) + (s % 2) * sza
-                    + CASE WHEN s % 2 = 0 THEN sza ELSE szb END AS byte_end
+                  CASE WHEN vb AND s >= 2 THEN
+                    chunk2_off + (s // 2) * (sza + szb) + (s % 2) * sza
+                      - (sza + szb)
+                  ELSE
+                    chunk1_off + (s // 2) * (sza + szb) + (s % 2) * sza
+                  END AS byte_offset,
+                  CASE WHEN s % 2 = 0 THEN sza ELSE szb END AS ssz
            FROM g),
+         o AS (
+           SELECT asset_id, frame_idx, byte_offset,
+                  byte_offset + ssz AS byte_end
+           FROM o0),
          r AS (
            SELECT asset_id, frame_idx, byte_offset, byte_end,
                   lag(byte_end) OVER (

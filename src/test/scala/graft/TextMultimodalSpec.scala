@@ -283,42 +283,59 @@ class TextMultimodalSpec extends SparkTestBase {
     // P(s) = (s DIV 2)(szA+szB) + (s%2)szA, mdat start 216+4n) —
     // independent arithmetic the walker's entry-by-entry table
     // accumulation must reproduce.
-    // doc 2: 100,000 chars → 4,000,000 ms → n = 4001 samples, 16 frames
-    //   at stride ~250 samples → inter-frame gaps of ~250 sample sizes
-    //   ≫ 512 → 16 separate GETs of exactly one sample each.
-    // doc 5: 1,000 chars → 40,000 ms → n = 41 samples, 16 frames at
-    //   stride ≤ 3 → gaps of ≤ 2 skipped samples (< 512 B) → ONE GET.
+    // doc 2 (≡2 mod 6 → SINGLE-chunk layout): 100,000 chars → n = 4001
+    //   samples, 16 frames at stride ~250 → gaps ≫ 512 → 16 GETs.
+    // doc 5 (≡5 mod 6, n = 41 ≥ 3 → TWO-chunk layout, 4 slack bytes
+    //   between chunks): 16 frames at stride ≤ 3 → gaps < 512 → ONE GET
+    //   spanning the slack.
+    // doc 11 (≡5 mod 6, 60 chars → n = 3 → two-chunk, chunk 2 holds ONE
+    //   sample) and doc 17 (≡5 mod 6, 30 chars → n = 2 < 3 → the
+    //   single-chunk FALLBACK) pin the variant boundary.
     val dir = documentsFixture(Seq(
       (2L, "x" * 100000, "en", "src0"),
-      (5L, "y" * 1000, "en", "src0")))
+      (5L, "y" * 1000, "en", "src0"),
+      (11L, "k" * 60, "en", "src0"),
+      (17L, "m" * 30, "en", "src0")))
     def md5b(s: String): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    def gens(text: String, nChars: Long) = {
+    case class G(n: Long, delta: Long, szA: Long, szB: Long, twoChunk: Boolean)
+    def gens(id: Long, text: String, nChars: Long): G = {
       val v0 = md5b(text)(0) & 0xFF
       val vj = 144 + ((md5b(text)(0) & 0xFF) >> 4)
       val n = (nChars * 40) / 1000 + 1
-      val szA = 20 + v0 % 60; val szB = 20 + vj % 60
-      (n, (nChars * 40) / n, szA.toLong, szB.toLong)
+      G(n, (nChars * 40) / n, 20 + v0 % 60, (20 + vj % 60).toLong,
+        id % 6 == 5 && n >= 3)
     }
-    def prefix(s: Long, szA: Long, szB: Long) = (s / 2) * (szA + szB) + (s % 2) * szA
+    def prefix(s: Long, g: G) = (s / 2) * (g.szA + g.szB) + (s % 2) * g.szA
+    // the INDEPENDENT offset arithmetic: single-chunk files put sample s
+    // at mdatStart(216+4n) + P(s); two-chunk files start at 232+4n
+    // (bigger stsc/stco boxes) and add the 4 slack bytes once s leaves
+    // chunk 1 (samples 0-1)
+    def expOff(s: Long, g: G): Long =
+      if (g.twoChunk) 232 + 4 * g.n + prefix(s, g) + (if (s >= 2) 4 else 0)
+      else 216 + 4 * g.n + prefix(s, g)
     val expected = Map(
-      2L -> gens("x" * 100000, 100000L),
-      5L -> gens("y" * 1000, 1000L))
+      2L -> gens(2L, "x" * 100000, 100000L),
+      5L -> gens(5L, "y" * 1000, 1000L),
+      11L -> gens(11L, "k" * 60, 60L),
+      17L -> gens(17L, "m" * 30, 30L))
+    assert(expected(5L).twoChunk && expected(11L).twoChunk &&
+      !expected(2L).twoChunk && !expected(17L).twoChunk, "variant mix")
     val frames = graft.operators.MultimodalOps.framePlan(spark, dir).collect()
       .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("n_samples"),
         r.getAs[Long]("frame_idx"), r.getAs[Long]("sample_idx"),
         r.getAs[Long]("t_ms"), r.getAs[Long]("byte_offset"),
         r.getAs[Long]("sample_bytes")))
     frames.foreach { case (id, nS, fi, s, tMs, off, sz) =>
-      val (n, delta, szA, szB) = expected(id)
-      assert(nS == n, s"n_samples $id")
-      assert(s == fi * n / math.min(16L, n), s"stride $id/$fi")
-      assert(tMs == s * delta, s"t_ms $id/$fi")
-      assert(off == 216 + 4 * n + prefix(s, szA, szB),
-        s"offset $id/$fi: walker vs closed form")
-      assert(sz == (if (s % 2 == 0) szA else szB), s"size $id/$fi")
+      val g = expected(id)
+      assert(nS == g.n, s"n_samples $id")
+      assert(s == fi * g.n / math.min(16L, g.n), s"stride $id/$fi")
+      assert(tMs == s * g.delta, s"t_ms $id/$fi")
+      assert(off == expOff(s, g), s"offset $id/$fi: walker vs closed form")
+      assert(sz == (if (s % 2 == 0) g.szA else g.szB), s"size $id/$fi")
     }
     assert(frames.count(_._1 == 2L) == 16 && frames.count(_._1 == 5L) == 16)
+    assert(frames.count(_._1 == 11L) == 3 && frames.count(_._1 == 17L) == 2)
     val got = graft.operators.MultimodalOps.fetchPlan(spark, dir).collect()
       .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("range_id"),
         r.getAs[Long]("range_start"), r.getAs[Long]("range_end"),
@@ -330,16 +347,15 @@ class TextMultimodalSpec extends SparkTestBase {
       n == 1L && b == e - s }, byAsset(2L).mkString(","))
     assert(byAsset(2L).map(_._2).sorted.toSeq == (0L until 16L).toSeq,
       "range ids are dense from 0")
-    // doc 5: everything coalesces into one GET spanning first→last sample
-    val (n5, _, szA5, szB5) = expected(5L)
-    val lastS = 15L * n5 / 16L
+    // doc 5: everything coalesces into one GET spanning first→last
+    // sample INCLUDING the 4 inter-chunk slack bytes (they sit inside
+    // the merged range — the vectored-IO trade priced off real tables)
+    val g5 = expected(5L)
+    val lastS = 15L * g5.n / 16L
+    val endB = expOff(lastS, g5) + (if (lastS % 2 == 0) g5.szA else g5.szB)
     assert(byAsset(5L).toSeq == Seq((5L, 0L,
-      216 + 4 * n5 + prefix(0, szA5, szB5),
-      216 + 4 * n5 + prefix(lastS, szA5, szB5)
-        + (if (lastS % 2 == 0) szA5 else szB5),
-      16L,
-      prefix(lastS, szA5, szB5) - prefix(0, szA5, szB5)
-        + (if (lastS % 2 == 0) szA5 else szB5))), byAsset(5L).mkString(","))
+      expOff(0, g5), endB, 16L, endB - expOff(0, g5))),
+      byAsset(5L).mkString(","))
     // coverage invariant: every sampled frame's extent is inside a range
     frames.foreach { case (id, _, _, _, _, off, sz) =>
       assert(byAsset(id).exists { case (_, _, s, e, _, _) =>
@@ -361,8 +377,13 @@ class TextMultimodalSpec extends SparkTestBase {
     // one scan byte per MCU; WAV wraps the text (n_chars + header);
     // MP4 = 216 fixed box bytes + 4 per stsz entry + the alternating-
     // size sample total (szA/szB from the text digest)
+    // fixed box overhead: 216 single-chunk, 236 two-chunk (bigger
+    // stsc/stco boxes + the 4 slack bytes); two-chunk = id ≡ 5 (mod 6)
+    // with ≥ 3 samples
     val mp4Len = expr(
-      """216 + 4 * ((n_chars * 40) DIV 1000 + 1)
+      """CASE WHEN asset_id % 6 = 5
+              AND (n_chars * 40) DIV 1000 + 1 >= 3 THEN 236 ELSE 216 END
+         + 4 * ((n_chars * 40) DIV 1000 + 1)
          + (((n_chars * 40) DIV 1000 + 1) DIV 2)
            * ((20 + CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) % 60)
               + (20 + (144 + CAST(conv(substring(md5(text),1,1),16,10) AS BIGINT)) % 60))
@@ -603,11 +624,14 @@ class TextMultimodalSpec extends SparkTestBase {
       (col("p.modality") === "video") && (col("format") =!= "mp4"
         // the parsed sample table mirrors the synthesis: one sample per
         // second (+1), mdhd duration = catalog duration, and the mdat
-        // payload starts right after the 216+4n bytes of box framing
+        // payload starts after the box framing (216+4n single-chunk,
+        // 232+4n two-chunk — the variant split at id ≡ 5 mod 6, n ≥ 3)
         || col("n_samples") =!= expr("a.duration_ms DIV 1000 + 1")
         || col("media_ms") =!= col("a.duration_ms")
         || col("body_bytes") =!=
-          length(col("a.payload")).cast("long") - (lit(216L) + lit(4L) * col("n_samples"))))
+          length(col("a.payload")).cast("long") -
+            (when(col("asset_id") % 6 === 5 && col("n_samples") >= 3,
+              lit(232L)).otherwise(lit(216L)) + lit(4L) * col("n_samples"))))
       .count() == 0)
     // header + body = total payload bytes, header sized by PARSED format
     // (mp4 has no constant header — its size story is the box framing
