@@ -289,19 +289,23 @@ object MultimodalOps {
     // offsets), with FOUR DEAD SLACK BYTES (0x5A) between the chunks
     // inside mdat — bytes no table covers, so a reader that assumes
     // chunk contiguity (ignoring stco[1]) lands every chunk-2 sample
-    // exactly 4 bytes early and the offset oracles catch it. Layout
-    // deltas vs the single-chunk form: stsc 28→40, stco 20→24 → moov =
-    // 208+4n; chunk 1 at byte 232+4n, chunk 2 at +szA+szB+4; mdat
-    // payload = stotal + 4.
+    // exactly 4 bytes early and the offset oracles catch it. This
+    // variant also carries an stss SYNC-SAMPLE table (keyframes at
+    // samples 1 and n/2+1, 1-based) — the single-chunk variant omits
+    // stss, which the spec defines as all-sync, so the keyframe plan
+    // exercises both arms. Layout deltas vs the single-chunk form:
+    // stsc 28→40, stco 20→24, +stss 24 (appended after stco so the
+    // other tables keep their offsets) → moov = 232+4n; chunk 1 at
+    // byte 256+4n, chunk 2 at +szA+szB+4; mdat payload = stotal + 4.
     val mp4HexTwoChunk = concat(
       lit(Mp4HeaderHex),
-      be32Hex(expr("208 + 4 * _nsmp")), lit("6D6F6F76"),          // moov
+      be32Hex(expr("232 + 4 * _nsmp")), lit("6D6F6F76"),          // moov
       lit(Mp4FreeHex),
-      be32Hex(expr("172 + 4 * _nsmp")), lit("7472616B"),          // trak
-      be32Hex(expr("164 + 4 * _nsmp")), lit("6D646961"),          // mdia
+      be32Hex(expr("196 + 4 * _nsmp")), lit("7472616B"),          // trak
+      be32Hex(expr("188 + 4 * _nsmp")), lit("6D646961"),          // mdia
       lit(Mp4MdhdPreHex), be32Hex(col("_dur")), lit("55C40000"),  // mdhd
-      be32Hex(expr("124 + 4 * _nsmp")), lit("6D696E66"),          // minf
-      be32Hex(expr("116 + 4 * _nsmp")), lit("7374626C"),          // stbl
+      be32Hex(expr("148 + 4 * _nsmp")), lit("6D696E66"),          // minf
+      be32Hex(expr("140 + 4 * _nsmp")), lit("7374626C"),          // stbl
       lit("00000018" + "73747473" + "00000000" + "00000001"),     // stts
       be32Hex(col("_nsmp")), be32Hex(col("_sdelta")),
       // stsc: run 1 = (first_chunk 1, 2 samples), run 2 = (2, n-2)
@@ -314,8 +318,11 @@ object MultimodalOps {
       when(expr("_nsmp % 2 = 1"), be32Hex(col("_sza"))).otherwise(lit("")),
       // stco: two chunk offsets straddling the 4 slack bytes
       lit("00000018" + "7374636F" + "00000000" + "00000002"),
-      be32Hex(expr("232 + 4 * _nsmp")),
-      be32Hex(expr("232 + 4 * _nsmp + _sza + _szb + 4")),
+      be32Hex(expr("256 + 4 * _nsmp")),
+      be32Hex(expr("256 + 4 * _nsmp + _sza + _szb + 4")),
+      // stss: sync samples 1 and n/2+1 (1-based)
+      lit("00000018" + "73747373" + "00000000" + "00000002" + "00000001"),
+      be32Hex(expr("_nsmp DIV 2 + 1")),
       lit(Mp4UdtaHex),
       be32Hex(expr("12 + _stotal")), lit("6D646174"),             // mdat
       upper(md5(col("text"))), rep(lit("00"), expr("_sza + _szb - 16")),
@@ -966,6 +973,31 @@ object MultimodalOps {
       .orderBy("asset_id")
   }
 
+  /** PER-MODALITY ALIGNMENT DISTRIBUTION — the curation-dashboard rollup
+    * of [[crossModalAlign]]: pair counts, keep counts/fraction, and the
+    * integer moments of the alignment evidence (Σdot, Σn1, Σn2, the dot
+    * extrema) per modality. Every aggregate is an exact long (or one
+    * double division of two exact longs) — a MEAN of align_cos doubles
+    * would be accumulation-order-dependent and could never hash-match,
+    * so the distribution is published as integer moments instead, which
+    * is also the mergeable form a multi-day rollup needs. Bounded-key
+    * groupBy over the align frame: one extra map-side-partial exchange. */
+  def alignStats(spark: SparkSession, dir: String): DataFrame =
+    crossModalAlign(spark, dir)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("dot")).as("dot_sum"),
+        min(col("dot")).as("dot_min"),
+        max(col("dot")).as("dot_max"),
+        sum(col("n1")).as("n1_sum"),
+        sum(col("n2")).as("n2_sum"))
+      .select(col("modality"), col("n_pairs"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_pairs")).as("keep_frac"),
+        col("dot_sum"), col("dot_min"), col("dot_max"),
+        col("n1_sum"), col("n2_sum"))
+      .orderBy("modality")
+
   // ------------------------------------------------------ header probe
   /** Metadata/byte-length projection — the catalog side of the plumbing
     * (byte lengths of the binary payloads + meta columns as written). */
@@ -1287,6 +1319,52 @@ object MultimodalOps {
         col("start_ms"), col("end_ms"))
       .orderBy("asset_id", "win_idx")
 
+  /** One keyframe-snapped seek: `sample_idx` is the uniform target,
+    * `key_idx` the latest stss sync sample at or before it (where the
+    * decoder must START — an inter-frame can't decode without its
+    * preceding I-frame), `key_offset` that sync sample's exact byte
+    * position, `back_samples` the decode run-up the snap costs. */
+  case class KeyframeRow(asset_id: Long, n_frames: Long, frame_idx: Long,
+      sample_idx: Long, key_idx: Long, key_offset: Long, back_samples: Long)
+
+  private def keyframeBatch(batch: Iterator[Asset]): Iterator[KeyframeRow] =
+    batch.flatMap { a =>
+      org.apache.spark.sql.graftext.Mp4Boxes.parse(a.payload) match {
+        case Some(t) if t.nSamples > 0 && t.timescale > 0 =>
+          val n = t.nSamples
+          val nf = math.min(MaxFrames, n.toLong)
+          (0L until nf).iterator.map { i =>
+            val s = ((i * n) / nf).toInt
+            val k = t.syncBefore(s)
+            KeyframeRow(a.asset_id, nf, i, s.toLong, k.toLong,
+              t.offsets(k), (s - k).toLong)
+          }
+        case _ => Iterator.empty
+      }
+    }
+
+  /** KEYFRAME-SNAPPED SEEK PLAN — the decode-dependency-aware form of
+    * [[framePlan]]: a video decoder cannot start at an arbitrary sample
+    * (inter-frames reference their preceding I-frame), so each uniform
+    * target snaps BACK to the latest `stss` sync sample and the fetch
+    * begins at THAT sample's stco/stsz byte position, paying
+    * `back_samples` of run-up decode — exactly how production frame
+    * extractors seek. Files without an stss box are all-sync per the
+    * ISO spec (every sample is its own keyframe — the single-chunk
+    * fixture arm), while the two-chunk fixtures carry stss = {1, n/2+1}
+    * so both snap directions are gate-exercised. Same map-side
+    * mapPartitions shape as the frame plan; the oracle replays the snap
+    * and the sync sample's offset arithmetic in closed form. */
+  def keyframePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir).where(col("modality") === "video").as[Asset]
+      .mapPartitions(keyframeBatch).toDF()
+      .select(col("asset_id"), col("n_frames"), col("frame_idx"),
+        col("sample_idx"), col("key_idx"), col("key_offset"),
+        col("back_samples"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** Gap under which two sample fetches coalesce into one object-store
     * GET (paying ≤ gap wasted bytes to save a round trip). */
   val CoalesceGap = 512L
@@ -1408,9 +1486,11 @@ object MultimodalOps {
     "q_mm_phash_dedup" -> (phashDedup _),
     "q_mm_pack" -> (packMultimodal _),
     "q_mm_align" -> (crossModalAlign _),
+    "q_mm_align_stats" -> (alignStats _),
     "q_mm_shards" -> (shardManifest _),
     "q_mm_resize" -> (resizePlan _),
     "q_mm_frames" -> (framePlan _),
+    "q_mm_keyframes" -> (keyframePlan _),
     "q_mm_dedup" -> (assetDedup _),
     "q_mm_card" -> (assetCard _),
     "q_mm_windows" -> (windowPlan _),
@@ -1503,13 +1583,13 @@ object MultimodalOps {
                        -- the TWO-CHUNK variant: 2 stsc runs, 2 stco
                        -- offsets, 4 dead slack bytes between the chunks
                        '$Mp4HeaderHex'
-                       || ${be("208 + 4*nsmp")} || '6D6F6F76'
+                       || ${be("232 + 4*nsmp")} || '6D6F6F76'
                        || '$Mp4FreeHex'
-                       || ${be("172 + 4*nsmp")} || '7472616B'
-                       || ${be("164 + 4*nsmp")} || '6D646961'
+                       || ${be("196 + 4*nsmp")} || '7472616B'
+                       || ${be("188 + 4*nsmp")} || '6D646961'
                        || '$Mp4MdhdPreHex' || ${be("duration_ms")} || '55C40000'
-                       || ${be("124 + 4*nsmp")} || '6D696E66'
-                       || ${be("116 + 4*nsmp")} || '7374626C'
+                       || ${be("148 + 4*nsmp")} || '6D696E66'
+                       || ${be("140 + 4*nsmp")} || '7374626C'
                        || '000000187374747300000000' || '00000001'
                        || ${be("nsmp")} || ${be("sdelta")}
                        || '000000287374736300000000' || '00000002'
@@ -1520,8 +1600,10 @@ object MultimodalOps {
                        || repeat(${be("sza")} || ${be("szb")}, nsmp // 2)
                        || CASE WHEN nsmp % 2 = 1 THEN ${be("sza")} ELSE '' END
                        || '000000187374636F00000000' || '00000002'
-                       || ${be("232 + 4*nsmp")}
-                       || ${be("232 + 4*nsmp + sza + szb + 4")}
+                       || ${be("256 + 4*nsmp")}
+                       || ${be("256 + 4*nsmp + sza + szb + 4")}
+                       || '000000187374737300000000' || '00000002'
+                       || '00000001' || ${be("nsmp // 2 + 1")}
                        || '$Mp4UdtaHex'
                        || ${be("12 + stotal")} || '6D646174'
                        || thash || repeat('00', sza + szb - 16)
@@ -1751,12 +1833,12 @@ object MultimodalOps {
             AND sm.k <= wi.win_idx * $EnergyHop + $EnergyWin
            GROUP BY wi.asset_id, wi.n_windows, wi.win_idx)"""
 
-  /** DuckDB replay of [[crossModalAlign]]: the quantized feature vector
+  /** Shared align CTE chain (ends at `al`): the quantized feature vector
     * from the decode-replay arithmetic, the token histogram from the
     * q_hash_embed recipe, the same integer dot/norms and
     * cross-multiplied keep. Generated from [[featureSqlComps]] so the
     * quantization can't drift from the Spark component list. */
-  private lazy val AlignSql: String = {
+  private lazy val AlignCteSql: String = {
     val dims = 1 to FeatureDim
     val qCols = dims.map(k =>
       s"CAST(floor((${featureSqlComps(k - 1)}) * $AlignScale) AS BIGINT) AS q$k")
@@ -1784,18 +1866,40 @@ object MultimodalOps {
          j AS (
            SELECT q.asset_id, q.modality,
                   $dot AS dot, $n1 AS n1, $n2 AS n2
-           FROM q JOIN t ON t.doc_id = q.asset_id)
-         SELECT asset_id, modality, dot, n1, n2,
-                CASE WHEN n1 > 0 AND n2 > 0
-                     THEN dot / sqrt(CAST(n1*n2 AS DOUBLE)) END AS align_cos,
-                dot > 0 AND dot*dot*${AlignTauDen * AlignTauDen}
-                  >= ${AlignTauNum * AlignTauNum}*n1*n2 AS keep
-         FROM j ORDER BY asset_id"""
+           FROM q JOIN t ON t.doc_id = q.asset_id),
+         al AS (
+           SELECT asset_id, modality, dot, n1, n2,
+                  CASE WHEN n1 > 0 AND n2 > 0
+                       THEN dot / sqrt(CAST(n1*n2 AS DOUBLE)) END AS align_cos,
+                  dot > 0 AND dot*dot*${AlignTauDen * AlignTauDen}
+                    >= ${AlignTauNum * AlignTauNum}*n1*n2 AS keep
+           FROM j)"""
   }
+
+  /** DuckDB replay of [[crossModalAlign]] over the shared align CTE. */
+  private lazy val AlignSql: String =
+    s"""$AlignCteSql
+         SELECT asset_id, modality, dot, n1, n2, align_cos, keep
+         FROM al ORDER BY asset_id"""
+
+  /** DuckDB replay of [[alignStats]] — integer moments per modality. */
+  private lazy val AlignStatsSql: String =
+    s"""$AlignCteSql
+         SELECT modality, count(*) AS n_pairs,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_keep,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS keep_frac,
+                CAST(sum(dot) AS BIGINT) AS dot_sum,
+                min(dot) AS dot_min, max(dot) AS dot_max,
+                CAST(sum(n1) AS BIGINT) AS n1_sum,
+                CAST(sum(n2) AS BIGINT) AS n2_sum
+         FROM al GROUP BY modality ORDER BY modality"""
 
   val oracleSql: Map[String, String] = Map(
     "q_mm_feature_ann" -> FeatureAnnSql,
     "q_mm_align" -> AlignSql,
+    "q_mm_align_stats" -> AlignStatsSql,
     "q_mm_phash" ->
       s"""WITH $AssetSqlCte,
          $PhashSqlCte
@@ -1970,7 +2074,7 @@ object MultimodalOps {
                  -- from the wire, minus header); uncovered slack bytes
                  -- are reported, not failed
                  stotal <= ('0x' || substr(phx,
-                   CASE WHEN vb THEN 449 ELSE 417 END + 8*nsmp, 8))::BIGINT - 8
+                   CASE WHEN vb THEN 497 ELSE 417 END + 8*nsmp, 8))::BIGINT - 8
                ELSE
                  CASE WHEN is_png THEN byte_len - $PngHeaderBytes
                       WHEN is_wav
@@ -1984,7 +2088,7 @@ object MultimodalOps {
                END AS size_ok,
              CASE WHEN is_mp4 THEN
                  ('0x' || substr(phx,
-                   CASE WHEN vb THEN 449 ELSE 417 END + 8*nsmp, 8))::BIGINT
+                   CASE WHEN vb THEN 497 ELSE 417 END + 8*nsmp, 8))::BIGINT
                    - 8 - stotal
                ELSE 0 END AS slack_bytes,
              modality = 'audio' AND duration_ms < $WinMs AS short_clip,
@@ -2060,7 +2164,7 @@ object MultimodalOps {
                            || substr(phx,83,2) || substr(phx,81,2))::BIGINT
                      WHEN is_mp4
                      THEN ('0x' || substr(phx,
-                            CASE WHEN vb THEN 449 ELSE 417 END + 8*nsmp,
+                            CASE WHEN vb THEN 497 ELSE 417 END + 8*nsmp,
                             8))::BIGINT - 8
                      WHEN is_jpeg THEN byte_len - $JpegHeaderBytes
                 END AS body_bytes,
@@ -2170,6 +2274,42 @@ object MultimodalOps {
                 least(u.i * $HopMs + $WinMs, duration_ms) AS end_ms
          FROM w, unnest(generate_series(0, n_windows - 1)) AS u(i)
          ORDER BY asset_id, win_idx""",
+    // keyframe snap: the same stride, snapped to the stss sync set —
+    // no stss (single-chunk arm) = all-sync = key_idx == sample_idx;
+    // stss {1, m = n/2+1} (two-chunk arm) = key 0 below sample m-1,
+    // key m-1 from there — key offsets via the variant's chunk formula
+    "q_mm_keyframes" ->
+      s"""WITH $AssetSqlCte,
+         v AS (
+           SELECT asset_id, nsmp, sza, szb, vb,
+                  CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
+                  ('0x' || substr(phx,
+                    CASE WHEN vb THEN 409 ELSE 385 END + 8*nsmp,
+                    8))::BIGINT AS chunk1_off,
+                  CASE WHEN vb THEN
+                    ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT
+                  END AS chunk2_off
+           FROM a WHERE modality = 'video'),
+         g AS (
+           SELECT asset_id, n_frames, CAST(u.i AS BIGINT) AS frame_idx,
+                  CAST((u.i * nsmp) // n_frames AS BIGINT) AS s,
+                  nsmp, sza, szb, vb, chunk1_off, chunk2_off
+           FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i)),
+         k AS (
+           SELECT *, CASE WHEN NOT vb THEN s
+                          WHEN s >= nsmp // 2 THEN nsmp // 2
+                          ELSE 0 END AS ky
+           FROM g)
+         SELECT asset_id, n_frames, frame_idx,
+                s AS sample_idx, ky AS key_idx,
+                CASE WHEN vb AND ky >= 2 THEN
+                  chunk2_off + (ky // 2) * (sza + szb) + (ky % 2) * sza
+                    - (sza + szb)
+                ELSE
+                  chunk1_off + (ky // 2) * (sza + szb) + (ky % 2) * sza
+                END AS key_offset,
+                s - ky AS back_samples
+         FROM k ORDER BY asset_id, frame_idx""",
     // fetch coalescing: replay the sample-table frame plan (wire-read
     // stco base + closed-form stsz prefix), then the same
     // lag/flag/running-sum range numbering and rollup

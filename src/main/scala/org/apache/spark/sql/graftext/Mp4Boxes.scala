@@ -42,11 +42,24 @@ object Mp4Boxes {
     * `offsets`/`timesTs`/`sizes` are indexed by sample; `tableBytes` is
     * the stsz sum (what the table claims the media data occupies) and
     * `mdatBytes` the actual mdat payload bytes — a validator compares
-    * the two. */
+    * the two. `syncs` holds the stss sync-sample numbers (1-BASED, per
+    * the wire format); EMPTY means the file carries no stss box, which
+    * the spec defines as "every sample is a sync sample". */
   final case class SampleTable(timescale: Long, durationTs: Long,
       mdatBytes: Long, tableBytes: Long,
-      sizes: Array[Long], offsets: Array[Long], timesTs: Array[Long]) {
+      sizes: Array[Long], offsets: Array[Long], timesTs: Array[Long],
+      syncs: Array[Long]) {
     def nSamples: Int = sizes.length
+    /** 0-based index of the latest sync sample at or before sample `s` —
+      * where a seek targeting `s` must START decoding (I-frame
+      * dependency). No stss ⇒ s itself; stss present ⇒ the largest
+      * entry ≤ s+1, minus 1 (entries are validated ascending ≥ 1). */
+    def syncBefore(s: Int): Int = {
+      if (syncs.length == 0) return s
+      var i = syncs.length - 1
+      while (i >= 0 && syncs(i) > s + 1) i -= 1
+      if (i < 0) 0 else (syncs(i) - 1).toInt
+    }
   }
 
   /** Hostile-count allocation cap: a lying `stsz`/`stts` count may not
@@ -66,6 +79,7 @@ object Mp4Boxes {
     var stscFirst: Array[Long] = null; var stscPer: Array[Long] = null
     var sizes: Array[Long] = null
     var chunks: Array[Long] = null
+    var syncs: Array[Long] = Array.emptyLongArray // no stss = all sync
     var mdatBytes = 0L
     var haveTrak = false // only the FIRST track's tables are taken
 
@@ -170,12 +184,28 @@ object Mp4Boxes {
       true
     }
 
+    def parseStss(ps: Long, pe: Long): Boolean = {
+      if (pe - ps < 8 || u32(ps) != 0L) return false
+      val cnt = u32(ps + 4)
+      if (cnt > (pe - ps - 8) / 4 || cnt > MaxSamples) return false
+      syncs = new Array[Long](cnt.toInt)
+      var i = 0
+      while (i < cnt) {
+        syncs(i) = u32(ps + 8 + 4L * i)
+        // sync sample numbers are 1-based and strictly ascending
+        if (syncs(i) < 1 || (i > 0 && syncs(i) <= syncs(i - 1))) return false
+        i += 1
+      }
+      true
+    }
+
     val inStbl: (String, Long, Long) => Boolean = {
       case ("stts", ps, pe) => parseStts(ps, pe)
       case ("stsc", ps, pe) => parseStsc(ps, pe)
       case ("stsz", ps, pe) => parseStsz(ps, pe)
       case ("stco", ps, pe) => parseStco(ps, pe, wide = false)
       case ("co64", ps, pe) => parseStco(ps, pe, wide = true)
+      case ("stss", ps, pe) => parseStss(ps, pe)
       case _ => true // stsd and friends: skipped by their own size
     }
     val inMinf: (String, Long, Long) => Boolean = {
@@ -249,7 +279,10 @@ object Mp4Boxes {
       chunkIx += 1
     }
 
+    // stss entries must reference existing samples
+    if (syncs.length > 0 && syncs(syncs.length - 1) > n) return None
+
     Some(SampleTable(timescale, durationTs, mdatBytes, tableBytes,
-      sizes, offsets, timesTs))
+      sizes, offsets, timesTs, syncs))
   }
 }

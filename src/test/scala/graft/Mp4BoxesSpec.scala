@@ -100,6 +100,37 @@ class Mp4BoxesSpec extends AnyFunSuite {
     assert(ut.offsets.toSeq == (0 until 5).map(i => probeLen - 150L + 30L * i))
   }
 
+  test("stss sync table: parsed, validated ascending/in-range, and syncBefore snaps correctly") {
+    // rebuild the uniform-stsz fixture WITH an stss {1, 4}: targets 0-2
+    // snap to sync sample 0, targets 3-4 to sync sample 3
+    val stts = box("stts", u32(0) ++ u32(1) ++ u32(5) ++ u32(10))
+    val stsc = box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(5) ++ u32(1))
+    val uniStsz = box("stsz", u32(0) ++ u32(30) ++ u32(5))
+    def mk(stss: Array[Byte], stcoOff: Long): Array[Byte] = {
+      val moov = box("moov", box("trak", box("mdia",
+        box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(50) ++ u32(0)) ++
+          box("minf", box("stbl", stts ++ stsc ++ uniStsz ++
+            box("stco", u32(0) ++ u32(1) ++ u32(stcoOff)) ++ stss)))))
+      ftyp ++ moov ++ box("mdat", new Array[Byte](150))
+    }
+    val good = box("stss", u32(0) ++ u32(2) ++ u32(1) ++ u32(4))
+    val base = mk(good, 0).length - 150L
+    val t = Mp4Boxes.parse(mk(good, base)).getOrElse(fail("stss file must parse"))
+    assert(t.syncs.toSeq == Seq(1L, 4L))
+    assert((0 until 5).map(t.syncBefore) == Seq(0, 0, 0, 3, 3))
+    // no stss at all: every sample is its own sync point (ISO default);
+    // the file is 24 B shorter, so its mdat starts earlier
+    val baseN = mk(Array.empty[Byte], 0).length - 150L
+    val none = Mp4Boxes.parse(mk(Array.empty[Byte], baseN))
+      .getOrElse(fail("no-stss file must parse"))
+    assert(none.syncs.isEmpty && (0 until 5).forall(s => none.syncBefore(s) == s))
+    // hostile stss: non-ascending entries, and an entry past the table
+    val desc = box("stss", u32(0) ++ u32(2) ++ u32(4) ++ u32(2))
+    assert(Mp4Boxes.parse(mk(desc, base)).isEmpty, "descending stss")
+    val past = box("stss", u32(0) ++ u32(2) ++ u32(1) ++ u32(9))
+    assert(Mp4Boxes.parse(mk(past, base)).isEmpty, "stss entry past n")
+  }
+
   test("hostile inputs quarantine: truncation, overrun, inconsistent tables, lying counts") {
     val (bytes, _, _) = golden()
     def mutated(f: Array[Byte] => Array[Byte]): Option[_] =

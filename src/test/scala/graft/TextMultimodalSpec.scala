@@ -308,11 +308,11 @@ class TextMultimodalSpec extends SparkTestBase {
     }
     def prefix(s: Long, g: G) = (s / 2) * (g.szA + g.szB) + (s % 2) * g.szA
     // the INDEPENDENT offset arithmetic: single-chunk files put sample s
-    // at mdatStart(216+4n) + P(s); two-chunk files start at 232+4n
-    // (bigger stsc/stco boxes) and add the 4 slack bytes once s leaves
-    // chunk 1 (samples 0-1)
+    // at mdatStart(216+4n) + P(s); two-chunk files start at 256+4n
+    // (bigger stsc/stco boxes + the 24-byte stss) and add the 4 slack
+    // bytes once s leaves chunk 1 (samples 0-1)
     def expOff(s: Long, g: G): Long =
-      if (g.twoChunk) 232 + 4 * g.n + prefix(s, g) + (if (s >= 2) 4 else 0)
+      if (g.twoChunk) 256 + 4 * g.n + prefix(s, g) + (if (s >= 2) 4 else 0)
       else 216 + 4 * g.n + prefix(s, g)
     val expected = Map(
       2L -> gens(2L, "x" * 100000, 100000L),
@@ -336,6 +336,26 @@ class TextMultimodalSpec extends SparkTestBase {
     }
     assert(frames.count(_._1 == 2L) == 16 && frames.count(_._1 == 5L) == 16)
     assert(frames.count(_._1 == 11L) == 3 && frames.count(_._1 == 17L) == 2)
+    // keyframe snap: single-chunk files carry no stss (all-sync → key ==
+    // sample, zero run-up); two-chunk files carry stss {1, n/2+1} → the
+    // target snaps back to sample 0 or n/2, and the fetch starts at THAT
+    // sample's byte position
+    val keys = graft.operators.MultimodalOps.keyframePlan(spark, dir).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("sample_idx"), r.getAs[Long]("key_idx"),
+        r.getAs[Long]("key_offset"), r.getAs[Long]("back_samples")))
+    assert(keys.length == frames.length)
+    keys.foreach { case (id, fi, s, k, koff, back) =>
+      val g = expected(id)
+      val expK = if (!g.twoChunk) s
+        else if (s >= g.n / 2) g.n / 2 else 0L
+      assert(k == expK, s"key snap $id/$fi: got $k want $expK")
+      assert(koff == expOff(k, g), s"key offset $id/$fi")
+      assert(back == s - k && back >= 0, s"run-up $id/$fi")
+    }
+    // the snap genuinely fires: doc 5's late frames must snap BACK
+    assert(keys.exists { case (id, _, s, k, _, _) => id == 5L && k < s },
+      "two-chunk stss must produce at least one non-trivial snap")
     val got = graft.operators.MultimodalOps.fetchPlan(spark, dir).collect()
       .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("range_id"),
         r.getAs[Long]("range_start"), r.getAs[Long]("range_end"),
@@ -377,12 +397,12 @@ class TextMultimodalSpec extends SparkTestBase {
     // one scan byte per MCU; WAV wraps the text (n_chars + header);
     // MP4 = 216 fixed box bytes + 4 per stsz entry + the alternating-
     // size sample total (szA/szB from the text digest)
-    // fixed box overhead: 216 single-chunk, 236 two-chunk (bigger
-    // stsc/stco boxes + the 4 slack bytes); two-chunk = id ≡ 5 (mod 6)
-    // with ≥ 3 samples
+    // fixed box overhead: 216 single-chunk, 260 two-chunk (bigger
+    // stsc/stco boxes, the 24-byte stss, the 4 slack bytes); two-chunk
+    // = id ≡ 5 (mod 6) with ≥ 3 samples
     val mp4Len = expr(
       """CASE WHEN asset_id % 6 = 5
-              AND (n_chars * 40) DIV 1000 + 1 >= 3 THEN 236 ELSE 216 END
+              AND (n_chars * 40) DIV 1000 + 1 >= 3 THEN 260 ELSE 216 END
          + 4 * ((n_chars * 40) DIV 1000 + 1)
          + (((n_chars * 40) DIV 1000 + 1) DIV 2)
            * ((20 + CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) % 60)
@@ -625,13 +645,13 @@ class TextMultimodalSpec extends SparkTestBase {
         // the parsed sample table mirrors the synthesis: one sample per
         // second (+1), mdhd duration = catalog duration, and the mdat
         // payload starts after the box framing (216+4n single-chunk,
-        // 232+4n two-chunk — the variant split at id ≡ 5 mod 6, n ≥ 3)
+        // 256+4n two-chunk — the variant split at id ≡ 5 mod 6, n ≥ 3)
         || col("n_samples") =!= expr("a.duration_ms DIV 1000 + 1")
         || col("media_ms") =!= col("a.duration_ms")
         || col("body_bytes") =!=
           length(col("a.payload")).cast("long") -
             (when(col("asset_id") % 6 === 5 && col("n_samples") >= 3,
-              lit(232L)).otherwise(lit(216L)) + lit(4L) * col("n_samples"))))
+              lit(256L)).otherwise(lit(216L)) + lit(4L) * col("n_samples"))))
       .count() == 0)
     // header + body = total payload bytes, header sized by PARSED format
     // (mp4 has no constant header — its size story is the box framing
