@@ -1384,11 +1384,20 @@ object MultimodalOps {
     * starts and a running sum numbers them: two window passes + one
     * groupBy, ALL partitioned by asset — no global shuffle beyond the
     * hash on asset_id. */
-  def fetchPlan(spark: SparkSession, dir: String): DataFrame = {
+  def fetchPlan(spark: SparkSession, dir: String): DataFrame =
+    fetchRanges(spark, dir)
+      .select(col("asset_id"), col("range_id"), col("range_start"),
+        col("range_end"), col("n_frames"), col("io_bytes"))
+      .orderBy("asset_id", "range_id")
+
+  /** The coalesced GET ranges (pre-contract-sort, keeping the per-range
+    * useful-byte sum) — shared by [[fetchPlan]] and [[fetchStats]]. */
+  private def fetchRanges(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byIdx = Window.partitionBy("asset_id").orderBy("frame_idx")
     val ranges = frameFrame(spark, dir)
       .select(col("asset_id"), col("frame_idx"), col("byte_offset"),
+        col("sample_bytes"),
         (col("byte_offset") + col("sample_bytes")).as("byte_end"))
       .withColumn("prev_end", lag(col("byte_end"), 1).over(byIdx))
       .withColumn("new_range",
@@ -1400,10 +1409,40 @@ object MultimodalOps {
     ranges.groupBy("asset_id", "range_id")
       .agg(min(col("byte_offset")).as("range_start"),
         max(col("byte_end")).as("range_end"),
-        count(lit(1)).as("n_frames"))
+        count(lit(1)).as("n_frames"),
+        // selected samples are distinct, so their extents are disjoint:
+        // the sum IS the covered bytes, no overlap correction needed
+        sum(col("sample_bytes")).as("useful_bytes"))
       .withColumn("io_bytes", col("range_end") - col("range_start"))
-      .orderBy("asset_id", "range_id")
   }
+
+  /** FETCH-PLAN ECONOMICS — the one-row bill the coalescing trade
+    * produces: how many ranged GETs the corpus costs, the bytes they
+    * move, how many of those bytes are the samples themselves vs
+    * coalescing gap waste, and the request rate per video. THE number
+    * an I/O planner tunes [[CoalesceGap]] against at 100 TB (requests
+    * bill down ⇄ wasted bytes up). All exact longs + two double
+    * divisions of exact longs; one map-side-partial global aggregate
+    * over the range frame. */
+  def fetchStats(spark: SparkSession, dir: String): DataFrame =
+    fetchRanges(spark, dir)
+      .agg(count_distinct(col("asset_id")).as("n_videos"),
+        count(lit(1)).as("n_requests"),
+        sum(col("n_frames")).as("n_frames"),
+        sum(col("io_bytes")).as("io_bytes"),
+        sum(col("useful_bytes")).as("useful_bytes"))
+      .select(col("n_videos"), col("n_requests"), col("n_frames"),
+        col("io_bytes"), col("useful_bytes"),
+        (col("io_bytes") - col("useful_bytes")).as("waste_bytes"),
+        // explicit zero-denominator guards: an empty corpus must emit
+        // null rates identically on both engines, not engine-specific
+        // divide-by-zero behavior
+        when(col("n_videos") > 0,
+          col("n_requests").cast("double") / col("n_videos"))
+          .as("requests_per_video"),
+        when(col("io_bytes") > 0,
+          col("useful_bytes").cast("double") / col("io_bytes"))
+          .as("io_efficiency"))
 
   /** ASSET VALIDATION REPORT — the QA pass a media pipeline runs between
     * ingest and decode, built entirely on the header PROBE: per modality,
@@ -1495,6 +1534,7 @@ object MultimodalOps {
     "q_mm_card" -> (assetCard _),
     "q_mm_windows" -> (windowPlan _),
     "q_mm_fetch_plan" -> (fetchPlan _),
+    "q_mm_fetch_stats" -> (fetchStats _),
   )
 
   /** The DuckDB image of the asset synthesis, GENERATED from the same
@@ -2367,6 +2407,69 @@ object MultimodalOps {
                 max(byte_end) - min(byte_offset) AS io_bytes
          FROM ri GROUP BY asset_id, range_id
          ORDER BY asset_id, range_id""",
+    // fetch economics: the same range chain rolled to ONE row — request
+    // count, bytes moved vs the samples' own bytes, gap waste, rates
+    "q_mm_fetch_stats" ->
+      s"""WITH $AssetSqlCte,
+         v AS (
+           SELECT asset_id, nsmp, sza, szb, vb,
+                  CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
+                  ('0x' || substr(phx,
+                    CASE WHEN vb THEN 409 ELSE 385 END + 8*nsmp,
+                    8))::BIGINT AS chunk1_off,
+                  CASE WHEN vb THEN
+                    ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT
+                  END AS chunk2_off
+           FROM a WHERE modality = 'video'),
+         g AS (
+           SELECT asset_id, CAST(u.i AS BIGINT) AS frame_idx,
+                  (u.i * nsmp) // n_frames AS s, sza, szb, vb,
+                  chunk1_off, chunk2_off
+           FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i)),
+         o0 AS (
+           SELECT asset_id, frame_idx,
+                  CASE WHEN vb AND s >= 2 THEN
+                    chunk2_off + (s // 2) * (sza + szb) + (s % 2) * sza
+                      - (sza + szb)
+                  ELSE
+                    chunk1_off + (s // 2) * (sza + szb) + (s % 2) * sza
+                  END AS byte_offset,
+                  CASE WHEN s % 2 = 0 THEN sza ELSE szb END AS ssz
+           FROM g),
+         r AS (
+           SELECT asset_id, frame_idx, byte_offset, ssz,
+                  byte_offset + ssz AS byte_end,
+                  lag(byte_offset + ssz) OVER (
+                    PARTITION BY asset_id ORDER BY frame_idx) AS prev_end
+           FROM o0),
+         ri AS (
+           SELECT *, CAST(sum(CASE WHEN prev_end IS NULL
+                          OR byte_offset > prev_end + $CoalesceGap
+                          THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY asset_id ORDER BY frame_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - 1 AS range_id
+           FROM r),
+         rr AS (
+           SELECT asset_id, range_id,
+                  max(byte_end) - min(byte_offset) AS io_bytes,
+                  count(*) AS nf,
+                  CAST(sum(ssz) AS BIGINT) AS useful_bytes
+           FROM ri GROUP BY asset_id, range_id)
+         SELECT CAST(count(DISTINCT asset_id) AS BIGINT) AS n_videos,
+                count(*) AS n_requests,
+                CAST(sum(nf) AS BIGINT) AS n_frames,
+                CAST(sum(io_bytes) AS BIGINT) AS io_bytes,
+                CAST(sum(useful_bytes) AS BIGINT) AS useful_bytes,
+                CAST(sum(io_bytes) - sum(useful_bytes) AS BIGINT)
+                  AS waste_bytes,
+                CASE WHEN count(DISTINCT asset_id) > 0 THEN
+                  CAST(count(*) AS DOUBLE) / count(DISTINCT asset_id)
+                END AS requests_per_video,
+                CASE WHEN sum(io_bytes) > 0 THEN
+                  CAST(sum(useful_bytes) AS DOUBLE) / sum(io_bytes)
+                END AS io_efficiency
+         FROM rr""",
     "q_mm_meta" ->
       s"""WITH $AssetSqlCte
          SELECT asset_id, modality, byte_len, width, height,
