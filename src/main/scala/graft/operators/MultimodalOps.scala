@@ -1320,10 +1320,13 @@ object MultimodalOps {
       .orderBy("asset_id", "win_idx")
 
   /** One keyframe-snapped seek: `sample_idx` is the uniform target,
-    * `key_idx` the latest stss sync sample at or before it (where the
-    * decoder must START — an inter-frame can't decode without its
-    * preceding I-frame), `key_offset` that sync sample's exact byte
-    * position, `back_samples` the decode run-up the snap costs. */
+    * `key_idx` the stss sync sample the decoder must START at (the
+    * latest sync at or before the target — an inter-frame can't decode
+    * without its preceding I-frame — or the FIRST sync when the target
+    * precedes every keyframe: players substitute the earliest decodable
+    * frame), `key_offset` that sync sample's exact byte position,
+    * `back_samples` the decode run-up the snap costs (NEGATIVE when the
+    * first keyframe substituted a too-early target). */
   case class KeyframeRow(asset_id: Long, n_frames: Long, frame_idx: Long,
       sample_idx: Long, key_idx: Long, key_offset: Long, back_samples: Long)
 
@@ -1333,11 +1336,14 @@ object MultimodalOps {
         case Some(t) if t.nSamples > 0 && t.timescale > 0 =>
           val n = t.nSamples
           val nf = math.min(MaxFrames, n.toLong)
-          (0L until nf).iterator.map { i =>
+          (0L until nf).iterator.flatMap { i =>
             val s = ((i * n) / nf).toInt
             val k = t.syncBefore(s)
-            KeyframeRow(a.asset_id, nf, i, s.toLong, k.toLong,
-              t.offsets(k), (s - k).toLong)
+            // k < 0 = a PRESENT-but-empty stss: the file declares no
+            // sample decodable — quarantine the seek, never fabricate
+            if (k < 0) None
+            else Some(KeyframeRow(a.asset_id, nf, i, s.toLong, k.toLong,
+              t.offsets(k), (s - k).toLong))
           }
         case _ => Iterator.empty
       }
@@ -1492,9 +1498,12 @@ object MultimodalOps {
             col("p.table_bytes") <= col("p.body_bytes"))
           .otherwise(col("p.body_bytes") + element_at(hdrLen, col("p.format"))
             === col("byte_len")).as("size_ok"),
+        // clamped at 0: a LYING table (claiming more media than mdat
+        // holds) already fails size_ok — its negative difference must
+        // not cancel healthy files' real slack in the modality total
         when(col("p.format") === "mp4",
-          col("p.body_bytes") - col("p.table_bytes")).otherwise(0L)
-          .as("slack_bytes"),
+          greatest(lit(0L), col("p.body_bytes") - col("p.table_bytes")))
+          .otherwise(0L).as("slack_bytes"),
         (col("modality") === "audio" && col("duration_ms") < WinMs)
           .as("short_clip"),
         (col("modality") === "video" &&
@@ -1936,6 +1945,47 @@ object MultimodalOps {
                 CAST(sum(n2) AS BIGINT) AS n2_sum
          FROM al GROUP BY modality ORDER BY modality"""
 
+  /** Shared wire-read video CTE chain (`v` → `g`) for the four video
+    * seek/fetch oracles — ONE definition of the variant flag, the
+    * wire-read stts delta / stsz count / chunk bases, and the uniform
+    * frame stride, so a layout change can never half-apply across
+    * q_mm_frames / q_mm_keyframes / q_mm_fetch_plan / q_mm_fetch_stats
+    * (the AlignCteSql discipline). Ends with g(asset_id, n_frames,
+    * frame_idx, s, nsmp, sza, szb, vb, delta_w, nsmp_w, chunk1_off,
+    * chunk2_off). */
+  private lazy val VideoFrameCteSql: String =
+    s"""v AS (
+           SELECT asset_id, nsmp, sza, szb, vb,
+                  CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
+                  ('0x' || substr(phx, 249, 8))::BIGINT AS delta_w,
+                  ('0x' || substr(phx,
+                    CASE WHEN vb THEN 369 ELSE 345 END, 8))::BIGINT AS nsmp_w,
+                  ('0x' || substr(phx,
+                    CASE WHEN vb THEN 409 ELSE 385 END + 8*nsmp,
+                    8))::BIGINT AS chunk1_off,
+                  CASE WHEN vb THEN
+                    ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT
+                  END AS chunk2_off
+           FROM a WHERE modality = 'video'),
+         g AS (
+           SELECT asset_id, n_frames, CAST(u.i AS BIGINT) AS frame_idx,
+                  CAST((u.i * nsmp) // n_frames AS BIGINT) AS s,
+                  nsmp, sza, szb, vb, delta_w, nsmp_w,
+                  chunk1_off, chunk2_off
+           FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i))"""
+
+  /** The absolute byte offset of the sample indexed by `sExpr`, over
+    * `g`'s columns: chunk 1 below sample 2; chunk 2 (wire-read base +
+    * the alternating prefix MINUS chunk 1's two sizes) from there. */
+  private def videoOffsetSql(sExpr: String): String =
+    s"""CASE WHEN vb AND ($sExpr) >= 2 THEN
+                  chunk2_off + (($sExpr) // 2) * (sza + szb)
+                    + (($sExpr) % 2) * sza - (sza + szb)
+                ELSE
+                  chunk1_off + (($sExpr) // 2) * (sza + szb)
+                    + (($sExpr) % 2) * sza
+                END"""
+
   val oracleSql: Map[String, String] = Map(
     "q_mm_feature_ann" -> FeatureAnnSql,
     "q_mm_align" -> AlignSql,
@@ -2127,9 +2177,9 @@ object MultimodalOps {
                    = byte_len
                END AS size_ok,
              CASE WHEN is_mp4 THEN
-                 ('0x' || substr(phx,
+                 greatest(0, ('0x' || substr(phx,
                    CASE WHEN vb THEN 497 ELSE 417 END + 8*nsmp, 8))::BIGINT
-                   - 8 - stotal
+                   - 8 - stotal)
                ELSE 0 END AS slack_bytes,
              modality = 'audio' AND duration_ms < $WinMs AS short_clip,
              -- CASE, not AND: the stsz-count slice only exists in video
@@ -2225,37 +2275,11 @@ object MultimodalOps {
     // independent of the walker's entry-by-entry accumulation
     "q_mm_frames" ->
       s"""WITH $AssetSqlCte,
-         v AS (
-           SELECT asset_id, nsmp, sza, szb, vb,
-                  CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
-                  ('0x' || substr(phx, 249, 8))::BIGINT AS delta_w,
-                  ('0x' || substr(phx,
-                    CASE WHEN vb THEN 409 ELSE 385 END + 8*nsmp,
-                    8))::BIGINT AS chunk1_off,
-                  CASE WHEN vb THEN
-                    ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT
-                  END AS chunk2_off,
-                  ('0x' || substr(phx,
-                    CASE WHEN vb THEN 369 ELSE 345 END, 8))::BIGINT AS nsmp_w
-           FROM a WHERE modality = 'video'),
-         g AS (
-           SELECT asset_id, CAST(nsmp_w AS BIGINT) AS n_samples, n_frames,
-                  CAST(u.i AS BIGINT) AS frame_idx,
-                  CAST((u.i * nsmp) // n_frames AS BIGINT) AS s,
-                  sza, szb, vb, delta_w, chunk1_off, chunk2_off
-           FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i))
-         SELECT asset_id, n_samples, n_frames, frame_idx,
-                s AS sample_idx,
+         $VideoFrameCteSql
+         SELECT asset_id, CAST(nsmp_w AS BIGINT) AS n_samples, n_frames,
+                frame_idx, s AS sample_idx,
                 s * delta_w AS t_ms,
-                -- two-chunk files: samples 0-1 at chunk 1, the rest at
-                -- chunk 2 (wire-read base) + the prefix MINUS chunk 1's
-                -- two sizes; single-chunk: one base + the full prefix
-                CASE WHEN vb AND s >= 2 THEN
-                  chunk2_off + (s // 2) * (sza + szb) + (s % 2) * sza
-                    - (sza + szb)
-                ELSE
-                  chunk1_off + (s // 2) * (sza + szb) + (s % 2) * sza
-                END AS byte_offset,
+                ${videoOffsetSql("s")} AS byte_offset,
                 CAST(CASE WHEN s % 2 = 0 THEN sza ELSE szb END AS BIGINT)
                   AS sample_bytes
          FROM g ORDER BY asset_id, frame_idx""",
@@ -2320,21 +2344,7 @@ object MultimodalOps {
     // key m-1 from there — key offsets via the variant's chunk formula
     "q_mm_keyframes" ->
       s"""WITH $AssetSqlCte,
-         v AS (
-           SELECT asset_id, nsmp, sza, szb, vb,
-                  CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
-                  ('0x' || substr(phx,
-                    CASE WHEN vb THEN 409 ELSE 385 END + 8*nsmp,
-                    8))::BIGINT AS chunk1_off,
-                  CASE WHEN vb THEN
-                    ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT
-                  END AS chunk2_off
-           FROM a WHERE modality = 'video'),
-         g AS (
-           SELECT asset_id, n_frames, CAST(u.i AS BIGINT) AS frame_idx,
-                  CAST((u.i * nsmp) // n_frames AS BIGINT) AS s,
-                  nsmp, sza, szb, vb, chunk1_off, chunk2_off
-           FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i)),
+         $VideoFrameCteSql,
          k AS (
            SELECT *, CASE WHEN NOT vb THEN s
                           WHEN s >= nsmp // 2 THEN nsmp // 2
@@ -2342,12 +2352,7 @@ object MultimodalOps {
            FROM g)
          SELECT asset_id, n_frames, frame_idx,
                 s AS sample_idx, ky AS key_idx,
-                CASE WHEN vb AND ky >= 2 THEN
-                  chunk2_off + (ky // 2) * (sza + szb) + (ky % 2) * sza
-                    - (sza + szb)
-                ELSE
-                  chunk1_off + (ky // 2) * (sza + szb) + (ky % 2) * sza
-                END AS key_offset,
+                ${videoOffsetSql("ky")} AS key_offset,
                 s - ky AS back_samples
          FROM k ORDER BY asset_id, frame_idx""",
     // fetch coalescing: replay the sample-table frame plan (wire-read
@@ -2355,29 +2360,10 @@ object MultimodalOps {
     // lag/flag/running-sum range numbering and rollup
     "q_mm_fetch_plan" ->
       s"""WITH $AssetSqlCte,
-         v AS (
-           SELECT asset_id, nsmp, sza, szb, vb,
-                  CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
-                  ('0x' || substr(phx,
-                    CASE WHEN vb THEN 409 ELSE 385 END + 8*nsmp,
-                    8))::BIGINT AS chunk1_off,
-                  CASE WHEN vb THEN
-                    ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT
-                  END AS chunk2_off
-           FROM a WHERE modality = 'video'),
-         g AS (
-           SELECT asset_id, CAST(u.i AS BIGINT) AS frame_idx,
-                  (u.i * nsmp) // n_frames AS s, sza, szb, vb,
-                  chunk1_off, chunk2_off
-           FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i)),
+         $VideoFrameCteSql,
          o0 AS (
            SELECT asset_id, frame_idx,
-                  CASE WHEN vb AND s >= 2 THEN
-                    chunk2_off + (s // 2) * (sza + szb) + (s % 2) * sza
-                      - (sza + szb)
-                  ELSE
-                    chunk1_off + (s // 2) * (sza + szb) + (s % 2) * sza
-                  END AS byte_offset,
+                  ${videoOffsetSql("s")} AS byte_offset,
                   CASE WHEN s % 2 = 0 THEN sza ELSE szb END AS ssz
            FROM g),
          o AS (
@@ -2411,29 +2397,10 @@ object MultimodalOps {
     // count, bytes moved vs the samples' own bytes, gap waste, rates
     "q_mm_fetch_stats" ->
       s"""WITH $AssetSqlCte,
-         v AS (
-           SELECT asset_id, nsmp, sza, szb, vb,
-                  CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
-                  ('0x' || substr(phx,
-                    CASE WHEN vb THEN 409 ELSE 385 END + 8*nsmp,
-                    8))::BIGINT AS chunk1_off,
-                  CASE WHEN vb THEN
-                    ('0x' || substr(phx, 417 + 8*nsmp, 8))::BIGINT
-                  END AS chunk2_off
-           FROM a WHERE modality = 'video'),
-         g AS (
-           SELECT asset_id, CAST(u.i AS BIGINT) AS frame_idx,
-                  (u.i * nsmp) // n_frames AS s, sza, szb, vb,
-                  chunk1_off, chunk2_off
-           FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i)),
+         $VideoFrameCteSql,
          o0 AS (
            SELECT asset_id, frame_idx,
-                  CASE WHEN vb AND s >= 2 THEN
-                    chunk2_off + (s // 2) * (sza + szb) + (s % 2) * sza
-                      - (sza + szb)
-                  ELSE
-                    chunk1_off + (s // 2) * (sza + szb) + (s % 2) * sza
-                  END AS byte_offset,
+                  ${videoOffsetSql("s")} AS byte_offset,
                   CASE WHEN s % 2 = 0 THEN sza ELSE szb END AS ssz
            FROM g),
          r AS (

@@ -43,22 +43,28 @@ object Mp4Boxes {
     * the stsz sum (what the table claims the media data occupies) and
     * `mdatBytes` the actual mdat payload bytes — a validator compares
     * the two. `syncs` holds the stss sync-sample numbers (1-BASED, per
-    * the wire format); EMPTY means the file carries no stss box, which
-    * the spec defines as "every sample is a sync sample". */
+    * the wire format); NULL means the file carries no stss box, which
+    * the spec defines as "every sample is a sync sample" — distinct
+    * from a PRESENT-but-empty stss, which declares that NO sample is a
+    * sync sample (the inverse!). */
   final case class SampleTable(timescale: Long, durationTs: Long,
       mdatBytes: Long, tableBytes: Long,
       sizes: Array[Long], offsets: Array[Long], timesTs: Array[Long],
       syncs: Array[Long]) {
     def nSamples: Int = sizes.length
-    /** 0-based index of the latest sync sample at or before sample `s` —
-      * where a seek targeting `s` must START decoding (I-frame
-      * dependency). No stss ⇒ s itself; stss present ⇒ the largest
-      * entry ≤ s+1, minus 1 (entries are validated ascending ≥ 1). */
+    /** 0-based index of the sync sample a seek targeting sample `s`
+      * must START decoding at (I-frame dependency): the LATEST sync at
+      * or before `s`, or — when `s` precedes the first keyframe — the
+      * FIRST sync sample (the earliest decodable content; real players
+      * substitute it, they don't decode garbage from sample 0). No stss
+      * ⇒ s itself; present-but-EMPTY stss ⇒ -1 (nothing is decodable —
+      * callers must quarantine, not fabricate a start). */
     def syncBefore(s: Int): Int = {
-      if (syncs.length == 0) return s
+      if (syncs == null) return s
+      if (syncs.length == 0) return -1
       var i = syncs.length - 1
       while (i >= 0 && syncs(i) > s + 1) i -= 1
-      if (i < 0) 0 else (syncs(i) - 1).toInt
+      if (i < 0) (syncs(0) - 1).toInt else (syncs(i) - 1).toInt
     }
   }
 
@@ -79,7 +85,7 @@ object Mp4Boxes {
     var stscFirst: Array[Long] = null; var stscPer: Array[Long] = null
     var sizes: Array[Long] = null
     var chunks: Array[Long] = null
-    var syncs: Array[Long] = Array.emptyLongArray // no stss = all sync
+    var syncs: Array[Long] = null // null = no stss box = all-sync
     var mdatBytes = 0L
     var haveTrak = false // only the FIRST track's tables are taken
 
@@ -280,7 +286,8 @@ object Mp4Boxes {
     }
 
     // stss entries must reference existing samples
-    if (syncs.length > 0 && syncs(syncs.length - 1) > n) return None
+    if (syncs != null && syncs.length > 0 && syncs(syncs.length - 1) > n)
+      return None
 
     Some(SampleTable(timescale, durationTs, mdatBytes, tableBytes,
       sizes, offsets, timesTs, syncs))

@@ -123,7 +123,22 @@ class Mp4BoxesSpec extends AnyFunSuite {
     val baseN = mk(Array.empty[Byte], 0).length - 150L
     val none = Mp4Boxes.parse(mk(Array.empty[Byte], baseN))
       .getOrElse(fail("no-stss file must parse"))
-    assert(none.syncs.isEmpty && (0 until 5).forall(s => none.syncBefore(s) == s))
+    assert(none.syncs == null && (0 until 5).forall(s => none.syncBefore(s) == s))
+    // a first keyframe PAST the early targets: stss={3} means samples
+    // 0-1 precede every sync point — the seek must snap FORWARD to the
+    // first decodable sample (players substitute it), never fabricate a
+    // start at non-keyframe sample 0
+    val late = box("stss", u32(0) ++ u32(1) ++ u32(3))
+    val baseL = mk(late, 0).length - 150L // 20 B box: mdat starts earlier
+    val lt = Mp4Boxes.parse(mk(late, baseL)).getOrElse(fail("stss={3} must parse"))
+    assert((0 until 5).map(lt.syncBefore) == Seq(2, 2, 2, 2, 2))
+    // a PRESENT-but-empty stss declares NO sample is a sync sample (the
+    // inverse of an absent box): syncBefore must say "nothing decodable"
+    val empty = box("stss", u32(0) ++ u32(0))
+    val baseE = mk(empty, 0).length - 150L
+    val et2 = Mp4Boxes.parse(mk(empty, baseE)).getOrElse(fail("empty stss must parse"))
+    assert((0 until 5).forall(s => et2.syncBefore(s) == -1),
+      "present-but-empty stss = no sync samples, not all-sync")
     // hostile stss: non-ascending entries, and an entry past the table
     val desc = box("stss", u32(0) ++ u32(2) ++ u32(4) ++ u32(2))
     assert(Mp4Boxes.parse(mk(desc, base)).isEmpty, "descending stss")

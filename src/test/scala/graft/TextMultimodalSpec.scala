@@ -592,22 +592,27 @@ class TextMultimodalSpec extends SparkTestBase {
 
   test("asset validation: synthesized corpus is all-consistent; budget flags fire on planted cases") {
     // audio doc 1: 5 chars → 200 ms < one 400 ms window → short_clip;
-    // video doc 2: 500 chars → 20,000 ms → 21 > 16 frames → over_cap;
+    // video doc 2 (single-chunk): 500 chars → 21 samples > 16 → over_cap,
+    //   zero slack; video doc 5 (≡5 mod 6, 1000 chars → 41 samples →
+    //   TWO-chunk): over_cap too, and exactly the 4 inter-chunk slack
+    //   bytes its tables don't cover → n_slack_bytes = 4;
     // image doc 3 and the rest: fully consistent, no flags
     val dir = documentsFixture(Seq(
       (1L, "abcde", "en", "src0"),
       (2L, "v" * 500, "en", "src0"),
       (3L, "some image body", "en", "src0"),
-      (4L, "a" * 20, "en", "src0")))   // audio, 800 ms: no flag
+      (4L, "a" * 20, "en", "src0"),    // audio, 800 ms: no flag
+      (5L, "w" * 1000, "en", "src0"))) // two-chunk video
     val got = MultimodalOps.assetValidate(spark, dir).collect()
       .map(r => r.getAs[String]("modality") ->
         ((r.getAs[Long]("n_assets"), r.getAs[Long]("n_format_ok"),
           r.getAs[Long]("n_fields_ok"), r.getAs[Long]("n_size_ok"),
+          r.getAs[Long]("n_slack_bytes"),
           r.getAs[Long]("n_short_clips"), r.getAs[Long]("n_over_cap"))))
       .toMap
-    assert(got("audio") == ((2L, 2L, 2L, 2L, 1L, 0L)), got("audio"))
-    assert(got("video") == ((1L, 1L, 1L, 1L, 0L, 1L)), got("video"))
-    assert(got("image") == ((1L, 1L, 1L, 1L, 0L, 0L)), got("image"))
+    assert(got("audio") == ((2L, 2L, 2L, 2L, 0L, 1L, 0L)), got("audio"))
+    assert(got("video") == ((2L, 2L, 2L, 2L, 4L, 0L, 2L)), got("video"))
+    assert(got("image") == ((1L, 1L, 1L, 1L, 0L, 0L, 0L)), got("image"))
   }
 
   test("header probe: malformed/truncated/foreign bytes quarantine as all-null, never throw") {
