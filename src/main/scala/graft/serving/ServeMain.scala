@@ -140,10 +140,16 @@ object ServeMain {
 
   private def scanRange(spark: SparkSession, dir: String): Option[(String, String)] = {
     import org.apache.spark.sql.functions.{col, max, min, to_date}
+    // cast to STRING in-query: the caller wants ISO strings anyway, and
+    // decoding a DateType row needs JDK17's sun.util.calendar add-opens
+    // — a daemon launched with an incomplete flag set would die with a
+    // cryptic EXPRESSION_DECODING_FAILED here (observed live); string
+    // rows decode everywhere
     val r = graft.Tables.events(spark, dir)
-      .agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+      .agg(min(to_date(col("ts"))).cast("string"),
+        max(to_date(col("ts"))).cast("string")).head()
     if (r.isNullAt(0)) None
-    else Some((r.get(0).toString, r.get(1).toString))
+    else Some((r.getString(0), r.getString(1)))
   }
 
   private def dtRange(spark: SparkSession, dir: String): Option[(String, String)] =
