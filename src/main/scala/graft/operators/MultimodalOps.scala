@@ -831,6 +831,33 @@ object MultimodalOps {
       .mapPartitions(energyBatch).toDF()
   }
 
+  /** SILENCE-TRIM PLAN — the VAD-style preprocessing decision every
+    * audio pipeline makes before spending encoder compute: per asset,
+    * the first and last NON-silent energy windows (peak ≥ [[SilenceAbs]]
+    * over the DECODED samples), how many leading/trailing windows a trim
+    * would drop, and whether anything audible remains at all (`keep` —
+    * an all-silent clip is cut, not padded). Window-grain integers off
+    * the shared energy frame: one asset-keyed aggregation, sample bytes
+    * never shuffle. */
+  def trimPlan(spark: SparkSession, dir: String): DataFrame =
+    energyFrame(spark, dir)
+      .withColumn("loud", col("max_abs") >= SilenceAbs)
+      .groupBy("asset_id")
+      .agg(max(col("n_windows")).as("n_windows"),
+        min(when(col("loud"), col("win_idx"))).as("first_loud"),
+        max(when(col("loud"), col("win_idx"))).as("last_loud"),
+        sum(when(col("loud"), 1L).otherwise(0L)).as("n_loud"))
+      .select(col("asset_id"), col("n_windows"),
+        col("first_loud"), col("last_loud"), col("n_loud"),
+        // windows a trim drops: everything before the first loud one and
+        // after the last; an all-silent clip trims everything and drops
+        coalesce(col("first_loud"), col("n_windows")).as("trim_lead"),
+        when(col("last_loud").isNotNull,
+          col("n_windows") - 1 - col("last_loud")).otherwise(0L)
+          .as("trim_tail"),
+        col("first_loud").isNotNull.as("keep"))
+      .orderBy("asset_id")
+
   /** Bits of the audio fingerprint (windows beyond this don't vote). */
   val AudioFpBits = 32L
 
@@ -1529,6 +1556,7 @@ object MultimodalOps {
     "q_mm_feature_ann" -> (featureAnn _),
     "q_mm_energy" -> (audioEnergy _),
     "q_mm_audio_fp" -> (audioFingerprint _),
+    "q_mm_trim" -> (trimPlan _),
     "q_snap_decode" -> (snapshotDecode _),
     "q_mm_phash" -> (imageHashes _),
     "q_mm_phash_dedup" -> (phashDedup _),
@@ -2042,6 +2070,28 @@ object MultimodalOps {
                 d.modality, d.format, d.n_units, d.u_sum
          FROM nw JOIN dstats d ON d.asset_id = nw.asset_id
          ORDER BY nw.asset_id""",
+    // silence-trim plan: the same per-window energies, min/max over the
+    // loud windows, lead/tail trim arithmetic
+    "q_mm_trim" ->
+      s"""WITH $AssetSqlCte,
+         $EnergySqlCte,
+         l AS (
+           SELECT asset_id, n_windows, win_idx,
+                  max_abs >= $SilenceAbs AS loud
+           FROM j),
+         t AS (
+           SELECT asset_id, max(n_windows) AS n_windows,
+                  min(CASE WHEN loud THEN win_idx END) AS first_loud,
+                  max(CASE WHEN loud THEN win_idx END) AS last_loud,
+                  CAST(sum(CASE WHEN loud THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_loud
+           FROM l GROUP BY asset_id)
+         SELECT asset_id, n_windows, first_loud, last_loud, n_loud,
+                coalesce(first_loud, n_windows) AS trim_lead,
+                CASE WHEN last_loud IS NOT NULL
+                     THEN n_windows - 1 - last_loud ELSE 0 END AS trim_tail,
+                first_loud IS NOT NULL AS keep
+         FROM t ORDER BY asset_id""",
     // energy-delta fingerprint: the same window energies, one lead()
     // per asset, LSB-first bit packing over the first AudioFpBits
     "q_mm_audio_fp" ->
