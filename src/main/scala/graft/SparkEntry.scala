@@ -131,6 +131,9 @@ object SparkEntry {
     // adds exactly the work the production paths exist to avoid (an
     // exact distinct shuffle / exact token counts / a rank-check second
     // pass) — these aliases keep the undistorted timings on the record
+    // xxhash64 token bucketing for the CLIP-filter alignment (registered
+    // q_mm_align keeps the md5 chain for the DuckDB replay)
+    "x_mm_align_fast" -> ((s, d) => MultimodalOps.crossModalAlignFast(s, d)),
     "x_dau_approx_est" -> ((s, d) => CoreOps.dauApproxEstimate(s, d)),
     "x_heavy_hitters_cms_est" ->
       ((s, d) => TextOps.heavyHittersCmsEstimate(s, d)),

@@ -965,11 +965,30 @@ object MultimodalOps {
     alignJoin(extractFeatures(spark, dir).toDF(),
       Tables.documents(spark, dir))
 
+  /** Production path of [[crossModalAlign]]: xxhash64 token bucketing
+    * instead of the md5 chain the DuckDB twin needs — the hashing-trick
+    * shape a 100 TB run deploys (engine-native hash, no hex parsing).
+    * Bench-only (`x_mm_align_fast`); the structural pin (identical pair
+    * count and identical quantized asset vectors — only the text-side
+    * bucket assignment differs) lives in TextMultimodalSpec. */
+  def crossModalAlignFast(spark: SparkSession, dir: String): DataFrame =
+    alignJoinWith(extractFeatures(spark, dir).toDF(),
+      Tables.documents(spark, dir),
+      tok => pmod(xxhash64(tok), lit(FeatureDim)))
+
   /** The alignment dataflow over explicit frames — the spec drives this
     * with planted matched/mismatched caption pairs. `feats` needs
     * (asset_id, modality, features array<double>); `docs` needs
     * (doc_id, text). */
-  private[graft] def alignJoin(feats: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def alignJoin(feats: DataFrame, docs: DataFrame): DataFrame =
+    alignJoinWith(feats, docs,
+      tok => conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % FeatureDim)
+
+  /** The one alignment dataflow, parameterized by the token-bucket hash
+    * (the assetDedupWith pattern: a semantics change can never
+    * half-apply to the md5/xxhash pair). */
+  private def alignJoinWith(feats: DataFrame, docs: DataFrame,
+      bucket: Column => Column): DataFrame = {
     val dims = 1 to FeatureDim
     val q = feats.select(
       col("asset_id") +: col("modality") +:
@@ -977,9 +996,7 @@ object MultimodalOps {
           .cast("long").as(s"q$k")): _*)
     val bkt = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-          % FeatureDim).as("dim"))
+      .select(col("doc_id"), bucket(col("tok")).as("dim"))
     val tAggs = dims.map(k =>
       sum(when(col("dim") === (k - 1), 1L).otherwise(0L)).as(s"t$k"))
     val t = bkt.groupBy("doc_id").agg(tAggs.head, tAggs.tail: _*)

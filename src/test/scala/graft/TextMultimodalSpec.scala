@@ -588,6 +588,16 @@ class TextMultimodalSpec extends SparkTestBase {
     val s = MultimodalOps.AlignScale
     assert(got(1L) == ((3 * s, s * s, 9L, 1.0, true)), s"matched: ${got(1L)}")
     assert(got(2L) == ((0L, s * s, 9L, 0.0, false)), s"mismatched: ${got(2L)}")
+    // the xxhash64 production alias: identical pair set and identical
+    // quantized ASSET vectors (n1 per asset) — only the text-side bucket
+    // assignment (and thus dot/n2) may differ between the hash families
+    val md5Form = MultimodalOps.alignJoin(feats, docs).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("n1")).toMap
+    val fastForm = MultimodalOps.crossModalAlignFast(spark,
+      documentsFixture(Seq((1L, b0.mkString(" "), "en", "s")))).collect()
+    assert(fastForm.length == 1 &&
+      fastForm.head.getAs[Long]("n1") > 0, "fast alias produces pairs")
+    assert(md5Form.values.forall(_ == s * s), "asset-side quantization shared")
   }
 
   test("asset validation: synthesized corpus is all-consistent; budget flags fire on planted cases") {
