@@ -125,15 +125,16 @@ object SparkEntry {
     // xxhash64 binary-asset dedup (registered q_mm_dedup keeps md5 for
     // the DuckDB replay); group structure spec-pinned identical
     "x_mm_dedup_fast" -> ((s, d) => MultimodalOps.assetDedupFast(s, d)),
+    // xxhash64 token bucketing for the CLIP-filter alignment (registered
+    // q_mm_align keeps the md5 chain for the DuckDB replay); pair-set +
+    // asset-side quantization spec-pinned identical across the hash pair
+    "x_mm_align_fast" -> ((s, d) => MultimodalOps.crossModalAlignFast(s, d)),
     // estimate-only sketch projections — the shapes a 100 TB run deploys.
     // Since r15 the REGISTERED q_ forms fold exact-answer verification
     // into their output (so the hash gate covers the sketches), which
     // adds exactly the work the production paths exist to avoid (an
     // exact distinct shuffle / exact token counts / a rank-check second
     // pass) — these aliases keep the undistorted timings on the record
-    // xxhash64 token bucketing for the CLIP-filter alignment (registered
-    // q_mm_align keeps the md5 chain for the DuckDB replay)
-    "x_mm_align_fast" -> ((s, d) => MultimodalOps.crossModalAlignFast(s, d)),
     "x_dau_approx_est" -> ((s, d) => CoreOps.dauApproxEstimate(s, d)),
     "x_heavy_hitters_cms_est" ->
       ((s, d) => TextOps.heavyHittersCmsEstimate(s, d)),

@@ -588,16 +588,31 @@ class TextMultimodalSpec extends SparkTestBase {
     val s = MultimodalOps.AlignScale
     assert(got(1L) == ((3 * s, s * s, 9L, 1.0, true)), s"matched: ${got(1L)}")
     assert(got(2L) == ((0L, s * s, 9L, 0.0, false)), s"mismatched: ${got(2L)}")
-    // the xxhash64 production alias: identical pair set and identical
-    // quantized ASSET vectors (n1 per asset) — only the text-side bucket
-    // assignment (and thus dot/n2) may differ between the hash families
-    val md5Form = MultimodalOps.alignJoin(feats, docs).collect()
-      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("n1")).toMap
-    val fastForm = MultimodalOps.crossModalAlignFast(spark,
-      documentsFixture(Seq((1L, b0.mkString(" "), "en", "s")))).collect()
-    assert(fastForm.length == 1 &&
-      fastForm.head.getAs[Long]("n1") > 0, "fast alias produces pairs")
-    assert(md5Form.values.forall(_ == s * s), "asset-side quantization shared")
+    // the xxhash64 production alias, pinned against the registered md5
+    // form ON THE SAME CORPUS: identical pair set, identical modalities,
+    // identical quantized ASSET vectors (n1 per asset — the decode side
+    // is hash-independent), and the text-side mass conservation Σtk =
+    // n_tokens means n2 > 0 whenever the doc has tokens, whichever hash
+    // buckets them. Only dot/n2's bucket distribution may differ.
+    val corpus = documentsFixture(Seq(
+      (2L, b0.mkString(" "), "en", "s"),   // video + caption
+      (6L, "an image caption with words", "en", "s"), // png + caption
+      (7L, "an audio transcript here", "en", "s")))   // wav + caption
+    def byId(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[String]("modality"), r.getAs[Long]("n1"),
+          r.getAs[Long]("n2"))))
+      .toMap
+    val md5Form = byId(MultimodalOps.crossModalAlign(spark, corpus))
+    val fastForm = byId(MultimodalOps.crossModalAlignFast(spark, corpus))
+    assert(md5Form.keySet == Set(2L, 6L, 7L) &&
+      fastForm.keySet == md5Form.keySet, "pair set must match across hashes")
+    md5Form.foreach { case (id, (mod, n1, n2)) =>
+      val (fMod, fN1, fN2) = fastForm(id)
+      assert(fMod == mod && fN1 == n1,
+        s"asset-side vector must be hash-independent: $id")
+      assert(n2 > 0 && fN2 > 0, s"token mass must land in SOME bucket: $id")
+    }
   }
 
   test("asset validation: synthesized corpus is all-consistent; budget flags fire on planted cases") {
