@@ -87,9 +87,15 @@ object MultimodalOps {
     * language/pre_defined tail ("und", 0) are appended per asset. */
   private[graft] val Mp4MdhdPreHex =
     "00000020" + "6D646864" + "00000000" + "00000000" + "00000000" + "000003E8"
-  /** Planted `udta` box closing moov (12 bytes) — the trailing-sibling
-    * skip case. */
-  private[graft] val Mp4UdtaHex = "0000000C" + "75647461" + "00000000"
+  /** Planted `udta` box closing moov (28 bytes: header + 4 zero bytes +
+    * the 16-byte text digest) — the trailing-sibling skip case, and the
+    * carrier of the payload's text-injectivity token: frame parameters
+    * derive from only ~16 digest bits + n_chars, so without the full
+    * digest two DIFFERENT texts could collide to byte-identical videos
+    * and corrupt the dedup structure the documents' planted dups induce.
+    * The digest rides in metadata a walker must skip, NOT in mdat —
+    * every mdat byte belongs to a decodable sample extent. */
+  private[graft] val Mp4UdtaPreHex = "0000001C" + "75647461" + "00000000"
   /** JPEG: SOI, then a canonical 18-byte JFIF APP0 segment (len 16,
     * "JFIF\0", version 1.1, aspect-ratio units, 1:1 density, no thumb). */
   private[graft] val JpegApp0Hex =
@@ -224,8 +230,25 @@ object MultimodalOps {
       .withColumn("_dur", expr("n_chars * 40"))
       .withColumn("_nsmp", expr("_dur DIV 1000 + 1"))
       .withColumn("_sdelta", expr("_dur DIV _nsmp")) // stts tick delta (timescale 1000)
-      .withColumn("_sza", expr("20 + _v0 % 60"))
-      .withColumn("_szb", expr("20 + _vj % 60"))
+      // Motion-JPEG frame generators: every sample extent holds a REAL
+      // baseline JPEG (the image recipe above — all-ones quant, DC-only,
+      // one 0x00 byte per MCU), alternating two doc-derived variants so
+      // consecutive frames genuinely differ in dims AND gray level.
+      // Dims are 8-multiples (whole MCUs ⇒ decoded pixels are exactly
+      // the constant v, no edge-block cropping arithmetic); grays stay
+      // in [144,159] so the DC diff is category 8 and the scan prefix
+      // byte-aligns. Frame size = 102 header + DHTs/SOS (65) + scan
+      // prefix 2 + (nmcu−1) + EOI 2 = 170 + nmcu bytes.
+      .withColumn("_fwa", expr("8 * (1 + _v0 % 4)"))
+      .withColumn("_fha", expr("8 * (1 + (_v0 DIV 4) % 4)"))
+      .withColumn("_fva", col("_vj"))
+      .withColumn("_fwb", expr("8 * (1 + _vj % 4)"))
+      .withColumn("_fhb", expr("8 * (1 + (_vj DIV 4) % 4)"))
+      .withColumn("_fvb", expr("144 + _v0 % 16"))
+      .withColumn("_nma", expr("(_fwa DIV 8) * (_fha DIV 8)"))
+      .withColumn("_nmb", expr("(_fwb DIV 8) * (_fhb DIV 8)"))
+      .withColumn("_sza", expr("170 + _nma"))
+      .withColumn("_szb", expr("170 + _nmb"))
       .withColumn("_stotal", expr("(_nsmp DIV 2) * (_sza + _szb) + (_nsmp % 2) * _sza"))
 
     val pngHex = concat(
@@ -247,19 +270,35 @@ object MultimodalOps {
       lit(JpegDhtDcHex), lit(JpegDhtAcHex), lit(JpegSosHex),
       col("_scanpre"), rep(lit("00"), expr("_nmcu - 1")), lit("FFD9"))
 
+    // One Motion-JPEG frame: the image recipe above, parameterized per
+    // variant — every byte extent stsz/stco addresses IS a decodable
+    // baseline JPEG, so the keyframe plan feeds javax.imageio directly.
+    def jpegFrame(w: Column, h: Column, v: Column, nm: Column): Column =
+      concat(
+        lit(JpegApp0Hex), lit(JpegDqtHex),
+        lit(JpegSof0PreHex), be16Hex(h), be16Hex(w), lit(JpegSofCompHex),
+        lit(JpegDhtDcHex), lit(JpegDhtAcHex), lit(JpegSosHex),
+        lpad(hex((v - 128L) * 8L * 16L + 32768L), 4, "0"),
+        rep(lit("00"), nm - 1), lit("FFD9"))
+    val jpegA = jpegFrame(col("_fwa"), col("_fha"), col("_fva"), col("_nma"))
+    val jpegB = jpegFrame(col("_fwb"), col("_fhb"), col("_fvb"), col("_nmb"))
+    val udtaHex = concat(lit(Mp4UdtaPreHex), upper(md5(col("text"))))
+
     // MP4: a complete box tree — ftyp, moov{free, trak{mdia{mdhd,
     // minf{stbl{stts, stsc, stsz, stco}}}}, udta}, mdat. Box sizes are
-    // functions of the sample count n (stbl = 100+4n, moov = 192+4n;
-    // mdat payload starts at byte 216+4n — the stco chunk offset). The
-    // mdat leads with the text digest (16 bytes, keeping payload dedup
-    // structure text-determined) padded with zeros to the stsz sum.
+    // functions of the sample count n (stbl = 100+4n, moov = 208+4n;
+    // mdat payload starts at byte 232+4n — the stco chunk offset). The
+    // mdat is the frame sequence itself: alternating A/B JPEGs whose
+    // sizes are exactly the stsz entries (the text digest rides in udta,
+    // keeping payload dedup structure text-determined without putting
+    // non-sample bytes inside mdat).
     // Videos split into TWO layout variants so the GATE (not just the
     // golden spec) exercises the chunk-mapping walk: ids ≡ 2 (mod 6)
     // get this single-chunk layout; ids ≡ 5 (mod 6) with ≥ 3 samples
     // get the two-chunk variant below.
     val mp4Hex = concat(
       lit(Mp4HeaderHex),
-      be32Hex(expr("192 + 4 * _nsmp")), lit("6D6F6F76"),          // moov
+      be32Hex(expr("208 + 4 * _nsmp")), lit("6D6F6F76"),          // moov
       lit(Mp4FreeHex),                                            // planted skip
       be32Hex(expr("156 + 4 * _nsmp")), lit("7472616B"),          // trak
       be32Hex(expr("148 + 4 * _nsmp")), lit("6D646961"),          // mdia
@@ -279,10 +318,11 @@ object MultimodalOps {
       when(expr("_nsmp % 2 = 1"), be32Hex(col("_sza"))).otherwise(lit("")),
       // stco: the one chunk starts where mdat's payload does
       lit("00000014" + "7374636F" + "00000000" + "00000001"),
-      be32Hex(expr("216 + 4 * _nsmp")),
-      lit(Mp4UdtaHex),                                            // planted skip
+      be32Hex(expr("232 + 4 * _nsmp")),
+      udtaHex,                                    // planted skip + digest
       be32Hex(expr("8 + _stotal")), lit("6D646174"),              // mdat
-      upper(md5(col("text"))), rep(lit("00"), expr("_stotal - 16")))
+      rep(concat(jpegA, jpegB), expr("_nsmp DIV 2")),
+      when(expr("_nsmp % 2 = 1"), jpegA).otherwise(lit("")))
 
     // TWO-CHUNK variant (video ids ≡ 5 mod 6 with ≥ 3 samples): chunk 1
     // carries samples 0-1, chunks 2+ the rest (two stsc runs, two stco
@@ -295,11 +335,11 @@ object MultimodalOps {
     // stss, which the spec defines as all-sync, so the keyframe plan
     // exercises both arms. Layout deltas vs the single-chunk form:
     // stsc 28→40, stco 20→24, +stss 24 (appended after stco so the
-    // other tables keep their offsets) → moov = 232+4n; chunk 1 at
-    // byte 256+4n, chunk 2 at +szA+szB+4; mdat payload = stotal + 4.
+    // other tables keep their offsets) → moov = 248+4n; chunk 1 at
+    // byte 272+4n, chunk 2 at +szA+szB+4; mdat payload = stotal + 4.
     val mp4HexTwoChunk = concat(
       lit(Mp4HeaderHex),
-      be32Hex(expr("232 + 4 * _nsmp")), lit("6D6F6F76"),          // moov
+      be32Hex(expr("248 + 4 * _nsmp")), lit("6D6F6F76"),          // moov
       lit(Mp4FreeHex),
       be32Hex(expr("196 + 4 * _nsmp")), lit("7472616B"),          // trak
       be32Hex(expr("188 + 4 * _nsmp")), lit("6D646961"),          // mdia
@@ -318,16 +358,17 @@ object MultimodalOps {
       when(expr("_nsmp % 2 = 1"), be32Hex(col("_sza"))).otherwise(lit("")),
       // stco: two chunk offsets straddling the 4 slack bytes
       lit("00000018" + "7374636F" + "00000000" + "00000002"),
-      be32Hex(expr("256 + 4 * _nsmp")),
-      be32Hex(expr("256 + 4 * _nsmp + _sza + _szb + 4")),
+      be32Hex(expr("272 + 4 * _nsmp")),
+      be32Hex(expr("272 + 4 * _nsmp + _sza + _szb + 4")),
       // stss: sync samples 1 and n/2+1 (1-based)
       lit("00000018" + "73747373" + "00000000" + "00000002" + "00000001"),
       be32Hex(expr("_nsmp DIV 2 + 1")),
-      lit(Mp4UdtaHex),
+      udtaHex,
       be32Hex(expr("12 + _stotal")), lit("6D646174"),             // mdat
-      upper(md5(col("text"))), rep(lit("00"), expr("_sza + _szb - 16")),
+      jpegA, jpegB,
       lit("5A5A5A5A"),                                            // dead slack
-      rep(lit("00"), expr("_stotal - _sza - _szb")))
+      rep(concat(jpegA, jpegB), expr("_nsmp DIV 2 - 1")),
+      when(expr("_nsmp % 2 = 1"), jpegA).otherwise(lit("")))
 
     val headerHex =
       when(col("_mod") === "image" && col("doc_id") % 6 === 0, pngHex)
@@ -465,10 +506,29 @@ object MultimodalOps {
     Some((w, h, px))
   }
 
+  /** Accumulate every pixel of band 0 into `s` — shared by the still-
+    * image JPEG arm and the per-sample Motion-JPEG video arm, so "what
+    * counts as a decoded pixel" has exactly one definition. */
+  private def addRaster(img: java.awt.image.BufferedImage, s: Stats): Unit = {
+    val ra = img.getRaster
+    val w = img.getWidth; val h = img.getHeight
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      ra.getSamples(0, y, w, 1, 0, row)
+      var x = 0
+      while (x < w) { s.add(row(x).toLong); x += 1 }
+      y += 1
+    }
+  }
+
   /** One asset → integer-exact decoded statistics. PNG via the chunk/
     * inflate/unfilter path above; JPEG via the JDK codec (javax.imageio
     * — a REAL Huffman + IDCT decode); WAV via LE16 PCM parsing of the
-    * data chunk; MP4 quarantines (the JDK ships no video codec). */
+    * data chunk; MP4 via the sample-table walk + a PER-SAMPLE JDK JPEG
+    * decode (Motion-JPEG: each stsz/stco extent is a complete baseline
+    * JPEG). Non-JPEG sample payloads (H.26x etc. — no JDK codec)
+    * quarantine the asset, as does any table/extent violation. */
   private def decodeOne(a: Asset): DecodedStats = {
     val b = a.payload
     val n = b.length
@@ -498,25 +558,36 @@ object MultimodalOps {
       ofStats("wav", s, None, None, Some(le32(b, 24)))
     } else if (n >= 16 && tag(b, 4, "ftyp") &&
         { val sz = be32(b, 0); sz >= 8 && sz <= n }) {
-      quarantine("mp4") // no JDK video codec: the documented decode gap
+      // Motion-JPEG: decode EVERY sample extent through the JDK codec
+      // and fold all frames' pixels into one stat line. A sample that
+      // is not a decodable JPEG (H.26x bitstreams — no JDK codec) or a
+      // broken table quarantines the whole asset: at 100 TB a video
+      // with one bad frame is suspect data, not a partial answer.
+      org.apache.spark.sql.graftext.Mp4Boxes.parse(b) match {
+        case Some(t) if t.nSamples > 0 =>
+          val s = new Stats
+          var ok = true
+          var k = 0
+          while (ok && k < t.nSamples) {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                b, t.offsets(k).toInt, t.sizes(k).toInt))
+              catch { case _: Exception => null }
+            if (img == null) ok = false else addRaster(img, s)
+            k += 1
+          }
+          if (ok) ofStats("mp4", s, None, None, None) else quarantine("mp4")
+        case _ => quarantine("mp4")
+      }
     } else if (n >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
         catch { case _: Exception => null }
       if (img == null) quarantine("jpeg")
       else {
-        val ra = img.getRaster
-        val w = img.getWidth; val h = img.getHeight
         val s = new Stats
-        val row = new Array[Int](w)
-        var y = 0
-        while (y < h) {
-          ra.getSamples(0, y, w, 1, 0, row)
-          var x = 0
-          while (x < w) { s.add(row(x).toLong); x += 1 }
-          y += 1
-        }
-        ofStats("jpeg", s, Some(w.toLong), Some(h.toLong), None)
+        addRaster(img, s)
+        ofStats("jpeg", s, Some(img.getWidth.toLong), Some(img.getHeight.toLong), None)
       }
     } else quarantine("unknown")
   }
@@ -1633,12 +1704,34 @@ object MultimodalOps {
                 ((width + 7) // 8) * ((height + 7) // 8) AS nmcu,
                 duration_ms // 1000 + 1 AS nsmp,
                 duration_ms // (duration_ms // 1000 + 1) AS sdelta,
-                20 + v0 % 60 AS sza,
-                20 + vj % 60 AS szb
+                8 * (1 + v0 % 4) AS fwa,
+                8 * (1 + (v0 // 4) % 4) AS fha,
+                vj AS fva,
+                8 * (1 + vj % 4) AS fwb,
+                8 * (1 + (vj // 4) % 4) AS fhb,
+                144 + v0 % 16 AS fvb
          FROM ax),
+       pw AS (
+         SELECT *, (fwa // 8) * (fha // 8) AS nma,
+                (fwb // 8) * (fhb // 8) AS nmb,
+                170 + (fwa // 8) * (fha // 8) AS sza,
+                170 + (fwb // 8) * (fhb // 8) AS szb
+         FROM px),
        pz AS (
          SELECT *,
                 (nsmp // 2) * (sza + szb) + (nsmp % 2) * sza AS stotal,
+                '$JpegApp0Hex' || '$JpegDqtHex' || '$JpegSof0PreHex'
+                  || lpad(hex(fha), 4, '0') || lpad(hex(fwa), 4, '0')
+                  || '$JpegSofCompHex' || '$JpegDhtDcHex' || '$JpegDhtAcHex'
+                  || '$JpegSosHex'
+                  || lpad(hex(32768 + (8 * (fva - 128)) * 16), 4, '0')
+                  || repeat('00', nma - 1) || 'FFD9' AS jfa,
+                '$JpegApp0Hex' || '$JpegDqtHex' || '$JpegSof0PreHex'
+                  || lpad(hex(fhb), 4, '0') || lpad(hex(fwb), 4, '0')
+                  || '$JpegSofCompHex' || '$JpegDhtDcHex' || '$JpegDhtAcHex'
+                  || '$JpegSosHex'
+                  || lpad(hex(32768 + (8 * (fvb - 128)) * 16), 4, '0')
+                  || repeat('00', nmb - 1) || 'FFD9' AS jfb,
                 (1 + width * v0 + (height - 1) * (width + 2)) % 65521 AS s1,
                 (r + v0 * (width * r - (width * (width + 1)) // 2)
                    + 2 * ((height - 1) * r
@@ -1647,11 +1740,12 @@ object MultimodalOps {
                                - (width + 1) * ((height * (height - 1)) // 2))
                       - (height - 1) * ((width * (width + 1)) // 2)))
                   % 65521 AS s2
-         FROM px),
+         FROM pw),
        assets AS (
          SELECT asset_id, modality, width, height, rate, duration_ms,
                 body_len, body_hex, v0, vj, r, nmcu,
                 nsmp, sdelta, sza, szb, stotal,
+                fwa, fha, fva, fwb, fhb, fvb, nma, nmb,
                 CASE WHEN modality = 'image' AND asset_id % 6 = 0 THEN
                        '$PngPreHex' || ${be("width")} || ${be("height")}
                        || '$PngPostHex'
@@ -1677,7 +1771,7 @@ object MultimodalOps {
                        -- the TWO-CHUNK variant: 2 stsc runs, 2 stco
                        -- offsets, 4 dead slack bytes between the chunks
                        '$Mp4HeaderHex'
-                       || ${be("232 + 4*nsmp")} || '6D6F6F76'
+                       || ${be("248 + 4*nsmp")} || '6D6F6F76'
                        || '$Mp4FreeHex'
                        || ${be("196 + 4*nsmp")} || '7472616B'
                        || ${be("188 + 4*nsmp")} || '6D646961'
@@ -1694,18 +1788,19 @@ object MultimodalOps {
                        || repeat(${be("sza")} || ${be("szb")}, nsmp // 2)
                        || CASE WHEN nsmp % 2 = 1 THEN ${be("sza")} ELSE '' END
                        || '000000187374636F00000000' || '00000002'
-                       || ${be("256 + 4*nsmp")}
-                       || ${be("256 + 4*nsmp + sza + szb + 4")}
+                       || ${be("272 + 4*nsmp")}
+                       || ${be("272 + 4*nsmp + sza + szb + 4")}
                        || '000000187374737300000000' || '00000002'
                        || '00000001' || ${be("nsmp // 2 + 1")}
-                       || '$Mp4UdtaHex'
+                       || '$Mp4UdtaPreHex' || thash
                        || ${be("12 + stotal")} || '6D646174'
-                       || thash || repeat('00', sza + szb - 16)
+                       || jfa || jfb
                        || '5A5A5A5A'
-                       || repeat('00', stotal - sza - szb)
+                       || repeat(jfa || jfb, nsmp // 2 - 1)
+                       || CASE WHEN nsmp % 2 = 1 THEN jfa ELSE '' END
                   ELSE
                        '$Mp4HeaderHex'
-                       || ${be("192 + 4*nsmp")} || '6D6F6F76'
+                       || ${be("208 + 4*nsmp")} || '6D6F6F76'
                        || '$Mp4FreeHex'
                        || ${be("156 + 4*nsmp")} || '7472616B'
                        || ${be("148 + 4*nsmp")} || '6D646961'
@@ -1721,10 +1816,11 @@ object MultimodalOps {
                        || repeat(${be("sza")} || ${be("szb")}, nsmp // 2)
                        || CASE WHEN nsmp % 2 = 1 THEN ${be("sza")} ELSE '' END
                        || '000000147374636F00000000' || '00000001'
-                       || ${be("216 + 4*nsmp")}
-                       || '$Mp4UdtaHex'
+                       || ${be("232 + 4*nsmp")}
+                       || '$Mp4UdtaPreHex' || thash
                        || ${be("8 + stotal")} || '6D646174'
-                       || thash || repeat('00', stotal - 16)
+                       || repeat(jfa || jfb, nsmp // 2)
+                       || CASE WHEN nsmp % 2 = 1 THEN jfa ELSE '' END
                 END AS phx
          FROM pz),
        a AS (
@@ -1769,17 +1865,23 @@ object MultimodalOps {
                      ELSE 'mp4' END AS format,
                 CAST(CASE WHEN d0.modality = 'image' THEN width * height
                           WHEN d0.modality = 'audio' THEN coalesce(w.n, 0)
-                          ELSE 0 END AS BIGINT) AS n_units,
+                          ELSE (nsmp - nsmp // 2) * fwa * fha
+                               + (nsmp // 2) * fwb * fhb
+                          END AS BIGINT) AS n_units,
                 CAST(CASE WHEN d0.modality = 'image' AND d0.asset_id % 6 = 0
                             THEN CASE WHEN lb > 0 THEN 0 ELSE v0 END
                           WHEN d0.modality = 'image' THEN vj
                           WHEN d0.modality = 'audio' THEN w.mn
+                          ELSE CASE WHEN nsmp >= 2 THEN least(fva, fvb)
+                                    ELSE fva END
                      END AS BIGINT) AS u_min,
                 CAST(CASE WHEN d0.modality = 'image' AND d0.asset_id % 6 = 0
                             THEN CASE WHEN lb > 0 THEN 255
                                       ELSE v0 + height - 1 END
                           WHEN d0.modality = 'image' THEN vj
                           WHEN d0.modality = 'audio' THEN w.mx
+                          ELSE CASE WHEN nsmp >= 2 THEN greatest(fva, fvb)
+                                    ELSE fva END
                      END AS BIGINT) AS u_max,
                 CAST(CASE WHEN d0.modality = 'image' AND d0.asset_id % 6 = 0
                             THEN width * (la * v0 + (la * (la - 1)) // 2
@@ -1787,6 +1889,8 @@ object MultimodalOps {
                           WHEN d0.modality = 'image'
                             THEN width * height * vj
                           WHEN d0.modality = 'audio' THEN w.s
+                          ELSE (nsmp - nsmp // 2) * fwa * fha * fva
+                               + (nsmp // 2) * fwb * fhb * fvb
                      END AS BIGINT) AS u_sum,
                 CAST(CASE WHEN d0.modality = 'image' AND d0.asset_id % 6 = 0
                             THEN width *
@@ -1796,6 +1900,8 @@ object MultimodalOps {
                           WHEN d0.modality = 'image'
                             THEN width * height * vj * vj
                           WHEN d0.modality = 'audio' THEN w.sq
+                          ELSE (nsmp - nsmp // 2) * fwa * fha * fva * fva
+                               + (nsmp // 2) * fwb * fhb * fvb * fvb
                      END AS BIGINT) AS u_sumsq
          FROM d0 LEFT JOIN wavs w ON w.asset_id = d0.asset_id)"""
 
@@ -2231,7 +2337,7 @@ object MultimodalOps {
                  -- from the wire, minus header); uncovered slack bytes
                  -- are reported, not failed
                  stotal <= ('0x' || substr(phx,
-                   CASE WHEN vb THEN 497 ELSE 417 END + 8*nsmp, 8))::BIGINT - 8
+                   CASE WHEN vb THEN 529 ELSE 449 END + 8*nsmp, 8))::BIGINT - 8
                ELSE
                  CASE WHEN is_png THEN byte_len - $PngHeaderBytes
                       WHEN is_wav
@@ -2245,7 +2351,7 @@ object MultimodalOps {
                END AS size_ok,
              CASE WHEN is_mp4 THEN
                  greatest(0, ('0x' || substr(phx,
-                   CASE WHEN vb THEN 497 ELSE 417 END + 8*nsmp, 8))::BIGINT
+                   CASE WHEN vb THEN 529 ELSE 449 END + 8*nsmp, 8))::BIGINT
                    - 8 - stotal)
                ELSE 0 END AS slack_bytes,
              modality = 'audio' AND duration_ms < $WinMs AS short_clip,
@@ -2278,8 +2384,8 @@ object MultimodalOps {
     // constructed layout's (nsmp-dependent) offsets, and JPEG SOF0 BE
     // u16 dims — in the SAME precedence order as the native expression.
     // MP4 field positions in hex chars: mdhd timescale@153, duration@161
-    // (bytes 76/80), stsz count@345 (byte 172), mdat size@417+8n (byte
-    // 208+4n) — the box layout is ftyp(16) moov(192+4n) mdat(8+total)
+    // (bytes 76/80), stsz count@345 (byte 172), mdat size@449+8n (byte
+    // 224+4n) — the box layout is ftyp(16) moov(208+4n) mdat(8+total)
     "q_mm_parse" ->
       s"""WITH $AssetSqlCte,
          p AS (
@@ -2321,7 +2427,7 @@ object MultimodalOps {
                            || substr(phx,83,2) || substr(phx,81,2))::BIGINT
                      WHEN is_mp4
                      THEN ('0x' || substr(phx,
-                            CASE WHEN vb THEN 497 ELSE 417 END + 8*nsmp,
+                            CASE WHEN vb THEN 529 ELSE 449 END + 8*nsmp,
                             8))::BIGINT - 8
                      WHEN is_jpeg THEN byte_len - $JpegHeaderBytes
                 END AS body_bytes,

@@ -227,7 +227,12 @@ class MediaDecodeSpec extends SparkTestBase {
           r.getAs[String]("format"), r.getAs[Long]("n_units"))))
       .toMap
     assert(got.keySet == Set(9L, 29L), s"served-from-cache leak: $got")
-    assert(got(29L) == ((3L, "video", "mp4", 0L)))
+    // the fresh clip REALLY decodes now (Motion-JPEG): 400 ms → one
+    // sample → one variant-A frame of fwa×fha constant-gray pixels
+    val v0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("fresh clip".getBytes("UTF-8"))(0) & 0xFF
+    val (fwa, fha) = (8 * (1 + v0 % 4), 8 * (1 + (v0 / 4) % 4))
+    assert(got(29L) == ((3L, "video", "mp4", (fwa * fha).toLong)))
     val n = "fresh pic".length
     assert(got(9L) == ((1L, "image", "jpeg", (n % 640 + 1).toLong * (n % 480 + 1))))
   }

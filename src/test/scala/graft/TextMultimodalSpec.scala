@@ -303,17 +303,21 @@ class TextMultimodalSpec extends SparkTestBase {
       val v0 = md5b(text)(0) & 0xFF
       val vj = 144 + ((md5b(text)(0) & 0xFF) >> 4)
       val n = (nChars * 40) / 1000 + 1
-      G(n, (nChars * 40) / n, 20 + v0 % 60, (20 + vj % 60).toLong,
+      // frame sizes = 170 + MCU count of the variant's dims (the
+      // Motion-JPEG frames the mdat now carries)
+      G(n, (nChars * 40) / n,
+        170 + (1 + v0 % 4) * (1 + (v0 / 4) % 4),
+        (170 + (1 + vj % 4) * (1 + (vj / 4) % 4)).toLong,
         id % 6 == 5 && n >= 3)
     }
     def prefix(s: Long, g: G) = (s / 2) * (g.szA + g.szB) + (s % 2) * g.szA
     // the INDEPENDENT offset arithmetic: single-chunk files put sample s
-    // at mdatStart(216+4n) + P(s); two-chunk files start at 256+4n
+    // at mdatStart(232+4n) + P(s); two-chunk files start at 272+4n
     // (bigger stsc/stco boxes + the 24-byte stss) and add the 4 slack
     // bytes once s leaves chunk 1 (samples 0-1)
     def expOff(s: Long, g: G): Long =
-      if (g.twoChunk) 256 + 4 * g.n + prefix(s, g) + (if (s >= 2) 4 else 0)
-      else 216 + 4 * g.n + prefix(s, g)
+      if (g.twoChunk) 272 + 4 * g.n + prefix(s, g) + (if (s >= 2) 4 else 0)
+      else 232 + 4 * g.n + prefix(s, g)
     val expected = Map(
       2L -> gens(2L, "x" * 100000, 100000L),
       5L -> gens(5L, "y" * 1000, 1000L),
@@ -397,18 +401,22 @@ class TextMultimodalSpec extends SparkTestBase {
     // one scan byte per MCU; WAV wraps the text (n_chars + header);
     // MP4 = 216 fixed box bytes + 4 per stsz entry + the alternating-
     // size sample total (szA/szB from the text digest)
-    // fixed box overhead: 216 single-chunk, 260 two-chunk (bigger
+    // fixed box overhead: 232 single-chunk, 276 two-chunk (bigger
     // stsc/stco boxes, the 24-byte stss, the 4 slack bytes); two-chunk
-    // = id ≡ 5 (mod 6) with ≥ 3 samples
+    // = id ≡ 5 (mod 6) with ≥ 3 samples; per-sample sizes are the
+    // Motion-JPEG frame sizes 170 + MCU-count of the variant dims
     val mp4Len = expr(
       """CASE WHEN asset_id % 6 = 5
-              AND (n_chars * 40) DIV 1000 + 1 >= 3 THEN 260 ELSE 216 END
+              AND (n_chars * 40) DIV 1000 + 1 >= 3 THEN 276 ELSE 232 END
          + 4 * ((n_chars * 40) DIV 1000 + 1)
          + (((n_chars * 40) DIV 1000 + 1) DIV 2)
-           * ((20 + CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) % 60)
-              + (20 + (144 + CAST(conv(substring(md5(text),1,1),16,10) AS BIGINT)) % 60))
+           * ((170 + (1 + CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) % 4)
+                   * (1 + (CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) DIV 4) % 4))
+              + (170 + (1 + (144 + CAST(conv(substring(md5(text),1,1),16,10) AS BIGINT)) % 4)
+                     * (1 + ((144 + CAST(conv(substring(md5(text),1,1),16,10) AS BIGINT)) DIV 4) % 4)))
          + (((n_chars * 40) DIV 1000 + 1) % 2)
-           * (20 + CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) % 60)""")
+           * (170 + (1 + CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) % 4)
+                  * (1 + (CAST(conv(substring(md5(text),1,2),16,10) AS BIGINT) DIV 4) % 4))""")
     val expected = when(col("modality") === "image",
         when(col("asset_id") % 6 === 0,
           expr(s"""(n_chars % ${MultimodalOps.PngMaxH} + 1)
@@ -480,13 +488,30 @@ class TextMultimodalSpec extends SparkTestBase {
     // MP4 for "vid!" (4 chars → 160 ms → ONE sample of szA bytes): the
     // complete box tree, sizes and table fields hand-assembled — ftyp,
     // moov{free, trak{mdia{mdhd(timescale 1000, duration 160),
-    // minf{stbl{stts(1×160), stsc(1 chunk), stsz([szA]), stco(220)}}}},
-    // udta}, mdat(digest + zero padding)
+    // minf{stbl{stts(1×160), stsc(1 chunk), stsz([szA]), stco(236)}}}},
+    // udta(+digest)}, mdat(ONE complete variant-A baseline JPEG — the
+    // Motion-JPEG frame the sample extent addresses)
     val vv0 = md5b("vid!")(0) & 0xFF
-    val szA = 20 + vv0 % 60
+    val vvj = 144 + (vv0 >> 4)
+    val (fwa, fha) = (8 * (1 + vv0 % 4), 8 * (1 + (vv0 / 4) % 4))
+    val nmA = (fwa / 8) * (fha / 8)
+    val szA = 170 + nmA
+    val frameA =
+      "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+        "0001" + "0001" + "00" + "00" +
+        "FFDB" + "0043" + "00" + ("01" * 64) +
+        "FFC0" + "000B" + "08" + "%04X".format(fha) + "%04X".format(fwa) +
+        "01" + "01" + "11" + "00" +
+        "FFC4" + "001F" + "00" + "000000" + "0C" + ("00" * 12) +
+        "000102030405060708090A0B" +
+        "FFC4" + "0014" + "10" + "000000" + "01" + ("00" * 12) + "00" +
+        "FFDA" + "0008" + "01" + "0100" + "00" + "3F" + "00" +
+        "%04X".format(0x8000 | ((8 * (vvj - 128)) << 4)) +
+        ("00" * (nmA - 1)) + "FFD9"
+    assert(frameA.length == 2 * szA, "frame hex length vs szA")
     assert(hx(rows(2L)) ==
       "00000010" + "66747970" + "69736F6D" + "00000200" +
-        "000000C4" + "6D6F6F76" +                                // moov 196
+        "000000D4" + "6D6F6F76" +                                // moov 212
         "00000010" + "66726565" + ("00" * 8) +                   // free
         "000000A0" + "7472616B" +                                // trak 160
         "00000098" + "6D646961" +                                // mdia 152
@@ -501,11 +526,11 @@ class TextMultimodalSpec extends SparkTestBase {
         "00000018" + "7374737A" + "00000000" + "00000000" +      // stsz
         "00000001" + "%08X".format(szA) +                        //   [szA]
         "00000014" + "7374636F" + "00000000" + "00000001" +      // stco
-        "000000DC" +                                             //   @220
-        "0000000C" + "75647461" + "00000000" +                   // udta
+        "000000EC" +                                             //   @236
+        "0000001C" + "75647461" + "00000000" +                   // udta
+        md5b("vid!").map("%02X".format(_)).mkString +            //   +digest
         "%08X".format(8 + szA) + "6D646174" +                    // mdat
-        md5b("vid!").map("%02X".format(_)).mkString +            //   digest
-        ("00" * (szA - 16)))                                     //   padding
+        frameA)                                                  //   the frame
     // and the native probe reads those bytes back: png body = raster +
     // 35 chunk-framing bytes; jpeg body = 171 total − the 102-byte
     // SOI+APP0+DQT+SOF header; mp4 body = the mdat payload with the
@@ -674,14 +699,14 @@ class TextMultimodalSpec extends SparkTestBase {
       (col("p.modality") === "video") && (col("format") =!= "mp4"
         // the parsed sample table mirrors the synthesis: one sample per
         // second (+1), mdhd duration = catalog duration, and the mdat
-        // payload starts after the box framing (216+4n single-chunk,
-        // 256+4n two-chunk — the variant split at id ≡ 5 mod 6, n ≥ 3)
+        // payload starts after the box framing (232+4n single-chunk,
+        // 272+4n two-chunk — the variant split at id ≡ 5 mod 6, n ≥ 3)
         || col("n_samples") =!= expr("a.duration_ms DIV 1000 + 1")
         || col("media_ms") =!= col("a.duration_ms")
         || col("body_bytes") =!=
           length(col("a.payload")).cast("long") -
             (when(col("asset_id") % 6 === 5 && col("n_samples") >= 3,
-              lit(256L)).otherwise(lit(216L)) + lit(4L) * col("n_samples"))))
+              lit(272L)).otherwise(lit(232L)) + lit(4L) * col("n_samples"))))
       .count() == 0)
     // header + body = total payload bytes, header sized by PARSED format
     // (mp4 has no constant header — its size story is the box framing
