@@ -1486,6 +1486,205 @@ object MultimodalOps {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** One DECODED video frame off the keyframe-snapped seek plan:
+    * the sync sample at `key_idx` pulled from its exact stco/stsz byte
+    * extent and entropy-decoded through the JDK JPEG codec — integer
+    * pixel stats (null-quarantined when the extent is not a decodable
+    * JPEG), so the walker's I/O plan is now an end-to-end video decode. */
+  case class VFrameRow(asset_id: Long, n_frames: Long, frame_idx: Long,
+      sample_idx: Long, key_idx: Long, width: Option[Long],
+      height: Option[Long], n_px: Option[Long], px_min: Option[Long],
+      px_max: Option[Long], px_sum: Option[Long])
+
+  private def vframeBatch(batch: Iterator[Asset]): Iterator[VFrameRow] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+    batch.flatMap { a =>
+      org.apache.spark.sql.graftext.Mp4Boxes.parse(a.payload) match {
+        case Some(t) if t.nSamples > 0 && t.timescale > 0 =>
+          val n = t.nSamples
+          val nf = math.min(MaxFrames, n.toLong)
+          // several uniform targets can snap to the SAME sync sample
+          // (the two-chunk stss has only 2) — decode each key once
+          val cache = scala.collection.mutable.HashMap.empty[Int, Option[(Long, Long, Stats)]]
+          (0L until nf).iterator.flatMap { i =>
+            val s = ((i * n) / nf).toInt
+            val k = t.syncBefore(s)
+            if (k < 0) None // present-but-empty stss: nothing decodable
+            else {
+              val dec = cache.getOrElseUpdate(k, {
+                val img =
+                  try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                    a.payload, t.offsets(k).toInt, t.sizes(k).toInt))
+                  catch { case _: Exception => null }
+                if (img == null) None
+                else {
+                  val st = new Stats
+                  addRaster(img, st)
+                  Some((img.getWidth.toLong, img.getHeight.toLong, st))
+                }
+              })
+              Some(dec match {
+                case Some((w, h, st)) => VFrameRow(a.asset_id, nf, i, s.toLong,
+                  k.toLong, Some(w), Some(h), Some(st.n), Some(st.mn),
+                  Some(st.mx), Some(st.sum))
+                case None => VFrameRow(a.asset_id, nf, i, s.toLong, k.toLong,
+                  None, None, None, None, None, None)
+              })
+            }
+          }
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** DECODED FRAME REPORT — [[keyframePlan]] carried through the codec:
+    * for each uniform target, the snapped sync sample's REAL pixels
+    * (width/height from the decoded raster, exact integer min/max/sum)
+    * via a per-sample javax.imageio JPEG decode of the stco/stsz byte
+    * extent. This is the full video path a training pipeline runs —
+    * parse tables → plan seeks → ranged read → decode I-frame — and the
+    * oracle replays the expected statistics ARITHMETICALLY from the
+    * Motion-JPEG generators (constant-gray frames: n_px = w·h, sum =
+    * w·h·v), so the codec output is checked against independent math.
+    * Map-side mapPartitions over the video scan, ≤[[MaxFrames]] rows
+    * per asset, one decode per DISTINCT sync sample. */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir).where(col("modality") === "video").as[Asset]
+      .mapPartitions(vframeBatch).toDF()
+      .select(col("asset_id"), col("n_frames"), col("frame_idx"),
+        col("sample_idx"), col("key_idx"), col("width"), col("height"),
+        col("n_px"), col("px_min"), col("px_max"), col("px_sum"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  /** One decoded sample's content descriptor — the video-dedup signature
+    * input (decoded raster geometry + integer pixel sum), tagged with the
+    * payload digest so fp-grain voting and the byte-equality flag need no
+    * second payload-bearing scan (each extra reference to the synthesized
+    * asset frame re-expands its hex-chain expression tree in the
+    * optimizer — five references measurably hang planning). */
+  private[operators] case class VSampleRow(asset_id: Long, fp: String,
+      sample_idx: Long, width: Long, height: Long, px_sum: Long, n_px: Long)
+
+  /** md5 of the payload's UPPERCASE-hex image — byte-for-byte what the
+    * SQL `md5(hex(payload))` fingerprint computes, so the in-JVM tag and
+    * the oracle's `md5(phx)` agree character-for-character. */
+  private def hexFp(b: Array[Byte]): String = {
+    val hexChars = "0123456789ABCDEF".toCharArray
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xFF
+      sb.append(hexChars(v >>> 4)).append(hexChars(v & 0xF))
+      i += 1
+    }
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    dig.map("%02x".format(_)).mkString
+  }
+
+  private def vsampleBatch(batch: Iterator[Asset]): Iterator[VSampleRow] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+    // partition-local decode cache: a payload copy seen again in this
+    // partition reuses its descriptors (identical bytes decode
+    // identically) — cross-partition copies re-decode but their
+    // identical vote multisets cannot change any fp-grain majority
+    val seen = scala.collection.mutable.HashMap.empty[String, Array[(Long, Long, Long, Long, Long)]]
+    batch.flatMap { a =>
+      val fp = hexFp(a.payload)
+      val rows = seen.getOrElseUpdate(fp, {
+        org.apache.spark.sql.graftext.Mp4Boxes.parse(a.payload) match {
+          case Some(t) if t.nSamples > 0 =>
+            (0 until t.nSamples).iterator.flatMap { k =>
+              val img =
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                  a.payload, t.offsets(k).toInt, t.sizes(k).toInt))
+                catch { case _: Exception => null }
+              if (img == null) None // undecodable sample: no descriptor
+              else {
+                val st = new Stats
+                addRaster(img, st)
+                Some((k.toLong, img.getWidth.toLong, img.getHeight.toLong,
+                  st.sum, st.n))
+              }
+            }.toArray
+          case _ => Array.empty[(Long, Long, Long, Long, Long)]
+        }
+      })
+      rows.iterator.map { case (k, w, h, sum, n) =>
+        VSampleRow(a.asset_id, fp, k, w, h, sum, n)
+      }
+    }
+  }
+
+  /** VIDEO PERCEPTUAL DEDUP: near-duplicate videos by DECODED-CONTENT
+    * signature, catching re-encoded/re-containered copies that exact
+    * byte dedup ([[assetDedup]]) misses — same frames, different
+    * container bytes (chunking, sync tables, slack) hash to the same
+    * signature here and to different payload digests there.
+    *
+    * Signature: every sample decodes to a per-frame content descriptor
+    * (width:height:mean-gray of the REAL decoded raster — for DC-only
+    * frames the exact invariant content; an aHash would be all-zero on
+    * any constant frame and discriminate nothing), each descriptor
+    * md5-hashes to 63 bits, and the video's signature is the SimHash
+    * bit-vote over its frame-hash multiset — videos sharing most frames
+    * land Hamming-close, so trims and re-encodes both surface. Pairs
+    * come from the same Manku 20-table blocking as the text SimHash
+    * family (never all-pairs).
+    *
+    * Scale shape: the decode (the expensive stage) runs ONCE PER
+    * DISTINCT payload — representatives are chosen at digest grain and
+    * signatures expand back over the fingerprint join, so a replica
+    * corpus pays decode at distinct-content size (the round-11
+    * content-grain discipline). The oracle replays descriptors,
+    * bit-votes, and the Hamming filter in closed form over ALL pairs —
+    * blocking-agnostic, so the blocked candidate generation is checked
+    * against complete enumeration. */
+  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ONE payload-bearing scan: decode (partition-cached per distinct
+    // payload) and tag every descriptor with the payload digest. The
+    // cached frame is descriptor-small (a handful of longs + the fp per
+    // sample) — payload bytes never shuffle and never re-materialize.
+    val samples = assets(spark, dir).where(col("modality") === "video")
+      .as[Asset].mapPartitions(vsampleBatch).toDF().cache()
+    val hcol = md5(concat_ws(":", col("width").cast("string"),
+      col("height").cast("string"),
+      expr("px_sum DIV n_px").cast("string")))
+    val hi = conv(substring(hcol, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hcol, 9, 8), 16, 10).cast("long")
+    // hi fills bits 31..62, lo>>1 bits 0..30 — disjoint, unbiased (the
+    // simhashPortableSig combine)
+    val hs = samples.select(col("fp"),
+      shiftleft(hi, 31).bitwiseOR(shiftright(lo, 1)).as("h"))
+    val bitSums = (0 until 63).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val sigExpr = (0 until 63).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    // signature votes at DISTINCT-PAYLOAD grain: copies contribute
+    // identical multisets, which scale every bit vote uniformly and can
+    // never flip a majority — so the fp-grain signature IS the per-copy
+    // signature, computed once per distinct payload
+    val sigByFp = hs.groupBy("fp").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("fp"), sigExpr.as("vsig"))
+    val fps = samples.select("asset_id", "fp").distinct()
+    val perAsset = fps.join(sigByFp, Seq("fp"))
+    val pairs = DedupOps.hammingPairsGrouped(
+      perAsset.select(col("asset_id").as("doc_id"), col("vsig").as("simhash")))
+    pairs
+      .join(fps.select(col("asset_id").as("doc_a"), col("fp").as("fa")), Seq("doc_a"))
+      .join(fps.select(col("asset_id").as("doc_b"), col("fp").as("fb")), Seq("doc_b"))
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming").cast("long").as("hamming"),
+        (col("fa") === col("fb")).as("same_bytes"))
+      .orderBy("asset_a", "asset_b")
+  }
+
   /** Gap under which two sample fetches coalesce into one object-store
     * GET (paying ≤ gap wasted bytes to save a round trip). */
   val CoalesceGap = 512L
@@ -1655,6 +1854,8 @@ object MultimodalOps {
     "q_mm_resize" -> (resizePlan _),
     "q_mm_frames" -> (framePlan _),
     "q_mm_keyframes" -> (keyframePlan _),
+    "q_mm_vframes" -> (videoFrames _),
+    "q_mm_vdedup" -> (videoDedup _),
     "q_mm_dedup" -> (assetDedup _),
     "q_mm_card" -> (assetCard _),
     "q_mm_windows" -> (windowPlan _),
@@ -2107,6 +2308,7 @@ object MultimodalOps {
   private lazy val VideoFrameCteSql: String =
     s"""v AS (
            SELECT asset_id, nsmp, sza, szb, vb,
+                  fwa, fha, fva, fwb, fhb, fvb,
                   CAST(least($MaxFrames, nsmp) AS BIGINT) AS n_frames,
                   ('0x' || substr(phx, 249, 8))::BIGINT AS delta_w,
                   ('0x' || substr(phx,
@@ -2121,8 +2323,8 @@ object MultimodalOps {
          g AS (
            SELECT asset_id, n_frames, CAST(u.i AS BIGINT) AS frame_idx,
                   CAST((u.i * nsmp) // n_frames AS BIGINT) AS s,
-                  nsmp, sza, szb, vb, delta_w, nsmp_w,
-                  chunk1_off, chunk2_off
+                  nsmp, sza, szb, vb, fwa, fha, fva, fwb, fhb, fvb,
+                  delta_w, nsmp_w, chunk1_off, chunk2_off
            FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i))"""
 
   /** The absolute byte offset of the sample indexed by `sExpr`, over
@@ -2528,6 +2730,72 @@ object MultimodalOps {
                 ${videoOffsetSql("ky")} AS key_offset,
                 s - ky AS back_samples
          FROM k ORDER BY asset_id, frame_idx""",
+    // decoded keyframes: the same snap as q_mm_keyframes, then the
+    // EXPECTED pixel statistics of the snapped sample's Motion-JPEG
+    // frame in closed form (variant by key parity: constant gray v over
+    // w×h whole MCUs) — the JDK codec output vs independent arithmetic
+    "q_mm_vframes" ->
+      s"""WITH $AssetSqlCte,
+         $VideoFrameCteSql,
+         k AS (
+           SELECT *, CASE WHEN NOT vb THEN s
+                          WHEN s >= nsmp // 2 THEN nsmp // 2
+                          ELSE 0 END AS ky
+           FROM g)
+         SELECT asset_id, n_frames, frame_idx,
+                s AS sample_idx, ky AS key_idx,
+                CAST(CASE WHEN ky % 2 = 0 THEN fwa ELSE fwb END AS BIGINT)
+                  AS width,
+                CAST(CASE WHEN ky % 2 = 0 THEN fha ELSE fhb END AS BIGINT)
+                  AS height,
+                CAST(CASE WHEN ky % 2 = 0 THEN fwa * fha
+                          ELSE fwb * fhb END AS BIGINT) AS n_px,
+                CAST(CASE WHEN ky % 2 = 0 THEN fva ELSE fvb END AS BIGINT)
+                  AS px_min,
+                CAST(CASE WHEN ky % 2 = 0 THEN fva ELSE fvb END AS BIGINT)
+                  AS px_max,
+                CAST(CASE WHEN ky % 2 = 0 THEN fwa * fha * fva
+                          ELSE fwb * fhb * fvb END AS BIGINT) AS px_sum
+         FROM k ORDER BY asset_id, frame_idx""",
+    // video near-dup: descriptors/bit-votes in closed form (the frame
+    // multiset is {A×nA, B×nB}, so each bit's vote is two terms), then
+    // the Hamming ≤ 3 filter over ALL pairs — blocking-agnostic, so the
+    // Manku candidate generation is checked against full enumeration
+    "q_mm_vdedup" ->
+      s"""WITH $AssetSqlCte,
+         hv AS (
+           SELECT asset_id, nsmp - nsmp // 2 AS na, nsmp // 2 AS nb,
+                  (('0x' || substr(md5(ca), 1, 8))::BIGINT << 31)
+                    | (('0x' || substr(md5(ca), 9, 8))::BIGINT >> 1) AS ha,
+                  (('0x' || substr(md5(cb), 1, 8))::BIGINT << 31)
+                    | (('0x' || substr(md5(cb), 9, 8))::BIGINT >> 1) AS hb,
+                  md5(phx) AS fp
+           FROM (
+             SELECT asset_id, nsmp, phx,
+                    CAST(fwa AS VARCHAR) || ':' || CAST(fha AS VARCHAR)
+                      || ':' || CAST(fva AS VARCHAR) AS ca,
+                    CAST(fwb AS VARCHAR) || ':' || CAST(fhb AS VARCHAR)
+                      || ':' || CAST(fvb AS VARCHAR) AS cb
+             FROM a WHERE modality = 'video')),
+         sb AS (
+           SELECT asset_id, u.b AS b,
+                  CASE WHEN na * (2 * ((ha >> CAST(u.b AS INT)) & 1) - 1)
+                          + nb * (2 * ((hb >> CAST(u.b AS INT)) & 1) - 1) > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(u.b AS INT))
+                       ELSE 0 END AS bv
+           FROM hv, unnest(generate_series(0, 62)) AS u(b)),
+         sg AS (
+           SELECT asset_id, CAST(sum(bv) AS BIGINT) AS vsig
+           FROM sb GROUP BY asset_id),
+         sf AS (
+           SELECT sg.asset_id, sg.vsig, hv.fp
+           FROM sg JOIN hv ON hv.asset_id = sg.asset_id)
+         SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+                CAST(bit_count(xor(x.vsig, y.vsig)) AS BIGINT) AS hamming,
+                x.fp = y.fp AS same_bytes
+         FROM sf x JOIN sf y ON x.asset_id < y.asset_id
+         WHERE bit_count(xor(x.vsig, y.vsig)) <= 3
+         ORDER BY asset_a, asset_b""",
     // fetch coalescing: replay the sample-table frame plan (wire-read
     // stco base + closed-form stsz prefix), then the same
     // lag/flag/running-sum range numbering and rollup

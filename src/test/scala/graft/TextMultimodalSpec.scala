@@ -640,6 +640,72 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("video frame decode: ImageIO output equals the generator arithmetic on both stss arms") {
+    // same 80-char text at id 2 (single-chunk, NO stss → all-sync) and
+    // id 11 (two-chunk, stss {1, n/2+1}): nsmp = 4, targets s = 0..3.
+    // The DECODED stats (JDK Huffman+IDCT) must equal the closed-form
+    // constant-gray arithmetic of the snapped sample's variant — the
+    // independent-implementation gate the image/audio decoders have.
+    val text = "v" * 80
+    val dir = documentsFixture(Seq((2L, text, "en", "s"), (11L, text, "en", "s")))
+    val v0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))(0) & 0xFF
+    val vj = 144 + (v0 >> 4)
+    // variant geometry/gray: A for even sample index, B for odd
+    val A = (8L * (1 + v0 % 4), 8L * (1 + (v0 / 4) % 4), vj.toLong)
+    val B = (8L * (1 + vj % 4), 8L * (1 + (vj / 4) % 4), (144 + v0 % 16).toLong)
+    def expect(k: Long) = if (k % 2 == 0) A else B
+    val got = graft.operators.MultimodalOps.videoFrames(spark, dir).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("frame_idx")) ->
+        ((r.getAs[Long]("sample_idx"), r.getAs[Long]("key_idx"),
+          r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("n_px"), r.getAs[Long]("px_min"),
+          r.getAs[Long]("px_max"), r.getAs[Long]("px_sum"))))
+      .toMap
+    assert(got.size == 8, s"4 frames per video: ${got.keySet}")
+    (0L until 4L).foreach { i =>
+      // single-chunk: all-sync → key == target; two-chunk: snaps to 0 or 2
+      val k2 = i
+      val k11 = if (i >= 2) 2L else 0L
+      val (w2, h2, g2) = expect(k2)
+      assert(got((2L, i)) == ((i, k2, w2, h2, w2 * h2, g2, g2, w2 * h2 * g2)),
+        s"single-chunk frame $i: ${got((2L, i))}")
+      val (w11, h11, g11) = expect(k11)
+      assert(got((11L, i)) == ((i, k11, w11, h11, w11 * h11, g11, g11, w11 * h11 * g11)),
+        s"two-chunk frame $i: ${got((11L, i))}")
+    }
+  }
+
+  test("video perceptual dedup catches the re-containered duplicate exact dedup misses") {
+    val text = "w" * 80
+    // ids 2 and 8: byte-identical single-chunk videos (same text, same
+    // container) — exact dedup groups them. id 11: the SAME frames in a
+    // DIFFERENT container (two-chunk layout, stss, slack bytes) — a
+    // re-encode/re-mux twin whose payload digest differs, invisible to
+    // exact dedup, caught here at Hamming 0. id 17: different text,
+    // different frames — must NOT pair with the others.
+    val dir = documentsFixture(Seq(
+      (2L, text, "en", "s"), (8L, text, "en", "s"), (11L, text, "en", "s"),
+      (17L, "z" * 99, "en", "s")))
+    val pairs = graft.operators.MultimodalOps.videoDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b")) ->
+        ((r.getAs[Long]("hamming"), r.getAs[Boolean]("same_bytes"))))
+      .toMap
+    assert(pairs.keySet == Set((2L, 8L), (2L, 11L), (8L, 11L)),
+      s"pair set: $pairs")
+    assert(pairs((2L, 8L)) == ((0L, true)), "byte-identical pair")
+    assert(pairs((2L, 11L)) == ((0L, false)),
+      "re-containered duplicate: same frames, different bytes")
+    assert(pairs((8L, 11L)) == ((0L, false)))
+    // and exact binary dedup provably misses the re-containered twin:
+    // 2 and 8 share a digest group; 11 sits alone
+    val groups = graft.operators.MultimodalOps.assetDedup(spark, dir)
+      .where(col("modality") === "video").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups(2L) == 2L && groups(11L) == 1L && groups(17L) == 1L,
+      s"exact dedup groups: $groups")
+  }
+
   test("asset validation: synthesized corpus is all-consistent; budget flags fire on planted cases") {
     // audio doc 1: 5 chars → 200 ms < one 400 ms window → short_clip;
     // video doc 2 (single-chunk): 500 chars → 21 samples > 16 → over_cap,
