@@ -57,6 +57,11 @@ object VectorFunctions {
   def word_ngrams(tokens: Column, n: Int = 3, sep: String = " "): Column =
     org.apache.spark.sql.graftext.GramColumns.word_ngrams(tokens, n, sep)
 
+  /** Rolling 31-base fingerprint of every k-token window (the
+    * exact-substring-dedup position hashes), one O(total-chars) pass. */
+  def kgram_hashes(tokens: Column, k: Int): Column =
+    org.apache.spark.sql.graftext.KgramHashes.kgram_hashes(tokens, k)
+
   /** Ordered literal replace chain in ONE bounded-tree node (see
     * graftext.ChainReplace for the parity contract with the nested
     * `replace(replace(...))` formulation and why nesting is structurally

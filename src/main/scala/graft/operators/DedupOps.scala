@@ -2003,8 +2003,76 @@ object DedupOps {
       .orderBy("stage")
   }
 
+  // ------------------------------------------------ exact substring dedup
+  /** Window width (tokens) of the substring-dedup position fingerprints:
+    * a shared span must contain at least one full window to be seen, so
+    * this is the detection granularity — [[MinSpanTokens]] is the
+    * reporting threshold on the MERGED span. */
+  val SubstrK = 20
+  /** Minimum shared-span length (tokens) worth reporting — the Lee et
+    * al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    * operating point (50-token duplicated substrings). */
+  val MinSpanTokens = 50L
+
+  /** EXACT SUBSTRING DEDUP at ARBITRARY boundaries — the Lee et al. 2022
+    * cross-document duplicated-span detector that fixed-window chunk
+    * dedup (q_chunk_dedup / q_chunk_shared, 50-token aligned windows)
+    * provably misses: two documents sharing a long span at UNALIGNED
+    * offsets have no identical aligned chunk, but every interior k-gram
+    * matches. Pipeline: tokenize → rolling-hash EVERY k-token window
+    * position (native [[KgramHashes]]: one O(total-chars) prefix-hash
+    * pass per text, never an O(n·k) re-join, never an interpreted HOF)
+    * → inverted-index join positions on the hash across DISTINCT texts
+    * → merge consecutive matches into MAXIMAL shared spans per text
+    * pair (islands on the pa−pb diagonal: run grouping by pa −
+    * row_number) → report spans ≥ [[MinSpanTokens]] tokens.
+    *
+    * Scale shape: all k-gram work runs at DISTINCT-text grain (the
+    * round-11 content-grain discipline — replicas hash once and ride
+    * n_docs multiplicities, so the output is bounded by distinct-content
+    * overlap, never by replica cliques); the hash join is the standard
+    * suffix-fingerprint inverted index — candidate space is per-hash
+    * bucket, not all-pairs; the island merge is one windowed pass
+    * partitioned by (pair, diagonal). A 1e9+7 hash collision can forge
+    * a single matched position, but a REPORTED span needs ≥ 31
+    * consecutive forgeries — and the oracle replays the identical
+    * hashes, so the gate is collision-exact either way. */
+  def substrDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fpg = Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_docs"))
+      .select(md5(col("text")).as("fp"), col("canon_id"), col("n_docs"),
+        col("text"))
+    val pos = fpg
+      .select(col("fp"), col("canon_id"), col("n_docs"),
+        posexplode(graft.functions.VectorFunctions.kgram_hashes(
+          split(col("text"), " "), SubstrK)))
+      .select(col("fp"), col("canon_id"), col("n_docs"),
+        (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    val m = pos.as("x").join(pos.as("y"),
+        col("x.h") === col("y.h") && col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fpa"), col("y.fp").as("fpb"),
+        col("x.canon_id").as("da"), col("y.canon_id").as("db"),
+        col("x.n_docs").as("na"), col("y.n_docs").as("nb"),
+        col("x.p").as("pa"), col("y.p").as("pb"))
+    val w = Window.partitionBy("fpa", "fpb", "diag").orderBy("pa")
+    m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("fpa", "fpb", "diag", "grp")
+      .agg(min(col("da")).as("doc_a"), min(col("db")).as("doc_b"),
+        min(col("na")).as("n_docs_a"), min(col("nb")).as("n_docs_b"),
+        min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + (SubstrK - 1)).as("span_tokens"))
+      .where(col("span_tokens") >= MinSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("n_docs_a"), col("n_docs_b"),
+        col("a_start"), col("b_start"), col("span_tokens"))
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substr_dedup" -> (substrDedup _),
     "q_dedup_report" -> (dedupReport _),
     "q_chunk_shared" -> (chunkShared _),
     "q_containment" -> (containment _),
@@ -2494,6 +2562,46 @@ object DedupOps {
          ORDER BY c.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    // exact substring dedup: per-position window hashes via the SAME
+    // list_reduce fold q_fingerprint replays (over the window's joined
+    // string — arithmetic identical to the native prefix-hash pass),
+    // then the identical inverted-index join + diagonal island merge
+    "q_substr_dedup" ->
+      s"""WITH fpg AS (
+           SELECT md5(text) AS fp, min(doc_id) AS canon_id,
+                  count(*) AS n_docs, string_split(text, ' ') AS t
+           FROM documents GROUP BY text),
+         pos AS (
+           SELECT fp, canon_id, n_docs, CAST(u.p AS BIGINT) AS p,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM fpg, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         m AS (
+           SELECT x.fp AS fpa, y.fp AS fpb, x.canon_id AS da,
+                  y.canon_id AS db, x.n_docs AS na, y.n_docs AS nb,
+                  x.p AS pa, y.p AS pb
+           FROM pos x JOIN pos y ON x.h = y.h AND x.fp < y.fp),
+         r AS (
+           SELECT *, pa - pb AS diag,
+                  pa - row_number() OVER (
+                    PARTITION BY fpa, fpb, pa - pb ORDER BY pa) AS grp
+           FROM m),
+         s AS (
+           SELECT min(da) AS doc_a, min(db) AS doc_b,
+                  CAST(min(na) AS BIGINT) AS n_docs_a,
+                  CAST(min(nb) AS BIGINT) AS n_docs_b,
+                  min(pa) AS a_start, min(pb) AS b_start,
+                  CAST(count(*) + ${SubstrK - 1} AS BIGINT) AS span_tokens
+           FROM r GROUP BY fpa, fpb, diag, grp)
+         SELECT doc_a, doc_b, n_docs_a, n_docs_b, a_start, b_start,
+                span_tokens
+         FROM s WHERE span_tokens >= $MinSpanTokens
+         ORDER BY doc_a, doc_b, a_start, b_start""",
     // same chunking CTE as q_chunk_docs (PipelineOps), rolled up by fp
     "q_chunk_shared" ->
       """WITH s AS (

@@ -165,6 +165,14 @@ object GraftExtensions {
       litInt("word_ngrams", "n", exprs(1)),
       if (exprs.length > 2) litString("word_ngrams", "sep", exprs(2)) else " ")))
 
+  private[graftext] val kgramHashes = (
+    FunctionIdentifier("kgram_hashes"),
+    info("kgram_hashes",
+      "kgram_hashes(tokens, k) - rolling 31-base fingerprint of every " +
+        "k-token window (k literal), O(total chars) via prefix hashes"),
+    arity("kgram_hashes", 2)(exprs => KgramHashes(exprs(0),
+      litInt("kgram_hashes", "k", exprs(1)))))
+
   private[graftext] val chainReplace = (
     FunctionIdentifier("chain_replace"),
     info("chain_replace",
@@ -223,7 +231,7 @@ object GraftExtensions {
   /** The whole SQL-callable family, in registration order. */
   private[graftext] val all = Seq(
     vecDot, vecNorm, vecSub, vecQuantize, vecQuantizeStats, gramMoments,
-    topkBy, pairCombos, alphaTokenCount, rollingHash31, wordNGrams,
+    topkBy, pairCombos, alphaTokenCount, rollingHash31, wordNGrams, kgramHashes,
     chainReplace, nearestCentroid, nearestCode, bloomAgg,
     bloomMightContain, cmsEstimate, mmHeaderParse)
 

@@ -255,6 +255,36 @@ class VectorExprSpec extends SparkTestBase {
     assert(both(5).isNullAt(0), "null text stays null")
   }
 
+  test("native kgram_hashes matches rolling_hash31 over every HOF-joined window") {
+    import graft.functions.VectorFunctions.{kgram_hashes, rolling_hash31}
+    import spark.implicits._
+    // windows spanning ASCII, accents, CJK, an astral emoji token, and a
+    // doubled space (split yields an EMPTY token — the join must still
+    // emit both separators); k > size → empty; null → null
+    val df = Seq(
+      Some("the quick brown fox jumps over the lazy dog"),
+      Some("héllo wörld 中文 emoji 😀 end"),
+      Some("a  b c"), // empty middle token from the doubled space
+      Some("one two"),
+      None).toDF("text")
+    val k = 3
+    val tks = split(col("text"), " ")
+    // the HOF twin needs the classic size >= k guard (sequence(1, 0)
+    // turns descending — the guard WordNGrams' scaladoc documents)
+    val hof = when(size(tks) >= k,
+      transform(sequence(lit(1), size(tks) - (k - 1)),
+        i => rolling_hash31(concat_ws(" ", slice(tks, i, lit(k))))))
+      .when(col("text").isNotNull, array().cast("array<bigint>"))
+    val native = df.select(kgram_hashes(tks, k).as("hs"), hof.as("hof"))
+      .collect()
+    native.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"native vs hof: $r")
+    }
+    assert(native(3).getSeq[Long](0).isEmpty, "k > size(t) yields empty")
+  }
+
   test("native word_ngrams matches the transform+slice+concat_ws formulation") {
     import graft.functions.VectorFunctions.word_ngrams
     import spark.implicits._
