@@ -55,6 +55,41 @@ object ServingOps {
       .orderBy("hr")
   }
 
+  /** GET /detail — the dashboard's third call: the PAGINATED per-visitor
+    * detail listing (dw-chart `IndexController.java:79-107` getData →
+    * the publisher's ES detail search: startpage/size pagination plus an
+    * optional keyword match, returning the page of hits). Per visitor of
+    * the day: event count and first-seen hour; keyword = substring match
+    * on user_id (the MatchQueryBuilder twin, same shape as
+    * q_search_filter's contains). Total-ordered by the UNIQUE user_id,
+    * then offset/limit — the q_pagination machinery, so pages are
+    * deterministic and non-overlapping. Pushdown shape: the one-day
+    * range reaches the parquet scan via [[Tables.eventsInRange]]; the
+    * group-by is a single day's visitors. */
+  def detailPage(spark: SparkSession, dir: String, date: String,
+      keyword: String, page: Int, size: Int): DataFrame = {
+    require(page >= 1 && size >= 1, s"bad page geometry: page=$page size=$size")
+    val base = dayEvents(spark, dir, date)
+    val hits =
+      if (keyword.isEmpty) base else base.where(col("user_id").contains(keyword))
+    hits.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(date_format(col("ts"), "HH")).as("first_hour"))
+      .orderBy("user_id")
+      .offset((page - 1) * size)
+      .limit(size)
+  }
+
+  /** The detail search's total-hits count (the ES `total` field the
+    * dashboard pagination widget needs alongside each page). */
+  def detailTotal(spark: SparkSession, dir: String, date: String,
+      keyword: String): DataFrame = {
+    val base = dayEvents(spark, dir, date)
+    val hits =
+      if (keyword.isEmpty) base else base.where(col("user_id").contains(keyword))
+    hits.agg(count_distinct(col("user_id")).as("total"))
+  }
+
   /** GetDate.java:12-24 — date minus one day. */
   private[graft] def prevDay(date: String): String =
     java.time.LocalDate.parse(date).minusDays(1).toString
@@ -68,6 +103,11 @@ object ServingOps {
     "q_serve_total" -> ((s, d) => realtimeTotal(s, d, FixedDate)),
     "q_serve_hourly" -> ((s, d) => realtimeHourly(s, d, FixedDate)),
     "q_serve_hourly_yd" -> ((s, d) => hourlyWithYesterday(s, d, FixedDate)),
+    // page 2 of 5: the offset arm is exercised AND non-empty at every
+    // gate corpus (the fixed day has 11 visitors at sf0.001, 129 at
+    // sf0.01 — page 3 of 10 was empty at the small corpus, gating
+    // nothing)
+    "q_serve_detail" -> ((s, d) => detailPage(s, d, FixedDate, "", 2, 5)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -78,6 +118,11 @@ object ServingOps {
       """SELECT strftime(ts, '%H') AS hr, count(DISTINCT user_id) AS dau
          FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
          GROUP BY hr ORDER BY hr LIMIT 24""",
+    "q_serve_detail" ->
+      """SELECT user_id, count(*) AS n_events,
+                min(strftime(ts, '%H')) AS first_hour
+         FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+         GROUP BY user_id ORDER BY user_id LIMIT 5 OFFSET 5""",
     "q_serve_hourly_yd" ->
       """WITH h AS (
            SELECT strftime(ts, '%Y-%m-%d') AS d, strftime(ts, '%H') AS hr,

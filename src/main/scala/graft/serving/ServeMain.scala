@@ -210,6 +210,33 @@ object ServeMain {
         "today" -> hourCurve(spark, dir, date)))
     }
 
+  /** GET /detail?date=&page=&size=[&keyword=] — the dashboard's third
+    * call (dw-chart `IndexController.java:79-107` getData → the ES
+    * detail search): one page of the day's per-visitor listing plus the
+    * total-hits count the pagination widget needs. The page geometry
+    * and keyword participate in the memo key (each page of a closed day
+    * is its own immutable answer). */
+  private[serving] def detailJson(spark: SparkSession, dir: String,
+      date: String, keyword: String, page: Int, size: Int): String =
+    cached((s"detail:$page:$size:$keyword", dir, date)) {
+      if (!inRange(spark, dir, date))
+        toJson(collection.immutable.ListMap(
+          "total" -> 0L, "detail" -> Seq.empty[Any]))
+      else {
+        val total = ServingOps.detailTotal(spark, dir, date, keyword)
+          .head().getLong(0)
+        val rows = ServingOps.detailPage(spark, dir, date, keyword, page, size)
+          .collect()
+          .map(r => collection.immutable.ListMap(
+            "user_id" -> r.getString(0),
+            "n_events" -> r.getLong(1),
+            "first_hour" -> r.getString(2)))
+          .toSeq
+        toJson(collection.immutable.ListMap(
+          "total" -> total, "detail" -> rows))
+      }
+    }
+
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
@@ -234,6 +261,8 @@ object ServeMain {
         case None => respond(ex, 400, toJson(Map("error" -> "missing ?date=")))
       }
     } catch {
+      case e: IllegalArgumentException => // bad client input, not our fault
+        respond(ex, 400, toJson(Map("error" -> String.valueOf(e.getMessage))))
       case e: Exception =>
         respond(ex, 500, toJson(Map("error" -> String.valueOf(e.getMessage))))
     } finally ex.close()
@@ -253,10 +282,21 @@ object ServeMain {
       (ex: HttpExchange) => handle(ex)(totalJson(spark, dir, _)))
     server.createContext("/realtime-hour",
       (ex: HttpExchange) => handle(ex)(hourlyJson(spark, dir, _)))
+    server.createContext("/detail", (ex: HttpExchange) => handle(ex) { d =>
+      // page/size bounds: a crafted ?size=10000000 must not become one
+      // giant collect — clamp to the dashboard's realistic page sizes
+      val page = param(ex, "page").flatMap(_.toIntOption).getOrElse(1)
+      val size = param(ex, "size").flatMap(_.toIntOption).getOrElse(10)
+      val keyword = param(ex, "keyword").getOrElse("")
+      require(page >= 1 && size >= 1 && size <= 1000,
+        s"bad page geometry: page=$page size=$size (want page>=1, 1<=size<=1000)")
+      detailJson(spark, dir, d, keyword, page, size)
+    })
     server.createContext("/", (ex: HttpExchange) => {
       respond(ex, 404, toJson(Map(
         "error" -> "unknown path",
-        "endpoints" -> Seq("/realtime-total?date=", "/realtime-hour?date="))))
+        "endpoints" -> Seq("/realtime-total?date=", "/realtime-hour?date=",
+          "/detail?date=&page=&size=&keyword="))))
       ex.close()
     })
     server.start()

@@ -108,6 +108,25 @@ class LifecycleDrillSpec extends SparkTestBase {
       // the hourly curve agrees too: hours 01,02 with 1,2 visitors
       val hourly = get(port, s"/realtime-hour?id=dau&date=$day")
       assert(hourly.contains("\"01\":1") && hourly.contains("\"02\":2"), hourly)
+
+      // --- the detail search (IndexController getData): page 1 of 2 is
+      // the first two visitors (user_id order), page 2 the third; the
+      // served page must equal the batch q_pagination-machinery slice
+      val d1 = get(port, s"/detail?date=$day&page=1&size=2")
+      val batchPage = graft.operators.ServingOps
+        .detailPage(spark, tableDir, day, "", 1, 2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      assert(batchPage.toSeq ==
+        Seq(("u1", 2L, "01"), ("u2", 1L, "02")), batchPage.toSeq.toString)
+      val expected1 = batchPage.map { case (u, n, h) =>
+        s"""{"user_id":"$u","n_events":$n,"first_hour":"$h"}"""
+      }.mkString("""{"total":3,"detail":[""", ",", "]}")
+      assert(d1 == expected1, s"served $d1 vs batch $expected1")
+      val d2 = get(port, s"/detail?date=$day&page=2&size=2")
+      assert(d2 == """{"total":3,"detail":[{"user_id":"u3","n_events":1,"first_hour":"02"}]}""", d2)
+      // keyword narrows to the matching visitor, total included
+      val dk = get(port, s"/detail?date=$day&page=1&size=10&keyword=u1")
+      assert(dk == """{"total":1,"detail":[{"user_id":"u1","n_events":2,"first_hour":"01"}]}""", dk)
     } finally serve.stop(0)
   }
 }
