@@ -1699,8 +1699,13 @@ object MultimodalOps {
     * clip (every sample selected, extents back-to-back in the chunk)
     * collapses to ONE GET, while a long clip whose stride skips more
     * than the gap's worth of samples pays one GET per frame. The classic
-    * vectored-IO trade, now priced off the actual tables. Sample offsets
-    * are monotone per asset (chunk order), so one lag() flags range
+    * vectored-IO trade, now priced off the actual tables. Ranges build
+    * in BYTE-OFFSET order (frame_idx as the tiebreak), not frame order:
+    * ISO BMFF does not require stco chunk offsets to ascend, and a legal
+    * out-of-order-chunk file under frame order would interleave ranges
+    * whose max(end)−min(start) io_bytes over-counts — sorting by offset
+    * makes coalescing correct for ANY chunk layout (the fixtures are
+    * monotone, where the two orders coincide). One lag() flags range
     * starts and a running sum numbers them: two window passes + one
     * groupBy, ALL partitioned by asset — no global shuffle beyond the
     * hash on asset_id. */
@@ -1714,7 +1719,8 @@ object MultimodalOps {
     * useful-byte sum) — shared by [[fetchPlan]] and [[fetchStats]]. */
   private def fetchRanges(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byIdx = Window.partitionBy("asset_id").orderBy("frame_idx")
+    val byIdx = Window.partitionBy("asset_id")
+      .orderBy("byte_offset", "frame_idx")
     val ranges = frameFrame(spark, dir)
       .select(col("asset_id"), col("frame_idx"), col("byte_offset"),
         col("sample_bytes"),
@@ -2814,7 +2820,7 @@ object MultimodalOps {
          r AS (
            SELECT asset_id, frame_idx, byte_offset, byte_end,
                   lag(byte_end) OVER (
-                    PARTITION BY asset_id ORDER BY frame_idx) AS prev_end
+                    PARTITION BY asset_id ORDER BY byte_offset, frame_idx) AS prev_end
            FROM o),
          n AS (
            SELECT *, CASE WHEN prev_end IS NULL
@@ -2823,7 +2829,7 @@ object MultimodalOps {
            FROM r),
          ri AS (
            SELECT *, CAST(sum(new_range) OVER (
-                    PARTITION BY asset_id ORDER BY frame_idx
+                    PARTITION BY asset_id ORDER BY byte_offset, frame_idx
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) - 1 AS range_id
            FROM n)
@@ -2848,13 +2854,13 @@ object MultimodalOps {
            SELECT asset_id, frame_idx, byte_offset, ssz,
                   byte_offset + ssz AS byte_end,
                   lag(byte_offset + ssz) OVER (
-                    PARTITION BY asset_id ORDER BY frame_idx) AS prev_end
+                    PARTITION BY asset_id ORDER BY byte_offset, frame_idx) AS prev_end
            FROM o0),
          ri AS (
            SELECT *, CAST(sum(CASE WHEN prev_end IS NULL
                           OR byte_offset > prev_end + $CoalesceGap
                           THEN 1 ELSE 0 END) OVER (
-                    PARTITION BY asset_id ORDER BY frame_idx
+                    PARTITION BY asset_id ORDER BY byte_offset, frame_idx
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) - 1 AS range_id
            FROM r),

@@ -505,10 +505,18 @@ object StreamingOps {
         // leaves outPath existing with zero parquet files, and a plain
         // read would throw schema-inference AnalysisException on every
         // replay — permanently crash-looping the recovery the
-        // checkpoint exists to provide
+        // checkpoint exists to provide. ONLY those two error classes
+        // mean "empty sink": any other AnalysisException (schema drift,
+        // permissions, a corrupted path config) must PROPAGATE — zeroing
+        // the ledger on it would silently re-decode and re-emit digests
+        // already landed, breaking the one-epoch-per-digest invariant
+        val EmptySinkClasses = Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
         val ledger =
           (try Some(spark.read.parquet(outPath))
-           catch { case _: org.apache.spark.sql.AnalysisException => None })
+           catch {
+             case e: org.apache.spark.sql.AnalysisException
+               if EmptySinkClasses.contains(e.getCondition) => None
+           })
             .map(_.where(col("epoch") =!= batchId) // replay: self-exclusion
               .select(col("payload_fp").as("fp")).distinct())
             .getOrElse(spark.emptyDataset[String](

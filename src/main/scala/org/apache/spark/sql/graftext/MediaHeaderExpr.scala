@@ -155,9 +155,17 @@ object MediaHeaderParse {
         { val s = be32(b, 0); s >= 8 && s <= n }) {
       Mp4Boxes.parse(b) match {
         case Some(t) =>
+          // media_ms guards BOTH factors: a hostile mdhd v1 u64 duration
+          // read via be64 can be negative (top bit set) or large enough
+          // that ×1000 wraps Long — either emits the null quarantine,
+          // never a garbage/negative duration
+          val mediaMs =
+            if (t.timescale > 0 && t.durationTs >= 0 &&
+              t.durationTs <= Long.MaxValue / 1000L)
+              (t.durationTs * 1000L / t.timescale): java.lang.Long
+            else null
           InternalRow(Mp4, null, null, null, t.mdatBytes,
-            t.nSamples.toLong, t.tableBytes,
-            if (t.timescale > 0) t.durationTs * 1000L / t.timescale else null)
+            t.nSamples.toLong, t.tableBytes, mediaMs)
         case None => InternalRow(Mp4, null, null, null, null, null, null, null)
       }
     // JPEG: SOI, then WALK the marker segments (each FF-marker carries a

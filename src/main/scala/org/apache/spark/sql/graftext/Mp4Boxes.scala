@@ -87,7 +87,19 @@ object Mp4Boxes {
     var chunks: Array[Long] = null
     var syncs: Array[Long] = null // null = no stss box = all-sync
     var mdatBytes = 0L
-    var haveTrak = false // only the FIRST track's tables are taken
+    var committed = false // a trak's tables have been accepted
+    // per-trak slots: each trak parses into these, and only a COMPLETE
+    // set (stts+stsc+stsz+stco) from a video-or-untyped handler commits
+    // into the outer vars — so an audio/metadata FIRST trak (or one with
+    // a partial stbl) is skipped and a later video trak still plans,
+    // instead of hijacking the sample plan or quarantining the file
+    var tTimescale = 0L; var tDurationTs = 0L
+    var tSttsCounts: Array[Long] = null; var tSttsDeltas: Array[Long] = null
+    var tStscFirst: Array[Long] = null; var tStscPer: Array[Long] = null
+    var tSizes: Array[Long] = null
+    var tChunks: Array[Long] = null
+    var tSyncs: Array[Long] = null
+    var tHandler: String = null // hdlr 4cc when the box is present
 
     def u32(o: Long): Long = be32(b, o.toInt)
 
@@ -118,10 +130,10 @@ object Mp4Boxes {
       val version = b(ps.toInt) & 0xFF
       if (version == 0) {
         if (pe - ps < 20) return false
-        timescale = u32(ps + 12); durationTs = u32(ps + 16)
+        tTimescale = u32(ps + 12); tDurationTs = u32(ps + 16)
       } else if (version == 1) {
         if (pe - ps < 32) return false
-        timescale = u32(ps + 20); durationTs = be64(b, ps.toInt + 24)
+        tTimescale = u32(ps + 20); tDurationTs = be64(b, ps.toInt + 24)
       } else return false
       true
     }
@@ -130,12 +142,12 @@ object Mp4Boxes {
       if (pe - ps < 8 || u32(ps) != 0L) return false
       val cnt = u32(ps + 4)
       if (cnt > (pe - ps - 8) / 8 || cnt > MaxSamples) return false
-      sttsCounts = new Array[Long](cnt.toInt)
-      sttsDeltas = new Array[Long](cnt.toInt)
+      tSttsCounts = new Array[Long](cnt.toInt)
+      tSttsDeltas = new Array[Long](cnt.toInt)
       var i = 0
       while (i < cnt) {
-        sttsCounts(i) = u32(ps + 8 + 8L * i)
-        sttsDeltas(i) = u32(ps + 12 + 8L * i)
+        tSttsCounts(i) = u32(ps + 8 + 8L * i)
+        tSttsDeltas(i) = u32(ps + 12 + 8L * i)
         i += 1
       }
       true
@@ -145,15 +157,15 @@ object Mp4Boxes {
       if (pe - ps < 8 || u32(ps) != 0L) return false
       val cnt = u32(ps + 4)
       if (cnt > (pe - ps - 8) / 12 || cnt > MaxSamples) return false
-      stscFirst = new Array[Long](cnt.toInt)
-      stscPer = new Array[Long](cnt.toInt)
+      tStscFirst = new Array[Long](cnt.toInt)
+      tStscPer = new Array[Long](cnt.toInt)
       var i = 0
       while (i < cnt) {
-        stscFirst(i) = u32(ps + 8 + 12L * i)
-        stscPer(i) = u32(ps + 12 + 12L * i)
+        tStscFirst(i) = u32(ps + 8 + 12L * i)
+        tStscPer(i) = u32(ps + 12 + 12L * i)
         // first_chunk runs must start at 1 and strictly increase
-        if (stscFirst(i) < 1 || (i > 0 && stscFirst(i) <= stscFirst(i - 1)) ||
-          (i == 0 && stscFirst(0) != 1L) || stscPer(i) < 1) return false
+        if (tStscFirst(i) < 1 || (i > 0 && tStscFirst(i) <= tStscFirst(i - 1)) ||
+          (i == 0 && tStscFirst(0) != 1L) || tStscPer(i) < 1) return false
         i += 1
       }
       true
@@ -165,12 +177,12 @@ object Mp4Boxes {
       val cnt = u32(ps + 8)
       if (cnt > MaxSamples) return false
       if (uniform != 0L) {
-        sizes = Array.fill(cnt.toInt)(uniform)
+        tSizes = Array.fill(cnt.toInt)(uniform)
       } else {
         if (cnt > (pe - ps - 12) / 4) return false
-        sizes = new Array[Long](cnt.toInt)
+        tSizes = new Array[Long](cnt.toInt)
         var i = 0
-        while (i < cnt) { sizes(i) = u32(ps + 12 + 4L * i); i += 1 }
+        while (i < cnt) { tSizes(i) = u32(ps + 12 + 4L * i); i += 1 }
       }
       true
     }
@@ -180,11 +192,11 @@ object Mp4Boxes {
       val w = if (wide) 8 else 4
       val cnt = u32(ps + 4)
       if (cnt > (pe - ps - 8) / w || cnt > MaxSamples) return false
-      chunks = new Array[Long](cnt.toInt)
+      tChunks = new Array[Long](cnt.toInt)
       var i = 0
       while (i < cnt) {
-        chunks(i) = if (wide) be64(b, (ps + 8 + 8L * i).toInt)
-                    else u32(ps + 8 + 4L * i)
+        tChunks(i) = if (wide) be64(b, (ps + 8 + 8L * i).toInt)
+                     else u32(ps + 8 + 4L * i)
         i += 1
       }
       true
@@ -194,12 +206,12 @@ object Mp4Boxes {
       if (pe - ps < 8 || u32(ps) != 0L) return false
       val cnt = u32(ps + 4)
       if (cnt > (pe - ps - 8) / 4 || cnt > MaxSamples) return false
-      syncs = new Array[Long](cnt.toInt)
+      tSyncs = new Array[Long](cnt.toInt)
       var i = 0
       while (i < cnt) {
-        syncs(i) = u32(ps + 8 + 4L * i)
+        tSyncs(i) = u32(ps + 8 + 4L * i)
         // sync sample numbers are 1-based and strictly ascending
-        if (syncs(i) < 1 || (i > 0 && syncs(i) <= syncs(i - 1))) return false
+        if (tSyncs(i) < 1 || (i > 0 && tSyncs(i) <= tSyncs(i - 1))) return false
         i += 1
       }
       true
@@ -218,8 +230,17 @@ object Mp4Boxes {
       case ("stbl", ps, pe) => walkChildren(ps, pe, inStbl)
       case _ => true
     }
+    // hdlr (ISO 14496-12 §8.4.3): version/flags(4) + pre_defined(4) +
+    // the handler 4cc at payload offset 8 — 'vide'/'soun'/'meta'...
+    def parseHdlr(ps: Long, pe: Long): Boolean = {
+      if (pe - ps < 12) return false
+      tHandler = new String(b, ps.toInt + 8, 4,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      true
+    }
     val inMdia: (String, Long, Long) => Boolean = {
       case ("mdhd", ps, pe) => parseMdhd(ps, pe)
+      case ("hdlr", ps, pe) => parseHdlr(ps, pe)
       case ("minf", ps, pe) => walkChildren(ps, pe, inMinf)
       case _ => true
     }
@@ -228,8 +249,30 @@ object Mp4Boxes {
       case _ => true // tkhd/edts: skipped wholesale
     }
     val inMoov: (String, Long, Long) => Boolean = {
-      case ("trak", ps, pe) if !haveTrak =>
-        haveTrak = true; walkChildren(ps, pe, inTrak)
+      case ("trak", ps, pe) if !committed =>
+        // fresh slots per trak; framing violations inside a trak still
+        // quarantine the whole file (strict on structure)
+        tTimescale = 0L; tDurationTs = 0L
+        tSttsCounts = null; tSttsDeltas = null
+        tStscFirst = null; tStscPer = null
+        tSizes = null; tChunks = null; tSyncs = null; tHandler = null
+        if (!walkChildren(ps, pe, inTrak)) false
+        else {
+          // take the FIRST trak with a COMPLETE sample table whose
+          // handler (when declared) is video — an audio/metadata trak,
+          // or one with a partial stbl, is skipped and the scan
+          // continues to later traks
+          val complete = tSttsCounts != null && tStscFirst != null &&
+            tSizes != null && tChunks != null
+          if (complete && (tHandler == null || tHandler == "vide")) {
+            timescale = tTimescale; durationTs = tDurationTs
+            sttsCounts = tSttsCounts; sttsDeltas = tSttsDeltas
+            stscFirst = tStscFirst; stscPer = tStscPer
+            sizes = tSizes; chunks = tChunks; syncs = tSyncs
+            committed = true
+          }
+          true
+        }
       case _ => true // free/udta/mvhd/further traks: skipped wholesale
     }
     val topLevel: (String, Long, Long) => Boolean = {

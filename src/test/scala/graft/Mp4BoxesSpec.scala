@@ -146,6 +146,56 @@ class Mp4BoxesSpec extends AnyFunSuite {
     assert(Mp4Boxes.parse(mk(past, base)).isEmpty, "stss entry past n")
   }
 
+  test("multi-trak: audio/incomplete traks are skipped, the first complete video trak plans") {
+    val mdhdA = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++
+      u32(48000) ++ u32(96000) ++ u32(0x55C40000L)) // the audio clock
+    val mdhdV = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++
+      u32(1000) ++ u32(2000) ++ u32(0x55C40000L))   // the video clock
+    def hdlr(h: String) = box("hdlr", u32(0) ++ u32(0) ++
+      h.getBytes("ISO-8859-1") ++ u32(0) ++ u32(0) ++ u32(0))
+    def stblFor(sz: Long, off: Long) = box("stbl",
+      box("stts", u32(0) ++ u32(1) ++ u32(1) ++ u32(500)) ++
+        box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(1) ++ u32(1)) ++
+        box("stsz", u32(0) ++ u32(0) ++ u32(1) ++ u32(sz)) ++
+        box("stco", u32(0) ++ u32(1) ++ u32(off)))
+    def trak(mdhd: Array[Byte], h: Option[String], stbl: Option[Array[Byte]]) =
+      box("trak", box("mdia",
+        mdhd ++ h.map(hdlr).getOrElse(Array.empty[Byte]) ++
+          box("minf", stbl.getOrElse(box("stbl",
+            // INCOMPLETE: an stts alone, no stsc/stsz/stco
+            box("stts", u32(0) ++ u32(1) ++ u32(1) ++ u32(10)))))))
+    // two-pass builder (the golden() discipline): measure where mdat's
+    // payload lands, then re-emit with real chunk offsets
+    def fileOf(offToTraks: Long => Seq[Array[Byte]]): Array[Byte] = {
+      def emit(off: Long) = ftyp ++
+        box("moov", offToTraks(off).flatten.toArray) ++
+        box("mdat", new Array[Byte](40))
+      emit(emit(0L).length - 40L)
+    }
+    // trak 1: complete but hdlr 'soun' — an audio plan must NOT hijack
+    // the video seek plan; trak 2: 'vide' but incomplete stbl — skipped;
+    // trak 3: 'vide' complete — THIS one plans
+    val threeTrak = fileOf(off => Seq(
+      trak(mdhdA, Some("soun"), Some(stblFor(7, off))),
+      trak(mdhdV, Some("vide"), None),
+      trak(mdhdV, Some("vide"), Some(stblFor(9, off + 7)))))
+    val off3 = threeTrak.length - 40L
+    val t = Mp4Boxes.parse(threeTrak).get
+    assert(t.timescale == 1000L && t.durationTs == 2000L,
+      "the VIDEO trak's clock, not the audio's")
+    assert(t.nSamples == 1 && t.sizes(0) == 9L && t.offsets(0) == off3 + 7,
+      s"the video trak's table: ${t.sizes.toSeq} @ ${t.offsets.toSeq}")
+    // an untyped complete trak (no hdlr — the fixture arm) still plans
+    val u = Mp4Boxes.parse(fileOf(off =>
+      Seq(trak(mdhdV, None, Some(stblFor(5, off)))))).get
+    assert(u.nSamples == 1 && u.sizes(0) == 5L, "untyped trak plans")
+    // nothing plannable: only audio/incomplete traks → quarantine
+    assert(Mp4Boxes.parse(fileOf(off => Seq(
+      trak(mdhdA, Some("soun"), Some(stblFor(7, off))),
+      trak(mdhdV, Some("vide"), None)))).isEmpty,
+      "no video sample table anywhere: quarantine, not the audio plan")
+  }
+
   test("hostile inputs quarantine: truncation, overrun, inconsistent tables, lying counts") {
     val (bytes, _, _) = golden()
     def mutated(f: Array[Byte] => Array[Byte]): Option[_] =
