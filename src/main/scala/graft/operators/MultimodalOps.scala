@@ -17,14 +17,16 @@ import graft.Tables
   * the PNG carries a stored-deflate IDAT with a correct Adler-32 and a
   * per-row Up-filtered vertical gradient, the JPEG is a complete baseline
   * grayscale image (DQT, custom DHT, an entropy-coded scan) that the JDK
-  * codec decodes, and the WAV has been real PCM all along. The decode
-  * stage reads REAL pixels and samples; the DuckDB oracle replays the
-  * decoded statistics ARITHMETICALLY from the same generator functions
-  * (the raster is a deterministic integer function of the doc), so the
-  * gate cross-checks an actual codec path against closed-form math.
-  * The one modality without a JDK decoder is MP4 video — its decode row
-  * is the documented quarantine (n_units = 0), while its planning ops
-  * (frames, fetch, shards) stay fully covered.
+  * codec decodes, and the WAV has been real PCM all along. Since round 16
+  * the MP4's mdat is Motion-JPEG: every stsz/stco sample extent is itself
+  * a complete baseline JPEG, so video decodes END TO END through the
+  * sample-table walk + the JDK codec (full-decode stats in the decode
+  * report; keyframe-plan frame decode in q_mm_vframes; perceptual video
+  * dedup in q_mm_vdedup). The decode stage reads REAL pixels and samples;
+  * the DuckDB oracle replays the decoded statistics ARITHMETICALLY from
+  * the same generator functions, so the gate cross-checks an actual codec
+  * path against closed-form math. The remaining quarantine is
+  * codec-hostile bytes only (H.26x bitstreams, broken tables).
   *
   * The batch shape is the production one throughout: mapPartitions gives
   * one iterator per partition, so codec state (ImageIO cache config,
@@ -40,9 +42,10 @@ object MultimodalOps {
       features: Array[Double])
   /** Integer-exact decode outcome: sums, not means — the single double
     * divisions happen in the DataFrame where the oracle can mirror them
-    * expression-for-expression. n_units = pixels (image) / samples
-    * (audio); 0 with null stats = the quarantine row (no decoder, or a
-    * malformed container). */
+    * expression-for-expression. n_units = pixels (image: one frame;
+    * video: summed over ALL Motion-JPEG samples) / samples (audio);
+    * 0 with null stats = the quarantine row (no decoder for the sample
+    * bitstream, or a malformed container). */
   case class DecodedStats(asset_id: Long, modality: String, format: String,
       byte_len: Long, width: Option[Long], height: Option[Long],
       sample_rate: Option[Long], duration_ms: Long, n_units: Long,
@@ -165,11 +168,12 @@ object MultimodalOps {
     * byte-identical payloads (the dedup structure documents' text dups
     * induce survives the synthesis). Audio is a valid PCM WAV whose data
     * chunk is the text's utf-8 bytes (LE16 samples); video is a
-    * STRUCTURALLY COMPLETE MP4 — ftyp + moov(trak/mdia/mdhd/minf/stbl
+    * COMPLETE, DECODABLE MP4 — ftyp + moov(trak/mdia/mdhd/minf/stbl
     * with real stts/stsc/stsz/stco tables, plus planted free/udta boxes
-    * a walker must skip) + mdat, so the frame plan derives byte offsets
-    * from the PARSED sample tables (no JDK video codec exists — only the
-    * pixel decode row stays quarantined). Dimensions, sample rate and
+    * a walker must skip) + a Motion-JPEG mdat whose every sample extent
+    * is a complete baseline JPEG, so the frame plan derives byte offsets
+    * from the PARSED sample tables and the decode feeds those extents to
+    * the JDK codec. Dimensions, sample rate and
     * media duration are written into the actual header bytes AND
     * mirrored in catalog columns, so the parse path is checkable against
     * the metadata. */
@@ -635,29 +639,41 @@ object MultimodalOps {
     * every component a fixed chain of double divisions of exact integers
     * (mirrored expression-for-expression in the oracle). Images embed
     * brightness stats + geometry; audio embeds level/energy stats +
-    * rate; the no-decoder modalities embed size/duration. No component
-    * chain shares a divisor order the oracle doesn't replicate. */
+    * rate; video (since the mdat became decodable Motion-JPEG) embeds
+    * its decoded per-frame brightness moments + pixel volume — the
+    * decode work is LOAD-BEARING in the feature/align path, not a
+    * stats-only side channel. Quarantined/unknown payloads fall back to
+    * size/duration. No component chain shares a divisor order the
+    * oracle doesn't replicate. */
   private def featureCols: Seq[Column] = {
     val img = col("modality") === "image" && col("n_units") > 0
     val aud = col("modality") === "audio" && col("n_units") > 0
+    val vid = col("modality") === "video" && col("n_units") > 0
     def d(c: Column) = c.cast("double")
     Seq(
       when(img, d(col("u_sum")) / col("n_units") / 255.0)
         .when(aud, d(col("u_sum")) / col("n_units") / 32768.0)
+        .when(vid, d(col("u_sum")) / col("n_units") / 255.0)
         .otherwise(d(col("byte_len")) / 1000000.0),
       when(img, d(col("u_min")) / 255.0)
         .when(aud, d(col("u_sumsq")) / col("n_units") / 1.073741824e9)
         .otherwise(d(col("duration_ms")) / 1000000.0),
       when(img, d(col("u_max")) / 255.0)
-        .when(aud, d(col("u_min")) / 32768.0).otherwise(lit(0.0)),
+        .when(aud, d(col("u_min")) / 32768.0)
+        .when(vid, d(col("u_min")) / 255.0).otherwise(lit(0.0)),
       when(img, d(col("width")) / 1024.0)
-        .when(aud, d(col("u_max")) / 32768.0).otherwise(lit(0.0)),
+        .when(aud, d(col("u_max")) / 32768.0)
+        .when(vid, d(col("u_max")) / 255.0).otherwise(lit(0.0)),
       when(img, d(col("height")) / 1024.0)
-        .when(aud, d(col("n_units")) / 1000000.0).otherwise(lit(0.0)),
+        .when(aud, d(col("n_units")) / 1000000.0)
+        .when(vid, d(col("n_units")) / 1000000.0).otherwise(lit(0.0)),
       when(img, d(col("n_units")) / 1000000.0)
-        .when(aud, d(col("sample_rate")) / 48000.0).otherwise(lit(0.0)),
+        .when(aud, d(col("sample_rate")) / 48000.0)
+        .when(vid, d(col("byte_len")) / 1000000.0).otherwise(lit(0.0)),
       when(img, d(col("u_sumsq")) / col("n_units") / 65025.0)
-        .when(aud, d(col("byte_len")) / 1000000.0).otherwise(lit(0.0)),
+        .when(aud, d(col("byte_len")) / 1000000.0)
+        .when(vid, d(col("u_sumsq")) / col("n_units") / 65025.0)
+        .otherwise(lit(0.0)),
       lit(0.0))
   }
 
@@ -2041,8 +2057,10 @@ object MultimodalOps {
     * run decomposition (at most one mod-256 wrap since h ≤ 192 < 256;
     * sums via arithmetic series, sums of squares via the square-pyramid
     * closed form m(m+1)(2m+1)/6, which is exact at m = −1 too), the
-    * JPEG constant gray, and the WAV PCM re-sliced from the payload hex
-    * (LE16 sign-corrected). Exposes `dstats`. */
+    * JPEG constant gray, the WAV PCM re-sliced from the payload hex
+    * (LE16 sign-corrected), and the Motion-JPEG video (the frame
+    * multiset is {A×⌈n/2⌉, B×⌊n/2⌋} of constant-gray w×h frames, so
+    * every moment is a two-term closed form). Exposes `dstats`. */
   private lazy val DecodeSqlCte: String =
     s"""$AssetSqlCte,
        wavs AS (
@@ -2118,24 +2136,31 @@ object MultimodalOps {
   private def featureSqlComps: Seq[String] = {
     val img = "modality = 'image' AND n_units > 0"
     val aud = "modality = 'audio' AND n_units > 0"
+    val vid = "modality = 'video' AND n_units > 0"
     def d(c: String) = s"CAST($c AS DOUBLE)"
     Seq(
       s"CASE WHEN $img THEN ${d("u_sum")}/n_units/255.0" +
         s" WHEN $aud THEN ${d("u_sum")}/n_units/32768.0" +
+        s" WHEN $vid THEN ${d("u_sum")}/n_units/255.0" +
         s" ELSE ${d("byte_len")}/1000000.0 END",
       s"CASE WHEN $img THEN ${d("u_min")}/255.0" +
         s" WHEN $aud THEN ${d("u_sumsq")}/n_units/1073741824.0" +
         s" ELSE ${d("duration_ms")}/1000000.0 END",
       s"CASE WHEN $img THEN ${d("u_max")}/255.0" +
-        s" WHEN $aud THEN ${d("u_min")}/32768.0 ELSE 0.0 END",
+        s" WHEN $aud THEN ${d("u_min")}/32768.0" +
+        s" WHEN $vid THEN ${d("u_min")}/255.0 ELSE 0.0 END",
       s"CASE WHEN $img THEN ${d("width")}/1024.0" +
-        s" WHEN $aud THEN ${d("u_max")}/32768.0 ELSE 0.0 END",
+        s" WHEN $aud THEN ${d("u_max")}/32768.0" +
+        s" WHEN $vid THEN ${d("u_max")}/255.0 ELSE 0.0 END",
       s"CASE WHEN $img THEN ${d("height")}/1024.0" +
-        s" WHEN $aud THEN ${d("n_units")}/1000000.0 ELSE 0.0 END",
+        s" WHEN $aud THEN ${d("n_units")}/1000000.0" +
+        s" WHEN $vid THEN ${d("n_units")}/1000000.0 ELSE 0.0 END",
       s"CASE WHEN $img THEN ${d("n_units")}/1000000.0" +
-        s" WHEN $aud THEN ${d("rate")}/48000.0 ELSE 0.0 END",
+        s" WHEN $aud THEN ${d("rate")}/48000.0" +
+        s" WHEN $vid THEN ${d("byte_len")}/1000000.0 ELSE 0.0 END",
       s"CASE WHEN $img THEN ${d("u_sumsq")}/n_units/65025.0" +
-        s" WHEN $aud THEN ${d("byte_len")}/1000000.0 ELSE 0.0 END",
+        s" WHEN $aud THEN ${d("byte_len")}/1000000.0" +
+        s" WHEN $vid THEN ${d("u_sumsq")}/n_units/65025.0 ELSE 0.0 END",
       "0.0")
   }
 

@@ -223,8 +223,13 @@ object ServeMain {
         toJson(collection.immutable.ListMap(
           "total" -> 0L, "detail" -> Seq.empty[Any]))
       else {
-        val total = ServingOps.detailTotal(spark, dir, date, keyword)
-          .head().getLong(0)
+        // the total is PAGE-INDEPENDENT: memoize it per (date, keyword)
+        // so paging through N pages of a closed day costs N+1 day
+        // scans, not 2N (the memo stores the number as its JSON digits)
+        val total = cached((s"detail_total:$keyword", dir, date)) {
+          ServingOps.detailTotal(spark, dir, date, keyword)
+            .head().getLong(0).toString
+        }.toLong
         val rows = ServingOps.detailPage(spark, dir, date, keyword, page, size)
           .collect()
           .map(r => collection.immutable.ListMap(
@@ -245,10 +250,17 @@ object ServeMain {
     try os.write(bytes) finally os.close()
   }
 
-  private def param(ex: HttpExchange, name: String): Option[String] =
-    Option(ex.getRequestURI.getQuery).toSeq
+  /** Split the RAW query and percent-decode each component: getQuery
+    * pre-decodes %XX, so a free-text value containing an encoded '&'
+    * or '=' (the keyword parameter) would be split on its DECODED
+    * bytes and silently truncated; '+' must decode to a space. */
+  private def param(ex: HttpExchange, name: String): Option[String] = {
+    def dec(s: String) =
+      java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+    Option(ex.getRequestURI.getRawQuery).toSeq
       .flatMap(_.split('&')).map(_.split("=", 2))
-      .collectFirst { case Array(k, v) if k == name && v.nonEmpty => v }
+      .collectFirst { case Array(k, v) if dec(k) == name && v.nonEmpty => dec(v) }
+  }
 
   private val DatePattern = "\\d{4}-\\d{2}-\\d{2}".r
 
@@ -284,12 +296,20 @@ object ServeMain {
       (ex: HttpExchange) => handle(ex)(hourlyJson(spark, dir, _)))
     server.createContext("/detail", (ex: HttpExchange) => handle(ex) { d =>
       // page/size bounds: a crafted ?size=10000000 must not become one
-      // giant collect — clamp to the dashboard's realistic page sizes
-      val page = param(ex, "page").flatMap(_.toIntOption).getOrElse(1)
-      val size = param(ex, "size").flatMap(_.toIntOption).getOrElse(10)
+      // giant collect, and the page cap keeps (page-1)*size < 2^31 so
+      // the offset can never wrap Int (1e6 * 1e3 < Int.MaxValue);
+      // a NON-NUMERIC value is a client bug and gets the same 400 as
+      // out-of-range geometry, never a silent default page
+      def intParam(name: String, dflt: Int): Int =
+        param(ex, name).map(v => v.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"bad $name '$v' (want an integer)"))).getOrElse(dflt)
+      val page = intParam("page", 1)
+      val size = intParam("size", 10)
       val keyword = param(ex, "keyword").getOrElse("")
-      require(page >= 1 && size >= 1 && size <= 1000,
-        s"bad page geometry: page=$page size=$size (want page>=1, 1<=size<=1000)")
+      require(page >= 1 && page <= 1000000 && size >= 1 && size <= 1000,
+        s"bad page geometry: page=$page size=$size " +
+          "(want 1<=page<=1000000, 1<=size<=1000)")
       detailJson(spark, dir, d, keyword, page, size)
     })
     server.createContext("/", (ex: HttpExchange) => {

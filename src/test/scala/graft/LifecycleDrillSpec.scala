@@ -127,6 +127,23 @@ class LifecycleDrillSpec extends SparkTestBase {
       // keyword narrows to the matching visitor, total included
       val dk = get(port, s"/detail?date=$day&page=1&size=10&keyword=u1")
       assert(dk == """{"total":1,"detail":[{"user_id":"u1","n_events":2,"first_hour":"01"}]}""", dk)
+      // a PERCENT-ENCODED keyword must decode before filtering (the raw
+      // query is split, then each component decoded — %75%31 == "u1")
+      val de = get(port, s"/detail?date=$day&page=1&size=10&keyword=%75%31")
+      assert(de == dk, s"encoded keyword must equal the plain one: $de")
+      // malformed geometry is a 400, never a silent default or a wrapped
+      // offset: non-numeric page, and a page big enough to overflow
+      // (page-1)*size in Int if it were accepted
+      def status(path: String): Int = {
+        val c = URI.create(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        c.setConnectTimeout(5000); c.setReadTimeout(30000)
+        val s = c.getResponseCode; c.disconnect(); s
+      }
+      assert(status(s"/detail?date=$day&page=abc") == 400, "non-numeric page")
+      assert(status(s"/detail?date=$day&page=4394968&size=1000") == 400,
+        "overflow-scale page must be rejected, not wrapped")
+      assert(status(s"/detail?date=$day&size=0") == 400, "zero size")
     } finally serve.stop(0)
   }
 }
