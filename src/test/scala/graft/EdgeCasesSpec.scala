@@ -56,6 +56,24 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(graft.operators.MultimodalOps.packMultimodal(spark, dir).count() == 0)
     val clf = graft.operators.PipelineOps.qualityClfTrain(spark, dir).collect()
     assert(clf.length == 3 && clf.forall(_.getAs[Long]("n_mis") == 0L))
+    // r16: the video decode family and the substring detector over zero
+    // docs — decode scans, bit-vote aggregation, Manku blocking, and the
+    // k-gram position join all tolerate empty input
+    assert(graft.operators.MultimodalOps.videoFrames(spark, dir).count() == 0)
+    assert(graft.operators.MultimodalOps.videoDedup(spark, dir).count() == 0)
+    assert(DedupOps.substrDedup(spark, dir).count() == 0)
+  }
+
+  test("substring dedup edge grain: short texts (< k tokens) and single-doc corpora are span-free") {
+    // a 10-token text has no 20-token window (the kgram array is empty);
+    // a single distinct text can never cross-pair; an intra-text repeat
+    // is NOT a cross-doc span (the fp < fp join excludes self-pairs)
+    val rep = ((1 to 30).map(i => s"t$i") ++ (1 to 30).map(i => s"t$i")).mkString(" ")
+    val dir = documentsFixture(Seq(
+      (1L, "only ten tokens live in this very short text here", "en", "s"),
+      (2L, rep, "en", "s")))
+    assert(DedupOps.substrDedup(spark, dir).count() == 0,
+      "short texts and intra-text repeats must produce no cross-doc span")
   }
 
   test("kmeans tuning on an empty embeddings corpus: 3 null-stat rows, no error") {
