@@ -2014,42 +2014,43 @@ object DedupOps {
     * operating point (50-token duplicated substrings). */
   val MinSpanTokens = 50L
 
-  /** EXACT SUBSTRING DEDUP at ARBITRARY boundaries — the Lee et al. 2022
-    * cross-document duplicated-span detector that fixed-window chunk
-    * dedup (q_chunk_dedup / q_chunk_shared, 50-token aligned windows)
-    * provably misses: two documents sharing a long span at UNALIGNED
-    * offsets have no identical aligned chunk, but every interior k-gram
-    * matches. Pipeline: tokenize → rolling-hash EVERY k-token window
-    * position (native [[KgramHashes]]: one O(total-chars) prefix-hash
-    * pass per text, never an O(n·k) re-join, never an interpreted HOF)
-    * → inverted-index join positions on the hash across DISTINCT texts
-    * → merge consecutive matches into MAXIMAL shared spans per text
-    * pair (islands on the pa−pb diagonal: run grouping by pa −
-    * row_number) → report spans ≥ [[MinSpanTokens]] tokens.
+  /** The ONE distinct-text k-gram position frame behind the substring
+    * family (detector, scrub apply step, snapshot probe, persisted
+    * index): per DISTINCT text — replicas collapse to an (canon_id,
+    * n_docs) multiplicity, the round-11 content-grain discipline — one
+    * row per k-token window position carrying the native [[KgramHashes]]
+    * rolling fingerprint (one O(total-chars) prefix-hash pass per text,
+    * never an O(n·k) re-join, never an interpreted HOF). Every family
+    * member derives from THIS frame, so "same window hash" always means
+    * the same thing — a k or hash-base change can never half-apply.
     *
-    * Scale shape: all k-gram work runs at DISTINCT-text grain (the
-    * round-11 content-grain discipline — replicas hash once and ride
-    * n_docs multiplicities, so the output is bounded by distinct-content
-    * overlap, never by replica cliques); the hash join is the standard
-    * suffix-fingerprint inverted index — candidate space is per-hash
-    * bucket, not all-pairs; the island merge is one windowed pass
-    * partitioned by (pair, diagonal). A 1e9+7 hash collision can forge
-    * a single matched position, but a REPORTED span needs ≥ 31
-    * consecutive forgeries — and the oracle replays the identical
-    * hashes, so the gate is collision-exact either way. */
-  def substrDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fpg = Tables.documents(spark, dir)
+    * No `x_` production-hash alias exists for this family (unlike
+    * minhash/simhash): the per-position window hashes — the O(corpus)
+    * work — are ALREADY the engine-native [[KgramHashes]] codegen
+    * expression; the only md5 is the text-identity fingerprint, one
+    * hash per DISTINCT text, amortized over every window of it. */
+  private def substrPositions(docs: DataFrame): DataFrame =
+    docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_docs"))
       .select(md5(col("text")).as("fp"), col("canon_id"), col("n_docs"),
         col("text"))
-    val pos = fpg
       .select(col("fp"), col("canon_id"), col("n_docs"),
         posexplode(graft.functions.VectorFunctions.kgram_hashes(
           split(col("text"), " "), SubstrK)))
       .select(col("fp"), col("canon_id"), col("n_docs"),
         (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+
+  /** Maximal cross-text shared spans, PRE-threshold — the detector core:
+    * inverted-index join of window positions on the hash across distinct
+    * texts (candidate space is per-hash bucket, never all-pairs), then
+    * islands of consecutive matches on the pa−pb diagonal (run grouping
+    * by pa − row_number, one windowed pass partitioned by (pair,
+    * diagonal)). Keeps the text fingerprints in the output so the scrub
+    * apply step can attribute each span to its loser side. */
+  private def substrSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = substrPositions(docs)
     val m = pos.as("x").join(pos.as("y"),
         col("x.h") === col("y.h") && col("x.fp") < col("y.fp"))
       .select(col("x.fp").as("fpa"), col("y.fp").as("fpb"),
@@ -2064,15 +2065,356 @@ object DedupOps {
         min(col("na")).as("n_docs_a"), min(col("nb")).as("n_docs_b"),
         min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
         (count(lit(1)) + (SubstrK - 1)).as("span_tokens"))
+  }
+
+  /** EXACT SUBSTRING DEDUP at ARBITRARY boundaries — the Lee et al. 2022
+    * cross-document duplicated-span detector that fixed-window chunk
+    * dedup (q_chunk_dedup / q_chunk_shared, 50-token aligned windows)
+    * provably misses: two documents sharing a long span at UNALIGNED
+    * offsets have no identical aligned chunk, but every interior k-gram
+    * matches. Pipeline: tokenize → rolling-hash EVERY k-token window
+    * position ([[substrPositions]]) → inverted-index join across
+    * DISTINCT texts → merge consecutive matches into MAXIMAL shared
+    * spans per text pair ([[substrSpans]]) → report spans ≥
+    * [[MinSpanTokens]] tokens.
+    *
+    * Scale shape: all k-gram work runs at DISTINCT-text grain (replicas
+    * hash once and ride n_docs multiplicities, so the output is bounded
+    * by distinct-content overlap, never by replica cliques). A 1e9+7
+    * hash collision can forge a single matched position, but a REPORTED
+    * span needs ≥ 31 consecutive forgeries — and the oracle replays the
+    * identical hashes, so the gate is collision-exact either way. */
+  def substrDedup(spark: SparkSession, dir: String): DataFrame =
+    substrSpans(Tables.documents(spark, dir))
       .where(col("span_tokens") >= MinSpanTokens)
       .select(col("doc_a"), col("doc_b"), col("n_docs_a"), col("n_docs_b"),
         col("a_start"), col("b_start"), col("span_tokens"))
       .orderBy("doc_a", "doc_b", "a_start", "b_start")
+
+  /** Maximal WITHIN-text repeated spans (pre-threshold) — the intra half
+    * of the Lee et al. pair space that [[substrSpans]]' fpa < fpb join
+    * excludes: positions of the SAME text matching at pa < pb, islands on
+    * the pb−pa diagonal (the repeat distance). A periodic text yields one
+    * island per period multiple; the interval union in the scrub merges
+    * their overlap. Same distinct-text grain — an intra repeat costs one
+    * analysis however many copies the doc has. */
+  private def substrIntraSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = substrPositions(docs)
+    val m = pos.as("x").join(pos.as("y"),
+        col("x.h") === col("y.h") && col("x.fp") === col("y.fp") &&
+          col("x.p") < col("y.p"))
+      .select(col("x.fp").as("fp"), col("x.canon_id").as("canon_id"),
+        col("x.n_docs").as("n_docs"),
+        col("x.p").as("pa"), col("y.p").as("pb"))
+    val w = Window.partitionBy("fp", "diag").orderBy("pa")
+    m.withColumn("diag", col("pb") - col("pa"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("fp", "diag", "grp")
+      .agg(min(col("canon_id")).as("doc_id"), min(col("n_docs")).as("n_docs"),
+        min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + (SubstrK - 1)).as("span_tokens"))
+  }
+
+  /** WITHIN-DOCUMENT substring dedup at ARBITRARY boundaries — the intra
+    * half of Lee et al. 2022 §4.1 ("including within-example
+    * duplicates") that q_chunk_dedup's ALIGNED 50-token windows provably
+    * miss: a chorus repeated at an offset that is not a multiple of the
+    * chunk stride has no identical aligned chunk, but every interior
+    * k-gram matches its earlier occurrence. Reports each maximal
+    * repeated span ≥ [[MinSpanTokens]] as (first occurrence start,
+    * repeat start, length) at distinct-text grain with doc
+    * multiplicities — b_start − a_start is the repeat distance. The
+    * apply step is [[substrScrub]], whose loser intervals include these
+    * repeat-side occurrences. */
+  def substrIntra(spark: SparkSession, dir: String): DataFrame =
+    substrIntraSpans(Tables.documents(spark, dir))
+      .where(col("span_tokens") >= MinSpanTokens)
+      .select(col("doc_id"), col("n_docs"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+      .orderBy("doc_id", "a_start", "b_start")
+
+  /** SUBSTRING-SCRUB APPLY STEP at ARBITRARY boundaries — the action Lee
+    * et al. 2022 take after detection: rewrite each affected document
+    * with every cross-document duplicated span REMOVED from the
+    * NON-canonical copy. Keep-first is the engine-wide min-id
+    * convention: for each detected span the side whose canonical doc_id
+    * is SMALLER keeps its occurrence, the other side scrubs it
+    * (q_chunk_scrub is the aligned-window predecessor; this one scrubs
+    * the unaligned spans chunk windows provably miss). WITHIN-text
+    * repeats scrub too — Lee et al. remove "all but the first
+    * occurrence" INCLUDING within-example duplicates, so the loser
+    * intervals are the union of cross-text losses ([[substrSpans]],
+    * larger canonical id drops) and intra-text repeat occurrences
+    * ([[substrIntraSpans]], the pa < pb side drops — the first
+    * occurrence always survives).
+    *
+    * Pipeline: detector spans ≥ [[MinSpanTokens]] → loser-side token
+    * intervals → per-text interval UNION (overlapping or ADJACENT spans
+    * lost to different partners merge into one contiguous scrub region:
+    * windowed running-max islands, new region iff s > max(previous e)+1)
+    * → token-grain rewrite of AFFECTED texts only (posexplode → covered
+    * iff inside a merged region — regions are disjoint and non-adjacent,
+    * so the range join matches each token at most once → ordered
+    * reassembly via array_sort∘collect_list∘getField, all native exprs,
+    * no interpreted lambdas at corpus grain).
+    *
+    * Output is the REWRITE set at distinct-text grain (canon_id, n_docs
+    * multiplicity, span/token accounting, the scrubbed text): unaffected
+    * texts pass through a scrubbed corpus unchanged, so emitting them
+    * would echo the input — this is the delta an incremental corpus
+    * writer applies to every copy of each affected text. Scale shape:
+    * span work is the detector's (distinct-text grain, per-hash-bucket
+    * candidates); the token explode touches only texts that lost ≥ 1
+    * span; the rewrite is one fp-grain aggregation. A fully-covered text
+    * scrubs to the empty string (tokens_kept = 0) — the downstream
+    * curation gate drops it, same as an all-silent audio clip. */
+  def substrScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = substrSpans(docs).where(col("span_tokens") >= MinSpanTokens)
+    val loserStart =
+      when(col("doc_a") < col("doc_b"), col("b_start")).otherwise(col("a_start"))
+    val crossLosers = spans.select(
+      when(col("doc_a") < col("doc_b"), col("fpb")).otherwise(col("fpa"))
+        .as("fp"),
+      loserStart.as("s"),
+      (loserStart + col("span_tokens") - 1).as("e"))
+    val intraLosers = substrIntraSpans(docs)
+      .where(col("span_tokens") >= MinSpanTokens)
+      .select(col("fp"), col("b_start").as("s"),
+        (col("b_start") + col("span_tokens") - 1).as("e"))
+    scrubByIntervals(docs, crossLosers.unionAll(intraLosers).distinct())
+  }
+
+  /** Interval-union + token-grain rewrite core shared by [[substrScrub]]
+    * (cross-corpus loser spans) and [[contaminationScrub]] (eval spans
+    * inside training docs): `rawIv` rows (fp, s, e) over `docs`' texts
+    * are UNIONed per text — overlapping or ADJACENT regions merge (new
+    * region iff s > max(previous e) + 1, a windowed running-max island
+    * pass) — then AFFECTED texts re-emit with every covered token
+    * removed. Regions are disjoint and non-adjacent post-union, so the
+    * range join matches each token at most once; reassembly is
+    * array_sort∘collect_list∘getField — native exprs, no interpreted
+    * lambdas at corpus grain. */
+  private def scrubByIntervals(docs: DataFrame, rawIv: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy("fp").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("fp").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val iv = rawIv
+      .withColumn("prev_max", max(col("e")).over(wPrev))
+      .withColumn("new_grp",
+        when(col("prev_max").isNull || col("s") > col("prev_max") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("new_grp")).over(wRun))
+      .groupBy("fp", "grp")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val nSpans = iv.groupBy("fp").agg(count(lit(1)).as("n_spans"))
+    val toks = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_docs"))
+      .select(md5(col("text")).as("fp"), col("canon_id"), col("n_docs"),
+        col("text"))
+      .join(nSpans, "fp") // affected texts ONLY — the rest never explode
+      .select(col("fp"), col("canon_id"), col("n_docs"), col("n_spans"),
+        posexplode(split(col("text"), " ")))
+      .select(col("fp"), col("canon_id"), col("n_docs"), col("n_spans"),
+        (col("pos") + 1).cast("long").as("p"), col("col").as("tok"))
+    toks.as("t").join(iv.as("i"),
+        col("t.fp") === col("i.fp") &&
+          col("t.p").between(col("i.s"), col("i.e")), "left")
+      .select(col("t.fp").as("fp"), col("t.canon_id").as("canon_id"),
+        col("t.n_docs").as("n_docs"), col("t.n_spans").as("n_spans"),
+        col("t.p").as("p"), col("t.tok").as("tok"),
+        col("i.s").isNotNull.as("covered"))
+      .groupBy("fp", "canon_id", "n_docs", "n_spans")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("tokens_removed"),
+        concat_ws(" ", array_sort(collect_list(when(!col("covered"),
+          struct(col("p"), col("tok"))))).getField("tok")).as("scrub_text"))
+      .select(col("canon_id"), col("n_docs"), col("n_spans"),
+        col("n_tokens"), col("tokens_removed"),
+        (col("n_tokens") - col("tokens_removed")).as("tokens_kept"),
+        col("scrub_text"))
+      .orderBy("canon_id")
+  }
+
+  // ------------------------------------- substring snapshot probe + index
+  /** The substring snapshot-probe CORE shared by the in-query form
+    * ([[substrSnap]]) and the persisted-index probe ([[substrProbeOf]]):
+    * batch-side window positions (distinct-BATCH-text grain) join the
+    * corpus position frame on the window hash, islands merge per (batch
+    * text, corpus text, diagonal), and spans ≥ [[MinSpanTokens]] expand
+    * back to batch doc ids. Per-doc rows depend only on (doc text,
+    * corpus positions), so any micro-batch partitioning of a stream
+    * probes to exactly the one-shot batch rows — the same property every
+    * intake here leans on. `corpusPos` must expose (h, corpus_fp,
+    * corpus_doc, n_corpus_docs, cp). */
+  private def substrSnapFrom(batch: DataFrame, corpusPos: DataFrame)
+      : DataFrame = {
+    val fpmap = batch.select(col("doc_id").as("batch_id"),
+      md5(col("text")).as("batch_fp"))
+    substrSnapSpans(batch, corpusPos).join(fpmap, "batch_fp")
+      .select(col("batch_id"), col("corpus_doc"), col("n_corpus_docs"),
+        col("b_start"), col("c_start"), col("span_tokens"))
+      .orderBy("batch_id", "corpus_doc", "b_start", "c_start")
+  }
+
+  /** The fp-grain span frame behind [[substrSnapFrom]] (batch-text ×
+    * corpus-text islands, pre-doc-expansion) — also the interval source
+    * for [[contaminationScrub]], which needs spans at the batch TEXT
+    * grain rather than per arriving copy. */
+  private def substrSnapSpans(batch: DataFrame, corpusPos: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bpos = substrPositions(batch)
+      .select(col("h"), col("fp").as("batch_fp"), col("p").as("bp"))
+    val w = Window.partitionBy("batch_fp", "corpus_fp", "diag").orderBy("bp")
+    bpos.join(corpusPos, "h")
+      .withColumn("diag", col("bp") - col("cp"))
+      .withColumn("grp", col("bp") - row_number().over(w))
+      .groupBy("batch_fp", "corpus_fp", "diag", "grp")
+      .agg(min(col("corpus_doc")).as("corpus_doc"),
+        min(col("n_corpus_docs")).as("n_corpus_docs"),
+        min(col("bp")).as("b_start"), min(col("cp")).as("c_start"),
+        (count(lit(1)) + (SubstrK - 1)).as("span_tokens"))
+      .where(col("span_tokens") >= MinSpanTokens)
+  }
+
+  /** Corpus side of the substring snapshot in the persisted-index column
+    * layout (h first — the bucket key). */
+  private def substrCorpusPos(corpus: DataFrame): DataFrame =
+    substrPositions(corpus).select(col("h"),
+      col("fp").as("corpus_fp"), col("canon_id").as("corpus_doc"),
+      col("n_docs").as("n_corpus_docs"), col("p").as("cp"))
+
+  /** SUBSTRING SNAPSHOT PROBE — incoming batch docs (the snapshot
+    * convention's doc_id%10 ≥ 8 slice) checked for duplicated spans
+    * AGAINST the corpus snapshot (< 8), at arbitrary boundaries: the
+    * intake-side question ("does this new doc plagiarize the corpus, and
+    * exactly where?") that [[substrDedup]] answers corpus-internally.
+    * Exact-replica arrivals surface naturally as a full-text span.
+    * Output at batch-DOC grain (every arriving copy gets its row — the
+    * per-doc routing decision an intake makes), corpus side at
+    * distinct-text grain with multiplicity. */
+  def substrSnap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    substrSnapFrom(docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+      substrCorpusPos(docs.where(pmod(col("doc_id"), lit(10)) < 8)))
+  }
+
+  /** Materialize the corpus k-gram position frame as a PERSISTED index
+    * table BUCKETED BY the window hash — at 100 TB the corpus side of
+    * substring dedup is written once per snapshot and every intake batch
+    * then pays only batch-proportional probe work; the corpus-sized
+    * position frame never re-shuffles (bucketing is its partitioning —
+    * SubstrFamilySpec plan-asserts it, the same claim SnapIndexSpec pins
+    * for the minhash band index). */
+  def buildSubstrIndex(spark: SparkSession, dir: String,
+      indexTable: String): Unit =
+    ScaleOps.writeBucketed(
+      substrCorpusPos(Tables.documents(spark, dir)
+        .where(pmod(col("doc_id"), lit(10)) < 8)),
+      indexTable, "h", 8)
+
+  /** [[substrSnap]] against the PERSISTED index — row-identical to the
+    * in-query form by construction (same [[substrSnapFrom]] dataflow,
+    * corpus side read from the bucketed table; spec-asserted). */
+  def substrProbe(spark: SparkSession, dir: String,
+      indexTable: String): DataFrame =
+    substrProbeOf(spark, Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(10)) >= 8), indexTable)
+
+  /** [[substrProbe]] for an ARBITRARY batch frame (doc_id, text) — the
+    * entry point the streaming intake probes through
+    * (StreamingOps.substrIntakeStream). No per-batch cache to release
+    * (unlike the minhash probe's signature frame): batch positions
+    * stream straight into the index join. */
+  def substrProbeOf(spark: SparkSession, batch: DataFrame,
+      indexTable: String): DataFrame =
+    substrSnapFrom(batch, spark.table(indexTable))
+
+  // --------------------------------------- position-exact decontamination
+  /** SPAN-EXACT EVAL CONTAMINATION — q_contamination gives the per-doc
+    * shingle-overlap FRACTION (the drop/keep score); this gives the
+    * GEOMETRY: every duplicated span ≥ [[MinSpanTokens]] tokens between a
+    * training document (source ≠ 'src0' — the engine's eval-set
+    * convention) and an eval document, at exact (train position, eval
+    * position, length) — what Lee et al. 2022 §6 measure and what a
+    * REDACTION pass (remove the leaked span, keep the doc) needs, where
+    * the fraction only supports dropping whole docs. Same dataflow as the
+    * snapshot probe with the eval set as the "corpus" side: train-side
+    * k-gram positions at distinct-text grain join eval positions on the
+    * window hash, islands merge per (train text, eval text, diagonal),
+    * rows expand to train doc ids (eval side stays at distinct-text grain
+    * with multiplicity). Scale: the eval side of a real run is tiny and
+    * static — at 100 TB it is [[buildSubstrIndex]] over the eval corpus,
+    * probed by training shards exactly like the intake. */
+  def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    substrSnapFrom(docs.where(col("source") =!= "src0"),
+        substrCorpusPos(docs.where(col("source") === "src0")))
+      .select(col("batch_id").as("doc_id"), col("corpus_doc").as("eval_doc"),
+        col("n_corpus_docs").as("n_eval_docs"),
+        col("b_start").as("doc_start"), col("c_start").as("eval_start"),
+        col("span_tokens"))
+      .orderBy("doc_id", "eval_doc", "doc_start", "eval_start")
+  }
+
+  /** DECONTAMINATION APPLY STEP — the redaction [[contaminationSpans]]
+    * prices: every eval span is cut out of the affected TRAINING texts
+    * (the train side always loses — eval is the protected set, so there
+    * is no canonical-id contest), overlapping/adjacent leaks merge into
+    * one region, and the rewrite delta emits at distinct-train-text grain
+    * ([[scrubByIntervals]], the q_substr_scrub core — same columns, same
+    * empty-string convention for a fully-leaked doc). Train-internal
+    * duplication is q_substr_scrub's scope and deliberately NOT touched
+    * here: decontamination must be runnable independently of dedup. */
+  /** [[contaminationSpans]] against a PERSISTED eval index — the
+    * scaladoc's 100 TB claim ("the eval side is [[buildSubstrIndex]]
+    * over the eval corpus, probed by training shards") as checked
+    * behavior: build the index over the eval slice, probe any training
+    * batch through the SAME [[substrSnapFrom]] dataflow, get rows
+    * identical to the in-query operator (spec-asserted, including the
+    * no-shuffle-before-join plan property via the shared helper). */
+  def contaminationProbeOf(spark: SparkSession, trainBatch: DataFrame,
+      evalIndexTable: String): DataFrame =
+    substrSnapFrom(trainBatch, spark.table(evalIndexTable))
+      .select(col("batch_id").as("doc_id"), col("corpus_doc").as("eval_doc"),
+        col("n_corpus_docs").as("n_eval_docs"),
+        col("b_start").as("doc_start"), col("c_start").as("eval_start"),
+        col("span_tokens"))
+      .orderBy("doc_id", "eval_doc", "doc_start", "eval_start")
+
+  /** [[buildSubstrIndex]] for the EVAL slice (source = 'src0') — the
+    * persisted corpus side of [[contaminationProbeOf]]. */
+  def buildEvalIndex(spark: SparkSession, dir: String,
+      indexTable: String): Unit =
+    ScaleOps.writeBucketed(
+      substrCorpusPos(Tables.documents(spark, dir)
+        .where(col("source") === "src0")),
+      indexTable, "h", 8)
+
+  def contaminationScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.where(col("source") =!= "src0")
+    val spans = substrSnapSpans(train,
+      substrCorpusPos(docs.where(col("source") === "src0")))
+    scrubByIntervals(train,
+      spans.select(col("batch_fp").as("fp"), col("b_start").as("s"),
+          (col("b_start") + col("span_tokens") - 1).as("e"))
+        .distinct())
   }
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substr_dedup" -> (substrDedup _),
+    "q_substr_intra" -> (substrIntra _),
+    "q_substr_scrub" -> (substrScrub _),
+    "q_snap_substr" -> (substrSnap _),
+    "q_contamination_spans" -> (contaminationSpans _),
+    "q_contamination_scrub" -> (contaminationScrub _),
     "q_dedup_report" -> (dedupReport _),
     "q_chunk_shared" -> (chunkShared _),
     "q_containment" -> (containment _),
@@ -2602,6 +2944,335 @@ object DedupOps {
                 span_tokens
          FROM s WHERE span_tokens >= $MinSpanTokens
          ORDER BY doc_a, doc_b, a_start, b_start""",
+    // the intra detector: same position CTE, self-join within the SAME
+    // text at pa < pb, islands on the repeat-distance diagonal
+    "q_substr_intra" ->
+      s"""WITH fpg AS (
+           SELECT md5(text) AS fp, min(doc_id) AS canon_id,
+                  count(*) AS n_docs, string_split(text, ' ') AS t
+           FROM documents GROUP BY text),
+         pos AS (
+           SELECT fp, canon_id, n_docs, CAST(u.p AS BIGINT) AS p,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM fpg, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         m AS (
+           SELECT x.fp, x.canon_id, x.n_docs, x.p AS pa, y.p AS pb
+           FROM pos x JOIN pos y
+             ON x.h = y.h AND x.fp = y.fp AND x.p < y.p),
+         r AS (
+           SELECT *, pb - pa AS diag,
+                  pa - row_number() OVER (
+                    PARTITION BY fp, pb - pa ORDER BY pa) AS grp
+           FROM m)
+         SELECT min(canon_id) AS doc_id,
+                CAST(min(n_docs) AS BIGINT) AS n_docs,
+                min(pa) AS a_start, min(pb) AS b_start,
+                CAST(count(*) + ${SubstrK - 1} AS BIGINT) AS span_tokens
+         FROM r GROUP BY fp, diag, grp
+         HAVING count(*) + ${SubstrK - 1} >= $MinSpanTokens
+         ORDER BY doc_id, a_start, b_start""",
+    // the scrub apply step: the detector CTEs (identical through the
+    // island merge), then loser-side attribution (larger canonical id
+    // drops the cross-text span; the pa < pb side drops the intra
+    // repeat), interval union (running-max islands; adjacent regions
+    // merge), and the token-grain rewrite replayed via string_agg
+    // ORDER BY position (string_agg skips the CASE NULLs exactly as
+    // collect_list skips Spark's)
+    "q_substr_scrub" ->
+      s"""WITH fpg AS (
+           SELECT md5(text) AS fp, min(doc_id) AS canon_id,
+                  count(*) AS n_docs, string_split(text, ' ') AS t
+           FROM documents GROUP BY text),
+         pos AS (
+           SELECT fp, canon_id, n_docs, CAST(u.p AS BIGINT) AS p,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM fpg, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         m AS (
+           SELECT x.fp AS fpa, y.fp AS fpb, x.canon_id AS da,
+                  y.canon_id AS db, x.p AS pa, y.p AS pb
+           FROM pos x JOIN pos y ON x.h = y.h AND x.fp < y.fp),
+         r AS (
+           SELECT *, pa - pb AS diag,
+                  pa - row_number() OVER (
+                    PARTITION BY fpa, fpb, pa - pb ORDER BY pa) AS grp
+           FROM m),
+         sp AS (
+           SELECT fpa, fpb, min(da) AS da, min(db) AS db,
+                  min(pa) AS a_start, min(pb) AS b_start,
+                  count(*) + ${SubstrK - 1} AS span_tokens
+           FROM r GROUP BY fpa, fpb, diag, grp
+           HAVING count(*) + ${SubstrK - 1} >= $MinSpanTokens),
+         mi AS (
+           SELECT x.fp, x.p AS pa, y.p AS pb
+           FROM pos x JOIN pos y
+             ON x.h = y.h AND x.fp = y.fp AND x.p < y.p),
+         ri AS (
+           SELECT *, pb - pa AS diag,
+                  pa - row_number() OVER (
+                    PARTITION BY fp, pb - pa ORDER BY pa) AS grp
+           FROM mi),
+         spi AS (
+           SELECT fp, min(pb) AS b_start,
+                  count(*) + ${SubstrK - 1} AS span_tokens
+           FROM ri GROUP BY fp, diag, grp
+           HAVING count(*) + ${SubstrK - 1} >= $MinSpanTokens),
+         losers AS (
+           SELECT DISTINCT
+                  CASE WHEN da < db THEN fpb ELSE fpa END AS fp,
+                  CASE WHEN da < db THEN b_start ELSE a_start END AS s,
+                  CASE WHEN da < db THEN b_start ELSE a_start END
+                    + span_tokens - 1 AS e
+           FROM sp
+           UNION
+           SELECT fp, b_start AS s, b_start + span_tokens - 1 AS e
+           FROM spi),
+         lm AS (
+           SELECT fp, s, e,
+                  max(e) OVER (PARTITION BY fp ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM losers),
+         lg AS (
+           SELECT fp, s, e,
+                  sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY fp ORDER BY s, e
+                      ROWS UNBOUNDED PRECEDING) AS grp
+           FROM lm),
+         iv AS (SELECT fp, grp, min(s) AS s, max(e) AS e
+                FROM lg GROUP BY fp, grp),
+         ns AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_spans
+                FROM iv GROUP BY fp),
+         toks AS (
+           SELECT f.fp, f.canon_id, f.n_docs, ns.n_spans,
+                  CAST(u.p AS BIGINT) AS p, f.t[u.p] AS tok
+           FROM fpg f JOIN ns ON f.fp = ns.fp,
+                unnest(generate_series(1, len(f.t))) AS u(p)),
+         cov AS (
+           SELECT tk.fp, tk.canon_id, tk.n_docs, tk.n_spans, tk.p, tk.tok,
+                  (i.s IS NOT NULL) AS covered
+           FROM toks tk LEFT JOIN iv i
+             ON tk.fp = i.fp AND tk.p BETWEEN i.s AND i.e)
+         SELECT canon_id, n_docs, n_spans,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+                  AS tokens_removed,
+                CAST(count(*) - sum(CASE WHEN covered THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tokens_kept,
+                coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+                  ' ' ORDER BY p), '') AS scrub_text
+         FROM cov GROUP BY fp, canon_id, n_docs, n_spans
+         ORDER BY canon_id""",
+    // snapshot probe: batch-side positions (distinct-batch-text grain)
+    // against corpus-side positions, islands per (batch text, corpus
+    // text, diagonal), doc-grain expansion back to batch ids
+    "q_snap_substr" ->
+      s"""WITH corp AS (
+           SELECT md5(text) AS fp, min(doc_id) AS canon_id,
+                  count(*) AS n_docs, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id % 10 < 8 GROUP BY text),
+         bat AS (
+           SELECT md5(text) AS fp, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id % 10 >= 8 GROUP BY text),
+         cpos AS (
+           SELECT fp AS corpus_fp, canon_id AS corpus_doc,
+                  n_docs AS n_corpus_docs, CAST(u.p AS BIGINT) AS cp,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM corp, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         bpos AS (
+           SELECT fp AS batch_fp, CAST(u.p AS BIGINT) AS bp,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM bat, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         m AS (
+           SELECT b.batch_fp, c.corpus_fp, c.corpus_doc, c.n_corpus_docs,
+                  b.bp, c.cp
+           FROM bpos b JOIN cpos c ON b.h = c.h),
+         r AS (
+           SELECT *, bp - cp AS diag,
+                  bp - row_number() OVER (
+                    PARTITION BY batch_fp, corpus_fp, bp - cp
+                    ORDER BY bp) AS grp
+           FROM m),
+         sp AS (
+           SELECT batch_fp, min(corpus_doc) AS corpus_doc,
+                  CAST(min(n_corpus_docs) AS BIGINT) AS n_corpus_docs,
+                  min(bp) AS b_start, min(cp) AS c_start,
+                  CAST(count(*) + ${SubstrK - 1} AS BIGINT) AS span_tokens
+           FROM r GROUP BY batch_fp, corpus_fp, diag, grp
+           HAVING count(*) + ${SubstrK - 1} >= $MinSpanTokens),
+         fpmap AS (
+           SELECT doc_id AS batch_id, md5(text) AS batch_fp
+           FROM documents WHERE doc_id % 10 >= 8)
+         SELECT f.batch_id, s.corpus_doc, s.n_corpus_docs,
+                s.b_start, s.c_start, s.span_tokens
+         FROM sp s JOIN fpmap f ON s.batch_fp = f.batch_fp
+         ORDER BY batch_id, corpus_doc, b_start, c_start""",
+    // span-exact contamination: the q_snap_substr CTEs with the eval set
+    // (source = 'src0') as the corpus side and training docs as the
+    // arriving side, renamed to the train/eval vocabulary
+    "q_contamination_spans" ->
+      s"""WITH ev AS (
+           SELECT md5(text) AS fp, min(doc_id) AS canon_id,
+                  count(*) AS n_docs, string_split(text, ' ') AS t
+           FROM documents WHERE source = 'src0' GROUP BY text),
+         tr AS (
+           SELECT md5(text) AS fp, string_split(text, ' ') AS t
+           FROM documents WHERE source <> 'src0' GROUP BY text),
+         epos AS (
+           SELECT fp AS eval_fp, canon_id AS eval_doc,
+                  n_docs AS n_eval_docs, CAST(u.p AS BIGINT) AS ep,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM ev, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         tpos AS (
+           SELECT fp AS train_fp, CAST(u.p AS BIGINT) AS tp,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM tr, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         m AS (
+           SELECT t.train_fp, e.eval_fp, e.eval_doc, e.n_eval_docs,
+                  t.tp, e.ep
+           FROM tpos t JOIN epos e ON t.h = e.h),
+         r AS (
+           SELECT *, tp - ep AS diag,
+                  tp - row_number() OVER (
+                    PARTITION BY train_fp, eval_fp, tp - ep
+                    ORDER BY tp) AS grp
+           FROM m),
+         sp AS (
+           SELECT train_fp, min(eval_doc) AS eval_doc,
+                  CAST(min(n_eval_docs) AS BIGINT) AS n_eval_docs,
+                  min(tp) AS doc_start, min(ep) AS eval_start,
+                  CAST(count(*) + ${SubstrK - 1} AS BIGINT) AS span_tokens
+           FROM r GROUP BY train_fp, eval_fp, diag, grp
+           HAVING count(*) + ${SubstrK - 1} >= $MinSpanTokens),
+         fpmap AS (
+           SELECT doc_id, md5(text) AS train_fp
+           FROM documents WHERE source <> 'src0')
+         SELECT f.doc_id, s.eval_doc, s.n_eval_docs,
+                s.doc_start, s.eval_start, s.span_tokens
+         FROM sp s JOIN fpmap f ON s.train_fp = f.train_fp
+         ORDER BY doc_id, eval_doc, doc_start, eval_start""",
+    // the decontamination apply step: contamination-span CTEs → train-side
+    // intervals (train always loses) → the q_substr_scrub union + rewrite
+    // over TRAIN texts only
+    "q_contamination_scrub" ->
+      s"""WITH ev AS (
+           SELECT md5(text) AS fp, string_split(text, ' ') AS t
+           FROM documents WHERE source = 'src0' GROUP BY text),
+         fpg AS (
+           SELECT md5(text) AS fp, min(doc_id) AS canon_id,
+                  count(*) AS n_docs, string_split(text, ' ') AS t
+           FROM documents WHERE source <> 'src0' GROUP BY text),
+         epos AS (
+           SELECT fp AS eval_fp, CAST(u.p AS BIGINT) AS ep,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM ev, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         tpos AS (
+           SELECT fp AS train_fp, CAST(u.p AS BIGINT) AS tp,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM fpg, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         m AS (
+           SELECT t.train_fp, e.eval_fp, t.tp, e.ep
+           FROM tpos t JOIN epos e ON t.h = e.h),
+         r AS (
+           SELECT *, tp - ep AS diag,
+                  tp - row_number() OVER (
+                    PARTITION BY train_fp, eval_fp, tp - ep
+                    ORDER BY tp) AS grp
+           FROM m),
+         sp AS (
+           SELECT train_fp, min(tp) AS b_start,
+                  count(*) + ${SubstrK - 1} AS span_tokens
+           FROM r GROUP BY train_fp, eval_fp, diag, grp
+           HAVING count(*) + ${SubstrK - 1} >= $MinSpanTokens),
+         losers AS (
+           SELECT DISTINCT train_fp AS fp, b_start AS s,
+                  b_start + span_tokens - 1 AS e
+           FROM sp),
+         lm AS (
+           SELECT fp, s, e,
+                  max(e) OVER (PARTITION BY fp ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM losers),
+         lg AS (
+           SELECT fp, s, e,
+                  sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY fp ORDER BY s, e
+                      ROWS UNBOUNDED PRECEDING) AS grp
+           FROM lm),
+         iv AS (SELECT fp, grp, min(s) AS s, max(e) AS e
+                FROM lg GROUP BY fp, grp),
+         ns AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_spans
+                FROM iv GROUP BY fp),
+         toks AS (
+           SELECT f.fp, f.canon_id, f.n_docs, ns.n_spans,
+                  CAST(u.p AS BIGINT) AS p, f.t[u.p] AS tok
+           FROM fpg f JOIN ns ON f.fp = ns.fp,
+                unnest(generate_series(1, len(f.t))) AS u(p)),
+         cov AS (
+           SELECT tk.fp, tk.canon_id, tk.n_docs, tk.n_spans, tk.p, tk.tok,
+                  (i.s IS NOT NULL) AS covered
+           FROM toks tk LEFT JOIN iv i
+             ON tk.fp = i.fp AND tk.p BETWEEN i.s AND i.e)
+         SELECT canon_id, n_docs, n_spans,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+                  AS tokens_removed,
+                CAST(count(*) - sum(CASE WHEN covered THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tokens_kept,
+                coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+                  ' ' ORDER BY p), '') AS scrub_text
+         FROM cov GROUP BY fp, canon_id, n_docs, n_spans
+         ORDER BY canon_id""",
     // same chunking CTE as q_chunk_docs (PipelineOps), rolled up by fp
     "q_chunk_shared" ->
       """WITH s AS (

@@ -53,7 +53,7 @@ object StreamBench {
     val onlyNames = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val allNames = Set("curation_intake", "asset_intake",
-      "neardup_intake", "ann_intake", "decode_intake")
+      "neardup_intake", "ann_intake", "decode_intake", "substr_intake")
     onlyNames.foreach { names =>
       val unknown = names -- allNames
       require(unknown.isEmpty, s"SPARK_GRAFT_STREAM_ONLY unknown: $unknown")
@@ -166,6 +166,21 @@ object StreamBench {
         StreamingOps.nearDupIntakeStream(
           asStream(docs.where(pmod(col("doc_id"), lit(10)) >= 8), "nd_in"),
           "sb_band_idx", "sb_sig", s"$work/nd_out", s"$work/nd_ckpt")
+      }
+    }
+
+    // 2b) substring intake: corpus k-gram position index built offline,
+    // the batch slice streamed — every duplicated ≥50-token span lands
+    // with its exact (batch position, corpus position, length) geometry.
+    // Measures the position-join + island-merge probe end to end,
+    // epoch-partitioned sink I/O included.
+    if (wanted("substr_intake")) {
+      graft.operators.DedupOps.buildSubstrIndex(spark, sfDir, "sb_substr_idx")
+      spark.catalog.clearCache()
+      results("substr_intake") = measure {
+        StreamingOps.substrIntakeStream(
+          asStream(docs.where(pmod(col("doc_id"), lit(10)) >= 8), "ss_in"),
+          "sb_substr_idx", s"$work/ss_out", s"$work/ss_ckpt")
       }
     }
 

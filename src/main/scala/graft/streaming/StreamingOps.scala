@@ -413,6 +413,37 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** ONLINE SUBSTRING-DEDUP intake — the streaming half of the
+    * substring family (q_substr_dedup detects corpus-internally,
+    * q_snap_substr probes a snapshot split; this is the arrival-time
+    * form): document micro-batches arrive, each batch's k-gram window
+    * positions probe the PERSISTED corpus position index
+    * (DedupOps.buildSubstrIndex — bucketed by window hash, so the
+    * corpus-sized side never re-shuffles) and every duplicated span
+    * ≥ 50 tokens lands in `outPath` with its exact (batch position,
+    * corpus position, length) geometry. foreachBatch for the same
+    * reason as every intake here: the island merge needs a window,
+    * and sharing the batch operator (DedupOps.substrProbeOf) makes
+    * stream ≡ batch a property, not a test hope — per-doc rows depend
+    * only on (doc text, index), so any micro-batch partitioning yields
+    * exactly the one-shot probe's rows. Same idempotent-sink
+    * discipline as the rest: each epoch REWRITES its own
+    * `epoch=<batchId>` partition on replay. */
+  def substrIntakeStream(docStream: DataFrame, indexTable: String,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.ScaleOps.overwriteByPartition(
+          graft.operators.DedupOps
+            .substrProbeOf(batch.sparkSession, batch, indexTable)
+            .withColumn("epoch", lit(batchId)),
+          "epoch", outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** ONLINE ANN retrieval — the streaming half of the similarity family:
     * query vectors arrive as a stream, each micro-batch probes the
     * PERSISTED trained IVF index (SimilarityOps.buildAnnIndex — centroids

@@ -62,6 +62,13 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(graft.operators.MultimodalOps.videoFrames(spark, dir).count() == 0)
     assert(graft.operators.MultimodalOps.videoDedup(spark, dir).count() == 0)
     assert(DedupOps.substrDedup(spark, dir).count() == 0)
+    // r16 session 2: the scrub apply step and the snapshot probe ride the
+    // same empty position frame — no spans, no rewrites, no probe rows
+    assert(DedupOps.substrIntra(spark, dir).count() == 0)
+    assert(DedupOps.substrScrub(spark, dir).count() == 0)
+    assert(DedupOps.substrSnap(spark, dir).count() == 0)
+    assert(DedupOps.contaminationSpans(spark, dir).count() == 0)
+    assert(DedupOps.contaminationScrub(spark, dir).count() == 0)
   }
 
   test("substring dedup edge grain: short texts (< k tokens) and single-doc corpora are span-free") {
@@ -74,6 +81,12 @@ class EdgeCasesSpec extends SparkTestBase {
       (2L, rep, "en", "s")))
     assert(DedupOps.substrDedup(spark, dir).count() == 0,
       "short texts and intra-text repeats must produce no cross-doc span")
+    // the 30-token intra period is below the 50-token report threshold,
+    // so neither the intra detector nor the scrub may fire on it
+    assert(DedupOps.substrIntra(spark, dir).count() == 0,
+      "sub-threshold intra repeats must not be reported")
+    assert(DedupOps.substrScrub(spark, dir).count() == 0,
+      "no reportable span (cross or intra) → nothing to scrub")
   }
 
   test("kmeans tuning on an empty embeddings corpus: 3 null-stat rows, no error") {

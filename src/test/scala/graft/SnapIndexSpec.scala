@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import graft.operators.DedupOps
 
 /** The persisted-band-index claim of snapshotNearDup, checked: the corpus
@@ -25,12 +23,6 @@ class SnapIndexSpec extends SparkTestBase {
     if (loc.exists()) rm(loc)
   }
 
-  private def scansOf(p: SparkPlan, tables: Set[String]): Seq[FileSourceScanExec] =
-    p.collect {
-      case s: FileSourceScanExec
-          if s.tableIdentifier.exists(ti => tables(ti.table)) => s
-    }
-
   test("probe of the persisted band index: zero shuffle on persisted sides, rows identical to in-query") {
     scrub("snap_band_idx"); scrub("snap_sig")
     DedupOps.buildSnapNearDupIndex(spark, sf0001, "snap_band_idx", "snap_sig")
@@ -44,21 +36,16 @@ class SnapIndexSpec extends SparkTestBase {
     assert(expected.nonEmpty, "fixture corpus must produce near-dup probes")
     assert(probe.collect().toSeq == expected)
 
-    // plan shape: with broadcast off (forcing shuffle-join shapes), no
-    // ShuffleExchange may sit above either persisted scan — their bucketing
-    // must satisfy the join distribution; only batch-derived sides move
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val plan = DedupOps.snapshotNearDupProbe(
-        spark, sf0001, "snap_band_idx", "snap_sig").queryExecution.sparkPlan
-      val persisted = Set("snap_band_idx", "snap_sig")
-      assert(scansOf(plan, persisted).size == 2,
-        s"expected scans of both persisted tables in:\n$plan")
-      val offending = plan.collect {
-        case e: ShuffleExchangeExec if scansOf(e, persisted).nonEmpty => e
-      }
-      assert(offending.isEmpty,
-        s"persisted index/signature scans must not re-shuffle:\n$plan")
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // plan shape: each persisted scan must reach its first join without a
+    // ShuffleExchange — bucketing satisfies the join distribution; only
+    // batch-derived sides move. (The pre-round-16 form of this assert read
+    // queryExecution.sparkPlan, which predates EnsureRequirements and
+    // contains no exchanges at all — it could never fail. The shared
+    // helper re-arms it on the AQE-off executed plan.)
+    val nScans = assertNoShuffleBeforePersistedJoin(
+      DedupOps.snapshotNearDupProbe(
+        spark, sf0001, "snap_band_idx", "snap_sig"),
+      Set("snap_band_idx", "snap_sig"))
+    assert(nScans == 2, s"expected scans of both persisted tables, got $nScans")
   }
 }

@@ -61,4 +61,53 @@ trait SparkTestBase extends AnyFunSuite {
       }.toSet
       k -> (fpPairs.size.toLong, ps.size.toLong, ps.map(_._3).max)
     }
+
+  /** Assert the persisted-table scans in a frame's EXECUTED plan reach
+    * their first join WITHOUT a ShuffleExchange on the way — the "the
+    * corpus-sized persisted side never moves; bucketing is its
+    * partitioning" claim of every persisted index here. The check runs
+    * with AQE and broadcast disabled (concrete exchanges, shuffle-join
+    * shapes) on `queryExecution.executedPlan`: `sparkPlan` predates
+    * EnsureRequirements and contains NO exchanges at all, so an assert
+    * there can never fail (the round-16 finding that re-armed this
+    * check), and with AQE on the root is a childless
+    * AdaptiveSparkPlanExec that `collect` cannot see through. Exchanges
+    * ABOVE the first join (aggregations of the joined frame) are
+    * legitimate and ignored — the property is scan-to-join. `mkDf` is
+    * by-name so the plan is built under the disabled-AQE conf. Returns
+    * the number of persisted scans found so callers can pin it. */
+  def assertNoShuffleBeforePersistedJoin(mkDf: => DataFrame,
+      tables: Set[String]): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = mkDf.queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: FileSourceScanExec
+            if s.tableIdentifier.exists(ti => tables(ti.table)) => s
+      }
+      assert(scans.nonEmpty, s"expected persisted scans of $tables in:\n$plan")
+      val bad = scala.collection.mutable.Buffer[SparkPlan]()
+      // true iff the subtree exposes a persisted scan not yet joined
+      def walk(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec =>
+          s.tableIdentifier.exists(ti => tables(ti.table))
+        case e: ShuffleExchangeExec =>
+          if (walk(e.child)) bad += e
+          false // sealed: report each offending path once
+        case j: BaseJoinExec => j.children.foreach(walk); false
+        case other => other.children.map(walk).exists(identity)
+      }
+      walk(plan)
+      assert(bad.isEmpty,
+        s"persisted index scans must not re-shuffle before their join:\n$plan")
+      scans.size
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }
