@@ -21,8 +21,10 @@ import graft.Tables
   *    self-join.
   *
   * CACHING CONTRACT: ngramJaccard/minhashLsh/simhashPairs/snapshotNearDup
-  * `.cache()` the shingle/signature intermediates they reuse within one
-  * query and never unpersist them (the handles are internal; the query
+  * and the substring family (substrDedup/substrIntra/substrScrub)
+  * `.cache()` the shingle/signature/k-gram-position intermediates they
+  * reuse within one query and never unpersist them (the handles are
+  * internal; the query
   * returns a lazy frame, so there is no in-query point "after
   * materialization" to release at). A LONG-LIVED session running these
   * repeatedly should call `spark.catalog.clearCache()` between queries —
@@ -2047,10 +2049,13 @@ object DedupOps {
     * islands of consecutive matches on the pa−pb diagonal (run grouping
     * by pa − row_number, one windowed pass partitioned by (pair,
     * diagonal)). Keeps the text fingerprints in the output so the scrub
-    * apply step can attribute each span to its loser side. */
-  private def substrSpans(docs: DataFrame): DataFrame = {
+    * apply step can attribute each span to its loser side. Takes the
+    * position frame from the caller: the O(corpus) tokenize+hash pass
+    * is the dominant cost, so callers CACHE one frame and share it
+    * across the self-join sides (and, in the scrub, with the intra
+    * builder) instead of re-deriving it per subtree. */
+  private def substrSpansFrom(pos: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = substrPositions(docs)
     val m = pos.as("x").join(pos.as("y"),
         col("x.h") === col("y.h") && col("x.fp") < col("y.fp"))
       .select(col("x.fp").as("fpa"), col("y.fp").as("fpb"),
@@ -2067,6 +2072,41 @@ object DedupOps {
         (count(lit(1)) + (SubstrK - 1)).as("span_tokens"))
   }
 
+  /** Cap sweep values for [[substrStats]] — candidate "skip window
+    * hashes occurring more than cap times" operating points, plus a
+    * sentinel large cap whose row IS the uncapped total. */
+  private val SubstrCapSweep = List(4L, 16L, 64L, 256L, 1000000L)
+
+  /** SUBSTRING-INDEX PAIR-MASS AUDIT — the pre-flight check a 100 TB
+    * substring-dedup run does BEFORE the position join (the same
+    * pre-commit-evidence pattern as q_lsh_tuning / q_ivf_stats): the
+    * matched-pair space of [[substrSpansFrom]]/[[substrIntraSpansFrom]] is
+    * Σ C(t,2) over per-hash position counts t, which degenerates
+    * quadratically on pathologically repetitive content (a uniform
+    * 5k-token doc alone contributes ~12M matched positions). Per
+    * candidate cap c ("skip hashes occurring > c times" — the window-
+    * hash analog of the shingle join's [[MaxShingleDf]]): how many
+    * distinct hashes and positions the cap drops, and the surviving
+    * pair mass. The sentinel 1e6 row is the uncapped total. One
+    * hash-grain aggregation over the shared position frame; the
+    * registered detectors stay UNCAPPED (this corpus needs none) — the
+    * audit is what tells an operator when that stops being true. */
+  def substrStats(spark: SparkSession, dir: String): DataFrame =
+    substrPositions(Tables.documents(spark, dir))
+      .groupBy(col("h")).agg(count(lit(1)).as("t"))
+      .select(col("t"), explode(typedlit(SubstrCapSweep)).as("cap"))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_hashes"),
+        sum(when(col("t") > col("cap"), 1L).otherwise(0L))
+          .as("n_hashes_dropped"),
+        sum(when(col("t") > col("cap"), col("t")).otherwise(0L))
+          .as("positions_dropped"),
+        // DIV, not `/`: Column./ is double division (exact only to 2^53,
+        // and a DOUBLE column could never hash-match DuckDB's BIGINT)
+        sum(when(col("t") <= col("cap"),
+          expr("t * (t - 1) DIV 2")).otherwise(0L)).as("pair_mass"))
+      .orderBy("cap")
+
   /** EXACT SUBSTRING DEDUP at ARBITRARY boundaries — the Lee et al. 2022
     * cross-document duplicated-span detector that fixed-window chunk
     * dedup (q_chunk_dedup / q_chunk_shared, 50-token aligned windows)
@@ -2075,7 +2115,7 @@ object DedupOps {
     * matches. Pipeline: tokenize → rolling-hash EVERY k-token window
     * position ([[substrPositions]]) → inverted-index join across
     * DISTINCT texts → merge consecutive matches into MAXIMAL shared
-    * spans per text pair ([[substrSpans]]) → report spans ≥
+    * spans per text pair ([[substrSpansFrom]]) → report spans ≥
     * [[MinSpanTokens]] tokens.
     *
     * Scale shape: all k-gram work runs at DISTINCT-text grain (replicas
@@ -2085,22 +2125,23 @@ object DedupOps {
     * span needs ≥ 31 consecutive forgeries — and the oracle replays the
     * identical hashes, so the gate is collision-exact either way. */
   def substrDedup(spark: SparkSession, dir: String): DataFrame =
-    substrSpans(Tables.documents(spark, dir))
+    substrSpansFrom(
+        substrPositions(Tables.documents(spark, dir)).cache())
       .where(col("span_tokens") >= MinSpanTokens)
       .select(col("doc_a"), col("doc_b"), col("n_docs_a"), col("n_docs_b"),
         col("a_start"), col("b_start"), col("span_tokens"))
       .orderBy("doc_a", "doc_b", "a_start", "b_start")
 
   /** Maximal WITHIN-text repeated spans (pre-threshold) — the intra half
-    * of the Lee et al. pair space that [[substrSpans]]' fpa < fpb join
+    * of the Lee et al. pair space that [[substrSpansFrom]]' fpa < fpb join
     * excludes: positions of the SAME text matching at pa < pb, islands on
     * the pb−pa diagonal (the repeat distance). A periodic text yields one
     * island per period multiple; the interval union in the scrub merges
     * their overlap. Same distinct-text grain — an intra repeat costs one
-    * analysis however many copies the doc has. */
-  private def substrIntraSpans(docs: DataFrame): DataFrame = {
+    * analysis however many copies the doc has. Same caller-supplied
+    * (cached) position frame contract as [[substrSpansFrom]]. */
+  private def substrIntraSpansFrom(pos: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = substrPositions(docs)
     val m = pos.as("x").join(pos.as("y"),
         col("x.h") === col("y.h") && col("x.fp") === col("y.fp") &&
           col("x.p") < col("y.p"))
@@ -2128,7 +2169,8 @@ object DedupOps {
     * apply step is [[substrScrub]], whose loser intervals include these
     * repeat-side occurrences. */
   def substrIntra(spark: SparkSession, dir: String): DataFrame =
-    substrIntraSpans(Tables.documents(spark, dir))
+    substrIntraSpansFrom(
+        substrPositions(Tables.documents(spark, dir)).cache())
       .where(col("span_tokens") >= MinSpanTokens)
       .select(col("doc_id"), col("n_docs"), col("a_start"), col("b_start"),
         col("span_tokens"))
@@ -2144,9 +2186,9 @@ object DedupOps {
     * the unaligned spans chunk windows provably miss). WITHIN-text
     * repeats scrub too — Lee et al. remove "all but the first
     * occurrence" INCLUDING within-example duplicates, so the loser
-    * intervals are the union of cross-text losses ([[substrSpans]],
+    * intervals are the union of cross-text losses ([[substrSpansFrom]],
     * larger canonical id drops) and intra-text repeat occurrences
-    * ([[substrIntraSpans]], the pa < pb side drops — the first
+    * ([[substrIntraSpansFrom]], the pa < pb side drops — the first
     * occurrence always survives).
     *
     * Pipeline: detector spans ≥ [[MinSpanTokens]] → loser-side token
@@ -2171,7 +2213,12 @@ object DedupOps {
     * curation gate drops it, same as an all-silent audio clip. */
   def substrScrub(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val spans = substrSpans(docs).where(col("span_tokens") >= MinSpanTokens)
+    // ONE cached position frame feeds the cross self-join (both sides)
+    // AND the intra self-join — the O(corpus) tokenize+hash pass runs
+    // once, not four times (see the object's CACHING CONTRACT)
+    val pos = substrPositions(docs).cache()
+    val spans = substrSpansFrom(pos)
+      .where(col("span_tokens") >= MinSpanTokens)
     val loserStart =
       when(col("doc_a") < col("doc_b"), col("b_start")).otherwise(col("a_start"))
     val crossLosers = spans.select(
@@ -2179,7 +2226,7 @@ object DedupOps {
         .as("fp"),
       loserStart.as("s"),
       (loserStart + col("span_tokens") - 1).as("e"))
-    val intraLosers = substrIntraSpans(docs)
+    val intraLosers = substrIntraSpansFrom(pos)
       .where(col("span_tokens") >= MinSpanTokens)
       .select(col("fp"), col("b_start").as("s"),
         (col("b_start") + col("span_tokens") - 1).as("e"))
@@ -2410,6 +2457,7 @@ object DedupOps {
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substr_dedup" -> (substrDedup _),
+    "q_substr_stats" -> (substrStats _),
     "q_substr_intra" -> (substrIntra _),
     "q_substr_scrub" -> (substrScrub _),
     "q_snap_substr" -> (substrSnap _),
@@ -2944,6 +2992,35 @@ object DedupOps {
                 span_tokens
          FROM s WHERE span_tokens >= $MinSpanTokens
          ORDER BY doc_a, doc_b, a_start, b_start""",
+    // the pair-mass audit: per-hash occurrence counts off the same
+    // position CTE, cross-joined with the cap sweep literals
+    "q_substr_stats" ->
+      s"""WITH fpg AS (
+           SELECT md5(text) AS fp, min(doc_id) AS canon_id,
+                  count(*) AS n_docs, string_split(text, ' ') AS t
+           FROM documents GROUP BY text),
+         pos AS (
+           SELECT fp, CAST(u.p AS BIGINT) AS p,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(array_to_string(
+                        t[u.p:u.p + ${SubstrK - 1}], ' '), ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS h
+           FROM fpg, unnest(generate_series(1, len(t) - ${SubstrK - 1})) AS u(p)
+           WHERE len(t) >= $SubstrK),
+         occ AS (SELECT h, CAST(count(*) AS BIGINT) AS t
+                 FROM pos GROUP BY h),
+         caps AS (SELECT unnest([${SubstrCapSweep.mkString(", ")}]) AS cap)
+         SELECT CAST(cap AS BIGINT) AS cap,
+                CAST(count(*) AS BIGINT) AS n_hashes,
+                CAST(sum(CASE WHEN t > cap THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hashes_dropped,
+                CAST(sum(CASE WHEN t > cap THEN t ELSE 0 END) AS BIGINT)
+                  AS positions_dropped,
+                CAST(sum(CASE WHEN t <= cap THEN (t * (t - 1)) // 2
+                     ELSE 0 END) AS BIGINT) AS pair_mass
+         FROM occ, caps GROUP BY cap ORDER BY cap""",
     // the intra detector: same position CTE, self-join within the SAME
     // text at pa < pb, islands on the repeat-distance diagonal
     "q_substr_intra" ->

@@ -67,6 +67,7 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(DedupOps.substrIntra(spark, dir).count() == 0)
     assert(DedupOps.substrScrub(spark, dir).count() == 0)
     assert(DedupOps.substrSnap(spark, dir).count() == 0)
+    assert(DedupOps.substrStats(spark, dir).count() == 0)
     assert(DedupOps.contaminationSpans(spark, dir).count() == 0)
     assert(DedupOps.contaminationScrub(spark, dir).count() == 0)
   }

@@ -105,6 +105,22 @@ class SubstrFamilySpec extends SparkTestBase {
       "a fully-duplicated doc scrubs to empty — the curation gate's job to drop")
   }
 
+  test("substring pair-mass audit: the cap sweep prices the quadratic hot-hash risk") {
+    // doc 1: one token repeated 30× — every 20-token window is identical,
+    // so ONE hash carries 11 positions (C(11,2) = 55 matched pairs: the
+    // degenerate-content blowup the audit exists to surface); doc 2: 25
+    // distinct tokens — 6 singleton hashes contributing zero pairs
+    val dir = documentsFixture(Seq(
+      (1L, Seq.fill(30)("x").mkString(" "), "en", "s"),
+      (2L, txt(toks("y", 1 to 25)), "en", "s")))
+    assert(rowsOf(DedupOps.substrStats(spark, dir)) == Seq(
+      Seq[Any](4L, 7L, 1L, 11L, 0L),       // cap 4 drops the hot hash
+      Seq[Any](16L, 7L, 0L, 0L, 55L),      // cap ≥ 11 keeps everything
+      Seq[Any](64L, 7L, 0L, 0L, 55L),
+      Seq[Any](256L, 7L, 0L, 0L, 55L),
+      Seq[Any](1000000L, 7L, 0L, 0L, 55L)))
+  }
+
   test("within-doc substring dedup: the unaligned chorus repeat is found and the scrub keeps only the first occurrence") {
     // a 60-token chorus at positions 10 and 95 — the 85-token repeat
     // distance is no multiple of the 40-token chunk stride, so aligned
@@ -160,7 +176,8 @@ class SubstrFamilySpec extends SparkTestBase {
       txt(toks("u", 1 to 30), toks("v", 1 to 10)),
       "the leaked span excises; the doc survives redacted (not dropped)")
     // the train-internal duplication IS the dedup family's to handle:
-    // substring scrub sees t3 lose the m-span to t2 (canonical id 3 < 4)
+    // substring scrub sees doc 4's text lose the m-span to doc 3's
+    // (canonical id 3 < 4, so the doc-4 text is the non-canonical side)
     assert(DedupOps.substrScrub(spark, dir).collect()
       .exists(_.getAs[Long]("canon_id") == 4L),
       "q_substr_scrub owns train-internal spans — the scopes compose, not overlap")
