@@ -444,6 +444,30 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** ONLINE DECONTAMINATION intake — training shards arrive as a
+    * stream, each micro-batch probes the PERSISTED eval position index
+    * (DedupOps.buildEvalIndex) and every leaked eval span ≥ 50 tokens
+    * lands with its exact (train position, eval position, length)
+    * geometry — the arrival-time form of q_contamination_spans, which
+    * is the shape a production ingest actually runs: the eval set is
+    * small and static, indexed once; training data flows past it.
+    * Same batch-operator sharing (DedupOps.contaminationProbeOf) and
+    * epoch-partitioned idempotent sink as every intake here. */
+  def contaminationIntakeStream(trainStream: DataFrame,
+      evalIndexTable: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    trainStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.ScaleOps.overwriteByPartition(
+          graft.operators.DedupOps
+            .contaminationProbeOf(batch.sparkSession, batch, evalIndexTable)
+            .withColumn("epoch", lit(batchId)),
+          "epoch", outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** ONLINE ANN retrieval — the streaming half of the similarity family:
     * query vectors arrive as a stream, each micro-batch probes the
     * PERSISTED trained IVF index (SimilarityOps.buildAnnIndex — centroids

@@ -261,6 +261,78 @@ class SubstrFamilySpec extends SparkTestBase {
     assert(nScans == 1)
   }
 
+  test("scrub fixed point: one application leaves no reportable duplicate span, cross or intra") {
+    // the hardest composite corpus from the earlier tests: a cross-text
+    // span with a replica, a three-partner overlap/adjacency merge, a
+    // fully-covered doc, AND an intra chorus — after ONE scrub round the
+    // rewritten corpus must be duplicate-free at the report threshold
+    // (Lee et al.'s "remove all but the first occurrence" as an invariant,
+    // not a hope)
+    val span = toks("s", 1 to 200)
+    val q = toks("q", 1 to 190)
+    val chorus = toks("k", 1 to 60)
+    val h = toks("h", 1 to 100)
+    val docs = Seq(
+      (1L, txt(toks("a", 1 to 100), span, toks("c", 1 to 60)), "en", "src0"),
+      (2L, txt(toks("b", 1 to 37), span, toks("d", 1 to 25)), "en", "src0"),
+      (3L, txt(toks("b", 1 to 37), span, toks("d", 1 to 25)), "en", "src0"),
+      (4L, txt(toks("p", 1 to 9), q, toks("e", 1 to 20)), "en", "src0"),
+      (5L, txt(toks("f", 1 to 5), q.slice(0, 71)), "en", "src0"),
+      (6L, txt(q.slice(50, 121), toks("g", 1 to 10)), "en", "src0"),
+      (7L, txt(h), "en", "src0"),
+      (8L, txt(h.slice(19, 79)), "en", "src0"),
+      (9L, txt(toks("i", 1 to 9), chorus, toks("j", 1 to 25), chorus), "en", "src0"))
+    val dir = documentsFixture(docs)
+    val rewrites = DedupOps.substrScrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("canon_id") -> r.getAs[String]("scrub_text"))
+      .toMap
+    // apply the delta: every copy of an affected text takes its rewrite
+    val canonOf = docs.groupBy(_._2).map { case (text, ds) =>
+      text -> ds.map(_._1).min }
+    val applied = docs.map { case (id, text, lang, src) =>
+      (id, rewrites.getOrElse(canonOf(text), text), lang, src) }
+    val dir2 = documentsFixture(applied)
+    assert(DedupOps.substrDedup(spark, dir2).count() == 0,
+      "no cross-text duplicate span may survive one scrub application")
+    assert(DedupOps.substrIntra(spark, dir2).count() == 0,
+      "no within-doc repeat may survive one scrub application")
+    // and the canonical content survived: doc 1 keeps the span, doc 9
+    // keeps the first chorus
+    assert(applied.find(_._1 == 1L).get._2.contains(txt(span)))
+    assert(applied.find(_._1 == 9L).get._2.contains(txt(chorus)))
+  }
+
+  test("online decontamination intake: streamed training shards probing the eval index equal the one-shot probe") {
+    val leak = toks("l", 1 to 60)
+    val dir = documentsFixture(Seq(
+      (1L, txt(leak), "en", "src0"),
+      (2L, txt(toks("u", 1 to 30), leak, toks("v", 1 to 10)), "en", "src1"),
+      (3L, txt(toks("m", 1 to 100)), "en", "src1"),
+      (4L, txt(toks("w", 1 to 20), leak.slice(0, 55)), "en", "src1")))
+    scrubTable("contam_intake_idx")
+    DedupOps.buildEvalIndex(spark, dir, "contam_intake_idx")
+    spark.catalog.clearCache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ctintake_").toString
+    val train = Tables.documents(spark, dir).where(col("source") =!= "src0")
+    train.where(col("doc_id") <= 2).coalesce(1)
+      .write.parquet(s"$tmp/in/part_a.parquet")
+    train.where(col("doc_id") > 2).coalesce(1)
+      .write.parquet(s"$tmp/in/part_b.parquet")
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+    val sq = StreamingOps.contaminationIntakeStream(stream,
+      "contam_intake_idx", s"$tmp/out", s"$tmp/ckpt")
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.read.parquet(s"$tmp/out").drop("epoch")
+      .collect().map(_.toSeq).toSet
+    val oneShot = DedupOps.contaminationProbeOf(spark, train, "contam_intake_idx")
+      .collect().map(_.toSeq).toSet
+    assert(oneShot.size == 2, s"docs 2 and 4 both leak: $oneShot")
+    assert(streamed == oneShot,
+      "micro-batch partitioning must not change any shard's leak set")
+  }
+
   test("online substring intake: streamed micro-batches probing the persisted index equal the one-shot batch probe") {
     val (dir, _) = snapshotFixture()
     scrubTable("substr_intake_idx")
