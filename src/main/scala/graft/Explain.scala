@@ -17,6 +17,9 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); set at build time, readers don't
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same compiled-codegen cache sizing as Bench, so standalone rep
+      // timings measure the same steady state the bench reports
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -59,6 +59,9 @@ object Verify {
       // concurrent queries time-share executor slots instead of queueing
       // whole jobs FIFO behind one long query's stages
       .config("spark.scheduler.mode", "FAIR")
+      // ~190 distinct queries would evict the 100-entry default compiled-
+      // codegen cache several times over (see Bench.scala rationale)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

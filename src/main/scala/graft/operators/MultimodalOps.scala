@@ -510,6 +510,49 @@ object MultimodalOps {
     Some((w, h, px))
   }
 
+  /** Reusable per-thread JPEG reader. `ImageIO.read` pays a reader-
+    * registry scan + plugin construction + dispose on EVERY call; the
+    * Motion-JPEG sample extents are ~190-byte frames (tens of samples
+    * per video), so that per-call overhead dominated the whole decode
+    * family (measured: the r16 opt round's decode-family profile). One
+    * reader per task thread decodes through the SAME JDK plugin
+    * (`ImageIO.read` resolves the identical com.sun.imageio
+    * JPEGImageReader for any JPEG stream), so output is byte-identical —
+    * pinned both by MediaDecodeSpec's closed-form oracle replay and a
+    * dedicated parity spec. A reader that threw is disposed, not reused:
+    * a failed decode may leave plugin state ambiguous. */
+  private val jpegReaderTL = new ThreadLocal[javax.imageio.ImageReader]
+
+  /** Decode one JPEG byte extent through the thread's cached reader.
+    * Returns null on any decode failure — the same quarantine signal
+    * `ImageIO.read` gives (null for no-reader, exception→null here). */
+  private def readJpeg(b: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage = {
+    var rd = jpegReaderTL.get()
+    if (rd == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+      if (!it.hasNext) return null
+      rd = it.next()
+      jpegReaderTL.set(rd)
+    }
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b, off, len))
+    try {
+      rd.setInput(iis, true, true) // seekForwardOnly+ignoreMetadata, as ImageIO.read does
+      rd.read(0)
+    } catch {
+      case _: Exception =>
+        try rd.dispose() catch { case _: Throwable => () }
+        jpegReaderTL.remove()
+        null
+    } finally {
+      try iis.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Test bridge for the reader-reuse parity spec. */
+  private[graft] def readJpegForTest(b: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage =
+    readJpeg(b, off, len)
+
   /** Accumulate every pixel of band 0 into `s` — shared by the still-
     * image JPEG arm and the per-sample Motion-JPEG video arm, so "what
     * counts as a decoded pixel" has exactly one definition. */
@@ -573,10 +616,7 @@ object MultimodalOps {
           var ok = true
           var k = 0
           while (ok && k < t.nSamples) {
-            val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-                b, t.offsets(k).toInt, t.sizes(k).toInt))
-              catch { case _: Exception => null }
+            val img = readJpeg(b, t.offsets(k).toInt, t.sizes(k).toInt)
             if (img == null) ok = false else addRaster(img, s)
             k += 1
           }
@@ -584,9 +624,7 @@ object MultimodalOps {
         case _ => quarantine("mp4")
       }
     } else if (n >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        catch { case _: Exception => null }
+      val img = readJpeg(b, 0, n)
       if (img == null) quarantine("jpeg")
       else {
         val s = new Stats
@@ -833,9 +871,7 @@ object MultimodalOps {
           PHashRow(a.asset_id, "png", phashOf(w, h, (x, y) => px(y * w + x) & 0xFFL))
         }
       } else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-          catch { case _: Exception => null }
+        val img = readJpeg(b, 0, b.length)
         if (img == null) None
         else {
           val ra = img.getRaster
@@ -1556,10 +1592,7 @@ object MultimodalOps {
               if (k < 0) None // present-but-empty stss: nothing decodable
               else {
                 val dec = cache.getOrElseUpdate(k, {
-                  val img =
-                    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-                      a.payload, t.offsets(k).toInt, t.sizes(k).toInt))
-                    catch { case _: Exception => null }
+                  val img = readJpeg(a.payload, t.offsets(k).toInt, t.sizes(k).toInt)
                   if (img == null) None
                   else {
                     val st = new Stats
@@ -1644,10 +1677,7 @@ object MultimodalOps {
         org.apache.spark.sql.graftext.Mp4Boxes.parse(a.payload) match {
           case Some(t) if t.nSamples > 0 =>
             (0 until t.nSamples).iterator.flatMap { k =>
-              val img =
-                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-                  a.payload, t.offsets(k).toInt, t.sizes(k).toInt))
-                catch { case _: Exception => null }
+              val img = readJpeg(a.payload, t.offsets(k).toInt, t.sizes(k).toInt)
               if (img == null) None // undecodable sample: no descriptor
               else {
                 val st = new Stats

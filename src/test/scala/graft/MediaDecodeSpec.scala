@@ -209,6 +209,40 @@ class MediaDecodeSpec extends SparkTestBase {
     } finally done.shutdownNow()
   }
 
+  test("reusable JPEG reader: bit-parity with ImageIO.read across reuse and after a failed decode") {
+    // the r16-opt reader-reuse path must decode byte-identically to
+    // ImageIO.read on every call of a reused reader, and must RECOVER
+    // (recreate the reader) after garbage bytes made a decode throw
+    val dir = documentsFixture(Seq(
+      (3L, "a" * 57, "en", "s"),     // 58×58 JPEG
+      (9L, "b" * 639, "en", "s")))   // 640×160 JPEG
+    val payloads = MultimodalOps.assets(spark, dir)
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    def rasterOf(img: java.awt.image.BufferedImage): (Int, Int, Long) = {
+      var sum = 0L
+      val ra = img.getRaster
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        sum += ra.getSample(x, y, 0)
+      (img.getWidth, img.getHeight, sum)
+    }
+    // two passes over both payloads on ONE thread: the second pass runs
+    // entirely on the cached reader
+    for (pass <- 1 to 2; b <- payloads) {
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val got = MultimodalOps.readJpegForTest(b, 0, b.length)
+      assert(got != null, s"pass $pass: cached reader rejected a valid JPEG")
+      assert(rasterOf(got) == rasterOf(ref), s"pass $pass: decoded raster diverges")
+    }
+    // garbage (JPEG SOI then noise) must yield null AND not poison the
+    // thread's reader for the next valid decode
+    val garbage = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00, 0x12, 0x34, 0x56)
+    assert(MultimodalOps.readJpegForTest(garbage, 0, garbage.length) == null)
+    val after = MultimodalOps.readJpegForTest(payloads.head, 0, payloads.head.length)
+    assert(after != null && rasterOf(after) == rasterOf(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payloads.head))),
+      "reader did not recover after a failed decode")
+  }
+
   test("incremental decode: ledger digests served from cache, new digests decoded once per payload") {
     // ledger = id%10 < 8, batch = the rest. Asset 8 repeats the ledger
     // video byte-for-byte (same text, same container) → excluded; three
