@@ -100,11 +100,14 @@ object GraphOps {
     val withDeg = edges
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    // cached (r16 opt): both sides of the wedge self-join below read
+    // this frame — uncached, each side re-ran the two degree joins
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("src"), col("b").as("dst")))
         .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
     val x = oriented.alias("x")
     val y = oriented.alias("y")
     // wedge far endpoints ordered by id, matching the a < b edge storage
@@ -150,7 +153,11 @@ object GraphOps {
       .cache()
     // deg is node(=part)-proportional: no forced broadcast, AQE decides
     val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = directed.join(deg, "src")
+    // cached too (r16 opt): every unrolled round's lineage contains this
+    // degree-join subtree, so an uncached withDeg re-ran the degree
+    // aggregation + join 3× per run — the cache makes round N a single
+    // co-partitioned join + groupBy over an in-memory edge frame
+    val withDeg = directed.join(deg, "src").cache()
     var mass = deg.select(col("src").as("v"), lit(1000000L).as("mass"))
     for (_ <- 1 to 3) {
       mass = withDeg.join(mass, col("src") === col("v"))

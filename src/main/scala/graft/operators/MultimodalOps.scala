@@ -1259,6 +1259,12 @@ object MultimodalOps {
         col("features").cast("array<float>").as("fv"))
       .withColumn("nrm", VectorOps.norm(col("fv")))
       .where(col("nrm") > 0.0)
+      // cached (r16 opt): both the query side and the corpus side read
+      // this frame, and the typed mapPartitions decode above is opaque
+      // to filter pushdown — uncached, the query side's asset_id < 10
+      // filter re-ran the ENTIRE corpus decode a second time. The cached
+      // frame is descriptor-small (id, modality, 8 floats, norm).
+      .cache()
     val q = feats.where(col("asset_id") < 10)
       .select(col("asset_id").as("query_id"), col("modality").as("q_mod"),
         col("fv").as("qv"), col("nrm").as("nq"))

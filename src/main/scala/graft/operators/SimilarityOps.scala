@@ -1149,15 +1149,22 @@ object SimilarityOps {
     // partitioning — the DuckDB oracle (HUGEINT sums over the same grid)
     // is untouched.
     import org.apache.spark.sql.graftext.GramAggColumns.gram_moments
+    // cached (r16 opt): this ONE-ROW aggregate is the corpus pass, and
+    // every downstream frame (mu, cov, the power loop's v chain, the
+    // Rayleigh quotient) carries it in its lineage — uncached, the
+    // whole-corpus GramMoments scan re-ran once per reference (~7× per
+    // query). The cached state is one row of d(d+1)/2 cells (~100 KB).
     val g = e
       .select(VectorOps.quantize(col("embedding"), CentroidScale).as("qa"))
       .agg(gram_moments(col("qa")).as("g"))
+      .cache()
     val mu = g
       .select(posexplode(arrays_zip(col("g.n").as("n"), col("g.s1").as("s1")))
         .as(Seq("p", "z")))
       .select(col("p"),
         (col("z.s1").cast("double") / col("z.n") / lit(CentroidScale)).as("mu"),
         col("z.n").as("n"))
+      .cache() // d rows; read by cov (2×), the v seed, and the emit
     // Gram symmetry (ADVICE r10): the aggregate carries only q ≥ p; the
     // strict-upper half is mirrored (exact integer sums ⇒ the mirrored
     // value is bit-identical to what a full aggregation would produce).
@@ -1172,6 +1179,7 @@ object SimilarityOps {
         (col("s2").cast("double") / col("n")
           / lit(CentroidScale) / lit(CentroidScale)
           - col("mup") * col("muq")).as("c"))
+      .cache() // d² rows; read once per power iteration + the quotient
     var v = mu.select(col("p").as("q"),
       when(col("p") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
     for (_ <- 1 to PcaIters) {
