@@ -164,6 +164,8 @@ object DedupOps {
     val card = lists.select(col("source"), explode(col("fps")).as("f"))
       .groupBy(col("source"), col("f.fp").as("fp"))
       .agg(count(lit(1)).as("c"))
+      .cache() // read 3× (both qual sides + intra): uncached, each
+               // reference re-ran the explode+groupBy over the lists
     // fingerprint-pair overlaps, generated map-side from each kept list —
     // fan-out still bounded by C(MaxShingleDf, 2) via the df cap (each
     // fp counts ≥ 1 toward df)
@@ -446,6 +448,7 @@ object DedupOps {
     // nothing and can pair with nothing — same as the doc-grain form)
     val multiFp = grp.where(col("m") >= 2).select("fp")
       .join(combined.select("fp"), Seq("fp"))
+      .cache() // fp-list-sized; dedupTauSweep reads it 4× (intra + 3 τ arms)
     MinhashVerified(fpDocs, qual, multiFp)
   }
 
