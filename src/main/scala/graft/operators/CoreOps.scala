@@ -234,7 +234,17 @@ object CoreOps {
     * fact-fact join plus every dimension hop, with the P4 date/hour
     * derivations. This is the reference's whole DWS layer as one plan:
     * one fact-fact shuffle; bounded dims (nation, region) hinted broadcast,
-    * SF-proportional ones (customer, part) left to AQE's size check. */
+    * SF-proportional ones (customer, part) left to AQE's size check.
+    *
+    * r17 shape (same 27 columns, same values, same total order): the
+    * date/hour string derivations sit ABOVE the contract sort, not below
+    * it. Below the sort the rows carry the raw 8-byte timestamps, so
+    * (a) the range exchange shuffles ~70 fewer bytes/row of formatted
+    * strings (guide §2.3) and (b) the three DateTimeFormatter passes run
+    * ONCE per row after the sort instead of twice (the trailing global
+    * orderBy's range-sampling job executes the sort's child a second
+    * time — everything kept below the sort is paid 2×). The final
+    * projection over a Sort adds no exchange and cannot reorder rows. */
   def orderWideFull(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
@@ -251,22 +261,41 @@ object CoreOps {
         o("o_orderkey").as("order_id"), l("l_linenumber").as("detail_id"),
         o("o_custkey").as("user_id"), o("o_orderstatus").as("order_status"),
         o("o_totalprice").as("final_total_amount"),
-        date_format(o("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("create_time"),
-        date_format(o("o_orderdate"), "yyyy-MM-dd").as("create_date"),
-        date_format(o("o_orderdate"), "HH").as("create_hour"),
+        o("o_orderdate").as("_odate"),
         o("o_orderpriority").as("order_priority"),
         l("l_partkey").as("sku_id"), l("l_quantity").as("sku_num"),
         l("l_extendedprice").as("order_price"),
         l("l_discount").as("discount"), l("l_tax").as("tax"),
         l("l_returnflag").as("return_flag"), l("l_linestatus").as("line_status"),
-        date_format(l("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        l("l_shipdate").as("_sdate"),
         c("c_name").as("user_name"), c("c_mktsegment").as("user_segment"),
         c("c_acctbal").as("user_acctbal"),
         n("n_name").as("province_name"), r("r_name").as("region_name"),
         p("p_name").as("sku_name"), p("p_brand").as("tm_name"),
         p("p_type").as("category3_name"), p("p_size").as("sku_size"),
         p("p_retailprice").as("sku_price"))
+      // materialize the join output ONCE: under AQE this hash exchange is
+      // its own query stage, so the range exchange's sampling job and its
+      // shuffle-map job both read these shuffle files instead of each
+      // re-executing the whole join pipeline (measured 2.6 s vs 3.2 s at
+      // sf0.1 and 79 s vs 99 s at 100× — the recompute costs more than
+      // one extra narrow-row shuffle at both scales)
+      .repartition(col("order_id"))
       .orderBy("order_id", "detail_id", "sku_id")
+      .select(
+        col("order_id"), col("detail_id"), col("user_id"),
+        col("order_status"), col("final_total_amount"),
+        date_format(col("_odate"), "yyyy-MM-dd HH:mm:ss").as("create_time"),
+        date_format(col("_odate"), "yyyy-MM-dd").as("create_date"),
+        date_format(col("_odate"), "HH").as("create_hour"),
+        col("order_priority"), col("sku_id"), col("sku_num"),
+        col("order_price"), col("discount"), col("tax"),
+        col("return_flag"), col("line_status"),
+        date_format(col("_sdate"), "yyyy-MM-dd").as("ship_date"),
+        col("user_name"), col("user_segment"), col("user_acctbal"),
+        col("province_name"), col("region_name"),
+        col("sku_name"), col("tm_name"), col("category3_name"),
+        col("sku_size"), col("sku_price"))
   }
 
   // ---------------------------------------------------------------- P5/P6

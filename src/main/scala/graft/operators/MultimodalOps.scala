@@ -694,6 +694,7 @@ object MultimodalOps {
           .as("u_mean"),
         when(col("n_units") > 0, col("u_sumsq").cast("double") / col("n_units"))
           .as("u_ms"))
+      .repartition(col("asset_id"))
       .orderBy("asset_id")
 
   /** The 8-dim feature vector assembled FROM the decoded statistics —
@@ -788,6 +789,7 @@ object MultimodalOps {
     val ledger = all.where(pmod(col("asset_id"), lit(10)) < 8)
       .select(md5(hex(col("payload"))).as("fp")).distinct()
     snapshotDecodeFrom(all.where(pmod(col("asset_id"), lit(10)) >= 8), ledger)
+      .repartition(col("asset_id"))
       .orderBy("asset_id")
   }
 
@@ -899,6 +901,7 @@ object MultimodalOps {
     assets(spark, dir).where(col("modality") === "image").as[Asset]
       .mapPartitions(phashBatch).toDF()
       .select(col("asset_id"), col("format"), col("phash"))
+      .repartition(col("asset_id"))
       .orderBy("asset_id")
   }
 
@@ -967,6 +970,7 @@ object MultimodalOps {
       .select(col("asset_id"), col("n_windows"), col("win_idx"),
         col("n_samples"), col("energy"),
         (col("max_abs") < SilenceAbs).as("silence"))
+      .repartition(col("asset_id"))
       .orderBy("asset_id", "win_idx")
 
   /** The raw per-window energy frame (pre-contract-sort), shared by
@@ -1197,6 +1201,7 @@ object MultimodalOps {
         length(col("payload")).cast("long").as("byte_len"),
         col("width"), col("height"), col("sample_rate"),
         col("duration_ms"))
+      .repartition(col("asset_id"))
       .orderBy("asset_id")
 
   /** HEADER PARSE over the payload BYTES — the native
@@ -1223,6 +1228,7 @@ object MultimodalOps {
         col("p.body_bytes").as("body_bytes"),
         col("p.n_samples").as("n_samples"),
         col("p.media_ms").as("media_ms"))
+      .repartition(col("asset_id"))
       .orderBy("asset_id")
   }
 
@@ -1235,6 +1241,7 @@ object MultimodalOps {
       .select(col("asset_id"), col("modality"), col("byte_len"),
         element_at(col("features"), 1).as("f0"),
         element_at(col("features"), 2).as("f1"))
+      .repartition(col("asset_id"))
       .orderBy("asset_id")
 
   /** End-to-end multimodal retrieval: decoded features → cosine top-3
@@ -1316,6 +1323,7 @@ object MultimodalOps {
           .otherwise(greatest(lit(1L),
             expr(s"(height * $ResizeMaxSide) DIV max_side"))))
       .withColumn("scaled", col("max_side") > ResizeMaxSide)
+      .repartition(col("asset_id"))
       .orderBy("asset_id")
   }
 
@@ -1375,6 +1383,7 @@ object MultimodalOps {
       .select(col("asset_id"), col("n_samples"), col("n_frames"),
         col("frame_idx"), col("sample_idx"), col("t_ms"),
         col("byte_offset"), col("sample_bytes"))
+      .repartition(col("asset_id"))
       .orderBy("asset_id", "frame_idx")
 
   /** Manifest volume width: shards are scoped per (modality, volume =
@@ -1564,6 +1573,7 @@ object MultimodalOps {
       .select(col("asset_id"), col("n_frames"), col("frame_idx"),
         col("sample_idx"), col("key_idx"), col("key_offset"),
         col("back_samples"))
+      .repartition(col("asset_id"))
       .orderBy("asset_id", "frame_idx")
   }
 
@@ -1641,6 +1651,7 @@ object MultimodalOps {
       .select(col("asset_id"), col("n_frames"), col("frame_idx"),
         col("sample_idx"), col("key_idx"), col("width"), col("height"),
         col("n_px"), col("px_min"), col("px_max"), col("px_sum"))
+      .repartition(col("asset_id"))
       .orderBy("asset_id", "frame_idx")
   }
 
