@@ -155,6 +155,7 @@ object CoreOps {
     ev.filter(keep)
       .select(col("event_id"), tbl.as("table_name"), op.as("op"),
         concat(lit("ODS_MM_"), upper(tbl)).as("topic"))
+      .repartition(col("event_id"))
       .orderBy("event_id")
   }
 
@@ -225,6 +226,7 @@ object CoreOps {
         date_format(o("o_orderdate"), "yyyy-MM-dd").as("create_date"),
         l("l_partkey").as("sku_id"), l("l_quantity").as("sku_num"),
         l("l_extendedprice").as("order_price"), l("l_discount").as("discount"))
+      .repartition(col("order_id"))
       .orderBy("order_id", "detail_id")
   }
 

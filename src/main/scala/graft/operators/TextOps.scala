@@ -91,6 +91,7 @@ object TextOps {
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_bpe_tokens"))
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- language ID
@@ -109,6 +110,7 @@ object TextOps {
     scored
       .select(col("doc_id"), a.as("s_compute"), b.as("s_storage"),
         c.as("s_stream"), predicted.as("predicted_lang"))
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -130,6 +132,7 @@ object TextOps {
         col("n_stopwords").cast("double") / col("n_tokens"))
       .withColumn("quality_ok",
         qualityOk(col("n_tokens"), col("n_distinct"), col("n_stopwords")))
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -208,6 +211,7 @@ object TextOps {
       .withColumn("keep",
         col("ok_word_count") && col("ok_word_len") && col("ok_symbol") &&
           col("ok_alpha") && col("ok_stop"))
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -375,6 +379,7 @@ object TextOps {
         col("n_grams"), col("n_distinct_grams"),
         ((col("n_grams") - col("n_distinct_grams")).cast("double") / col("n_grams"))
           .as("dup_gram_frac"))
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- BPE
@@ -1143,6 +1148,7 @@ object TextOps {
         regexp_count(col("text"), lit(Ipv4Pat)).cast("long").as("n_ipv4"))
       .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ipv4"))
       .withColumn("has_pii", col("n_pii") > 0)
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
