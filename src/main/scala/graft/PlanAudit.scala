@@ -11,10 +11,14 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // AQE=false renders WholeStageCodegen spans (`*(n)`) in the initial
+    // plan — the codegen-coverage audit mode. AQE=true (default) matches
+    // the production plan shape (what Bench/Verify run).
+    val adaptive = sys.env.getOrElse("SPARK_GRAFT_PLAN_ADAPTIVE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", adaptive)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -1767,12 +1767,21 @@ object MultimodalOps {
     val sigByFp = hs.groupBy("fp").agg(bitSums.head, bitSums.tail: _*)
       .select(col("fp"), sigExpr.as("vsig"))
     val fps = samples.select("asset_id", "fp").distinct()
-    val perAsset = fps.join(sigByFp, Seq("fp"))
+    // cached (r17 opt): hammingPairsGrouped reads its signature frame
+    // five ways (the distinct-signature self-join side plus the four
+    // doc-list expansion references) and the fa/fb joins below read it
+    // twice more — uncached, EACH reference re-ran the distinct + the
+    // 63-vote aggregation + the join (the same "cache the signature
+    // frame before the Manku blocking" discipline every other
+    // hammingPairsGrouped caller already follows). Asset-grain rows
+    // (fp, asset_id, 1 long) — replication cannot grow it past the
+    // catalog's asset count.
+    val perAsset = fps.join(sigByFp, Seq("fp")).cache()
     val pairs = DedupOps.hammingPairsGrouped(
       perAsset.select(col("asset_id").as("doc_id"), col("vsig").as("simhash")))
     pairs
-      .join(fps.select(col("asset_id").as("doc_a"), col("fp").as("fa")), Seq("doc_a"))
-      .join(fps.select(col("asset_id").as("doc_b"), col("fp").as("fb")), Seq("doc_b"))
+      .join(perAsset.select(col("asset_id").as("doc_a"), col("fp").as("fa")), Seq("doc_a"))
+      .join(perAsset.select(col("asset_id").as("doc_b"), col("fp").as("fb")), Seq("doc_b"))
       .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
         col("hamming").cast("long").as("hamming"),
         (col("fa") === col("fb")).as("same_bytes"))
