@@ -127,7 +127,16 @@ object Verify {
             // showed 2 such false fails). rename(2) on one filesystem is
             // atomic; check.py ignores dot-prefixed names.
             val tmp = s"$outDir/.tmp_$name"
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val df = fn(spark, sfDir)
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            // Parallel mode: retire THIS query's caches now that its
+            // output is fully written (a global clearCache would yank
+            // frames concurrent siblings are mid-scan on); sequential
+            // mode keeps the full clearCache sweep below. The env toggle
+            // exists only to A/B the accumulation (default on).
+            if (threads > 1 &&
+                !sys.env.get("SPARK_GRAFT_VERIFY_RETIRE").contains("false"))
+              org.apache.spark.sql.graftext.CacheRetire.retire(df)
             publishLock.synchronized {
               if (!closing) {
                 deleteRecursively(new java.io.File(s"$outDir/$name"))
@@ -155,6 +164,14 @@ object Verify {
     }
     pool.shutdown()
     pool.awaitTermination(7, TimeUnit.DAYS)
+    // storage watermark at end of run — with per-query retirement this
+    // should be ~0 regardless of registry size (triage signal for cache
+    // leaks as the registry grows; the driver ignores stderr)
+    val storage = spark.sparkContext.getRDDStorageInfo
+    System.err.println(
+      f"[verify] cached RDDs at end: ${storage.length}%d, " +
+        f"mem ${storage.map(_.memSize).sum / 1e6}%.1f MB, " +
+        f"disk ${storage.map(_.diskSize).sum / 1e6}%.1f MB")
     spark.stop()
   }
 }
