@@ -243,6 +243,30 @@ class MediaDecodeSpec extends SparkTestBase {
       "reader did not recover after a failed decode")
   }
 
+  test("reusable JPEG reader: a non-JPEG but ImageIO-decodable extent quarantines by design") {
+    // The r16-opt reader resolves the JPEG plugin BY FORMAT NAME, where
+    // the replaced ImageIO.read content-probed the stream — so a sample
+    // extent in another ImageIO-decodable codec (a valid PNG here, which
+    // ImageIO.read happily decodes) now quarantines instead of decoding.
+    // That narrowing is intentional (a Motion-JPEG mdat's extents are
+    // JPEG frames by spec; anything else is a malformed container) —
+    // this case makes it explicit and pins that the reader survives it.
+    val dir = documentsFixture(Seq((6L, "p" * 100, "en", "s"))) // id%6==0 → PNG
+    val png = MultimodalOps.assets(spark, dir)
+      .select("payload").collect().map(_.getAs[Array[Byte]](0)).head
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png)) != null,
+      "fixture must be ImageIO-decodable for the case to mean anything")
+    assert(MultimodalOps.readJpegForTest(png, 0, png.length) == null,
+      "non-JPEG extent must quarantine (null), not decode through the JPEG reader")
+    // and the thread's reader is not poisoned for the next valid JPEG
+    val jdir = documentsFixture(Seq((3L, "a" * 57, "en", "s")))
+    val jpeg = MultimodalOps.assets(spark, jdir)
+      .select("payload").collect().map(_.getAs[Array[Byte]](0)).head
+    assert(MultimodalOps.readJpegForTest(jpeg, 0, jpeg.length) != null,
+      "reader did not recover after the quarantined PNG extent")
+  }
+
   test("incremental decode: ledger digests served from cache, new digests decoded once per payload") {
     // ledger = id%10 < 8, batch = the rest. Asset 8 repeats the ledger
     // video byte-for-byte (same text, same container) → excluded; three
