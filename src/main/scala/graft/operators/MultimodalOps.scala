@@ -1136,8 +1136,19 @@ object MultimodalOps {
 
   /** The one alignment dataflow, parameterized by the token-bucket hash
     * (the assetDedupWith pattern: a semantics change can never
-    * half-apply to the md5/xxhash pair). */
+    * half-apply to the md5/xxhash pair). [[alignJoinWith]] appends the
+    * contract tail (pre-sort materialization + orderBy);
+    * [[alignJoinRawWith]] is the unsorted frame [[alignStats]] and other
+    * aggregating consumers build on — an inner sort would be eliminated
+    * under their aggregation but the materialization exchange would NOT,
+    * and measured +0.33 s of pure overhead on q_mm_align_stats. */
   private def alignJoinWith(feats: DataFrame, docs: DataFrame,
+      bucket: Column => Column): DataFrame =
+    alignJoinRawWith(feats, docs, bucket)
+      .repartition(col("asset_id"))
+      .orderBy("asset_id")
+
+  private def alignJoinRawWith(feats: DataFrame, docs: DataFrame,
       bucket: Column => Column): DataFrame = {
     val dims = 1 to FeatureDim
     val q = feats.select(
@@ -1164,7 +1175,6 @@ object MultimodalOps {
         (col("dot") > 0 &&
           col("dot") * col("dot") * lit(AlignTauDen * AlignTauDen) >=
             lit(AlignTauNum * AlignTauNum) * col("n1") * col("n2")).as("keep"))
-      .orderBy("asset_id")
   }
 
   /** PER-MODALITY ALIGNMENT DISTRIBUTION — the curation-dashboard rollup
@@ -1177,7 +1187,9 @@ object MultimodalOps {
     * is also the mergeable form a multi-day rollup needs. Bounded-key
     * groupBy over the align frame: one extra map-side-partial exchange. */
   def alignStats(spark: SparkSession, dir: String): DataFrame =
-    crossModalAlign(spark, dir)
+    alignJoinRawWith(extractFeatures(spark, dir).toDF(),
+        Tables.documents(spark, dir),
+        tok => conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % FeatureDim)
       .groupBy("modality")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
